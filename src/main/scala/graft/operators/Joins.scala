@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Join operators from SURVEY.md §2.3 (J1–J10), re-expressed over the test
+  * tables:
+  *
+  *  - q03: fact→dim inner-join chain with broadcast dims (J5,
+  *    `scripts/16_sync_task_primary.sql:348-370`).
+  *  - q04: one dim LEFT JOINed to two facts on the same key → intentional
+  *    fan-out cross product; COUNT(DISTINCT) corrects counts, SUMs stay
+  *    inflated — the reference's V_CAMPAIGN_PERFORMANCE semantics (J1,
+  *    `scripts/10_external_tables.sql:130-134`). Do NOT "fix" the fan-out.
+  *  - q05: lineage LEFT-join chain (J2, `scripts/10_external_tables.sql:149-151`).
+  *  - q06: pre-aggregated CTEs joined to the dim on a composite key (J3,
+  *    `scripts/12_materialized_views.sql:181-228`).
+  *  - q07: anti-join (J6 `LEFT JOIN ... IS NULL` idiom → native left_anti).
+  *  - q08: equi-join + hash-inequality residual (J7,
+  *    `scripts/33_schema_sync_task.sql:333-348` definition-mismatch drift).
+  *  - q09: FULL OUTER of two aggregates + COALESCE (J8, `:563-578`).
+  *  - q10: EXISTS → left-semi (F20, `scripts/90_validation_queries.sql:31-40`).
+  *  - q25: OR-of-IS-NOT-NULL filter over a multi-left-join (P5,
+  *    `scripts/12_materialized_views.sql:228`).
+  *
+  * Scale notes: dims (nation/region/supplier) are broadcast by Catalyst under
+  * AQE; fact-fact joins shuffle on their keys once. The fan-out in q04 is
+  * bounded per key (dim key cardinality), matching the reference's shape.
+  */
+object Joins {
+
+  val queries: Map[String, QFn] = Map(
+    "q03_revenue_per_nation" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name", $"r_name")
+        .agg(
+          decSum($"o_totalprice").as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"n_name")
+    },
+
+    "q04_fanout_leftjoin" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "nation")
+        .join(t(s, dir, "customer"), $"c_nationkey" === $"n_nationkey", "left")
+        .join(t(s, dir, "supplier"), $"s_nationkey" === $"n_nationkey", "left")
+        .groupBy($"n_name")
+        .agg(
+          countDistinct($"c_custkey").as("n_customers"),
+          countDistinct($"s_suppkey").as("n_suppliers"),
+          decSum($"c_acctbal").as("custbal_inflated"),
+          count(lit(1)).as("fanout_rows"))
+        .orderBy($"n_name")
+    },
+
+    "q05_funnel_chain" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey", "left")
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey", "left")
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_orderkey").as("n_orders"),
+          countDistinct(concat($"l_orderkey".cast("string"), lit("-"), $"l_linenumber".cast("string"))).as("n_items"),
+          countDistinct($"p_partkey").as("n_parts"),
+          decSum($"l_extendedprice").as("item_value"))
+        .orderBy($"o_orderpriority")
+    },
+
+    "q06_preagg_composite_join" -> { (s, dir) =>
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val mo = orders
+        .groupBy($"o_custkey".as("mo_k"), date_trunc("month", $"o_orderdate").cast("date").as("mo_m"))
+        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("spend"))
+      val ml = t(s, dir, "lineitem")
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("ml_k"), date_trunc("month", $"o_orderdate").cast("date").as("ml_m"))
+        .agg(decSum($"l_extendedprice" * (lit(1) - $"l_discount"), 6).as("rev"), count(lit(1)).as("n_items"))
+      t(s, dir, "customer")
+        .join(mo, $"c_custkey" === $"mo_k")
+        .join(ml, $"ml_k" === $"c_custkey" && $"ml_m" === $"mo_m", "left")
+        .select(
+          $"c_custkey", $"mo_m".as("month"), $"n_orders", $"spend",
+          coalesce($"rev", lit(0.0)).as("rev"),
+          coalesce($"n_items", lit(0L)).as("n_items"))
+        .orderBy($"c_custkey", $"month")
+    },
+
+    "q07_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey", "left_anti")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    "q08_theta_hash_drift" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "supplier")
+        .join(t(s, dir, "customer"), $"s_nationkey" === $"c_nationkey")
+        .filter(substring(sha2($"s_name", 256), 1, 8) =!= substring(sha2($"c_name", 256), 1, 8))
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_mismatches"), min($"s_name").as("first_supplier"))
+        .orderBy($"nationkey")
+    },
+
+    "q09_full_outer_counts" -> { (s, dir) =>
+      import s.implicits._
+      val sup = t(s, dir, "supplier").groupBy($"s_nationkey".as("sk")).agg(count(lit(1)).as("n_sup"))
+      val cus = t(s, dir, "customer").groupBy($"c_nationkey".as("ck")).agg(count(lit(1)).as("n_cus"))
+      sup.join(cus, $"sk" === $"ck", "full_outer")
+        .select(
+          coalesce($"sk", $"ck").as("nationkey"),
+          coalesce($"n_sup", lit(0L)).as("n_sup"),
+          coalesce($"n_cus", lit(0L)).as("n_cus"))
+        .orderBy($"nationkey")
+    },
+
+    "q10_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val recent = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-07-01 00:00:00")))
+      t(s, dir, "customer")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    "q25_null_or_filter" -> { (s, dir) =>
+      import s.implicits._
+      val bigCust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+      val bigSup = t(s, dir, "supplier").filter($"s_acctbal" > 9500)
+      t(s, dir, "nation")
+        .join(bigCust, $"c_nationkey" === $"n_nationkey", "left")
+        .join(bigSup, $"s_nationkey" === $"n_nationkey", "left")
+        .filter($"c_custkey".isNotNull || $"s_suppkey".isNotNull)
+        .select($"n_nationkey", $"n_name").distinct()
+        .orderBy($"n_nationkey")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q03_revenue_per_nation" ->
+      """SELECT n_name, r_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name ORDER BY n_name""",
+
+    "q04_fanout_leftjoin" ->
+      """SELECT n_name,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT s_suppkey) AS n_suppliers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS custbal_inflated,
+           count(*) AS fanout_rows
+         FROM nation
+         LEFT JOIN customer ON c_nationkey = n_nationkey
+         LEFT JOIN supplier ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q05_funnel_chain" ->
+      """SELECT o_orderpriority,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(DISTINCT (CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))) AS n_items,
+           count(DISTINCT p_partkey) AS n_parts,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS item_value
+         FROM orders
+         LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         LEFT JOIN part ON l_partkey = p_partkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q06_preagg_composite_join" ->
+      """WITH mo AS (
+           SELECT o_custkey AS mo_k, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo_m,
+                  count(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM orders GROUP BY 1, 2),
+         ml AS (
+           SELECT o_custkey AS ml_k, CAST(date_trunc('month', o_orderdate) AS DATE) AS ml_m,
+                  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+                  count(*) AS n_items
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+         SELECT c_custkey, mo.mo_m AS month, mo.n_orders, mo.spend,
+                coalesce(ml.rev, 0.0) AS rev, coalesce(ml.n_items, 0) AS n_items
+         FROM customer
+         JOIN mo ON c_custkey = mo.mo_k
+         LEFT JOIN ml ON ml.ml_k = c_custkey AND ml.ml_m = mo.mo_m
+         ORDER BY c_custkey, month""",
+
+    "q07_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q08_theta_hash_drift" ->
+      """SELECT s_nationkey AS nationkey, count(*) AS n_mismatches, min(s_name) AS first_supplier
+         FROM supplier JOIN customer ON s_nationkey = c_nationkey
+         WHERE substr(sha256(s_name), 1, 8) <> substr(sha256(c_name), 1, 8)
+         GROUP BY s_nationkey ORDER BY nationkey""",
+
+    "q09_full_outer_counts" ->
+      """WITH sup AS (SELECT s_nationkey AS sk, count(*) AS n_sup FROM supplier GROUP BY 1),
+            cus AS (SELECT c_nationkey AS ck, count(*) AS n_cus FROM customer GROUP BY 1)
+         SELECT coalesce(sk, ck) AS nationkey, coalesce(n_sup, 0) AS n_sup, coalesce(n_cus, 0) AS n_cus
+         FROM sup FULL OUTER JOIN cus ON sk = ck ORDER BY nationkey""",
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer WHERE EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+         ORDER BY c_custkey""",
+
+    "q25_null_or_filter" ->
+      """WITH ch AS (SELECT * FROM customer WHERE c_acctbal > 9000),
+            sh AS (SELECT * FROM supplier WHERE s_acctbal > 9500)
+         SELECT DISTINCT n_nationkey, n_name
+         FROM nation
+         LEFT JOIN ch ON c_nationkey = n_nationkey
+         LEFT JOIN sh ON s_nationkey = n_nationkey
+         WHERE c_custkey IS NOT NULL OR s_suppkey IS NOT NULL
+         ORDER BY n_nationkey""")
+}

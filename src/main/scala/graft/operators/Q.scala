@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the declared query inventory.
+  *
+  * Every query in `graft.SparkEntry.queries` is paired with a DuckDB oracle
+  * (`oracleSql`) that must hash-match cell-for-cell. Two disciplines make
+  * that possible with floating-point data:
+  *
+  *   - '''Decimal-exact sums''': `SUM(double)` is order-dependent and Spark
+  *     partial aggregation sums in nondeterministic order across partitions.
+  *     All money-ish sums go through `CAST(x AS DECIMAL(18,s))` (exact,
+  *     order-independent) and only the final result is cast back to double.
+  *     Same expression on the DuckDB side → bit-identical outputs.
+  *   - '''Total ordering''': every query ends in an ORDER BY over a unique
+  *     key so row order is deterministic in both engines.
+  */
+object Q {
+  type QFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Order-independent exact sum of a double column: decimal-cast, sum,
+    * cast back. Identical semantics in DuckDB:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`. */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average built from a decimal sum and an exact count; the single
+    * double division at the end is IEEE-identical across engines. */
+  def decAvg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Scans, filters, projections, sorts, limits, set ops and scalar functions
+  * from SURVEY.md §2.2 / §2.6 / §2.7 / §2.8:
+  *
+  *  - q02: IN-list + range filter with computed CASE projection (P2/P3,
+  *    `scripts/12_materialized_views.sql:56-61`).
+  *  - q15: top-k with NULLS LAST (O1, `scripts/10_external_tables.sql:189-199`).
+  *  - q16: UNION ALL of labeled counts (U1, `scripts/10_external_tables.sql:174-180`).
+  *  - q17: multi-key sort (O4, `scripts/33_schema_sync_task.sql:148`).
+  *  - q18: deterministic sampling — the reference samples with a seeded RNG
+  *    (O5, `scripts/02_generate_iceberg_data.py:142`); we use a key-modulus
+  *    filter so both engines select identical rows.
+  *  - q21: string-function suite — UPPER/substr/concat/replace/instr/SHA2 +
+  *    LIKE (F11–F16, P6; `scripts/33_schema_sync_task.sql:87-123` hashing,
+  *    `scripts/16_sync_task_primary.sql:217-252` text surgery).
+  *
+  * Scale notes: q15 plans as TakeOrderedAndProject (no full sort); q16's
+  * counts are metadata-cheap scans; filters in q02/q18 push to parquet.
+  */
+object Relational {
+
+  val queries: Map[String, QFn] = Map(
+    "q02_filter_case_proj" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_returnflag".isin("A", "R") &&
+          $"l_shipdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(
+          $"l_orderkey", $"l_linenumber", $"l_quantity",
+          when($"l_returnflag" === "A", "accepted")
+            .when($"l_returnflag" === "R", "returned")
+            .otherwise("none").as("flag_label"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "q15_topk_nulls_last" -> { (s, dir) =>
+      import s.implicits._
+      val recent = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2001-06-01 00:00:00")))
+      t(s, dir, "customer")
+        .join(recent, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(decSum($"o_totalprice").as("total_spend"))
+        .orderBy($"total_spend".desc_nulls_last, $"c_custkey")
+        .limit(10)
+    },
+
+    "q16_union_counts" -> { (s, dir) =>
+      import s.implicits._
+      Seq("customer", "orders", "lineitem", "part", "events", "documents")
+        .map(n => t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), $"n"))
+        .reduce(_ unionAll _)
+        .orderBy($"tbl")
+    },
+
+    "q17_multisort" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .orderBy($"s_nationkey".desc, $"s_name")
+    },
+
+    "q18_deterministic_sample" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "q21_string_funcs" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_name".like("%widget%"))
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_u"),
+          substring($"p_name", 1, 5).as("name5"),
+          concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+          regexp_replace($"p_name", " ", "_").as("name_us"),
+          instr($"p_name", "widget").cast("long").as("widget_pos"),
+          substring(sha2($"p_name", 256), 1, 16).as("name_hash"))
+        .orderBy($"p_partkey")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q02_filter_case_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN l_returnflag = 'A' THEN 'accepted'
+                WHEN l_returnflag = 'R' THEN 'returned'
+                ELSE 'none' END AS flag_label
+         FROM lineitem
+         WHERE l_returnflag IN ('A', 'R')
+           AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q15_topk_nulls_last" ->
+      """SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+         FROM customer
+         LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00') o
+           ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY total_spend DESC NULLS LAST, c_custkey
+         LIMIT 10""",
+
+    "q16_union_counts" ->
+      """SELECT 'customer' AS tbl, count(*) AS n FROM customer
+         UNION ALL SELECT 'orders', count(*) FROM orders
+         UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+         UNION ALL SELECT 'part', count(*) FROM part
+         UNION ALL SELECT 'events', count(*) FROM events
+         UNION ALL SELECT 'documents', count(*) FROM documents
+         ORDER BY tbl""",
+
+    "q17_multisort" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_nationkey DESC, s_name""",
+
+    "q18_deterministic_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_orderkey % 50 = 0
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q21_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_name) AS name_u,
+           substr(p_name, 1, 5) AS name5,
+           p_brand || ':' || p_type AS brand_type,
+           replace(p_name, ' ', '_') AS name_us,
+           strpos(p_name, 'widget') AS widget_pos,
+           substr(sha256(p_name), 1, 16) AS name_hash
+         FROM part WHERE p_name LIKE '%widget%'
+         ORDER BY p_partkey""")
+}
