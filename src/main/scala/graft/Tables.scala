@@ -18,7 +18,19 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects by default. Read nanos as long and rebuild a microsecond
+    * timestamp (integer `div`, not `/` — a double round-trip loses precision
+    * above 2^53 ns). Truncation toward zero matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` µs truncation for post-epoch data, so oracle SQL
+    * that casts `ts` compares bit-identical. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Register every table as a temp view so `spark.sql` queries resolve the
     * same bare names the DuckDB oracle uses. */

@@ -67,7 +67,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "q22_event_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            count(DISTINCT user_id) AS n_users
@@ -86,13 +86,13 @@ object Events {
            SELECT user_id,
                   SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
            FROM b)
-         SELECT user_id, MAX(session_id) AS n_sessions, count(*) AS n_events
+         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM sess GROUP BY user_id ORDER BY user_id""",
 
     "q24_json_props" ->
       """SELECT event_type, count(*) AS n,
            MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
            MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""")
 }

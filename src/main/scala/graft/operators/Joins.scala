@@ -99,14 +99,28 @@ object Joins {
         .orderBy($"o_orderkey")
     },
 
+    // J7 drift check re-keyed onto the unique o_orderkey (the reference joins
+    // catalogs on a near-unique (type, schema, name) composite — a
+    // low-cardinality key like nationkey would be a quadratic per-key blowup
+    // at scale). "Primary" hashes the stored definition; "secondary" hashes a
+    // deviated copy; the equi-join + hash-inequality residual finds drift.
     "q08_theta_hash_drift" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "supplier")
-        .join(t(s, dir, "customer"), $"s_nationkey" === $"c_nationkey")
-        .filter(substring(sha2($"s_name", 256), 1, 8) =!= substring(sha2($"c_name", 256), 1, 8))
-        .groupBy($"s_nationkey".as("nationkey"))
-        .agg(count(lit(1)).as("n_mismatches"), min($"s_name").as("first_supplier"))
-        .orderBy($"nationkey")
+      val orders = t(s, dir, "orders")
+      val primary = orders.select(
+        $"o_orderkey", $"o_orderpriority",
+        sha2(concat_ws("|", $"o_orderstatus", $"o_orderpriority"), 256).as("p_hash"))
+      val secondary = orders.select(
+        $"o_orderkey".as("s_orderkey"),
+        sha2(concat_ws("|",
+          when($"o_totalprice" > 200000, "F").otherwise($"o_orderstatus"),
+          $"o_orderpriority"), 256).as("s_hash"))
+      primary
+        .join(secondary, $"o_orderkey" === $"s_orderkey")
+        .filter($"p_hash" =!= $"s_hash")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_drift"), min($"o_orderkey").as("first_key"))
+        .orderBy($"o_orderpriority")
     },
 
     "q09_full_outer_counts" -> { (s, dir) =>
@@ -201,10 +215,19 @@ object Joins {
          ORDER BY o_orderkey""",
 
     "q08_theta_hash_drift" ->
-      """SELECT s_nationkey AS nationkey, count(*) AS n_mismatches, min(s_name) AS first_supplier
-         FROM supplier JOIN customer ON s_nationkey = c_nationkey
-         WHERE substr(sha256(s_name), 1, 8) <> substr(sha256(c_name), 1, 8)
-         GROUP BY s_nationkey ORDER BY nationkey""",
+      """WITH p AS (
+           SELECT o_orderkey, o_orderpriority,
+                  sha256(o_orderstatus || '|' || o_orderpriority) AS p_hash
+           FROM orders),
+         s AS (
+           SELECT o_orderkey AS s_orderkey,
+                  sha256((CASE WHEN o_totalprice > 200000 THEN 'F' ELSE o_orderstatus END)
+                         || '|' || o_orderpriority) AS s_hash
+           FROM orders)
+         SELECT o_orderpriority, count(*) AS n_drift, min(o_orderkey) AS first_key
+         FROM p JOIN s ON o_orderkey = s_orderkey
+         WHERE p_hash <> s_hash
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q09_full_outer_counts" ->
       """WITH sup AS (SELECT s_nationkey AS sk, count(*) AS n_sup FROM supplier GROUP BY 1),

@@ -35,4 +35,13 @@ object Q {
     * double division at the end is IEEE-identical across engines. */
   def decAvg(c: Column, scale: Int = 2): Column =
     (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
+
+  /** Exact integer-cents sum of a money column. Ratio metrics over cents
+    * stay in integer arithmetic end-to-end — `ROUND` on a double whose
+    * shortest decimal representation sits exactly on a .xx5 boundary rounds
+    * differently in Spark (rounds the shortest representation, HALF_UP) vs
+    * DuckDB (rounds the binary value), so money ratios must never go
+    * through ROUND(double). */
+  def decCents(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 2))) * lit(100)).cast("long")
 }

@@ -34,7 +34,9 @@ object Relational {
           when($"l_returnflag" === "A", "accepted")
             .when($"l_returnflag" === "R", "returned")
             .otherwise("none").as("flag_label"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this data (11,785 dup
+        // pairs at sf0.01) — extend to a total order or the hash check flips.
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"flag_label")
     },
 
     "q15_topk_nulls_last" -> { (s, dir) =>
@@ -69,7 +71,7 @@ object Relational {
       t(s, dir, "lineitem")
         .filter($"l_orderkey" % 50 === 0)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
     },
 
     "q21_string_funcs" -> { (s, dir) =>
@@ -81,10 +83,28 @@ object Relational {
           upper($"p_name").as("name_u"),
           substring($"p_name", 1, 5).as("name5"),
           concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
-          regexp_replace($"p_name", " ", "_").as("name_us"),
+          translate($"p_name", " ", "_").as("name_us"),
           instr($"p_name", "widget").cast("long").as("widget_pos"),
           substring(sha2($"p_name", 256), 1, 16).as("name_hash"))
         .orderBy($"p_partkey")
+    },
+
+    // q30: the F5/F6/F9 date-function trio — the SURVEY §7.4 "silent
+    // divergence" trap set. Snowflake DATEDIFF(unit, start, end) maps to
+    // Spark datediff(end, start) (arg order swapped); DATEADD → interval
+    // arithmetic; TO_TIMESTAMP(string) round-trips a formatted timestamp.
+    "q30_date_functions" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date"))
+            .as("days_to_2002"),
+          date_add($"o_orderdate".cast("date"), 30).as("plus30d"),
+          ($"o_orderdate" + expr("INTERVAL 12 HOURS")).as("plus12h"),
+          to_timestamp(date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+            .as("ts_roundtrip"))
+        .orderBy($"o_orderkey")
     })
 
   val oracle: Map[String, String] = Map(
@@ -96,7 +116,7 @@ object Relational {
          FROM lineitem
          WHERE l_returnflag IN ('A', 'R')
            AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, flag_label""",
 
     "q15_topk_nulls_last" ->
       """SELECT c_custkey, c_name,
@@ -124,7 +144,7 @@ object Relational {
     "q18_deterministic_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_orderkey % 50 = 0
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
 
     "q21_string_funcs" ->
       """SELECT p_partkey,
@@ -135,5 +155,13 @@ object Relational {
            strpos(p_name, 'widget') AS widget_pos,
            substr(sha256(p_name), 1, 16) AS name_hash
          FROM part WHERE p_name LIKE '%widget%'
-         ORDER BY p_partkey""")
+         ORDER BY p_partkey""",
+
+    "q30_date_functions" ->
+      """SELECT o_orderkey,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(o_orderdate AS DATE) + 30 AS plus30d,
+           o_orderdate + INTERVAL 12 HOUR AS plus12h,
+           CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_roundtrip
+         FROM orders ORDER BY o_orderkey""")
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Embedding similarity search over the `embeddings` table (64-dim
+  * Array[Float] + label), the ANN layer of an LLM-data pipeline.
+  *
+  * Determinism across engines: float32×float32 is EXACT in double, and both
+  * sides reduce strictly left-to-right in double (Spark `aggregate` HOF /
+  * DuckDB `list_reduce`), so dot products and norms are bit-identical;
+  * `sqrt` is IEEE correctly-rounded. Ranking happens on the full-precision
+  * double with vec_id tie-breakers; only display columns are rounded.
+  *
+  * Scale design: q50 is the brute-force baseline — a broadcast of Q query
+  * vectors against N rows, cost Q×N, the right plan when Q is small. q51 is
+  * the scale path: sign-LSH buckets (hyperoctant of the leading dims) turn
+  * the self-join all-pairs O(N²) into Σ bucket² with the shuffle keyed on
+  * the bucket — the same banding idea as MinHash-LSH for text. q53 is the
+  * IVF building block: per-label centroids via posexplode + decimal-exact
+  * component sums (a double sum across rows would be partition-order-
+  * dependent; decimal is associative).
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float arrays (codegen HOFs). */
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** DuckDB twin of [[dot]]: strictly sequential list_reduce. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  /** 4-bit sign-LSH bucket from the leading dims (exact float comparisons). */
+  private def bucketExpr(v: String): String =
+    (1 to 4).map(i => s"(CASE WHEN element_at($v, $i) >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+
+  private def duckBucket(v: String): String =
+    (1 to 4).map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+
+  val queries: Map[String, QFn] = Map(
+    // Brute-force cosine top-k: 4 query vectors × all rows. The query side
+    // is broadcast (tiny), the big side streams — no shuffle of the corpus.
+    "q50_cosine_topk" -> { (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings"))
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        .filter(col("q_id").isin(0L, 1L, 2L, 3L))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      broadcast(q).join(c, col("q_id") =!= col("n_id"))
+        .withColumn("cos", expr(dot("q_emb", "n_emb")) / (col("q_norm") * col("n_norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Bucketed ANN: nearest neighbor within the vector's sign-LSH bucket.
+    // The self-join keys on the bucket, so comparisons are Σ bucket², not N².
+    "q51_ann_lsh" -> { (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings"))
+        .withColumn("bucket", expr(bucketExpr("embedding")))
+      val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"))
+      val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("n_id"),
+        col("embedding").as("b_emb"), col("norm").as("b_norm"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("n_id"))
+      a.join(b, col("bucket") === col("b_bucket") && col("vec_id") =!= col("n_id"))
+        .withColumn("cos", expr(dot("a_emb", "b_emb")) / (col("a_norm") * col("b_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bucket"), col("n_id").as("nn_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Per-label norm statistics: per-row norms are deterministic doubles;
+    // cross-row reductions stick to count/min/max (order-independent).
+    "q52_norm_stats" -> { (s, dir) =>
+      withNorm(t(s, dir, "embeddings"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+        .orderBy(col("label"))
+    },
+
+    // IVF centroids: per-(label, dim) mean via posexplode + decimal-exact
+    // sums (order-independent across partitions). Output limited to the
+    // first 8 dims to keep the diff small; the plan computes all 64.
+    "q53_centroid_ivf" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg((sum(col("val").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          .as("centroid_val"))
+        .filter(col("dim") <= 8)
+        .select(col("label"), col("dim"), round(col("centroid_val"), 6).as("centroid_r"))
+        .orderBy(col("label"), col("dim"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q50_cosine_topk" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS norm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+               FROM e WHERE vec_id IN (0, 1, 2, 3)),
+         scored AS (
+           SELECT q_id, e.vec_id AS n_id,
+                  ${duckDot("q_emb", "e.embedding")} / (q_norm * e.norm) AS cos
+           FROM q JOIN e ON q_id <> e.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM scored)
+         SELECT q_id, rank, n_id, ROUND(cos, 6) AS cos_sim
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q51_ann_lsh" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(${duckDot("embedding", "embedding")}) AS norm,
+                  ${duckBucket("embedding")} AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT a.vec_id, a.bucket, b.vec_id AS n_id,
+                  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT vec_id, bucket, n_id, cos,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id) AS rn
+           FROM scored)
+         SELECT vec_id, bucket, n_id AS nn_id, ROUND(cos, 6) AS cos_sim
+         FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+
+    "q52_norm_stats" ->
+      s"""SELECT label, count(*) AS n_vecs,
+           ROUND(MIN(sqrt(${duckDot("embedding", "embedding")})), 6) AS min_norm,
+           ROUND(MAX(sqrt(${duckDot("embedding", "embedding")})), 6) AS max_norm
+         FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q53_centroid_ivf" ->
+      """SELECT label, i AS dim,
+           ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+             AS centroid_r
+         FROM embeddings, range(1, 65) t(i)
+         WHERE i <= 8
+         GROUP BY label, i ORDER BY label, dim""")
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** LLM-training-data text pipeline over the `documents` table: dedup
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard, fingerprint) and text
+  * analysis (stats, language-ID heuristic, quality scoring).
+  *
+  * Everything is vectorized higher-order-function expressions — split /
+  * transform / aggregate / array_min — no UDFs, so plans stay codegen-
+  * friendly and fully distributed. Hashes are md5/sha2 hex STRINGS and all
+  * cross-row math is integer or decimal-exact, so every query hash-matches
+  * its DuckDB oracle bit-for-bit.
+  *
+  * Scale design (the 100 TB question): near-dup detection NEVER does an
+  * all-pairs join. MinHash signatures are banded (SURVEY §2.5 extension
+  * path; classic Broder MinHash / LSH banding) and candidate pairs come
+  * from an equi-join on (band_id, band_hash) — Spark shuffles on the band
+  * hash, so cost is Σ bucket² over near-identical docs, not n². The exact
+  * Jaccard verify (q44) runs only on those candidates.
+  *
+  * The test corpus is `documents` unioned with deterministic mutated twins
+  * (truncated tails / verbatim copies) so the dedup operators have a real
+  * dup population to find at every scale factor.
+  */
+object TextOps {
+
+  /** Number of MinHash functions; banded into BANDS bands of ROWS_PER_BAND. */
+  private val K = 6
+  private val BANDS = 3
+
+  /** documents ∪ near-dup twins (tail-truncated copies, ids offset 100000). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(
+        d.filter(col("n_chars") >= 60)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            expr("substring(text, 1, length(text) - 20)").as("text")))
+  }
+
+  /** Adds `words`, `shingles` (3-word), and mh0..mhK-1 MinHash columns.
+    * MinHash_j = lexicographic min of md5("j|" + shingle) — min over hex
+    * strings avoids any hex→int conversion and is engine-portable. */
+  private def withSignature(df: DataFrame): DataFrame = {
+    val sh = df
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+    (0 until K).foldLeft(sh) { (acc, j) =>
+      acc.withColumn(s"mh$j",
+        expr(s"array_min(transform(shingles, x -> md5(concat('$j|', x))))"))
+    }
+  }
+
+  /** (band_id, band_hash, doc_id) — one row per doc per band. */
+  private def bandBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sig = withSignature(corpus(s, dir))
+    (0 until BANDS).map { b =>
+      sig.select(
+        lit(b).as("band_id"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band_hash"),
+        col("doc_id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-dup pairs from LSH band collisions (a_id < b_id). */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val b = bandBuckets(s, dir)
+    val x = b.select(col("band_id").as("x_band"), col("band_hash").as("x_hash"), col("doc_id").as("a_id"))
+    val y = b.select(col("band_id").as("y_band"), col("band_hash").as("y_hash"), col("doc_id").as("b_id"))
+    x.join(y, col("x_band") === col("y_band") && col("x_hash") === col("y_hash") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Shared DuckDB CTE prefix mirroring corpus/withSignature/bandBuckets. */
+  private val oracleSig: String = {
+    val mhs = (0 until K).map(j =>
+      s"list_min(list_transform(shingles, x -> md5('$j|' || x))) AS mh$j").mkString(",\n              ")
+    val bands = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band_id, md5(mh${2 * b} || mh${2 * b + 1}) AS band_hash FROM mh")
+      .mkString("\n           UNION ALL ")
+    s"""corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE n_chars >= 60),
+         w AS (
+           SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus
+           WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+           FROM w),
+         mh AS (
+           SELECT doc_id,
+              $mhs
+           FROM sh),
+         b AS (
+           $bands),
+         pairs AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_shared_bands
+           FROM b x JOIN b y
+             ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)"""
+  }
+
+  /** 16-bit SimHash: bit p = sign of Σ_words ±1 where the sign is taken from
+    * md5(word)'s p-th hex digit (< '8' → +1). Word-order independent
+    * (integer sum), so exact in both engines. */
+  private val simhashBitsSpark: String = (1 to 16).map { p =>
+    s"""CASE WHEN aggregate(words, 0, (acc, w) -> acc +
+       (CASE WHEN substring(md5(w), $p, 1) IN ('0','1','2','3','4','5','6','7')
+        THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"""
+  }.mkString("concat(", ", ", ")")
+
+  private val simhashBitsDuck: String = (1 to 16).map { p =>
+    s"""(CASE WHEN list_sum(list_transform(words, w ->
+       CASE WHEN substr(md5(w), $p, 1) IN ('0','1','2','3','4','5','6','7')
+       THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"""
+  }.mkString(" || ")
+
+  val queries: Map[String, QFn] = Map(
+    // Text statistics per (lang, source): counts, decimal-exact char avg,
+    // whitespace token totals.
+    "q40_text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          decAvg(col("n_chars")).as("avg_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // Exact dedup: hash-groupBy on sha2(text); keeper = min doc_id. The
+    // corpus doubles `documents` with verbatim copies so every text has
+    // exactly one dup to collapse.
+    "q41_exact_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.unionAll(d.select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id"))
+    },
+
+    // MinHash + banded LSH near-dup candidates: shuffle on (band, hash),
+    // never all-pairs.
+    "q42_minhash_lsh" -> { (s, dir) =>
+      candidatePairs(s, dir).orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Exact n-gram (word-set) Jaccard verification of the LSH candidates —
+    // integer intersection/union counts, jaccard in exact basis points.
+    "q44_ngram_jaccard" -> { (s, dir) =>
+      val texts = corpus(s, dir).select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      candidatePairs(s, dir)
+        .join(texts.select(col("doc_id").as("a_id"), col("ws").as("wa")), Seq("a_id"))
+        .join(texts.select(col("doc_id").as("b_id"), col("ws").as("wb")), Seq("b_id"))
+        .select(
+          col("a_id"), col("b_id"),
+          size(array_intersect(col("wa"), col("wb"))).as("n_inter"),
+          (size(col("wa")) + size(col("wb")) - size(array_intersect(col("wa"), col("wb")))).as("n_union"))
+        .withColumn("jaccard_bp", expr("(n_inter * 10000) div n_union"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SimHash near-dup clustering: identical 16-bit signature → same group.
+    "q43_simhash" -> { (s, dir) =>
+      corpus(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("simhash", expr(simhashBitsSpark))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("simhash"))
+    },
+
+    // Content-classification heuristic (the language-ID shape: marker-token
+    // scoring → argmax class). The synthetic corpus shares one vocabulary
+    // across langs, so the markers classify topic rather than language;
+    // the operator shape — count marker hits per class, argmax — is the same.
+    "q45_langid" -> { (s, dir) =>
+      corpus(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_storage",
+          expr("size(filter(words, x -> x IN ('table','row','column','scan','part')))"))
+        .withColumn("n_stream",
+          expr("size(filter(words, x -> x IN ('stream','window','batch','order','line')))"))
+        .withColumn("lang_guess",
+          when(col("n_storage") > col("n_stream"), "storage")
+            .when(col("n_stream") > col("n_storage"), "streaming")
+            .otherwise("balanced"))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang_guess"))
+    },
+
+    // Quality scoring: token counts + integer-exact average token length
+    // (single-spaced text: chars_in_tokens = length - (n_tokens - 1)).
+    "q46_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("avg_tok_len_x100",
+          expr("(100 * (length(text) - n_tokens + 1)) div n_tokens"))
+        .withColumn("len_bucket",
+          when(col("n_tokens") < 30, "short")
+            .when(col("n_tokens") < 70, "medium")
+            .otherwise("long"))
+        .withColumn("quality",
+          when(col("avg_tok_len_x100").between(300, 800), "ok").otherwise("flag"))
+        .groupBy(col("lang"), col("len_bucket"), col("quality"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy(col("lang"), col("len_bucket"), col("quality"))
+    },
+
+    // Document fingerprinting: winnowing-style single min-shingle-hash
+    // fingerprint; docs sharing a fingerprint cluster together.
+    "q47_fingerprint" -> { (s, dir) =>
+      withSignature(corpus(s, dir))
+        .select(col("doc_id"), substring(col("mh0"), 1, 16).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q40_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    "q41_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 200000, text FROM documents)
+         SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM all_docs GROUP BY sha256(text) HAVING count(*) > 1
+         ORDER BY keeper_id""",
+
+    "q42_minhash_lsh" ->
+      s"""WITH $oracleSig
+         SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""",
+
+    "q44_ngram_jaccard" ->
+      s"""WITH $oracleSig,
+         t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus)
+         SELECT a_id, b_id,
+           len(list_intersect(ta.ws, tb.ws)) AS n_inter,
+           len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws)) AS n_union,
+           (len(list_intersect(ta.ws, tb.ws)) * 10000)
+             // (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))) AS jaccard_bp
+         FROM pairs
+         JOIN t ta ON ta.doc_id = a_id
+         JOIN t tb ON tb.doc_id = b_id
+         ORDER BY a_id, b_id""",
+
+    "q43_simhash" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE n_chars >= 60),
+         w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         sh AS (SELECT doc_id, $simhashBitsDuck AS simhash FROM w)
+         SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM sh GROUP BY simhash HAVING count(*) > 1
+         ORDER BY simhash""",
+
+    "q45_langid" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE n_chars >= 60),
+         scored AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('table','row','column','scan','part'))) AS n_storage,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('stream','window','batch','order','line'))) AS n_stream
+           FROM corpus)
+         SELECT CASE WHEN n_storage > n_stream THEN 'storage'
+                     WHEN n_stream > n_storage THEN 'streaming'
+                     ELSE 'balanced' END AS lang_guess,
+                count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM scored GROUP BY 1 ORDER BY lang_guess""",
+
+    "q46_quality_score" ->
+      """WITH d AS (
+           SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+                  (100 * (length(text) - len(string_split(text, ' ')) + 1))
+                    // len(string_split(text, ' ')) AS avg_tok_len_x100
+           FROM documents)
+         SELECT lang,
+                CASE WHEN n_tokens < 30 THEN 'short'
+                     WHEN n_tokens < 70 THEN 'medium'
+                     ELSE 'long' END AS len_bucket,
+                CASE WHEN avg_tok_len_x100 BETWEEN 300 AND 800 THEN 'ok'
+                     ELSE 'flag' END AS quality,
+                count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM d GROUP BY 1, 2, 3 ORDER BY lang, len_bucket, quality""",
+
+    "q47_fingerprint" ->
+      s"""WITH $oracleSig
+         SELECT substr(mh0, 1, 16) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM mh GROUP BY 1 HAVING count(*) > 1
+         ORDER BY fp""")
+}
