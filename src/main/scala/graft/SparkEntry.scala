@@ -25,6 +25,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracle),
     (Events.queries, Events.oracle),
     (Views.queries, Views.oracle),
+    (Sources.queries, Sources.oracle),
     (TextOps.queries, TextOps.oracle),
     (Similarity.queries, Similarity.oracle))
 

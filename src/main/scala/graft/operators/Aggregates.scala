@@ -87,6 +87,15 @@ object Aggregates {
         .orderBy($"l_returnflag")
     },
 
+    // A8: GROUP BY ordinal through the SQL surface (Spark supports
+    // groupByOrdinal natively; `scripts/10_external_tables.sql:134`).
+    "q32_groupby_ordinal" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+
     "q26_reagg_monthly" -> { (s, dir) =>
       import s.implicits._
       val monthly = t(s, dir, "orders")
@@ -145,6 +154,11 @@ object Aggregates {
            count(DISTINCT l_suppkey) AS n_suppliers,
            count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q32_groupby_ordinal" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q26_reagg_monthly" ->
       """WITH monthly AS (

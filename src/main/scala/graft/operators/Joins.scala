@@ -145,6 +145,27 @@ object Joins {
         .orderBy($"c_custkey")
     },
 
+    // J10: broadcast dict-lookup with a default — the reference's
+    // per-row CPA map lookup `campaign_cpa.get(cid, 50)`
+    // (`scripts/02_generate_iceberg_data.py:183,197`) as a broadcast LEFT
+    // join + coalesce(default). The dim is explicitly broadcast: no shuffle
+    // of the fact side at any scale.
+    "q31_dict_lookup_default" -> { (s, dir) =>
+      import s.implicits._
+      // dict covers only part of the key space so the default path is real
+      val dict = t(s, dir, "customer")
+        .filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("k"), $"c_acctbal".as("v"))
+      t(s, dir, "orders")
+        .join(broadcast(dict), $"o_custkey" === $"k", "left")
+        .select($"o_orderkey", coalesce($"v", lit(50.0)).as("cpa"))
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"cpa" === 50.0, 1).otherwise(0)).as("n_defaulted"),
+          decSum($"cpa").as("total_cpa"))
+    },
+
     "q25_null_or_filter" -> { (s, dir) =>
       import s.implicits._
       val bigCust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
@@ -241,6 +262,14 @@ object Joins {
            SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
          ORDER BY c_custkey""",
+
+    "q31_dict_lookup_default" ->
+      """WITH dict AS (
+           SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_custkey % 3 = 0)
+         SELECT count(*) AS n_rows,
+                CAST(SUM(CASE WHEN coalesce(v, 50.0) = 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
+                CAST(SUM(CAST(coalesce(v, 50.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_cpa
+         FROM orders LEFT JOIN dict ON o_custkey = k""",
 
     "q25_null_or_filter" ->
       """WITH ch AS (SELECT * FROM customer WHERE c_acctbal > 9000),
