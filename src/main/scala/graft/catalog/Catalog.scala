@@ -1,0 +1,155 @@
+package graft.catalog
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.warehouse.SnapshotTable
+
+/** A named view: definition is SQL TEXT, not a plan — the reference's sync
+  * machinery rewrites and hashes view definitions as strings
+  * (`scripts/16_sync_task_primary.sql:217-252`,
+  * `scripts/33_schema_sync_task.sql:87`), so ours must too. */
+final case class ViewDef(schema: String, name: String, definition: String) {
+  /** SHA2-256 of the uppercased definition — the drift-detection identity
+    * (`scripts/33_schema_sync_task.sql:105`: SHA2(UPPER(...), 256)). */
+  def hash: String = ViewDef.sha256(definition.toUpperCase)
+}
+
+object ViewDef {
+  def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+/** One engine-side database: a warehouse directory of snapshot tables plus
+  * a view registry, exposing the catalog surfaces the reference relies on —
+  * SHOW/DESCRIBE (S8), INFORMATION_SCHEMA scans (S9), catalog-link status
+  * (F18), and a read-only flag for BCDR promotion (D11).
+  *
+  * Tables live at `<warehouse>/<schema>/<table>/snap-*`; `qualified` names
+  * (`<catalog>__<schema>__<table>`) double as Spark temp-view names so view
+  * definition TEXT is runnable via `spark.sql` after `registerTables()`.
+  */
+final class Catalog(val spark: SparkSession, val warehouse: String, val name: String) {
+
+  private val views = mutable.LinkedHashMap.empty[(String, String), ViewDef]
+
+  /** Catalog-linked databases (S6): other catalogs whose tables this one's
+    * views may reference; their tables are auto-registered at query time
+    * (the CLD auto-discovery behavior). */
+  private val links = mutable.LinkedHashSet.empty[Catalog]
+  def link(other: Catalog): Unit = links.add(other)
+
+  /** BCDR: secondaries are read-only until promoted (D11). */
+  @volatile var readOnly: Boolean = false
+
+  private def fs = new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def qualified(schema: String, table: String): String = s"${name}__${schema}__$table"
+
+  // ── tables ────────────────────────────────────────────────────────────
+
+  def table(schema: String, tname: String): SnapshotTable =
+    new SnapshotTable(spark, s"$warehouse/$schema/$tname", () => checkWritable())
+
+  def checkWritable(): Unit =
+    require(!readOnly, s"catalog $name is read-only (unpromoted secondary)")
+
+  /** CREATE SCHEMA IF NOT EXISTS (D3). */
+  def createSchema(schema: String): Unit = {
+    checkWritable()
+    fs.mkdirs(new Path(s"$warehouse/$schema"))
+  }
+
+  def listSchemas(): Seq[String] = {
+    val p = new Path(warehouse)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  def listTables(schema: String): Seq[String] = {
+    val p = new Path(s"$warehouse/$schema")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => table(schema, t).exists).sorted
+  }
+
+  /** Register every table as a temp view under its qualified name so view
+    * definition SQL resolves (the CLD auto-discovery path, S6). */
+  def registerTables(): Unit =
+    for (s <- listSchemas(); t <- listTables(s))
+      table(s, t).read().createOrReplaceTempView(qualified(s, t))
+
+  // ── views (D1) ────────────────────────────────────────────────────────
+
+  def createOrReplaceView(schema: String, vname: String, definition: String): ViewDef = {
+    checkWritable()
+    val v = ViewDef(schema, vname, definition)
+    views((schema, vname)) = v
+    v
+  }
+
+  def dropView(schema: String, vname: String): Boolean = {
+    checkWritable()
+    views.remove((schema, vname)).isDefined
+  }
+
+  def listViews(): Seq[ViewDef] = views.values.toSeq
+  def getView(schema: String, vname: String): Option[ViewDef] = views.get((schema, vname))
+
+  /** Execute a view: register base tables (own + linked catalogs'), run
+    * its definition text. */
+  def queryView(schema: String, vname: String): DataFrame = {
+    links.foreach(_.registerTables())
+    registerTables()
+    spark.sql(views((schema, vname)).definition)
+  }
+
+  // ── metadata surfaces (S8/S9) ─────────────────────────────────────────
+
+  def infoSchemaTables(): DataFrame = {
+    import spark.implicits._
+    val t = for (s <- listSchemas(); tn <- listTables(s))
+      yield (name, s, tn, "BASE TABLE")
+    val v = views.values.map(v => (name, v.schema, v.name, "VIEW")).toSeq
+    (t ++ v).toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
+  def infoSchemaViews(): DataFrame = {
+    import spark.implicits._
+    views.values.map(v => (name, v.schema, v.name, v.definition, v.hash)).toSeq
+      .toDF("table_catalog", "table_schema", "table_name", "view_definition", "definition_hash")
+  }
+
+  def infoSchemaColumns(): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      s <- listSchemas()
+      tn <- listTables(s)
+      (f, i) <- table(s, tn).read().schema.fields.zipWithIndex
+    } yield (name, s, tn, f.name, i + 1, f.dataType.simpleString)
+    rows.toDF("table_catalog", "table_schema", "table_name",
+      "column_name", "ordinal_position", "data_type")
+  }
+
+  /** DESCRIBE TABLE (S8). */
+  def describeTable(schema: String, tname: String): DataFrame = {
+    import spark.implicits._
+    table(schema, tname).read().schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col_name", "data_type", "nullable")
+  }
+
+  /** SYSTEM$CATALOG_LINK_STATUS analogue (F18): probe the warehouse and
+    * report a compact JSON status string. */
+  def linkStatus(): String =
+    try {
+      val n = listSchemas().map(s => listTables(s).size).sum
+      s"""{"status":"CONNECTED","catalog":"$name","tables":$n}"""
+    } catch {
+      case e: Exception =>
+        s"""{"status":"FAILED","catalog":"$name","error":"${e.getMessage}"}"""
+    }
+}

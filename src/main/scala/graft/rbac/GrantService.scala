@@ -1,0 +1,60 @@
+package graft.rbac
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.warehouse.LogTable
+
+/** RBAC as a metadata layer (D9): Spark has no GRANT surface, but the
+  * reference's grant-audit logic (re-grant anything missing, log every
+  * action — `scripts/00_prereqs_rbac.sql:67-152`,
+  * `scripts/31_sync_task_secondary.sql:197-287`) is pure metadata and must
+  * be reproducible. Grants are (role, privilege, object) triples;
+  * `ensureGrants` is the idempotent audit pass.
+  */
+final class GrantService(spark: SparkSession, auditRoot: String) {
+
+  private val roles = mutable.LinkedHashSet.empty[String]
+  private val grants = mutable.LinkedHashSet.empty[(String, String, String)]
+
+  val auditLog = new LogTable(spark, auditRoot, StructType(Seq(
+    StructField("role", StringType),
+    StructField("privilege", StringType),
+    StructField("object", StringType),
+    StructField("action", StringType))))
+
+  def createRole(role: String): Boolean = roles.add(role)
+  def listRoles(): Seq[String] = roles.toSeq
+
+  /** Idempotent GRANT; logs only real changes. Returns true if new. */
+  def grant(role: String, privilege: String, obj: String): Boolean = {
+    require(roles.contains(role), s"unknown role $role")
+    val added = grants.add((role, privilege, obj))
+    if (added) auditLog.append(Seq(Row(role, privilege, obj, "GRANT")))
+    added
+  }
+
+  def revoke(role: String, privilege: String, obj: String): Boolean = {
+    val removed = grants.remove((role, privilege, obj))
+    if (removed) auditLog.append(Seq(Row(role, privilege, obj, "REVOKE")))
+    removed
+  }
+
+  def hasGrant(role: String, privilege: String, obj: String): Boolean =
+    grants.contains((role, privilege, obj))
+
+  def showGrants(): DataFrame = {
+    import spark.implicits._
+    grants.toSeq.toDF("role", "privilege", "object")
+  }
+
+  /** The heartbeat's grant-audit phase: re-grant anything expected but
+    * missing; returns the number of repairs (0 = audit clean). */
+  def ensureGrants(expected: Seq[(String, String, String)]): Int =
+    expected.count { case (r, p, o) =>
+      if (!roles.contains(r)) createRole(r)
+      grant(r, p, o)
+    }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.bcdr.ReplicationService
+import graft.catalog.Catalog
+
+class BcdrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/$name"
+
+  test("failover group: refresh replicates, validate MATCHes, promote flips writability") {
+    val primary = new Catalog(spark, freshDir("pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("sec"), "sec")
+    secondary.readOnly = true
+
+    primary.createSchema("adv")
+    primary.table("adv", "campaigns").createOrReplace(
+      Seq((1, "active"), (2, "paused"), (3, "active")).toDF("id", "status"))
+    primary.createOrReplaceView("adv", "v_active",
+      "SELECT * FROM pri__adv__campaigns WHERE status = 'active'")
+
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "campaigns")))
+
+    // secondary is read-only: direct writes refused, replication allowed
+    intercept[IllegalArgumentException] {
+      secondary.table("adv", "x").createOrReplace(Seq(1).toDF("x"))
+    }
+    val copied = repl.refresh("core")
+    assert(copied == 2, "1 table + 1 view")
+    assert(secondary.readOnly, "refresh must not unlock the secondary")
+
+    // validation: counts MATCH on both sides (J9 shape)
+    val verdicts = repl.validate("core").select($"verdict").as[String].collect().toSet
+    assert(verdicts == Set("MATCH"))
+    assert(repl.lagMs("core").exists(_ >= 0))
+
+    // replicated view text was rewritten to the secondary's namespace
+    val v = secondary.getView("adv", "v_active").get
+    assert(v.definition.contains("sec__adv__campaigns"))
+    assert(secondary.queryView("adv", "v_active").count() == 2)
+
+    // drift after divergence: primary gains rows -> MISMATCH until refresh
+    primary.table("adv", "campaigns").append(Seq((4, "draft")).toDF("id", "status"))
+    val stale = repl.validate("core")
+      .filter($"verdict" === "MISMATCH").count()
+    assert(stale == 1)
+    repl.refresh("core")
+    assert(repl.validate("core").filter($"verdict" === "MISMATCH").count() == 0)
+
+    // promotion: secondary becomes writable, primary frozen (RTO path)
+    repl.promote()
+    assert(!secondary.readOnly && primary.readOnly)
+    secondary.table("adv", "campaigns").append(Seq((5, "active")).toDF("id", "status"))
+    assert(secondary.table("adv", "campaigns").read().count() == 5)
+    intercept[IllegalArgumentException] { primary.checkWritable() }
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.mv.MaterializedViewManager
+import graft.rbac.GrantService
+import graft.services.{DriftService, HeartbeatService, SyncService, TaskScheduler}
+
+class ServicesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/$name"
+
+  private def newCatalog(name: String): Catalog =
+    new Catalog(spark, freshDir(name), name)
+
+  private def seed(cat: Catalog): Unit = {
+    cat.createSchema("adv")
+    cat.table("adv", "campaigns").createOrReplace(
+      Seq((1, "active"), (2, "paused")).toDF("id", "status"))
+    cat.table("adv", "events_t").createOrReplace(
+      Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "date_key"))
+  }
+
+  test("catalog: info schema, describe, link status") {
+    val cat = newCatalog("cld")
+    seed(cat)
+    assert(cat.listTables("adv") == Seq("campaigns", "events_t"))
+    assert(cat.infoSchemaTables().filter($"table_type" === "BASE TABLE").count() == 2)
+    val cols = cat.infoSchemaColumns().filter($"table_name" === "campaigns")
+    assert(cols.count() == 2)
+    assert(cat.describeTable("adv", "campaigns").count() == 2)
+    assert(cat.linkStatus().contains("CONNECTED"))
+  }
+
+  test("sync service: passthrough + agg views regenerated, actions logged") {
+    val src = newCatalog("cld2")
+    val prod = newCatalog("prod2")
+    seed(src)
+    val sync = new SyncService(spark, src, prod, freshDir("synclog"))
+    val (ok, errs) = sync.run()
+    assert(errs == 0)
+    assert(ok == 3, "2 passthrough views + 1 daily agg view (events_t has date_key)")
+    // view definitions are rewritten TEXT runnable against the source
+    assert(prod.queryView("adv", "campaigns").count() == 2)
+    assert(prod.getView("adv", "V_EVENTS_T_DAILY").isDefined)
+    // brute-force: rerun replaces views, log keeps growing (F19 ids)
+    sync.run()
+    val log = sync.syncLog.read()
+    assert(log.filter($"status" === "FAILED").count() == 0)
+    assert(log.count() == 8, "4 actions per run x 2 runs")
+  }
+
+  test("drift service detects all three drift classes and resolves") {
+    val p = newCatalog("p3")
+    val s = newCatalog("s3")
+    seed(p); seed(s)
+    // MISSING_ON_SECONDARY: extra table on primary
+    p.table("adv", "only_primary").createOrReplace(Seq(1).toDF("x"))
+    // MISSING_ON_PRIMARY: extra view on secondary
+    s.createOrReplaceView("adv", "only_secondary", "SELECT 1")
+    // DEFINITION_MISMATCH: same view name, different definition text
+    p.createOrReplaceView("adv", "v_shared", "SELECT * FROM cld__adv__campaigns")
+    s.createOrReplaceView("adv", "v_shared", "SELECT * FROM cld__adv__campaigns WHERE id > 0")
+    val drift = new DriftService(spark, freshDir("driftlog"))
+    val found = drift.detect(p, s)
+    val classes = found.select($"drift_class", $"object_name").as[(String, String)].collect().toSet
+    assert(classes == Set(
+      ("MISSING_ON_SECONDARY", "only_primary"),
+      ("MISSING_ON_PRIMARY", "only_secondary"),
+      ("DEFINITION_MISMATCH", "v_shared")))
+    assert(drift.openDrift().count() == 3)
+    drift.resolve("v_shared")
+    assert(drift.openDrift().count() == 2, "resolved drift leaves the DETECTED set")
+  }
+
+  test("drift: identical catalogs are drift-free") {
+    val p = newCatalog("p4"); val s = newCatalog("s4")
+    seed(p); seed(s)
+    val drift = new DriftService(spark, freshDir("driftlog4"))
+    assert(drift.compare(drift.exportInventory(p), drift.exportInventory(s)).count() == 0)
+  }
+
+  test("heartbeat: checks pass on healthy pair, coverage failure detected") {
+    val src = newCatalog("cld5"); val prod = newCatalog("prod5")
+    seed(src)
+    val grants = new GrantService(spark, freshDir("audit5"))
+    val hb = new HeartbeatService(spark, src, prod, grants, freshDir("hb5"))
+    hb.expectedGrants = Seq(("ANALYST", "SELECT", "adv.campaigns"))
+    val (checks1, fails1) = hb.run()
+    assert(checks1 == 4 && fails1 == 1, "view coverage fails before sync")
+    new SyncService(spark, src, prod, freshDir("sync5")).run()
+    val (_, fails2) = hb.run()
+    assert(fails2 == 0, "all green after sync")
+    val ready = hb.drReadiness().select($"dr_ready").as[Boolean].head()
+    assert(ready)
+    assert(grants.hasGrant("ANALYST", "SELECT", "adv.campaigns"))
+    // grant audit is idempotent: second beat repaired nothing
+    assert(grants.auditLog.read().filter($"action" === "GRANT").count() == 1)
+  }
+
+  test("scheduler: no-overlap, suspend/resume, history") {
+    val sched = new TaskScheduler
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    sched.define("slow") { entered.countDown(); gate.await(); "done" }
+    val t = new Thread(() => sched.runOnce("slow"))
+    t.start()
+    entered.await()
+    assert(!sched.runOnce("slow"), "overlapping run must be skipped")
+    gate.countDown(); t.join()
+    assert(sched.runOnce("slow"), "runs again once the first finished")
+    sched.define("beat") { "ok" }
+    sched.suspend("beat")
+    assert(!sched.runOnce("beat"), "suspended task does not run")
+    assert(sched.resumeAllSuspended() == Seq("beat"))
+    assert(sched.runOnce("beat"))
+    val h = sched.taskHistory()
+    assert(h.count(_.task == "slow") == 2 && h.forall(_.status == "SUCCEEDED"))
+    sched.shutdown()
+  }
+
+  test("materialized view: reads precomputed table, refreshes only when stale") {
+    val cat = newCatalog("mv6")
+    seed(cat)
+    val mvm = new MaterializedViewManager(cat)
+    mvm.create("mv_daily",
+      s"SELECT date_key, count(*) AS n FROM mv6__adv__events_t GROUP BY date_key",
+      Seq(("adv", "events_t")))
+    assert(mvm.read("mv_daily").count() == 2)
+    assert(!mvm.isStale("mv_daily"))
+    assert(mvm.refreshIfStale().isEmpty, "fresh MV must not recompute")
+    cat.table("adv", "events_t").append(Seq((3, "2024-01-03")).toDF("id", "date_key"))
+    assert(mvm.isStale("mv_daily"))
+    assert(mvm.refreshIfStale() == Seq("mv_daily"))
+    assert(mvm.read("mv_daily").count() == 3)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.warehouse.{LogTable, SnapshotTable}
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/$name"
+
+  test("snapshot append: history grows, old snapshots stay readable (time travel)") {
+    val t = new SnapshotTable(spark, freshRoot("t1"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val s1 = t.currentSnapshotId.get
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.snapshots().map(_._2) == Seq("base", "append"))
+    assert(t.read().count() == 3)
+    assert(t.asOf(s1).count() == 2, "time travel to pre-append state")
+  }
+
+  test("append writes only the delta (no rewrite of prior snapshots)") {
+    val t = new SnapshotTable(spark, freshRoot("t2"))
+    t.createOrReplace(spark.range(1000).toDF("id"))
+    t.append(spark.range(5).toDF("id"))
+    val appendDir = new java.io.File(t.root, "snap-00002")
+    val appended = spark.read.parquet(appendDir.toString).count()
+    assert(appended == 5, s"append snapshot holds $appended rows, expected only the delta")
+  }
+
+  test("DELETE is copy-on-write and returns removed count") {
+    val t = new SnapshotTable(spark, freshRoot("t3"))
+    t.createOrReplace(spark.range(10).toDF("id"))
+    val removed = t.delete(col("id") >= 7)
+    assert(removed == 3)
+    assert(t.read().count() == 7)
+    assert(t.snapshots().last._2 == "base", "DELETE commits a rewritten base")
+  }
+
+  test("UPDATE ... SET ... WHERE") {
+    val t = new SnapshotTable(spark, freshRoot("t4"))
+    t.createOrReplace(Seq((1, "DETECTED"), (2, "DETECTED")).toDF("id", "status"))
+    t.update(col("id") === 1, Map("status" -> lit("RESOLVED")))
+    val statuses = t.read().orderBy("id").select("status").as[String].collect()
+    assert(statuses.toSeq == Seq("RESOLVED", "DETECTED"))
+  }
+
+  test("CREATE OR REPLACE resets state but keeps history") {
+    val t = new SnapshotTable(spark, freshRoot("t5"))
+    t.createOrReplace(spark.range(10).toDF("id"))
+    t.createOrReplace(spark.range(3).toDF("id"))
+    assert(t.read().count() == 3)
+    assert(t.snapshots().size == 2)
+  }
+
+  test("log table: autoincrement ids are monotonic across appends") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val log = new LogTable(spark, freshRoot("log"), StructType(Seq(
+      StructField("msg", StringType))))
+    log.append(Seq(Row("a"), Row("b")))
+    log.append(Seq(Row("c")))
+    val ids = log.read().orderBy("id").select("id").as[Long].collect().toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    assert(log.tail(1).select("msg").as[String].head() == "c")
+  }
+}
