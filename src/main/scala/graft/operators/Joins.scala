@@ -71,23 +71,30 @@ object Joins {
         .orderBy($"o_orderpriority")
     },
 
+    // Single-scan formulation: lineitem is pre-aggregated to order grain
+    // (shuffle on the near-unique l_orderkey), LEFT-joined to orders once,
+    // and ONE (custkey, month) aggregation produces both the order metrics
+    // and the item metrics — one scan of each table, two shuffles, versus
+    // the naive two-orders-scans/three-shuffles CTE shape. Per-order sums
+    // stay DECIMAL until the final cast so the two-level rollup is exact.
     "q06_preagg_composite_join" -> { (s, dir) =>
       import s.implicits._
-      val orders = t(s, dir, "orders")
-      val mo = orders
-        .groupBy($"o_custkey".as("mo_k"), date_trunc("month", $"o_orderdate").cast("date").as("mo_m"))
-        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("spend"))
-      val ml = t(s, dir, "lineitem")
-        .join(orders, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"o_custkey".as("ml_k"), date_trunc("month", $"o_orderdate").cast("date").as("ml_m"))
-        .agg(decSum($"l_extendedprice" * (lit(1) - $"l_discount"), 6).as("rev"), count(lit(1)).as("n_items"))
-      t(s, dir, "customer")
-        .join(mo, $"c_custkey" === $"mo_k")
-        .join(ml, $"ml_k" === $"c_custkey" && $"ml_m" === $"mo_m", "left")
-        .select(
-          $"c_custkey", $"mo_m".as("month"), $"n_orders", $"spend",
-          coalesce($"rev", lit(0.0)).as("rev"),
-          coalesce($"n_items", lit(0L)).as("n_items"))
+      import org.apache.spark.sql.types.DecimalType
+      val orderItems = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast(DecimalType(18, 6))).as("o_rev"),
+          count(lit(1)).as("o_items"))
+      t(s, dir, "orders")
+        .join(orderItems, $"o_orderkey" === $"l_orderkey", "left")
+        .groupBy($"o_custkey", date_trunc("month", $"o_orderdate").cast("date").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decSum($"o_totalprice").as("spend"),
+          coalesce(sum($"o_rev").cast("double"), lit(0.0)).as("rev"),
+          coalesce(sum($"o_items"), lit(0L)).as("n_items"))
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"month", $"n_orders", $"spend", $"rev", $"n_items")
         .orderBy($"c_custkey", $"month")
     },
 

@@ -42,38 +42,53 @@ object TextOps {
   }
 
   /** Adds `words`, `shingles` (3-word), and mh0..mhK-1 MinHash columns.
-    * MinHash_j = lexicographic min of md5("j|" + shingle) — min over hex
-    * strings avoids any hex→int conversion and is engine-portable. */
-  private def withSignature(df: DataFrame): DataFrame = {
-    val sh = df
-      .withColumn("words", split(col("text"), " "))
+    * ONE md5 per shingle: the K hash functions are disjoint 5-hex-digit
+    * (20-bit) slices of that digest, and MinHash_j = lexicographic min of
+    * slice j — string mins avoid any hex→int conversion and are
+    * engine-portable, and hashing once instead of K times is the dominant
+    * cost at scale (md5 over every shingle of every doc). */
+  private def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .withColumn("shingles",
         expr("transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
-    (0 until K).foldLeft(sh) { (acc, j) =>
-      acc.withColumn(s"mh$j",
-        expr(s"array_min(transform(shingles, x -> md5(concat('$j|', x))))"))
-    }
-  }
+      .withColumn("hs", expr("transform(shingles, x -> md5(x))"))
+      .select(col("*") +: (0 until K).map(j =>
+        expr(s"array_min(transform(hs, h -> substring(h, ${5 * j + 1}, 5)))").as(s"mh$j")): _*)
 
-  /** (band_id, band_hash, doc_id) — one row per doc per band. */
+  /** (band_id, band_hash, doc_id) — one row per doc per band, via a single
+    * explode over the signature pass (NOT a union of per-band selects, which
+    * would re-scan and re-hash the corpus once per band). */
   private def bandBuckets(s: SparkSession, dir: String): DataFrame = {
-    val sig = withSignature(corpus(s, dir))
-    (0 until BANDS).map { b =>
-      sig.select(
-        lit(b).as("band_id"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band_hash"),
-        col("doc_id"))
-    }.reduce(_ unionAll _)
+    val bandArr = array((0 until BANDS).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band_hash"))
+    }: _*)
+    withSignature(corpus(s, dir))
+      .select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("bb.band_id").as("band_id"), col("bb.band_hash").as("band_hash"), col("doc_id"))
   }
 
-  /** Candidate near-dup pairs from LSH band collisions (a_id < b_id). */
+  /** Candidate near-dup pairs from LSH band collisions (a_id < b_id).
+    *
+    * Deliberately NOT a self-join on (band_id, band_hash): joining two
+    * copies of the bucket plan evaluates the signature pipeline once per
+    * side, and the join's implied `isnotnull(band_hash)` filters get pushed
+    * through the projections with the full md5-over-every-shingle chain
+    * inlined — higher-order functions get no subexpression elimination, so
+    * each doc's signature was being computed ~20×. Instead: ONE signature
+    * pass → groupBy bucket → emit each bucket's id-pairs with a vectorized
+    * transform/flatten. Cost is one shuffle + Σ bucket² pair rows (bucket
+    * sizes are bounded by near-dup cluster sizes, ≤14 at sf0.1). */
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bandBuckets(s, dir)
-    val x = b.select(col("band_id").as("x_band"), col("band_hash").as("x_hash"), col("doc_id").as("a_id"))
-    val y = b.select(col("band_id").as("y_band"), col("band_hash").as("y_hash"), col("doc_id").as("b_id"))
-    x.join(y, col("x_band") === col("y_band") && col("x_hash") === col("y_hash") &&
-        col("a_id") < col("b_id"))
+    bandBuckets(s, dir)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS a_id, b AS b_id))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -81,7 +96,7 @@ object TextOps {
   /** Shared DuckDB CTE prefix mirroring corpus/withSignature/bandBuckets. */
   private val oracleSig: String = {
     val mhs = (0 until K).map(j =>
-      s"list_min(list_transform(shingles, x -> md5('$j|' || x))) AS mh$j").mkString(",\n              ")
+      s"list_min(list_transform(hs, h -> substr(h, ${5 * j + 1}, 5))) AS mh$j").mkString(",\n              ")
     val bands = (0 until BANDS).map(b =>
       s"SELECT doc_id, $b AS band_id, md5(mh${2 * b} || mh${2 * b + 1}) AS band_hash FROM mh")
       .mkString("\n           UNION ALL ")
@@ -97,10 +112,12 @@ object TextOps {
            SELECT doc_id, list_transform(range(1, len(words) - 1),
                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
            FROM w),
+         hh AS (
+           SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hs FROM sh),
          mh AS (
            SELECT doc_id,
               $mhs
-           FROM sh),
+           FROM hh),
          b AS (
            $bands),
          pairs AS (
@@ -228,7 +245,7 @@ object TextOps {
     // fingerprint; docs sharing a fingerprint cluster together.
     "q47_fingerprint" -> { (s, dir) =>
       withSignature(corpus(s, dir))
-        .select(col("doc_id"), substring(col("mh0"), 1, 16).as("fp"))
+        .select(col("doc_id"), substring(expr("array_min(hs)"), 1, 16).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
@@ -316,7 +333,7 @@ object TextOps {
 
     "q47_fingerprint" ->
       s"""WITH $oracleSig
-         SELECT substr(mh0, 1, 16) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
-         FROM mh GROUP BY 1 HAVING count(*) > 1
+         SELECT substr(list_min(hs), 1, 16) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM hh GROUP BY substr(list_min(hs), 1, 16) HAVING count(*) > 1
          ORDER BY fp""")
 }
