@@ -16,6 +16,7 @@ import graft.operators._
   *  - [[graft.operators.Views]]       — the reference's view/MV layer (SURVEY §2.9)
   *  - [[graft.operators.TextOps]]     — LLM-pipeline text analysis + dedup
   *  - [[graft.operators.Similarity]]  — embedding similarity / ANN
+  *  - [[graft.operators.Multimodal]]  — opaque-binary media columns + stub decode
   */
 object SparkEntry {
 
@@ -27,7 +28,8 @@ object SparkEntry {
     (Views.queries, Views.oracle),
     (Sources.queries, Sources.oracle),
     (TextOps.queries, TextOps.oracle),
-    (Similarity.queries, Similarity.oracle))
+    (Similarity.queries, Similarity.oracle),
+    (Multimodal.queries, Multimodal.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,6 +21,10 @@ import Q._
   *  - q29: U2 many-way UNION ALL literal report
   *    (`scripts/90_validation_queries.sql:258-286`) — literal lines
   *    interleaved with computed scalar counts.
+  *  - q35: U3 UNION-inside-a-CTE then joined to a dimension — two labeled
+  *    entity sets unioned first, the union joined to `nation` and
+  *    aggregated per (nation, label). The union is map-side (no shuffle);
+  *    the only shuffles are the broadcast-dim join and the final group-by.
   */
 object Views {
 
@@ -114,6 +118,19 @@ object Views {
         line("10", "status: COMPLETE"))
         .reduce(_ unionAll _)
         .orderBy($"line")
+    },
+
+    "q35_union_cte_join" -> { (s, dir) =>
+      import s.implicits._
+      val parties = t(s, dir, "customer")
+        .select($"c_nationkey".as("nk"), lit("customer").as("kind"), $"c_acctbal".as("bal"))
+        .unionAll(t(s, dir, "supplier")
+          .select($"s_nationkey".as("nk"), lit("supplier").as("kind"), $"s_acctbal".as("bal")))
+      parties
+        .join(broadcast(t(s, dir, "nation")), $"nk" === $"n_nationkey")
+        .groupBy($"n_name", $"kind")
+        .agg(count(lit(1)).as("n_parties"), decSum($"bal").as("total_bal"))
+        .orderBy($"n_name", $"kind")
     })
 
   val oracle: Map[String, String] = Map(
@@ -182,5 +199,16 @@ object Views {
          UNION ALL SELECT '08', 'checks: row counts visible'
          UNION ALL SELECT '09', 'drift: see q08_theta_hash_drift'
          UNION ALL SELECT '10', 'status: COMPLETE'
-         ORDER BY line""")
+         ORDER BY line""",
+
+    "q35_union_cte_join" ->
+      """WITH parties AS (
+           SELECT c_nationkey AS nk, 'customer' AS kind, c_acctbal AS bal FROM customer
+           UNION ALL
+           SELECT s_nationkey, 'supplier', s_acctbal FROM supplier)
+         SELECT n_name, kind, count(*) AS n_parties,
+                CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM parties JOIN nation ON nk = n_nationkey
+         GROUP BY n_name, kind
+         ORDER BY n_name, kind""")
 }
