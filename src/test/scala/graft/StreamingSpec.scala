@@ -1,0 +1,89 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming surface: each streaming plan must agree with its
+  * batch twin on the same data, and custom state must accumulate across
+  * micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly counts match the batch rollup") {
+    val q = EventStream.hourlyCounts(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("hourly_stream")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
+
+  test("streaming session windows match batch sessionization counts") {
+    val q = EventStream.sessions(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("sessions_stream")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = operators.Events.queries("q23_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStream.userRunningTotals(src.toDS())
+      .writeStream.format("memory").queryName("user_state")
+      .outputMode("update").start()
+
+    def ev(id: Long, user: Long, minute: Long, value: Double) =
+      Event(id, user, Instant.ofEpochSecond(minute * 60), "click", value)
+
+    // batch 1: user 1 has two events 10 min apart (one session)
+    src.addData(ev(1, 1, 0, 1.50), ev(2, 1, 10, 2.25))
+    q.processAllAvailable()
+    // batch 2: 40 min gap → second session; user 2 appears
+    src.addData(ev(3, 1, 50, 0.25), ev(4, 2, 0, 9.99))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("user_state")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("value_cents")).as("cents"),
+        max(col("n_sessions")).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(last(1L) == ((3L, 400L, 2L)))
+    assert(last(2L) == ((1L, 999L, 1L)))
+  }
+
+  test("foreachBatch refresh materializes the hourly MV to parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
+    val q = EventStream.hourlyMvRefresh(
+      EventStream.readEvents(spark, sfDir), s"$tmp/mv", s"$tmp/ckpt")
+    q.awaitTermination()
+    val mv = spark.read.parquet(s"$tmp/mv")
+    val nBatch = Tables.load(spark, sfDir, "events")
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    assert(mv.count() == nBatch)
+    assert(mv.columns.toSet ==
+      Set("hour", "event_type", "n", "total_value", "approx_users"))
+  }
+}
