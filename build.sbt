@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured fastest for the bench suite: a 32g G1 heap QUADRUPLED
+  // total wall time (huge young gen -> long scans with 32 mutator
+  // threads); small frequent GCs win for this many short queries
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + Hadoop FS + parquet footer caches, so
+    // JVM startup cost doesn't land on whichever query happens to run first
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .groupBy("c_nationkey").count()
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

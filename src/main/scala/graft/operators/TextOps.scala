@@ -130,16 +130,18 @@ object TextOps {
 
   /** 16-bit SimHash: bit p = sign of Σ_words ±1 where the sign is taken from
     * md5(word)'s p-th hex digit (< '8' → +1). Word-order independent
-    * (integer sum), so exact in both engines. */
+    * (integer sum), so exact in both engines. The bit expressions read from
+    * a pre-hashed `whs` column (one md5 per word TOTAL) — inlining md5 into
+    * each bit would hash every word 16×, the dominant cost at scale. */
   private val simhashBitsSpark: String = (1 to 16).map { p =>
-    s"""CASE WHEN aggregate(words, 0, (acc, w) -> acc +
-       (CASE WHEN substring(md5(w), $p, 1) IN ('0','1','2','3','4','5','6','7')
+    s"""CASE WHEN aggregate(whs, 0, (acc, h) -> acc +
+       (CASE WHEN substring(h, $p, 1) IN ('0','1','2','3','4','5','6','7')
         THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"""
   }.mkString("concat(", ", ", ")")
 
   private val simhashBitsDuck: String = (1 to 16).map { p =>
-    s"""(CASE WHEN list_sum(list_transform(words, w ->
-       CASE WHEN substr(md5(w), $p, 1) IN ('0','1','2','3','4','5','6','7')
+    s"""(CASE WHEN list_sum(list_transform(whs, h ->
+       CASE WHEN substr(h, $p, 1) IN ('0','1','2','3','4','5','6','7')
        THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"""
   }.mkString(" || ")
 
@@ -195,7 +197,7 @@ object TextOps {
     // SimHash near-dup clustering: identical 16-bit signature → same group.
     "q43_simhash" -> { (s, dir) =>
       corpus(s, dir)
-        .withColumn("words", split(col("text"), " "))
+        .withColumn("whs", expr("transform(split(text, ' '), w -> md5(w))"))
         .withColumn("simhash", expr(simhashBitsSpark))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
@@ -291,7 +293,7 @@ object TextOps {
            UNION ALL
            SELECT doc_id + 100000, substr(text, 1, length(text) - 20)
            FROM documents WHERE n_chars >= 60),
-         w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         w AS (SELECT doc_id, list_transform(string_split(text, ' '), w -> md5(w)) AS whs FROM corpus),
          sh AS (SELECT doc_id, $simhashBitsDuck AS simhash FROM w)
          SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
          FROM sh GROUP BY simhash HAVING count(*) > 1
