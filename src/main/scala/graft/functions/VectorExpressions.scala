@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the ANN hot loop: left-to-right double
+  * dot product of two float32 vectors.
+  *
+  * This is the Catalyst-extension path SURVEY §2.11 reserves for the
+  * similarity extensions: the `aggregate(zip_with(...))` higher-order
+  * formulation is semantically identical but runs INTERPRETED (HOFs have no
+  * codegen) and allocates an intermediate products array per row. This
+  * expression generates a tight fused multiply-add loop inside whole-stage
+  * codegen — no allocation, no virtual calls — which is the difference
+  * between the brute-force scorer being memory-bound vs compute-bound at
+  * 100 TB.
+  *
+  * Numerics: float32×float32 is exact in double and accumulation is
+  * strictly left-to-right in double — bit-identical to both the HOF
+  * formulation and DuckDB's sequential `list_reduce`, so oracle hashes are
+  * unchanged.
+  */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f32 expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  private val dotInfo = new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32")
+  private val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"dot_f32 expects 2 arguments, got ${children.length}")
+    DotProductF32(children.head, children(1))
+  }
+
+  /** Idempotent per-session registration so `expr("dot_f32(a, b)")`
+    * resolves in sessions not built with [[GraftExtensions]]. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_f32"), dotInfo, dotBuilder)
+
+  /** For `SparkSessionExtensions.injectFunction`. */
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_f32"), dotInfo, dotBuilder)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) installs the engine's native
+  * functions into every session derived from that builder. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotFunction)
+}

@@ -25,10 +25,11 @@ import Q._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float arrays (codegen HOFs). */
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+  /** Left-to-right double dot product of two float arrays, via the native
+    * codegen'd [[graft.functions.DotProductF32]] expression (bit-identical
+    * to the interpreted `aggregate(zip_with(...))` HOF formulation it
+    * replaced — see that class's Scaladoc for the numerics argument). */
+  private def dot(a: String, b: String): String = s"dot_f32($a, $b)"
 
   /** DuckDB twin of [[dot]]: strictly sequential list_reduce. */
   private def duckDot(a: String, b: String): String =
@@ -43,8 +44,10 @@ object Similarity {
   private def duckBucket(v: String): String =
     (1 to 4).map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+  }
 
   val queries: Map[String, QFn] = Map(
     // Brute-force cosine top-k: 4 query vectors × all rows. The query side
