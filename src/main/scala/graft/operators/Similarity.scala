@@ -84,6 +84,35 @@ object Similarity {
         .orderBy(col("vec_id"))
     },
 
+    // Embedding-cosine near-dup detection (the dedup family's embedding
+    // member): the corpus is embeddings ∪ deterministically scaled twins
+    // (×1.015625 — exactly representable, preserves signs so twins land in
+    // the same sign-LSH bucket). Candidate pairs come from the bucket join
+    // (never all-pairs); pairs with cos ≥ 0.999 are duplicates. The random
+    // base vectors max out near cos 0.51, so exactly the planted twins
+    // survive the threshold — the operator provably separates near-dups
+    // from background similarity.
+    "q54_embed_neardup" -> { (s, dir) =>
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = base.unionAll(
+        base.select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(1.015625 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+      graft.functions.GraftFunctions.register(s)
+      val e = corpus
+        .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+        .withColumn("bucket", expr(bucketExpr("embedding")))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("norm").as("a_norm"))
+      val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("norm").as("b_norm"))
+      a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+        .withColumn("cos", expr(dot("a_emb", "b_emb")) / (col("a_norm") * col("b_norm")))
+        .filter(col("cos") >= 0.999)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Per-label norm statistics: per-row norms are deterministic doubles;
     // cross-row reductions stick to count/min/max (order-independent).
     "q52_norm_stats" -> { (s, dir) =>
@@ -144,6 +173,26 @@ object Similarity {
            FROM scored)
          SELECT vec_id, bucket, n_id AS nn_id, ROUND(cos, 6) AS cos_sim
          FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+
+    "q54_embed_neardup" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000,
+                  list_transform(embedding, x -> CAST(x * CAST(1.015625 AS FLOAT) AS FLOAT))
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, embedding,
+                  sqrt(${duckDot("embedding", "embedding")}) AS norm,
+                  ${duckBucket("embedding")} AS bucket
+           FROM corpus),
+         scored AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT a_id, b_id, ROUND(cos, 6) AS cos_sim
+         FROM scored WHERE cos >= 0.999
+         ORDER BY a_id, b_id""",
 
     "q52_norm_stats" ->
       s"""SELECT label, count(*) AS n_vecs,

@@ -243,6 +243,27 @@ object TextOps {
         .orderBy(col("lang"), col("len_bucket"), col("quality"))
     },
 
+    // BPE-ish subword tokenization: greedy <=3-char chunks (the subword
+    // unit a byte-pair vocabulary bottoms out at), counted two ways —
+    // total tokens per lang and the distinct-subword vocabulary size (the
+    // vocab-build step of BPE training). Chunking is a single vectorized
+    // regexp_extract_all; vocab counting shuffles only (lang, token) pairs
+    // after an explode, with partial aggregation collapsing repeats
+    // map-side.
+    "q48_subword_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          regexp_extract_all(col("text"), lit("[a-z]{1,3}"), lit(0)).as("toks"))
+        .select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("tok")).as("vocab_size"),
+          count(lit(1)).as("total_subwords"),
+          min(col("tok")).as("first_tok"),
+          max(col("tok")).as("last_tok"))
+        .orderBy(col("lang"))
+    },
+
     // Document fingerprinting: winnowing-style single min-shingle-hash
     // fingerprint; docs sharing a fingerprint cluster together.
     "q47_fingerprint" -> { (s, dir) =>
@@ -332,6 +353,15 @@ object TextOps {
                      ELSE 'flag' END AS quality,
                 count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          FROM d GROUP BY 1, 2, 3 ORDER BY lang, len_bucket, quality""",
+
+    "q48_subword_tokens" ->
+      """WITH toks AS (
+           SELECT lang, unnest(regexp_extract_all(text, '[a-z]{1,3}')) AS tok
+           FROM documents)
+         SELECT lang, count(DISTINCT tok) AS vocab_size,
+                count(*) AS total_subwords,
+                MIN(tok) AS first_tok, MAX(tok) AS last_tok
+         FROM toks GROUP BY lang ORDER BY lang""",
 
     "q47_fingerprint" ->
       s"""WITH $oracleSig
