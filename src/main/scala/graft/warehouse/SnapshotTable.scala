@@ -32,7 +32,8 @@ final class SnapshotTable(
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
 
   /** (id, kind) for every committed snapshot, ascending — the table history
-    * (S7: `SELECT * FROM t.snapshots`). */
+    * (S7: `SELECT * FROM t.snapshots`). The meta line is `kind` or
+    * `kind|p1,p2` when the snapshot was written partitioned (S4). */
   def snapshots(): Seq[(Long, String)] = {
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
@@ -43,42 +44,70 @@ final class SnapshotTable(
         val id = n.stripPrefix("snap-").stripSuffix(".meta").toLong
         val in = fs.open(metaFile(id))
         val kind = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        (id, kind)
+        (id, kind.split('|').head)
       }
       .sortBy(_._1)
+  }
+
+  /** The partition spec of the current base snapshot (empty = unpartitioned). */
+  def partitionSpec(): Seq[String] = {
+    val metas = {
+      val p = new Path(root)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.endsWith(".meta"))
+        .map { n =>
+          val id = n.stripPrefix("snap-").stripSuffix(".meta").toLong
+          val in = fs.open(metaFile(id))
+          val line = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+          (id, line)
+        }.sortBy(_._1)
+    }
+    metas.reverse.find(_._2.startsWith("base")).toSeq
+      .flatMap(_._2.split('|').drop(1).flatMap(_.split(',')).filter(_.nonEmpty))
   }
 
   def exists: Boolean = snapshots().nonEmpty
   def currentSnapshotId: Option[Long] = snapshots().lastOption.map(_._1)
 
-  private def commit(df: DataFrame, kind: String): Long = {
+  private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty): Long = {
     writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
     val id = currentSnapshotId.getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(snapDir(id).toString)
+    val writer = df.write.mode(SaveMode.ErrorIfExists)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(snapDir(id).toString)
+    val line = if (parts.nonEmpty) s"$kind|${parts.mkString(",")}" else kind
     val out = fs.create(metaFile(id)) // marker written last = commit point
-    try out.write(kind.getBytes("UTF-8")) finally out.close()
+    try out.write(line.getBytes("UTF-8")) finally out.close()
     id
   }
 
-  /** CREATE OR REPLACE TABLE AS (D7): new `base` snapshot; history is kept. */
-  def createOrReplace(df: DataFrame): Long = commit(df, "base")
+  /** CREATE OR REPLACE TABLE AS (D7): new `base` snapshot; history is kept.
+    * `partitionBy` (S4) lays the snapshot out hive-style so partition-key
+    * filters prune directories at scan time — the 100 TB table layout. */
+  def createOrReplace(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long =
+    commit(df, "base", partitionBy)
 
   /** CREATE TABLE IF NOT EXISTS semantics (D3). */
-  def createIfNotExists(df: DataFrame): Long =
-    currentSnapshotId.getOrElse(commit(df, "base"))
+  def createIfNotExists(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long =
+    currentSnapshotId.getOrElse(commit(df, "base", partitionBy))
 
-  /** Snapshot append (S7/D4): writes only the delta. */
+  /** Snapshot append (S7/D4): writes only the delta, in the table's
+    * partition layout. */
   def append(df: DataFrame): Long = {
     require(exists, s"append to non-existent table at $root")
-    commit(df, "append")
+    commit(df, "append", partitionSpec())
   }
 
-  /** Table state at a snapshot: nearest base ≤ id, unioned with appends. */
+  /** Table state at a snapshot: nearest base ≤ id, unioned with appends.
+    * Snapshot dirs are read separately and unioned (each dir does its own
+    * hive partition discovery — one multi-path read would reject the
+    * mixed snapshot-dir/partition-dir layout as conflicting structures). */
   def asOf(id: Long): DataFrame = {
     val snaps = snapshots().takeWhile(_._1 <= id)
     require(snaps.nonEmpty, s"no snapshot ≤ $id at $root")
     val fromBase = snaps.drop(snaps.lastIndexWhere(_._2 == "base"))
-    spark.read.parquet(fromBase.map(s => snapDir(s._1).toString): _*)
+    fromBase.map(s => spark.read.parquet(snapDir(s._1).toString))
+      .reduce(_ unionByName _)
   }
 
   /** Current table state. */
@@ -87,10 +116,11 @@ final class SnapshotTable(
 
   /** DELETE FROM ... WHERE cond (D5) — copy-on-write, returns rows deleted. */
   def delete(cond: org.apache.spark.sql.Column): Long = {
+    val parts = partitionSpec()
     val cur = read()
     val kept = cur.filter(!cond)
     val removed = cur.count() - kept.count()
-    commit(kept, "base")
+    commit(kept, "base", parts)
     removed
   }
 
@@ -98,11 +128,12 @@ final class SnapshotTable(
   def update(cond: org.apache.spark.sql.Column,
              sets: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.when
+    val parts = partitionSpec()
     val cur = read()
     val updated = sets.foldLeft(cur) { case (df, (c, v)) =>
       df.withColumn(c, when(cond, v).otherwise(df(c)))
     }
-    commit(updated, "base")
+    commit(updated, "base", parts)
     currentSnapshotId.get
   }
 

@@ -65,4 +65,32 @@ class WarehouseSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
     assert(log.tail(1).select("msg").as[String].head() == "c")
   }
+
+  test("partitioned table: spec persists, appends follow it, scans prune") {
+    val t = new SnapshotTable(spark, freshRoot("tp"))
+    val df = Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-02", 20.0),
+      (3L, "2026-01-01", 30.0)).toDF("id", "day", "amt")
+    t.createOrReplace(df, partitionBy = Seq("day"))
+    assert(t.partitionSpec() == Seq("day"))
+    t.append(Seq((4L, "2026-01-03", 40.0)).toDF("id", "day", "amt"))
+    assert(t.read().count() == 4)
+    // hive layout: day=... dirs exist in both base and append snapshots
+    assert(new java.io.File(t.root, "snap-00001/day=2026-01-01").isDirectory)
+    assert(new java.io.File(t.root, "snap-00002/day=2026-01-03").isDirectory)
+    // partition-key filters reach the scan as PartitionFilters (pruning)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = t.read().filter(col("day") === "2026-01-01")
+        .queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+      assert(scan.partitionFilters.nonEmpty, "partition filter not pushed to scan")
+      assert(scan.relation.partitionSchema.fieldNames.contains("day"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // COW delete keeps the layout
+    t.delete(col("id") === 3L)
+    assert(t.partitionSpec() == Seq("day"))
+    assert(t.read().count() == 3)
+    assert(new java.io.File(t.root, "snap-00003/day=2026-01-02").isDirectory)
+  }
 }
