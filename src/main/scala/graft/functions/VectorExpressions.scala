@@ -84,10 +84,23 @@ object GraftFunctions {
   }
 
   /** Idempotent per-session registration so `expr("dot_f32(a, b)")`
-    * resolves in sessions not built with [[GraftExtensions]]. */
-  def register(spark: SparkSession): Unit =
+    * resolves in sessions not built with [[GraftExtensions]]. Also installs
+    * the engine-identity constant functions (F17: the reference's
+    * CURRENT_ACCOUNT / CURRENT_ORGANIZATION_NAME surface), resolved from
+    * session conf at call time so primary/secondary sessions report their
+    * own identity. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f32"), dotInfo, dotBuilder)
+    def const(fn: String, confKey: String, default: String): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(fn),
+        new ExpressionInfo(classOf[Literal].getName, fn),
+        _ => Literal(spark.conf.get(confKey, default)))
+    const("current_account", "spark.graft.account", "GRAFT_PRIMARY")
+    const("current_organization_name", "spark.graft.organization", "GRAFT_ORG")
+  }
 
   /** For `SparkSessionExtensions.injectFunction`. */
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -37,6 +37,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("engine-identity constant functions resolve from session conf (F17)") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT current_account() AS a").collect().head.getString(0)
+      == "GRAFT_PRIMARY")
+    spark.conf.set("spark.graft.account", "GRAFT_SECONDARY")
+    try {
+      // the builder reads conf at analysis time, no re-register needed
+      assert(spark.sql("SELECT current_account() AS a").collect().head.getString(0)
+        == "GRAFT_SECONDARY")
+    } finally spark.conf.unset("spark.graft.account")
+  }
+
   test("the extensions-injected builder constructs a working expression") {
     // the canonical install path is spark.sql.extensions at builder time;
     // assert the builder GraftExtensions injects evaluates correctly.
