@@ -26,6 +26,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracle),
     (Events.queries, Events.oracle),
     (Views.queries, Views.oracle),
+    (Windows.queries, Windows.oracle),
     (Sources.queries, Sources.oracle),
     (TextOps.queries, TextOps.oracle),
     (Similarity.queries, Similarity.oracle),
