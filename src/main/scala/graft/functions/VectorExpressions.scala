@@ -75,6 +75,56 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mixed-width sibling of [[DotProductF32]]: float32 vector × float64
+  * vector (the IVF assignment shape — raw embeddings against
+  * decimal-exact-mean centroids). Same left-to-right double accumulation. */
+case class DotProductF32F64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_f32f64 expects (array<float>, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32f64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32")
@@ -93,6 +143,14 @@ object GraftFunctions {
     import org.apache.spark.sql.catalyst.expressions.Literal
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f32"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_f32f64"),
+      new ExpressionInfo(classOf[DotProductF32F64].getName, "dot_f32f64"),
+      { children =>
+        require(children.length == 2,
+          s"dot_f32f64 expects 2 arguments, got ${children.length}")
+        DotProductF32F64(children.head, children(1))
+      })
     def const(fn: String, confKey: String, default: String): Unit =
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(fn),

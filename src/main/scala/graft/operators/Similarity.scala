@@ -113,6 +113,58 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // IVF search — the ANN scale path q53's centroids are the building
+    // block for: (1) per-label centroids (decimal-exact means), (2) every
+    // vector assigned to its nearest centroid by cosine (argmax over a
+    // BROADCAST of 10 centroids — no shuffle of the corpus), (3) the query
+    // vectors search ONLY their assigned cell. At 100 TB the corpus is
+    // hash-partitioned by cell id, so a probe touches 1/k of the data;
+    // here k = 10 labels. Output: top-3 in-cell neighbours per query.
+    "q55_ivf_search" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      // centroids as 64 (label, dim, value) rows -> per-label double array
+      val cent = emb
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1))).as("cv"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
+        .select($"label".as("c_label"),
+          expr("transform(pairs, p -> p.cv)").as("c_vec"),
+          expr("""sqrt(aggregate(transform(pairs, p -> p.cv * p.cv),
+                  CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("c_norm"))
+      // assign every vector to its nearest centroid (cosine argmax)
+      val scored = emb
+        .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+        .crossJoin(broadcast(cent))
+        .withColumn("a_cos",
+          expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
+      // The cell assignment IS the IVF index — probes and candidates both
+      // read it, so materialize it once (in production it's a persisted
+      // table; recomputing it per join side doubles the whole pipeline).
+      val assigned = scored
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
+        .persist()
+      // probe: query vectors search only their own cell
+      val probes = assigned.filter($"vec_id".isin(0L, 1L, 2L, 3L))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"norm".as("q_norm"), $"cell".as("q_cell"))
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      broadcast(probes)
+        .join(assigned, $"q_cell" === $"cell" && $"q_id" =!= $"vec_id")
+        .withColumn("cos", expr(dot("q_emb", "embedding")) / ($"q_norm" * $"norm"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"rank", $"vec_id".as("n_id"), $"q_cell".as("cell"),
+          round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rank")
+    },
+
     // Per-label norm statistics: per-row norms are deterministic doubles;
     // cross-row reductions stick to count/min/max (order-independent).
     "q52_norm_stats" -> { (s, dir) =>
@@ -173,6 +225,47 @@ object Similarity {
            FROM scored)
          SELECT vec_id, bucket, n_id AS nn_id, ROUND(cos, 6) AS cos_sim
          FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+
+    "q55_ivf_search" ->
+      s"""WITH cd AS (
+           SELECT label, i AS pos,
+                  CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i),
+         cent AS (
+           SELECT label AS c_label,
+                  list(cv ORDER BY pos) AS c_vec,
+                  sqrt(list_reduce(list_transform(list(cv ORDER BY pos), v -> v * v),
+                       (x, y) -> x + y)) AS c_norm
+           FROM cd GROUP BY label),
+         e AS (
+           SELECT vec_id, embedding,
+                  sqrt(${duckDot("embedding", "embedding")}) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT e.vec_id, e.embedding, e.norm, c_label, c_norm,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * c_vec[i]), (x, y) -> x + y)
+                    / (norm * c_norm) AS a_cos
+           FROM e CROSS JOIN cent),
+         assigned AS (
+           SELECT vec_id, embedding, norm, c_label AS cell
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY a_cos DESC, c_label) AS rn
+                 FROM scored)
+           WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, cell AS q_cell
+           FROM assigned WHERE vec_id IN (0, 1, 2, 3)),
+         nn AS (
+           SELECT q_id, a.vec_id AS n_id, q_cell,
+                  ${duckDot("q_emb", "a.embedding")} / (q_norm * a.norm) AS cos
+           FROM probes JOIN assigned a ON q_cell = a.cell AND q_id <> a.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM nn)
+         SELECT q_id, rank, n_id, q_cell AS cell, ROUND(cos, 6) AS cos_sim
+         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "q54_embed_neardup" ->
       s"""WITH corpus AS (

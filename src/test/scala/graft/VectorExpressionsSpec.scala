@@ -25,6 +25,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("dot_f32f64 matches the HOF formulation on float x double arrays") {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").as("a"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)").as("b"))
+    val diffs = e.select(
+      expr("dot_f32f64(a, b)").as("native"),
+      expr("""aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y),
+              CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("dot_f32 handles nulls and simple values") {
     GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings").limit(1).createOrReplaceTempView("one_vec")
