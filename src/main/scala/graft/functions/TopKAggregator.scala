@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Partial top-k aggregation for similarity ranking.
+  *
+  * The window formulation (`row_number().over(partitionBy(q).orderBy(score
+  * DESC)) <= k`) shuffles EVERY scored row to the query's partition and
+  * sorts them all. This Aggregator keeps a k-bounded buffer, so the
+  * map-side partial aggregation reduces each input partition to ≤ k rows
+  * per query BEFORE the shuffle — at 100 TB the exchange carries k rows
+  * per (query, partition) instead of the full candidate set. Output order
+  * (score DESC, id ASC) matches the window's `orderBy(cos.desc, id)` so
+  * results are bit-identical to the window formulation.
+  *
+  * The buffer is a sorted Seq capped at k (k is small); insertion is
+  * O(k) — fine for top-5/top-100 shapes, the ones ANN serving uses.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    // descending score, ascending id — the ranking's total order
+    val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    (x +: buf).sorted(ord).take(k)
+  }
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    insert(b, a)
+  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b2.foldLeft(b1)(insert)
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+}

@@ -52,17 +52,24 @@ object Similarity {
   val queries: Map[String, QFn] = Map(
     // Brute-force cosine top-k: 4 query vectors × all rows. The query side
     // is broadcast (tiny), the big side streams — no shuffle of the corpus.
+    // Ranking uses the partial top-k Aggregator (map-side k-bounded
+    // buffers), NOT a window: the exchange carries ≤ k rows per (query,
+    // partition) instead of every scored candidate. Bit-identical output
+    // to the row_number window (same score-desc/id-asc total order).
     "q50_cosine_topk" -> { (s, dir) =>
+      import s.implicits._
+      val topk = udaf(new graft.functions.TopKAggregator(5))
       val e = withNorm(t(s, dir, "embeddings"))
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
         .filter(col("q_id").isin(0L, 1L, 2L, 3L))
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       broadcast(q).join(c, col("q_id") =!= col("n_id"))
         .withColumn("cos", expr(dot("q_emb", "n_emb")) / (col("q_norm") * col("n_norm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_sim"))
+        .groupBy(col("q_id"))
+        .agg(topk(col("cos"), col("n_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"),
+          col("sc._2").as("n_id"), round(col("sc._1"), 6).as("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
     },
 
