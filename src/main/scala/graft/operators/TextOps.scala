@@ -264,6 +264,21 @@ object TextOps {
         .orderBy(col("lang"))
     },
 
+    // Polynomial rolling hash (Rabin–Karp) over the document's characters:
+    // h = (h*31 + code) mod 1e9+7, a single vectorized aggregate pass —
+    // integer math, bit-identical across engines. The doubled corpus makes
+    // every hash a 2-doc group; collisions would surface as larger groups.
+    "q49_rolling_hash" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.unionAll(d.select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .withColumn("rh",
+          expr("aggregate(split(text, ''), 0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)"))
+        .groupBy(col("rh"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("rh"))
+    },
+
     // Document fingerprinting: winnowing-style single min-shingle-hash
     // fingerprint; docs sharing a fingerprint cluster together.
     "q47_fingerprint" -> { (s, dir) =>
@@ -353,6 +368,20 @@ object TextOps {
                      ELSE 'flag' END AS quality,
                 count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          FROM d GROUP BY 1, 2, 3 ORDER BY lang, len_bucket, quality""",
+
+    "q49_rolling_hash" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 300000, text FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_reduce(list_transform(string_split(text, ''),
+                    c -> CAST(ascii(c) AS BIGINT)),
+                    (h, x) -> (h * 31 + x) % 1000000007) AS rh
+           FROM all_docs)
+         SELECT rh, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM h GROUP BY rh HAVING count(*) > 1
+         ORDER BY rh""",
 
     "q48_subword_tokens" ->
       """WITH toks AS (

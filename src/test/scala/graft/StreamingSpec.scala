@@ -74,6 +74,29 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((1L, 999L, 1L)))
   }
 
+  test("streaming dedup passes only the first occurrence of each text") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = src.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.DedupStream.dedupByContent(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    def doc(id: Long, text: String, minute: Int) =
+      (id, text, java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
+
+    src.addData(doc(1, "alpha beta", 0), doc(2, "gamma delta", 1))
+    q.processAllAvailable()
+    // dup of doc 1 in a later micro-batch + one new doc
+    src.addData(doc(3, "alpha beta", 5), doc(4, "epsilon", 6))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L), s"dup doc 3 must be dropped, got $ids")
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
