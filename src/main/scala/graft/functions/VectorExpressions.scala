@@ -158,6 +158,9 @@ object GraftFunctions {
         _ => Literal(spark.conf.get(confKey, default)))
     const("current_account", "spark.graft.account", "GRAFT_PRIMARY")
     const("current_organization_name", "spark.graft.organization", "GRAFT_ORG")
+    if (!spark.experimental.extraOptimizations.contains(NativeDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeDotRewrite
   }
 
   /** For `SparkSessionExtensions.injectFunction`. */
@@ -169,6 +172,8 @@ object GraftFunctions {
   * `.withExtensions(new GraftExtensions)`) installs the engine's native
   * functions into every session derived from that builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
+    ext.injectOptimizerRule(_ => NativeDotRewrite)
+  }
 }

@@ -63,6 +63,23 @@ class VectorExpressionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.account")
   }
 
+  test("optimizer rule rewrites the HOF dot idiom into native dot_f32") {
+    GraftFunctions.register(spark) // installs the rule via extraOptimizations
+    val df = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+      .selectExpr(
+        """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_f32"),
+      "HOF pattern was not rewritten to the native expression")
+    // rewritten results equal the direct native call
+    val direct = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+      .selectExpr("dot_f32(a, b) AS d")
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      direct.collect().map(_.getDouble(0)).toSeq)
+  }
+
   test("the extensions-injected builder constructs a working expression") {
     // the canonical install path is spark.sql.extensions at builder time;
     // assert the builder GraftExtensions injects evaluates correctly.
