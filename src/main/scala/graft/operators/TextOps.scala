@@ -279,6 +279,30 @@ object TextOps {
         .orderBy(col("rh"))
     },
 
+    // Quality scoring, stopword axis: per-doc stopword ratio in exact
+    // basis points (integer arithmetic — no float division until never),
+    // bucketed into quality classes and aggregated per (lang, class).
+    "q56_stopword_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("words")))
+        .withColumn("n_stop",
+          expr("size(filter(words, x -> x IN ('a', 'the', 'of', 'and', 'to')))"))
+        .withColumn("stop_bp", expr("(n_stop * 10000) div n_tokens"))
+        .withColumn("quality_class",
+          when(col("stop_bp") > 2500, "stopword_heavy")
+            .when(col("stop_bp") < 500, "stopword_light")
+            .otherwise("balanced"))
+        .groupBy(col("lang"), col("quality_class"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_stop").cast("long")).as("total_stopwords"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          min(col("stop_bp")).as("min_bp"),
+          max(col("stop_bp")).as("max_bp"))
+        .orderBy(col("lang"), col("quality_class"))
+    },
+
     // Document fingerprinting: winnowing-style single min-shingle-hash
     // fingerprint; docs sharing a fingerprint cluster together.
     "q47_fingerprint" -> { (s, dir) =>
@@ -368,6 +392,31 @@ object TextOps {
                      ELSE 'flag' END AS quality,
                 count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          FROM d GROUP BY 1, 2, 3 ORDER BY lang, len_bucket, quality""",
+
+    "q56_stopword_quality" ->
+      """WITH d AS (
+           SELECT lang,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS n_stop
+           FROM documents),
+         b AS (
+           SELECT lang, n_tokens, n_stop,
+                  (n_stop * 10000) // n_tokens AS stop_bp
+           FROM d),
+         c AS (
+           SELECT lang, n_tokens, n_stop, stop_bp,
+                  CASE WHEN stop_bp > 2500 THEN 'stopword_heavy'
+                       WHEN stop_bp < 500 THEN 'stopword_light'
+                       ELSE 'balanced' END AS quality_class
+           FROM b)
+         SELECT lang, quality_class, count(*) AS n_docs,
+                CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(MIN(stop_bp) AS BIGINT) AS min_bp,
+                CAST(MAX(stop_bp) AS BIGINT) AS max_bp
+         FROM c GROUP BY lang, quality_class
+         ORDER BY lang, quality_class""",
 
     "q49_rolling_hash" ->
       """WITH all_docs AS (
