@@ -99,6 +99,32 @@ object Multimodal {
         .orderBy(col("media_kind"))
     },
 
+    // Feature extraction + resize: the stub "vision encoder" emits an
+    // 8-dim feature vector derived deterministically from the payload
+    // length (a real one would run the decoded pixels through a model in
+    // the same mapPartitions batch), and resize clamps decoded dims to a
+    // 224-max thumbnail preserving aspect via integer math. Downstream
+    // aggregation consumes only the features — payload pruned scan-side.
+    "q63_feature_extract" -> { (s, dir) =>
+      val meta = decodeMeta(mediaFiles(s, dir)).toDF()
+      meta
+        .withColumn("out_w", least(col("width"), lit(224)))
+        .withColumn("out_h",
+          expr("CAST(greatest(1L, (height * least(width, 224)) div width) AS INT)"))
+        // feature components stay INTEGER so the cross-row mass sum is
+        // order-independent (a double sum would be partition-order
+        // dependent); a real encoder's floats would go through decimal
+        .withColumn("features",
+          expr("transform(sequence(1, 8), i -> (n_bytes * i) % 97)"))
+        .groupBy(col("media_kind"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("out_w").cast("long")).as("sum_out_w"),
+          sum(col("out_h").cast("long")).as("sum_out_h"),
+          sum(expr("aggregate(features, 0L, (a, v) -> a + v)")).as("feature_mass"))
+        .orderBy(col("media_kind"))
+    },
+
     // Frame sampling: every 4th frame of each video, fanned out with a
     // vectorized sequence/explode AFTER the payload column is gone — the
     // shuffle carries (doc_id, frame_no) pairs, never bytes.
@@ -143,6 +169,28 @@ object Multimodal {
                 CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
                 CAST(MAX(n_frames) AS INT) AS max_frames
          FROM d GROUP BY media_kind ORDER BY media_kind""",
+
+    "q63_feature_extract" ->
+      """WITH m AS (
+           SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_kind,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         d AS (
+           SELECT media_kind, n,
+                  64 + n % 256 AS width,
+                  64 + (n * 7) % 256 AS height
+           FROM m),
+         r AS (
+           SELECT media_kind,
+                  LEAST(width, 224) AS out_w,
+                  GREATEST(1, (height * LEAST(width, 224)) // width) AS out_h,
+                  list_sum(list_transform(range(1, 9), i -> (n * i) % 97)) AS mass
+           FROM d)
+         SELECT media_kind, count(*) AS n_files,
+                CAST(SUM(out_w) AS BIGINT) AS sum_out_w,
+                CAST(SUM(out_h) AS BIGINT) AS sum_out_h,
+                CAST(SUM(mass) AS BIGINT) AS feature_mass
+         FROM r GROUP BY media_kind ORDER BY media_kind""",
 
     "q62_frame_sample" ->
       """WITH d AS (

@@ -279,6 +279,33 @@ object TextOps {
         .orderBy(col("rh"))
     },
 
+    // Language-ID via character-bigram profiles (the classic n-gram
+    // heuristic): every word is decomposed into overlapping 2-char grams
+    // with one vectorized flatten/transform, each doc scores against two
+    // reference gram profiles, argmax classifies. Same operator shape as
+    // production langid (n-gram profile scoring), deterministic integers.
+    "q57_langid_ngram" -> { (s, dir) =>
+      corpus(s, dir)
+        .withColumn("bgs", expr(
+          """flatten(transform(split(text, ' '), w ->
+             transform(sequence(1, greatest(1, length(w) - 1)), i -> substring(w, i, 2))))"""))
+        .withColumn("score_a",
+          expr("size(filter(bgs, x -> x IN ('ta', 'ab', 'le', 'ro', 'sc', 'an')))"))
+        .withColumn("score_b",
+          expr("size(filter(bgs, x -> x IN ('st', 're', 'ea', 'wi', 'ba', 'tc')))"))
+        .withColumn("gram_class",
+          when(col("score_a") > col("score_b"), "profile_a")
+            .when(col("score_b") > col("score_a"), "profile_b")
+            .otherwise("tie"))
+        .groupBy(col("gram_class"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("score_a").cast("long")).as("total_a"),
+          sum(col("score_b").cast("long")).as("total_b"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("gram_class"))
+    },
+
     // Quality scoring, stopword axis: per-doc stopword ratio in exact
     // basis points (integer arithmetic — no float division until never),
     // bucketed into quality classes and aggregated per (lang, class).
@@ -392,6 +419,32 @@ object TextOps {
                      ELSE 'flag' END AS quality,
                 count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          FROM d GROUP BY 1, 2, 3 ORDER BY lang, len_bucket, quality""",
+
+    "q57_langid_ngram" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE n_chars >= 60),
+         g AS (
+           SELECT doc_id,
+                  flatten(list_transform(string_split(text, ' '), w ->
+                    list_transform(range(1, greatest(2, len(w))),
+                      i -> substr(w, CAST(i AS INT), 2)))) AS bgs
+           FROM corpus),
+         sc AS (
+           SELECT doc_id,
+                  len(list_filter(bgs, x -> x IN ('ta', 'ab', 'le', 'ro', 'sc', 'an'))) AS score_a,
+                  len(list_filter(bgs, x -> x IN ('st', 're', 'ea', 'wi', 'ba', 'tc'))) AS score_b
+           FROM g)
+         SELECT CASE WHEN score_a > score_b THEN 'profile_a'
+                     WHEN score_b > score_a THEN 'profile_b'
+                     ELSE 'tie' END AS gram_class,
+                count(*) AS n_docs,
+                CAST(SUM(score_a) AS BIGINT) AS total_a,
+                CAST(SUM(score_b) AS BIGINT) AS total_b,
+                min(doc_id) AS first_doc
+         FROM sc GROUP BY 1 ORDER BY gram_class""",
 
     "q56_stopword_quality" ->
       """WITH d AS (
