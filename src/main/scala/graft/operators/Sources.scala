@@ -50,6 +50,29 @@ object Sources {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
 
+    // JSON-lines sink → source with declared schema: the third format leg
+    // (parquet native, CSV q33/q34). The reference carries JSON in its
+    // event props (q24 extracts it); here structured rows round-trip
+    // through JSON text losslessly — doubles survive because the aggregate
+    // is decimal-exact BEFORE serialization and the declared read schema
+    // restores exact types.
+    "q37_json_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val out = scratch("json-roundtrip")
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), decCents($"o_totalprice").as("total_c"))
+        .coalesce(1)
+        .write.mode("overwrite").json(out)
+      s.read.schema(StructType(Seq(
+          StructField("o_orderpriority", StringType),
+          StructField("o_orderstatus", StringType),
+          StructField("n", LongType),
+          StructField("total_c", LongType))))
+        .json(out)
+        .orderBy($"o_orderpriority", $"o_orderstatus")
+    },
+
     "q34_stage_transport" -> { (s, dir) =>
       import s.implicits._
       val stage = scratch("stage")
@@ -83,6 +106,12 @@ object Sources {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q37_json_roundtrip" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
+         FROM orders GROUP BY o_orderpriority, o_orderstatus
+         ORDER BY o_orderpriority, o_orderstatus""",
 
     "q34_stage_transport" ->
       """SELECT p_type AS object_type, count(*) AS n_objects,
