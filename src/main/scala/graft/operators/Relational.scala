@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** Scans, filters, projections, sorts, limits, set ops and scalar functions
@@ -24,6 +25,7 @@ import Q._
 object Relational {
 
   val queries: Map[String, QFn] = Map(
+    "q39_price_histogram" -> priceHistogram,
     "q02_filter_case_proj" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -107,7 +109,36 @@ object Relational {
         .orderBy($"o_orderkey")
     })
 
+  /** Data-profiling histogram (q39): 10 equal-width buckets over order
+    * totals, all boundary math in integer CENTS so bucket assignment is
+    * bit-identical across engines (double width division would put
+    * boundary values in different buckets per rounding). The min/max
+    * scalar aggregate is one tiny broadcast row; bucketing is map-side. */
+  private[operators] def priceHistogram: QFn = { (s, dir) =>
+    import s.implicits._
+    val cents = t(s, dir, "orders")
+      .select(($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+    val bounds = cents.agg(min($"c").as("lo"), max($"c").as("hi"))
+    cents.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(expr("((c - lo) * 10) div greatest(hi - lo, 1L)"), lit(9L)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"), min($"c").as("min_c"), max($"c").as("max_c"))
+      .orderBy($"bucket")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q39_price_histogram" ->
+      """WITH c AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM orders),
+         b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c),
+         h AS (
+           SELECT LEAST(((c - lo) * 10) // GREATEST(hi - lo, 1), 9) AS bucket, c
+           FROM c CROSS JOIN b)
+         SELECT bucket, count(*) AS n_orders,
+                CAST(MIN(c) AS BIGINT) AS min_c, CAST(MAX(c) AS BIGINT) AS max_c
+         FROM h GROUP BY bucket ORDER BY bucket""",
     "q02_filter_case_proj" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
            CASE WHEN l_returnflag = 'A' THEN 'accepted'
