@@ -3,6 +3,8 @@ package graft.mv
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.Catalog
 
@@ -50,5 +52,62 @@ final class MaterializedViewManager(cat: Catalog) {
   /** Reads hit the materialized table — precomputed, not the query. */
   def read(mvName: String): DataFrame = cat.table("_mv", mvName).read()
 
-  def list(): Seq[String] = defs.keys.toSeq
+  def list(): Seq[String] = defs.keys.toSeq ++ aggDefs.keys
+
+  // ── incremental aggregate MVs ─────────────────────────────────────────
+  //
+  // The scale path for the 5-minute refresh cycle: a full recompute reads
+  // the whole base per cycle (impossible at 100 TB/day); an aggregate MV
+  // over an append-only base instead folds ONLY the appended snapshots in
+  // — count and decimal-sum partials merge associatively, so
+  // merged = reaggregate(old MV ∪ agg(delta)). Falls back to a full
+  // rebuild automatically when a base rewrite (DELETE/UPDATE/replace)
+  // invalidates the delta algebra.
+
+  /** key columns + decimal-summed metric columns over one base table. */
+  final case class AggMvDef(base: (String, String), keyCols: Seq[String], sumCols: Seq[String])
+
+  private val aggDefs = mutable.LinkedHashMap.empty[String, AggMvDef]
+  private val aggBuiltAt = mutable.Map.empty[String, Long]
+
+  private def aggregate(df: DataFrame, d: AggMvDef): DataFrame =
+    df.groupBy(d.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        d.sumCols.map(c => sum(col(c).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as(s"sum_$c")): _*)
+
+  /** Merge partial aggregates (old MV rows ∪ delta rows) — associative. */
+  private def remerge(partials: DataFrame, d: AggMvDef): DataFrame =
+    partials.groupBy(d.keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        d.sumCols.map(c => sum(col(s"sum_$c")).cast(DecimalType(18, 2))
+          .as(s"sum_$c")): _*)
+
+  def createAggMv(name: String, base: (String, String),
+      keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    val d = AggMvDef(base, keyCols, sumCols)
+    aggDefs(name) = d
+    val t = cat.table(base._1, base._2)
+    cat.table("_mv", name).createOrReplace(aggregate(t.read(), d))
+    aggBuiltAt(name) = t.currentSnapshotId.getOrElse(0L)
+  }
+
+  /** Returns the refresh mode taken: "noop", "incremental", or "full". */
+  def refreshIncremental(name: String): String = {
+    val d = aggDefs(name)
+    val t = cat.table(d.base._1, d.base._2)
+    val cur = t.currentSnapshotId.getOrElse(0L)
+    if (cur == aggBuiltAt(name)) return "noop"
+    val mode = t.appendsSince(aggBuiltAt(name)) match {
+      case Some(delta) =>
+        val merged = remerge(read(name).unionByName(aggregate(delta, d)), d)
+        cat.table("_mv", name).createOrReplace(merged)
+        "incremental"
+      case None => // base was rewritten: deltas invalid, rebuild
+        cat.table("_mv", name).createOrReplace(aggregate(t.read(), d))
+        "full"
+    }
+    aggBuiltAt(name) = cur
+    mode
+  }
 }

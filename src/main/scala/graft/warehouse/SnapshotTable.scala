@@ -114,6 +114,19 @@ final class SnapshotTable(
   def read(): DataFrame = asOf(currentSnapshotId.getOrElse(
     throw new IllegalStateException(s"table at $root does not exist")))
 
+  /** The rows appended strictly after snapshot `id` — the incremental-read
+    * path (an Iceberg incremental scan between snapshots). Returns None if
+    * a `base` snapshot (replace/DELETE/UPDATE rewrite) intervened: deltas
+    * are no longer sufficient and the caller must fall back to a full
+    * read. Reading N append dirs scans ONLY the delta bytes. */
+  def appendsSince(id: Long): Option[DataFrame] = {
+    val later = snapshots().dropWhile(_._1 <= id)
+    if (later.exists(_._2 != "append")) None
+    else if (later.isEmpty) Some(read().limit(0)) // schema-preserving empty
+    else Some(later.map(s => spark.read.parquet(snapDir(s._1).toString))
+      .reduce(_ unionByName _))
+  }
+
   /** DELETE FROM ... WHERE cond (D5) — copy-on-write, returns rows deleted. */
   def delete(cond: org.apache.spark.sql.Column): Long = {
     val parts = partitionSpec()

@@ -137,4 +137,35 @@ class ServicesSpec extends SparkSpec {
     assert(mvm.refreshIfStale() == Seq("mv_daily"))
     assert(mvm.read("mv_daily").count() == 3)
   }
+
+  test("incremental agg MV: delta-only refresh matches full recompute, falls back on rewrite") {
+    val cat = newCatalog("mvinc")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(
+      Seq(("a", 10.0), ("a", 5.0), ("b", 1.0)).toDF("k", "amt"))
+
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createAggMv("mv_sales", ("adv", "sales"), Seq("k"), Seq("amt"))
+    val builtAtId = sales.currentSnapshotId.get
+
+    // append-only change → incremental path
+    sales.append(Seq(("a", 2.0), ("c", 7.0)).toDF("k", "amt"))
+    // delta read touches ONLY the appended snapshot's files
+    val deltaFiles = sales.appendsSince(builtAtId).get.inputFiles
+    assert(deltaFiles.nonEmpty && deltaFiles.forall(_.contains("snap-00002")))
+    assert(mvm.refreshIncremental("mv_sales") == "incremental")
+    val got = mvm.read("mv_sales")
+      .select($"k", $"n_rows", $"sum_amt".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 3L, 17.0), ("b", 1L, 1.0), ("c", 1L, 7.0)))
+
+    // idempotent when nothing changed
+    assert(mvm.refreshIncremental("mv_sales") == "noop")
+
+    // a rewrite (DELETE) invalidates deltas → full rebuild
+    sales.delete($"k" === "b")
+    assert(mvm.refreshIncremental("mv_sales") == "full")
+    assert(mvm.read("mv_sales").select($"k").as[String].collect().toSet == Set("a", "c"))
+  }
 }
