@@ -279,6 +279,38 @@ object TextOps {
         .orderBy(col("rh"))
     },
 
+    // Dedup clustering: connected components over the LSH candidate-pair
+    // graph — the step that turns pairwise near-dup hits into groups with
+    // one canonical keeper each. Iterative min-label propagation: each
+    // round every node adopts the min label among itself and its
+    // neighbours (one shuffle per round), terminating at fixpoint after
+    // ≤ diameter rounds — the standard large-graph CC shape (label
+    // propagation, not a driver-side union-find; nothing leaves the
+    // cluster). localCheckpoint truncates the growing lineage per round.
+    "q58_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = candidatePairs(s, dir).select($"a_id", $"b_id")
+      val edges = pairs.unionAll(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+        .localCheckpoint(true)
+      var labels = edges.select($"a_id".as("node")).distinct()
+        .withColumn("label", $"node").localCheckpoint(true)
+      var changed = true
+      while (changed) {
+        val nbrMin = edges.join(labels, $"b_id" === $"node")
+          .groupBy($"a_id").agg(min($"label").as("nbr_min"))
+        val next = labels.join(nbrMin, $"node" === $"a_id", "left")
+          .select($"node", least($"label", coalesce($"nbr_min", $"label")).as("label"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), $"n.node" === $"o.node")
+          .filter($"n.label" =!= $"o.label").limit(1).count() > 0
+        labels = next
+      }
+      labels
+        .groupBy($"label".as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"), max($"node").as("last_member"))
+        .orderBy($"cluster_rep")
+    },
+
     // Language-ID via character-bigram profiles (the classic n-gram
     // heuristic): every word is decomposed into overlapping 2-char grams
     // with one vectorized flatten/transform, each doc scores against two
@@ -419,6 +451,22 @@ object TextOps {
                      ELSE 'flag' END AS quality,
                 count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          FROM d GROUP BY 1, 2, 3 ORDER BY lang, len_bucket, quality""",
+
+    "q58_dedup_clusters" ->
+      s"""WITH RECURSIVE $oracleSig,
+         e AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION ALL
+           SELECT b_id, a_id FROM pairs),
+         walk(node, label) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.src, w.label FROM e JOIN walk w ON e.dst = w.node),
+         final AS (
+           SELECT node, min(label) AS cluster_rep FROM walk GROUP BY node)
+         SELECT cluster_rep, count(*) AS n_members,
+                CAST(max(node) AS BIGINT) AS last_member
+         FROM final GROUP BY cluster_rep ORDER BY cluster_rep""",
 
     "q57_langid_ngram" ->
       """WITH corpus AS (
