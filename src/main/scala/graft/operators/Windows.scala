@@ -46,6 +46,29 @@ object Windows {
         .orderBy($"o_orderkey")
     },
 
+    // Frame-variety window suite: a 3-row moving sum (ROWS frame, exact
+    // integer cents), quartile bucketing (ntile), and percent_rank — all
+    // sharing the one custkey shuffle. Ratio outputs stay integer
+    // (percent_rank is re-derived as exact basis points from rank/count
+    // rather than trusting float division order).
+    "q59_window_frames" -> { (s, dir) =>
+      import s.implicits._
+      val byTime = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          ($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("price_c"))
+        .withColumn("moving3_c",
+          sum($"price_c").over(byTime.rowsBetween(-2, Window.currentRow)))
+        .withColumn("quartile", ntile(4).over(byTime))
+        .withColumn("rk", rank().over(byTime))
+        .withColumn("n_orders", count(lit(1)).over(Window.partitionBy($"o_custkey")))
+        .withColumn("pct_rank_bp",
+          expr("((rk - 1) * 10000) div greatest(n_orders - 1, 1L)"))
+        .select($"o_custkey", $"o_orderkey", $"moving3_c", $"quartile", $"pct_rank_bp")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // Window-function suite over per-customer order history: rank by
     // spend, running decimal-exact total, gap in days since the previous
     // order. One shuffle on custkey serves all three frames.
@@ -89,6 +112,23 @@ object Windows {
            FROM tagged)
          SELECT oid AS o_orderkey, k AS o_custkey, asof_event_id, asof_event_type
          FROM w WHERE is_order = 1 ORDER BY o_orderkey""",
+
+    "q59_window_frames" ->
+      """WITH p AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+           CAST(SUM(price_c) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_c,
+           ntile(4) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS quartile,
+           CAST(((rank() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) - 1) * 10000)
+                // GREATEST(count(*) OVER (PARTITION BY o_custkey) - 1, 1)
+                AS BIGINT) AS pct_rank_bp
+         FROM p ORDER BY o_custkey, o_orderkey""",
 
     "q38_window_suite" ->
       """SELECT o_custkey, o_orderkey,

@@ -97,6 +97,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L), s"dup doc 3 must be dropped, got $ids")
   }
 
+  test("watermark drops events later than the 2h horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStream.hourlyCounts(src.toDF())
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+
+    def at(h: Int) = Instant.parse(f"2026-01-01T$h%02d:30:00Z")
+    // advance the high-water mark to 12:30 → watermark 10:30
+    src.addData(Event(1, 1, at(12), "click", 1.0))
+    q.processAllAvailable()
+    // 9:30 is behind the watermark → must be DROPPED from its window;
+    // 11:30 is within the horizon → kept
+    src.addData(Event(2, 1, at(9), "click", 1.0), Event(3, 1, at(11), "click", 1.0))
+    q.processAllAvailable()
+    // push the watermark far forward so all surviving windows close/emit
+    src.addData(Event(4, 1, at(23), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val hours = spark.table("late_stream")
+      .select(hour($"hour")).as[Int].collect().toSet
+    assert(hours.contains(11), "in-horizon event lost")
+    assert(!hours.contains(9), "late event beyond the watermark must be dropped")
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
