@@ -26,6 +26,21 @@ object Relational {
 
   val queries: Map[String, QFn] = Map(
     "q39_price_histogram" -> priceHistogram,
+
+    // PIVOT: order counts and exact spend-cents spread across status
+    // columns per priority — the generalization of the reference's
+    // SUM(CASE) conditional aggregation (A5). Pivot values are DECLARED
+    // (not discovered), so the plan is a single pass with no extra
+    // distinct-scan, and the output schema is static — both required at
+    // scale and for the oracle's fixed column list.
+    "q19_pivot_status" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), decCents($"o_totalprice").as("spend_c"))
+        .orderBy($"o_orderpriority")
+    },
     "q02_filter_case_proj" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -128,6 +143,18 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q19_pivot_status" -> {
+      val cols = Seq("F", "O", "P").map { v =>
+        s"""COUNT(CASE WHEN o_orderstatus = '$v' THEN 1 END) AS ${v}_n,
+            CAST(SUM(CASE WHEN o_orderstatus = '$v'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+              AS ${v}_spend_c"""
+      }.mkString(",\n           ")
+      s"""SELECT o_orderpriority,
+           $cols
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    },
+
     "q39_price_histogram" ->
       """WITH c AS (
            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
