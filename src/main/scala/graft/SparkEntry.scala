@@ -30,7 +30,8 @@ object SparkEntry {
     (Sources.queries, Sources.oracle),
     (TextOps.queries, TextOps.oracle),
     (Similarity.queries, Similarity.oracle),
-    (Multimodal.queries, Multimodal.oracle))
+    (Multimodal.queries, Multimodal.oracle),
+    (AdFunnel.queries, AdFunnel.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

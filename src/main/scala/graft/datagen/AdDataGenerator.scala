@@ -29,6 +29,14 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
   private val devices = Seq("mobile", "desktop", "tablet", "ctv", "other")
   private val convTypes = Seq("purchase", "signup", "download", "subscribe", "lead")
   private val attributions = Seq("last_click", "first_click", "linear", "time_decay")
+  // the reference fakes advertiser_name/industry per campaign
+  // (`scripts/02_generate_iceberg_data.py:72-78`); ours are deterministic picks
+  private val advertisers = Seq(
+    "Acme Corp", "Globex", "Initech", "Umbrella Retail", "Stark Industries",
+    "Wayne Enterprises", "Hooli", "Pied Piper", "Vandelay Imports", "Wonka Goods")
+  private val industries = Seq(
+    "e-commerce", "fintech", "travel", "gaming", "media",
+    "healthcare", "education", "automotive")
 
   /** 2024-01-01 00:00:00 UTC. */
   private val epoch0 = 1704067200L
@@ -55,7 +63,13 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
       pick("region", $"id", regions).as("target_region"),
       pick("status", $"id", statuses).as("status"),
       to_date(timestamp_seconds(lit(epoch0) + (u("start", $"id") * 30 * 86400).cast("long"))).as("start_date"),
-      to_date(timestamp_seconds(lit(epoch0) + lit(60L * 86400) + (u("end", $"id") * 30 * 86400).cast("long"))).as("end_date"))
+      to_date(timestamp_seconds(lit(epoch0) + lit(60L * 86400) + (u("end", $"id") * 30 * 86400).cast("long"))).as("end_date"),
+      pick("adv", $"id", advertisers).as("advertiser_name"),
+      pick("ind", $"id", industries).as("advertiser_industry"),
+      // created up to a year before epoch0; updated during the campaign window
+      // (deterministic stand-ins for the reference's fake.date_time_between/now)
+      timestamp_seconds(lit(epoch0) - (u("created", $"id") * 365 * 86400).cast("long")).as("created_at"),
+      timestamp_seconds(lit(epoch0) + (u("updated", $"id") * 90 * 86400).cast("long")).as("updated_at"))
 
   /** Impressions for active/completed campaigns (P3 filter), per-campaign
     * count uniform in [n/2, 2n]. Row identity = global slot index. */
