@@ -29,7 +29,12 @@ object Bench {
     // them in the untimed warmup — exactly as the reference builds its MVs
     // before analysts query them
     graft.operators.AdFunnel.ensure(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q58,q21 restricts the run (prefix match);
+    // unset = all queries, which is what the driver measures
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

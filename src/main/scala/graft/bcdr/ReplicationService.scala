@@ -70,14 +70,16 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
 
   /** The validation query (J9/U3 shape): per-table row counts on both
     * sides with a MATCH/MISMATCH verdict
-    * (`scripts/90_validation_queries.sql:149-168`). */
+    * (`scripts/90_validation_queries.sql:149-168`). Counts come from
+    * snapshot metadata — the 10-minute validation cycle must not scan
+    * every replicated table (at 100 TB that IS the cluster's capacity). */
   def validate(groupName: String): DataFrame = {
     import primary.spark.implicits._
     val g = groups(groupName)
     val rows = g.tables.map { case (schema, t) =>
-      val p = primary.table(schema, t).read().count()
+      val p = primary.table(schema, t).count()
       val s = if (secondary.table(schema, t).exists)
-        secondary.table(schema, t).read().count() else -1L
+        secondary.table(schema, t).count() else -1L
       (s"$schema.$t", p, s)
     }
     rows.toDF("tbl", "n_primary", "n_secondary")

@@ -48,9 +48,13 @@ final class HeartbeatService(
     val repaired = grants.ensureGrants(expectedGrants)
     log("GRANT_AUDIT", ok = true, s"repaired=$repaired")
 
-    // 3. data validation: every source table visible and non-negative
+    // 3. data validation: every source table visible and non-negative.
+    // Counts come from snapshot METADATA (SnapshotTable.count) — the
+    // reference full-scans each table per 5-minute beat
+    // (`scripts/16_sync_task_primary.sql:206`), which cannot survive 100 TB;
+    // Iceberg answers COUNT(*) from manifests and so do we.
     val counts = for (s <- source.listSchemas(); t <- source.listTables(s))
-      yield s"$s.$t" -> source.table(s, t).read().count()
+      yield s"$s.$t" -> source.table(s, t).count()
     val dataOk = counts.nonEmpty
     if (!dataOk) fails += 1
     log("DATA_VALIDATION", dataOk,

@@ -52,6 +52,34 @@ final class TaskScheduler {
     futures.put(name, pool.scheduleAtFixedRate(
       () => runOnce(name), everyMs, everyMs, TimeUnit.MILLISECONDS))
 
+  /** `USING CRON <m h dom mon dow> [tz]` (`scripts/33_schema_sync_task.sql:134-139`):
+    * one-shot chain — each fire computes the NEXT fire time from the cron
+    * spec, so irregular schedules ("0 2 * * *", month boundaries, DST) stay
+    * correct where a fixed rate would drift. */
+  def scheduleCron(name: String, cronExpr: String): Unit = {
+    val cron = CronSchedule.parse(cronExpr)
+    crons.put(name, cron)
+    planNextCronFire(name, cron)
+  }
+
+  private val crons = new ConcurrentHashMap[String, CronSchedule]()
+
+  private def planNextCronFire(name: String, cron: CronSchedule): Unit =
+    futures.put(name, pool.schedule(
+      new Runnable { def run(): Unit = fireCron(name) },
+      cron.nextDelayMs(System.currentTimeMillis()), TimeUnit.MILLISECONDS))
+
+  /** Run the task body, then plant the next fire (package-visible so tests
+    * can drive a fire without waiting for wall-clock cron time). */
+  private[graft] def fireCron(name: String): Unit = {
+    runOnce(name)
+    Option(crons.get(name)).foreach(planNextCronFire(name, _))
+  }
+
+  /** Next scheduled fire, as epoch millis (SHOW TASKS' next_scheduled_time). */
+  def nextScheduledTime(name: String, nowMs: Long = System.currentTimeMillis()): Option[Long] =
+    Option(crons.get(name)).map(c => nowMs + c.nextDelayMs(nowMs))
+
   /** ALTER TASK ... SUSPEND / RESUME. */
   def suspend(name: String): Unit = suspended.add(name)
   def resume(name: String): Unit = suspended.remove(name)

@@ -122,6 +122,51 @@ class ServicesSpec extends SparkSpec {
     sched.shutdown()
   }
 
+  test("cron: next-fire math for the reference's daily 2am schedule") {
+    import java.time.{ZonedDateTime, ZoneId}
+    val c = graft.services.CronSchedule.parse("0 2 * * *")
+    val from = ZonedDateTime.of(2024, 3, 10, 14, 30, 0, 0, ZoneId.of("UTC"))
+    assert(c.next(from) === ZonedDateTime.of(2024, 3, 11, 2, 0, 0, 0, ZoneId.of("UTC")))
+    // already past 2am today → tomorrow; before 2am → today
+    val early = ZonedDateTime.of(2024, 3, 10, 1, 59, 0, 0, ZoneId.of("UTC"))
+    assert(c.next(early) === ZonedDateTime.of(2024, 3, 10, 2, 0, 0, 0, ZoneId.of("UTC")))
+    // timezone-qualified, as `USING CRON 0 2 * * * America/Los_Angeles`
+    val la = graft.services.CronSchedule.parse("0 2 * * * America/Los_Angeles")
+    val nxt = la.next(from) // 14:30Z = 06:30 PDT → same day 02:00 PDT already past → next day
+    assert(nxt.getHour === 2 && nxt.getZone === ZoneId.of("America/Los_Angeles"))
+    assert(nxt.toInstant.isAfter(from.toInstant))
+    // steps, ranges, lists, and Vixie dom/dow OR
+    val m = graft.services.CronSchedule.parse("*/15 8-17 1,15 * 1")
+    assert(m.minutes === Set(0, 15, 30, 45) && m.hours === (8 to 17).toSet)
+    val mon10 = ZonedDateTime.of(2024, 6, 10, 0, 0, 0, 0, ZoneId.of("UTC")) // a Monday
+    assert(m.matches(mon10.withHour(8)), "dow match fires even though dom is 1,15")
+    val sat15 = ZonedDateTime.of(2024, 6, 15, 8, 0, 0, 0, ZoneId.of("UTC")) // the 15th
+    assert(m.matches(sat15), "dom match fires even though dow is Monday")
+    // month rollover: Feb 30 never exists → first fire is in March
+    val feb = graft.services.CronSchedule.parse("0 0 30 * *")
+    val fromFeb = ZonedDateTime.of(2024, 2, 1, 0, 0, 0, 0, ZoneId.of("UTC"))
+    assert(feb.next(fromFeb).getDayOfMonth === 30 && feb.next(fromFeb).getMonthValue === 3
+      || feb.next(fromFeb).getMonthValue === 2) // 2024 is a leap year but Feb 30 still absent
+    assert(feb.next(fromFeb) === ZonedDateTime.of(2024, 3, 30, 0, 0, 0, 0, ZoneId.of("UTC")))
+  }
+
+  test("cron: scheduled task fires and replants the next fire") {
+    val sched = new TaskScheduler
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    sched.define("daily_sync") { ran.incrementAndGet(); "synced" }
+    sched.scheduleCron("daily_sync", "0 2 * * *")
+    val now = System.currentTimeMillis()
+    val next = sched.nextScheduledTime("daily_sync", now).get
+    assert(next > now && next <= now + 24L * 3600 * 1000, "next fire within 24h")
+    // drive a fire without waiting for wall-clock 2am
+    sched.fireCron("daily_sync")
+    assert(ran.get() === 1)
+    assert(sched.taskHistory().exists(r => r.task == "daily_sync" && r.status == "SUCCEEDED"))
+    // the chain replanted: still a next fire on the books
+    assert(sched.nextScheduledTime("daily_sync").isDefined)
+    sched.shutdown()
+  }
+
   test("materialized view: reads precomputed table, refreshes only when stale") {
     val cat = newCatalog("mv6")
     seed(cat)

@@ -29,6 +29,28 @@ class WarehouseSpec extends SparkSpec {
     assert(appended == 5, s"append snapshot holds $appended rows, expected only the delta")
   }
 
+  test("row counts come from snapshot metadata: zero Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val t = new SnapshotTable(spark, freshRoot("meta-count"))
+    t.createOrReplace(spark.range(100).toDF("id"))
+    t.append(spark.range(7).toDF("id"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(t.rowCountFromMetadata.contains(107L))
+      assert(t.count() === 107L)
+      Thread.sleep(500) // listener bus is async; give any job event time to land
+      assert(jobs.get() === 0, "metadata count must not launch a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // count survives a COW rewrite (metadata carries the new footer count)
+    assert(t.delete(col("id") < 50) === 57L, "50 base + 7 append rows removed")
+    assert(t.rowCountFromMetadata.contains(50L))
+  }
+
   test("DELETE is copy-on-write and returns removed count") {
     val t = new SnapshotTable(spark, freshRoot("t3"))
     t.createOrReplace(spark.range(10).toDF("id"))
