@@ -45,6 +45,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
   /** BCDR: secondaries are read-only until promoted (D11). */
   @volatile var readOnly: Boolean = false
 
+  /** Fired when a table is first created in this catalog — the hook future
+    * grants ride on (`GRANT ... ON FUTURE TABLES IN SCHEMA`, D9). */
+  @volatile var onObjectCreated: (String, String) => Unit = (_, _) => ()
+
   private def fs = new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def qualified(schema: String, table: String): String = s"${name}__${schema}__$table"
@@ -52,7 +56,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
   // ── tables ────────────────────────────────────────────────────────────
 
   def table(schema: String, tname: String): SnapshotTable =
-    new SnapshotTable(spark, s"$warehouse/$schema/$tname", () => checkWritable())
+    new SnapshotTable(spark, s"$warehouse/$schema/$tname", () => checkWritable(),
+      () => onObjectCreated(schema, tname))
 
   def checkWritable(): Unit =
     require(!readOnly, s"catalog $name is read-only (unpromoted secondary)")

@@ -52,7 +52,7 @@ final class MaterializedViewManager(cat: Catalog) {
   /** Reads hit the materialized table — precomputed, not the query. */
   def read(mvName: String): DataFrame = cat.table("_mv", mvName).read()
 
-  def list(): Seq[String] = defs.keys.toSeq ++ aggDefs.keys
+  def list(): Seq[String] = defs.keys.toSeq ++ aggDefs.keys ++ multiDefs.keys
 
   // ── incremental aggregate MVs ─────────────────────────────────────────
   //
@@ -109,5 +109,90 @@ final class MaterializedViewManager(cat: Catalog) {
     }
     aggBuiltAt(name) = cur
     mode
+  }
+
+  // ── incremental multi-base / composite-key aggregate MVs ──────────────
+  //
+  // The flagship funnel MV (`scripts/12_materialized_views.sql:178-228`)
+  // joins THREE pre-aggregated fact tables on a composite key. Its
+  // incremental algebra: keep one PARTIAL-aggregate table per base (count +
+  // decimal sums per composite key — associative), fold append deltas into
+  // only the touched base's partials, then rebuild the final MV by
+  // full-outer-joining the partials. Appending to one base scans ONLY that
+  // base's delta plus the (already tiny, |keys|-sized) partials — the other
+  // bases are never read. A rewrite of any base falls back to rebuilding
+  // that base's partials; the final join is always partials-only.
+
+  /** One contributing base: table, composite key columns, decimal-summed
+    * metric columns, and a prefix namespacing its output columns. */
+  final case class BaseAgg(base: (String, String), keyCols: Seq[String],
+                           sumCols: Seq[String], prefix: String)
+
+  private val multiDefs = mutable.LinkedHashMap.empty[String, Seq[BaseAgg]]
+  private val multiBuiltAt = mutable.Map.empty[String, Map[(String, String), Long]]
+
+  private def partialName(name: String, b: BaseAgg): String = s"${name}__${b.prefix}"
+
+  private def aggBase(df: DataFrame, b: BaseAgg): DataFrame =
+    df.groupBy(b.keyCols.map(col): _*)
+      .agg(count(lit(1)).as(s"${b.prefix}_rows"),
+        b.sumCols.map(c => sum(col(c).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as(s"${b.prefix}_sum_$c")): _*)
+
+  private def remergeBase(partials: DataFrame, b: BaseAgg): DataFrame =
+    partials.groupBy(b.keyCols.map(col): _*)
+      .agg(sum(col(s"${b.prefix}_rows")).as(s"${b.prefix}_rows"),
+        b.sumCols.map(c => sum(col(s"${b.prefix}_sum_$c")).cast(DecimalType(18, 2))
+          .as(s"${b.prefix}_sum_$c")): _*)
+
+  /** Final MV = full-outer join of the per-base partials on the composite
+    * key (COALESCE'd key columns, zero-filled metrics) — the reference's
+    * funnel-join shape, computed from |keys|-sized inputs only. */
+  private def joinPartials(name: String, bases: Seq[BaseAgg]): DataFrame = {
+    val keys = bases.head.keyCols
+    bases.map(b => read(partialName(name, b)))
+      .reduce((l, r) => l.join(r, keys, "full_outer"))
+      .na.fill(0, bases.map(b => s"${b.prefix}_rows"))
+  }
+
+  def createMultiAggMv(name: String, bases: Seq[BaseAgg]): Unit = {
+    require(bases.map(_.keyCols).distinct.size == 1, "all bases must share the composite key")
+    multiDefs(name) = bases
+    bases.foreach { b =>
+      cat.table("_mv", partialName(name, b))
+        .createOrReplace(aggBase(cat.table(b.base._1, b.base._2).read(), b))
+    }
+    cat.table("_mv", name).createOrReplace(joinPartials(name, bases))
+    multiBuiltAt(name) = bases.map(b =>
+      b.base -> cat.table(b.base._1, b.base._2).currentSnapshotId.getOrElse(0L)).toMap
+  }
+
+  /** Per-base refresh modes taken, e.g. Map("imp" -> "noop", "clk" ->
+    * "incremental"); the final join rebuild runs only when something moved. */
+  def refreshMultiAggMv(name: String): Map[String, String] = {
+    val bases = multiDefs(name)
+    val built = multiBuiltAt(name)
+    val modes = bases.map { b =>
+      val t = cat.table(b.base._1, b.base._2)
+      val cur = t.currentSnapshotId.getOrElse(0L)
+      val mode =
+        if (cur == built(b.base)) "noop"
+        else t.appendsSince(built(b.base)) match {
+          case Some(delta) =>
+            cat.table("_mv", partialName(name, b)).createOrReplace(
+              remergeBase(read(partialName(name, b)).unionByName(aggBase(delta, b)), b))
+            "incremental"
+          case None =>
+            cat.table("_mv", partialName(name, b)).createOrReplace(aggBase(t.read(), b))
+            "full"
+        }
+      b.prefix -> mode
+    }.toMap
+    if (modes.values.exists(_ != "noop")) {
+      cat.table("_mv", name).createOrReplace(joinPartials(name, bases))
+      multiBuiltAt(name) = bases.map(b =>
+        b.base -> cat.table(b.base._1, b.base._2).currentSnapshotId.getOrElse(0L)).toMap
+    }
+    modes
   }
 }

@@ -57,4 +57,32 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
       if (!roles.contains(r)) createRole(r)
       grant(r, p, o)
     }
+
+  // ── future grants (`scripts/00_prereqs_rbac.sql:67-152`) ──────────────
+
+  private val futureGrants = mutable.LinkedHashSet.empty[(String, String, String)]
+
+  /** `GRANT <priv> ON FUTURE TABLES IN SCHEMA <schema> TO ROLE <role>`:
+    * objects created in the schema AFTER this call inherit the privilege
+    * automatically. Audit-logged like any other grant action. */
+  def grantFuture(role: String, privilege: String, schema: String): Unit = {
+    require(roles.contains(role), s"unknown role $role")
+    if (futureGrants.add((role, privilege, schema)))
+      auditLog.append(Seq(Row(role, privilege, s"FUTURE TABLES IN SCHEMA $schema", "GRANT_FUTURE")))
+  }
+
+  def listFutureGrants(): Seq[(String, String, String)] = futureGrants.toSeq
+
+  /** Materialize matching future grants for a just-created object; returns
+    * the number of grants applied. Invoked via the catalog's creation hook
+    * (see [[attachTo]]), never manually per-table. */
+  def objectCreated(schema: String, obj: String): Int =
+    futureGrants.toSeq.count { case (role, priv, sch) =>
+      sch == schema && grant(role, priv, s"$schema.$obj")
+    }
+
+  /** Wire this service into a catalog: every table created there from now
+    * on flows through [[objectCreated]]. */
+  def attachTo(cat: graft.catalog.Catalog): Unit =
+    cat.onObjectCreated = (schema, obj) => { objectCreated(schema, obj); () }
 }

@@ -65,14 +65,50 @@ final class DriftService(spark: SparkSession, logRoot: String) {
     missingOnSecondary.unionAll(missingOnPrimary).unionAll(mismatch)
   }
 
-  /** Full run: export both, compare, log detections as DETECTED. */
-  def detect(primary: Catalog, secondary: Catalog): DataFrame = {
-    val drift = compare(exportInventory(primary), exportInventory(secondary))
+  private def logDetections(drift: DataFrame): DataFrame = {
     val rows = drift.collect().toSeq.map(r =>
       Row(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
         r.getString(4), "DETECTED"))
     if (rows.nonEmpty) driftLog.append(rows)
     drift
+  }
+
+  /** Full run: export both, compare, log detections as DETECTED. */
+  def detect(primary: Catalog, secondary: Catalog): DataFrame =
+    logDetections(compare(exportInventory(primary), exportInventory(secondary)))
+
+  // ── stage transport (S10) ─────────────────────────────────────────────
+  //
+  // The reference never compares live inventories: each account COPYs its
+  // inventory into a stage and the comparing side re-imports the staged
+  // CSV (`scripts/33_schema_sync_task.sql:528-541`) — accounts cannot see
+  // each other's catalogs directly. `detectViaStage` reproduces that flow;
+  // the staged file IS the interface, so drift detection works even when
+  // the two catalogs live in different clusters and only share a bucket.
+
+  private val inventorySchema = StructType(Seq(
+    StructField("object_type", StringType),
+    StructField("object_schema", StringType),
+    StructField("object_name", StringType),
+    StructField("object_hash", StringType)))
+
+  /** COPY the inventory out to a header-CSV stage directory. */
+  def exportInventoryToStage(cat: Catalog, stageDir: String): Unit =
+    exportInventory(cat).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(stageDir)
+
+  /** Re-import a staged inventory with the declared schema. */
+  def importInventoryFromStage(stageDir: String): DataFrame =
+    spark.read.option("header", "true").schema(inventorySchema).csv(stageDir)
+
+  /** Stage-routed run: export both inventories to the stage, compare the
+    * RE-IMPORTED files only, log detections. */
+  def detectViaStage(primary: Catalog, secondary: Catalog, stageRoot: String): DataFrame = {
+    exportInventoryToStage(primary, s"$stageRoot/primary_inventory")
+    exportInventoryToStage(secondary, s"$stageRoot/secondary_inventory")
+    logDetections(compare(
+      importInventoryFromStage(s"$stageRoot/primary_inventory"),
+      importInventoryFromStage(s"$stageRoot/secondary_inventory")))
   }
 
   /** Mark logged drift rows resolved (D6 UPDATE ... WHERE). */

@@ -24,7 +24,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 final class SnapshotTable(
     val spark: SparkSession,
     val root: String,
-    writeGuard: () => Unit = () => ()) {
+    writeGuard: () => Unit = () => (),
+    onCreate: () => Unit = () => ()) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -87,6 +88,7 @@ final class SnapshotTable(
 
   private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty): Long = {
     writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
+    val isNew = currentSnapshotId.isEmpty
     val id = currentSnapshotId.getOrElse(0L) + 1
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
@@ -94,6 +96,7 @@ final class SnapshotTable(
     val line = s"$kind|${parts.mkString(",")}|${footerRows(snapDir(id))}"
     val out = fs.create(metaFile(id)) // marker written last = commit point
     try out.write(line.getBytes("UTF-8")) finally out.close()
+    if (isNew) onCreate() // object springs into existence → future grants fire
     id
   }
 

@@ -76,6 +76,94 @@ class ServicesSpec extends SparkSpec {
     assert(drift.openDrift().count() == 2, "resolved drift leaves the DETECTED set")
   }
 
+  test("multi-base composite-key MV: append to one base folds in incrementally") {
+    val cat = newCatalog("mmv")
+    cat.createSchema("adv")
+    // three funnel bases sharing the (campaign, date_key) composite key
+    cat.table("adv", "imps").createOrReplace(Seq(
+      ("c1", "d1", 1.00), ("c1", "d1", 2.00), ("c1", "d2", 3.00), ("c2", "d1", 4.00))
+      .toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "clks").createOrReplace(Seq(
+      ("c1", "d1", 0.50), ("c2", "d1", 0.25))
+      .toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "convs").createOrReplace(Seq(
+      ("c1", "d1", 100.00))
+      .toDF("campaign", "date_key", "revenue"))
+    val mvm = new MaterializedViewManager(cat)
+    val keys = Seq("campaign", "date_key")
+    mvm.createMultiAggMv("funnel", Seq(
+      mvm.BaseAgg(("adv", "imps"), keys, Seq("cost"), "imp"),
+      mvm.BaseAgg(("adv", "clks"), keys, Seq("cost"), "clk"),
+      mvm.BaseAgg(("adv", "convs"), keys, Seq("revenue"), "cnv")))
+    val before = mvm.read("funnel").where($"campaign" === "c1" && $"date_key" === "d1").head()
+    assert(before.getAs[Long]("imp_rows") === 2L && before.getAs[Long]("clk_rows") === 1L)
+    // append ONLY to clicks: refresh must fold the delta without touching
+    // the other bases (their partials report noop)
+    cat.table("adv", "clks").append(Seq(("c1", "d1", 0.75), ("c3", "d9", 0.10))
+      .toDF("campaign", "date_key", "cost"))
+    val modes = mvm.refreshMultiAggMv("funnel")
+    assert(modes === Map("imp" -> "noop", "clk" -> "incremental", "cnv" -> "noop"))
+    val after = mvm.read("funnel").where($"campaign" === "c1" && $"date_key" === "d1").head()
+    assert(after.getAs[Long]("clk_rows") === 2L)
+    assert(after.getAs[java.math.BigDecimal]("clk_sum_cost").doubleValue() === 1.25)
+    // the new (c3, d9) key appears via the full-outer join, zero-filled
+    val c3 = mvm.read("funnel").where($"campaign" === "c3" && $"date_key" === "d9").head()
+    assert(c3.getAs[Long]("imp_rows") === 0L && c3.getAs[Long]("clk_rows") === 1L)
+    // a rewrite (DELETE) of one base falls back to rebuilding that partial only
+    cat.table("adv", "imps").delete($"campaign" === "c2")
+    val modes2 = mvm.refreshMultiAggMv("funnel")
+    assert(modes2("imp") === "full" && modes2("clk") === "noop")
+    assert(mvm.read("funnel").where($"campaign" === "c2").count() === 1,
+      "c2 still present via its click partial, imps zero-filled")
+  }
+
+  test("future grants: a table created after the grant is readable by the role") {
+    val cat = newCatalog("fg1")
+    val gs = new GrantService(spark, freshDir("fg-audit"))
+    gs.attachTo(cat)
+    gs.createRole("analyst")
+    gs.grantFuture("analyst", "SELECT", "adv")
+    assert(!gs.hasGrant("analyst", "SELECT", "adv.later_t"), "not granted before creation")
+    cat.createSchema("adv")
+    cat.table("adv", "later_t").createOrReplace(Seq((1, "x")).toDF("id", "v"))
+    assert(gs.hasGrant("analyst", "SELECT", "adv.later_t"), "created table inherits the future grant")
+    // other schemas are untouched; replaces of an existing table don't re-fire
+    cat.createSchema("other")
+    cat.table("other", "t2").createOrReplace(Seq((2, "y")).toDF("id", "v"))
+    assert(!gs.hasGrant("analyst", "SELECT", "other.t2"))
+    val grantsBefore = gs.showGrants().count()
+    cat.table("adv", "later_t").createOrReplace(Seq((3, "z")).toDF("id", "v"))
+    assert(gs.showGrants().count() === grantsBefore, "replace of existing table adds no grant")
+    // the audit trail records both the future grant and its materialization
+    assert(gs.auditLog.read().where($"action" === "GRANT_FUTURE").count() === 1)
+    assert(gs.auditLog.read().where($"action" === "GRANT" && $"object" === "adv.later_t").count() === 1)
+  }
+
+  test("drift detected from staged CSV files only (stage-routed transport)") {
+    val p = newCatalog("p5"); val s = newCatalog("s5")
+    seed(p); seed(s)
+    p.table("adv", "only_primary_t").createOrReplace(Seq((1, "x")).toDF("id", "v"))
+    p.createOrReplaceView("adv", "v_shared", "SELECT * FROM cld__adv__campaigns")
+    s.createOrReplaceView("adv", "v_shared", "SELECT 1 AS one")
+    val drift = new DriftService(spark, freshDir("driftlog5"))
+    val stage = freshDir("drift-stage")
+    val found = drift.detectViaStage(p, s, stage)
+    // the staged files are the interface: both legs exist as header CSV
+    assert(new java.io.File(s"$stage/primary_inventory").listFiles()
+      .exists(_.getName.endsWith(".csv")), "primary inventory staged as CSV")
+    assert(new java.io.File(s"$stage/secondary_inventory").listFiles()
+      .exists(_.getName.endsWith(".csv")), "secondary inventory staged as CSV")
+    val classes = found.select($"drift_class", $"object_name").as[(String, String)].collect().toSet
+    assert(classes == Set(
+      ("MISSING_ON_SECONDARY", "only_primary_t"),
+      ("DEFINITION_MISMATCH", "v_shared")))
+    // the re-imported inventories alone reproduce the comparison
+    val reImported = drift.compare(
+      drift.importInventoryFromStage(s"$stage/primary_inventory"),
+      drift.importInventoryFromStage(s"$stage/secondary_inventory"))
+    assert(reImported.count() === found.count())
+  }
+
   test("drift: identical catalogs are drift-free") {
     val p = newCatalog("p4"); val s = newCatalog("s4")
     seed(p); seed(s)
