@@ -59,13 +59,21 @@ object Joins {
 
     "q05_funnel_chain" -> { (s, dir) =>
       import s.implicits._
+      // n_items counts DISTINCT (l_orderkey, l_linenumber) — genuinely a
+      // distinct ((okey, line) is NOT unique in this data) but spelled as a
+      // multi-column countDistinct: the Expand branch then carries two
+      // longs where the reference's orderkey||'-'||linenumber spelling
+      // builds and shuffles a string per row. The oracle keeps the concat
+      // spelling; the separator makes the two counts provably equal.
+      // (The 10× scaling run flagged q05 super-linear; the string payload
+      // was the largest shuffle contributor.)
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey", "left")
         .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey", "left")
         .groupBy($"o_orderpriority")
         .agg(
           countDistinct($"o_orderkey").as("n_orders"),
-          countDistinct(concat($"l_orderkey".cast("string"), lit("-"), $"l_linenumber".cast("string"))).as("n_items"),
+          countDistinct($"l_orderkey", $"l_linenumber").as("n_items"),
           countDistinct($"p_partkey").as("n_parts"),
           decSum($"l_extendedprice").as("item_value"))
         .orderBy($"o_orderpriority")
