@@ -34,6 +34,20 @@ final class MaterializedViewManager(cat: Catalog) {
     materialize(mvName)
   }
 
+  /** Register a definition, ADOPTING an existing materialization if one is
+    * on disk (cross-JVM warm start — a fresh process must not rebuild MVs
+    * whose bases and definitions are unchanged; the caller is responsible
+    * for invalidating on definition change, see `AdFunnel`). Returns true
+    * if a build actually ran. */
+  def createIfMissing(mvName: String, definition: String,
+      baseTables: Seq[(String, String)]): Boolean = {
+    defs(mvName) = (definition, baseTables)
+    if (cat.table("_mv", mvName).exists) {
+      builtAt(mvName) = baseVersions(baseTables)
+      false
+    } else { materialize(mvName); true }
+  }
+
   private def materialize(mvName: String): Unit = {
     val (definition, bases) = defs(mvName)
     cat.registerTables()

@@ -273,9 +273,25 @@ object AdFunnel {
       if (!st.exists) st.createOrReplace(s.read.parquet(s"$rootDir/base/$t"))
     }
     val mvm = new MaterializedViewManager(cat)
+    val fs = new Path(rootDir).getFileSystem(s.sparkContext.hadoopConfiguration)
     mvDefs.foreach { case (name, tpl, bases) =>
-      cat.createOrReplaceView("advertising", name, tpl(sparkDialect)) // D1 registry
-      mvm.create(name, tpl(sparkDialect), bases.map("advertising" -> _)) // D2 materialize
+      val text = tpl(sparkDialect)
+      cat.createOrReplaceView("advertising", name, text) // D1 registry
+      // Warm start across JVMs: rebuild only when the view TEXT changed
+      // (hash marker) — the bases are immutable once _READY exists, so an
+      // on-disk materialization of the same definition is still valid.
+      val marker = new Path(s"$rootDir/defhash-$name")
+      val hash = graft.catalog.ViewDef.sha256(text)
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        (try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()) == hash
+      }
+      if (!fresh) {
+        cat.table("_mv", name).drop()
+        val out = fs.create(marker, true)
+        try out.write(hash.getBytes("UTF-8")) finally out.close()
+      }
+      mvm.createIfMissing(name, text, bases.map("advertising" -> _)) // D2 materialize
     }
     (cat, mvm)
   }

@@ -185,6 +185,28 @@ final class SnapshotTable(
     currentSnapshotId.get
   }
 
+  /** Iceberg-style `expire_snapshots`: physically delete snapshots no
+    * longer reachable from the `keepLast` newest ones (their base + delta
+    * chain stays). Bounds storage on long-lived tables — a COW table that
+    * commits every 5 minutes otherwise keeps every rewrite forever. Time
+    * travel remains valid within the retained window only. Returns the
+    * expired snapshot ids. */
+  def expireSnapshots(keepLast: Int = 2): Seq[Long] = {
+    writeGuard()
+    val ms = metas()
+    if (ms.size <= keepLast) return Seq.empty
+    val oldestRetained = ms.takeRight(keepLast).head
+    // everything strictly before the base that oldestRetained resolves from
+    val cut = ms.lastIndexWhere(m => m.kind == "base" && m.id <= oldestRetained.id)
+    if (cut <= 0) return Seq.empty
+    val expired = ms.take(cut)
+    expired.foreach { m =>
+      fs.delete(snapDir(m.id), true)
+      fs.delete(metaFile(m.id), false)
+    }
+    expired.map(_.id)
+  }
+
   /** DROP TABLE (D8). */
   def drop(): Unit = {
     writeGuard()

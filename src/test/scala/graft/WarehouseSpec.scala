@@ -51,6 +51,22 @@ class WarehouseSpec extends SparkSpec {
     assert(t.rowCountFromMetadata.contains(50L))
   }
 
+  test("expireSnapshots deletes unreachable history, keeps the live chain") {
+    val t = new SnapshotTable(spark, freshRoot("expire"))
+    t.createOrReplace(spark.range(10).toDF("id")) // snap 1 (base)
+    t.append(spark.range(3).toDF("id")) // snap 2
+    t.createOrReplace(spark.range(5).toDF("id")) // snap 3 (base, rewrite)
+    t.append(spark.range(2).toDF("id")) // snap 4
+    val expired = t.expireSnapshots(keepLast = 2)
+    assert(expired === Seq(1L, 2L), "pre-rewrite history is unreachable")
+    assert(t.snapshots().map(_._1) === Seq(3L, 4L))
+    assert(t.read().count() === 7, "live chain intact after expiry")
+    assert(t.rowCountFromMetadata.contains(7L))
+    assert(!new java.io.File(t.root, "snap-00001").exists())
+    // retained window still time-travels
+    assert(t.asOf(3L).count() === 5)
+  }
+
   test("DELETE is copy-on-write and returns removed count") {
     val t = new SnapshotTable(spark, freshRoot("t3"))
     t.createOrReplace(spark.range(10).toDF("id"))
