@@ -20,10 +20,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + Hadoop FS + parquet footer caches, so
-    // JVM startup cost doesn't land on whichever query happens to run first
-    spark.read.parquet(s"$sfDir/customer.parquet")
-      .groupBy("c_nationkey").count()
-      .write.format("noop").mode("overwrite").save()
+    // JVM startup cost doesn't land on whichever query happens to run first.
+    // Touch every table the suite reads — otherwise the first lineitem query
+    // (q01, alphabetically) absorbs the cold-scan cost of the biggest table.
+    for (tbl <- graft.Tables.all)
+      graft.Tables.load(spark, sfDir, tbl)
+        .write.format("noop").mode("overwrite").save()
     // ad-funnel MV materialization is table setup, not query work: the MV
     // queries (q64+) measure reads over the materialized tables, so build
     // them in the untimed warmup — exactly as the reference builds its MVs
@@ -41,7 +43,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release anything the query pinned (persist() in IVF build,
+      // localCheckpoint RDDs in connected components): each query pays its
+      // own caching cost inside its own timing, and nothing leaks block-
+      // manager memory into later queries' shuffles
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-probe: times plan fragments to attribute cost (scan vs
+  * agg vs decimal math). Not part of the library surface; run with
+  * `sbt "runMain graft.Probe"`. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // warm
+    noop(li); noop(li)
+    time("scan only (again)") { noop(li) }
+    time("scan + count") { li.groupBy().count().write.format("noop").mode("overwrite").save() }
+    time("scan + 1 double sum") { noop(li.groupBy($"l_returnflag").agg(sum($"l_quantity"))) }
+    time("scan + 1 decimal sum") { noop(li.groupBy($"l_returnflag").agg(sum($"l_quantity".cast("decimal(18,2)")))) }
+    time("q01 full") { noop(graft.operators.Aggregates.queries("q01_pricing_summary")(spark, sfDir)) }
+    time("q01 full again") { noop(graft.operators.Aggregates.queries("q01_pricing_summary")(spark, sfDir)) }
+    val rep = li.repartition(32).localCheckpoint(true)
+    time("q01 aggs on pre-split input") {
+      noop(rep
+        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order")))
+    }
+    spark.stop()
+  }
+}
