@@ -17,6 +17,9 @@ import graft.operators._
   *  - [[graft.operators.TextOps]]     — LLM-pipeline text analysis + dedup
   *  - [[graft.operators.Similarity]]  — embedding similarity / ANN
   *  - [[graft.operators.Multimodal]]  — opaque-binary media columns + stub decode
+  *  - [[graft.operators.Curation]]    — corpus curation: repetition signals,
+  *    decontamination, PII redaction, stratified sampling, context packing,
+  *    domain mixture weights
   */
 object SparkEntry {
 
@@ -31,7 +34,8 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracle),
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
-    (AdFunnel.queries, AdFunnel.oracle))
+    (AdFunnel.queries, AdFunnel.oracle),
+    (Curation.queries, Curation.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
