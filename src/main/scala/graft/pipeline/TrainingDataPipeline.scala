@@ -45,12 +45,70 @@ object TrainingDataPipeline {
     docs.join(pairs.select(col("b_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Stage 3b — repetition gate: drop docs whose duplicate-bigram fraction
+    * exceeds the threshold (the q72 signal, applied as a filter). Pure
+    * map-side HOFs — no shuffle. */
+  def repetitionFilter(docs: DataFrame, maxDupBigramBp: Int = 1000): DataFrame =
+    docs
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= 2)
+      .withColumn("__bg", expr(
+        "transform(sequence(1, size(__w) - 1), i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
+      .filter(expr("CAST((size(__bg) - size(array_distinct(__bg))) * 10000 AS BIGINT) div size(__bg)")
+        <= maxDupBigramBp)
+      .drop("__w", "__bg")
+
+  /** Stage 3c — benchmark decontamination: drop training docs sharing any
+    * hashed word n-gram with the eval split (the q73 sweep as an anti-join;
+    * the join key is the gram hash, deduped per side before the shuffle). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> md5(array_join(slice(__w, i, $n), ' ')))"))
+        .as("__g"))
+      .distinct()
+    val dirty = grams(train)
+      .join(grams(evalDocs).select(col("__g")).distinct(), Seq("__g"))
+      .select(col("doc_id")).distinct()
+    train.join(dirty, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 3d — PII scrub (the q74 rewrite chain): e-mail, SSN, phone.
+    * Shuffle-free projection; safe to place anywhere in the flow. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", expr(
+      """regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),
+           '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>'),
+           '555-[0-9]{4}', '<PHONE>')"""))
+
   /** Stage 4 — per-doc token accounting for the training mix report. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]{1,3}"), lit(0))).cast("long")
         .as("n_subwords"))
+
+  /** Stage 4b — stratified cap + sequential context packing (q75 + q76 as
+    * one stage): cap each (lang, source) stratum by md5 order, then assign
+    * every kept doc to a training chunk via a per-source running token
+    * count. Both windows partition on bounded keys — nothing global. */
+  def capAndPack(docs: DataFrame, cap: Int = 1000, chunkTokens: Int = 2048): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCap = W.partitionBy(col("lang"), col("source"))
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+    val wPack = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    docs
+      .withColumn("__rk", row_number().over(wCap))
+      .filter(col("__rk") <= cap).drop("__rk")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+      .withColumn("chunk_id", expr(s"__before div $chunkTokens"))
+      .drop("__before")
+  }
 
   /** Stage 5 — similarity-index build: per-label centroids + assignment
     * counts (the IVF index of q55, as a reusable stage). */

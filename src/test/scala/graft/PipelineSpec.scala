@@ -44,4 +44,43 @@ class PipelineSpec extends SparkSpec {
     val index = buildIndex(spark, Tables.load(spark, sfDir, "embeddings"))
     assert(index.count() == 10) // one row per label cell
   }
+
+  test("repetition gate drops exactly the docs over the bigram threshold") {
+    val kept = repetitionFilter(docs, maxDupBigramBp = 1000)
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+    // a synthetic fully-repetitive doc must be dropped
+    val loop = Seq((999999L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    assert(repetitionFilter(docs.select($"doc_id", $"text").unionAll(loop))
+      .filter($"doc_id" === 999999L).count() == 0)
+  }
+
+  test("decontamination removes every doc sharing a 4-gram with eval") {
+    val evalSet = docs.filter($"source" === "src0")
+    val train = docs.filter($"source" =!= "src0")
+    val clean = decontaminate(train, evalSet)
+    assert(clean.count() < train.count(), "expected some contamination dropped")
+    val cleanGone = decontaminate(clean, evalSet)
+    assert(cleanGone.count() == clean.count(), "decontaminate must be idempotent")
+  }
+
+  test("PII scrub composes with the flow and leaves no live pattern") {
+    val withPii = docs.withColumn("text",
+      concat($"text", lit(" reach me at someone@example.com")))
+    val scrubbed = redactPii(withPii)
+    assert(scrubbed.filter($"text".contains("@example.com")).count() == 0)
+    assert(scrubbed.filter(!$"text".contains("<EMAIL>")).count() == 0)
+  }
+
+  test("cap-and-pack bounds strata and assigns contiguous chunks") {
+    val packed = capAndPack(docs, cap = 12, chunkTokens = 512).cache()
+    val over = packed.groupBy($"lang", $"source").count().filter($"count" > 12).count()
+    assert(over == 0, "stratum over cap")
+    // within a source, chunk_id is non-decreasing in doc_id
+    val bad = packed.select($"source", $"doc_id", $"chunk_id")
+      .withColumn("prev", lag($"chunk_id", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"prev".isNotNull && $"chunk_id" < $"prev").count()
+    assert(bad == 0, "chunk ids must be non-decreasing per shard")
+    packed.unpersist()
+  }
 }
