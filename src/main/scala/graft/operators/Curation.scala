@@ -66,17 +66,24 @@ object Curation {
 
     "q73_decontamination" -> { (s, dir) =>
       import s.implicits._
-      val grams = t(s, dir, "documents")
+      // ONE pass over the corpus: explode hashed 4-grams, group by gram,
+      // split each gram's postings into eval/train sides, and emit the
+      // (train_doc, eval_doc) hits from the bucket — the same bucket-
+      // expansion shape as the LSH candidate generator. Referencing a
+      // two-sided `grams` DataFrame from a self-join would recompute the
+      // explode + md5 chain once per side.
+      t(s, dir, "documents")
         .withColumn("words", split($"text", " "))
         .filter(size($"words") >= 4)
         .select($"doc_id", $"source", explode(expr(
           "transform(sequence(1, size(words) - 3), i -> md5(array_join(slice(words, i, 4), ' ')))")).as("g"))
-        .distinct()
-      val evalG = grams.filter($"source" === "src0")
-        .select($"doc_id".as("eval_id"), $"g")
-      val trainG = grams.filter($"source" =!= "src0")
-        .select($"doc_id", $"g")
-      trainG.join(evalG, "g")
+        .groupBy($"g")
+        .agg(
+          collect_set(when($"source" === "src0", $"doc_id")).as("evals"),
+          collect_set(when($"source" =!= "src0", $"doc_id")).as("trains"))
+        .filter(size($"evals") > 0 && size($"trains") > 0)
+        .select($"g", explode($"trains").as("doc_id"), $"evals")
+        .select($"doc_id", $"g", explode($"evals").as("eval_id"))
         .groupBy($"doc_id")
         .agg(
           countDistinct($"g").as("n_shared_ngrams"),
