@@ -26,6 +26,18 @@ object Bench {
     for (tbl <- graft.Tables.all)
       graft.Tables.load(spark, sfDir, tbl)
         .write.format("noop").mode("overwrite").save()
+    // also warm the hash-aggregate + decimal-sum + sort codegen paths on the
+    // small customer table: the first aggregation query otherwise pays the
+    // one-time janino/JIT cost of those operators (~2 s measured via Probe)
+    {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // ad-funnel MV materialization is table setup, not query work: the MV
     // queries (q64+) measure reads over the materialized tables, so build
     // them in the untimed warmup — exactly as the reference builds its MVs
