@@ -29,7 +29,7 @@ object Bench {
     // also warm the hash-aggregate + decimal-sum + sort codegen paths on the
     // small customer table: the first aggregation query otherwise pays the
     // one-time janino/JIT cost of those operators (~2 s measured via Probe)
-    {
+    locally {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/customer.parquet")
         .groupBy(col("c_nationkey"))

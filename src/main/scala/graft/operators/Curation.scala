@@ -45,6 +45,12 @@ object Curation {
   private val ChunkTokens = 512
   private val StratumCap = 12
 
+  /** q73: grams appearing in more than this many distinct documents are
+    * dropped before pair expansion — ubiquitous boilerplate grams carry no
+    * contamination signal and would otherwise expand to eval_df x train_df
+    * pairs on a single shuffle key. */
+  private val DecontamDfCap = 256
+
   val queries: Map[String, QFn] = Map(
     "q72_repetition_signals" -> { (s, dir) =>
       import s.implicits._
@@ -56,9 +62,12 @@ object Curation {
         .select(
           $"doc_id",
           size($"words").cast("long").as("n_words"),
-          expr("CAST((size(words) - size(array_distinct(words))) * 10000 AS BIGINT) div size(words)")
+          // cast BEFORE the multiply: in non-ANSI Spark an INT overflow at
+          // >~214k duplicate words would wrap silently while DuckDB computes
+          // in BIGINT — a cross-engine divergence on very large documents
+          expr("CAST(size(words) - size(array_distinct(words)) AS BIGINT) * 10000 div size(words)")
             .as("dup_word_bp"),
-          expr("CAST((size(bigrams) - size(array_distinct(bigrams))) * 10000 AS BIGINT) div size(bigrams)")
+          expr("CAST(size(bigrams) - size(array_distinct(bigrams)) AS BIGINT) * 10000 div size(bigrams)")
             .as("dup_bigram_bp"))
         .withColumn("repetitive", ($"dup_bigram_bp" >= 1000).cast("boolean"))
         .orderBy($"doc_id")
@@ -66,24 +75,31 @@ object Curation {
 
     "q73_decontamination" -> { (s, dir) =>
       import s.implicits._
-      // ONE pass over the corpus: explode hashed 4-grams, group by gram,
-      // split each gram's postings into eval/train sides, and emit the
-      // (train_doc, eval_doc) hits from the bucket — the same bucket-
-      // expansion shape as the LSH candidate generator. Referencing a
-      // two-sided `grams` DataFrame from a self-join would recompute the
-      // explode + md5 chain once per side.
-      t(s, dir, "documents")
+      // The gram table is computed ONCE (cached — the explode + md5 chain
+      // is the expensive part) and every downstream leg reads the cache.
+      // A high-frequency gram (boilerplate, licence text) is dropped by a
+      // document-frequency cap BEFORE any pair expansion: real
+      // decontamination sweeps discard ubiquitous grams because they carry
+      // no contamination signal, and without the cap one hot gram row
+      // expands to eval_df x train_df pairs (the skew/OOM hazard at 100 TB).
+      // Counts are map-side-combinable sums — no unbounded postings list
+      // ever materializes anywhere in the plan.
+      val grams = t(s, dir, "documents")
         .withColumn("words", split($"text", " "))
         .filter(size($"words") >= 4)
         .select($"doc_id", $"source", explode(expr(
           "transform(sequence(1, size(words) - 3), i -> md5(array_join(slice(words, i, 4), ' ')))")).as("g"))
-        .groupBy($"g")
+        .dropDuplicates("doc_id", "g")
+        .cache()
+      val live = grams.groupBy($"g")
         .agg(
-          collect_set(when($"source" === "src0", $"doc_id")).as("evals"),
-          collect_set(when($"source" =!= "src0", $"doc_id")).as("trains"))
-        .filter(size($"evals") > 0 && size($"trains") > 0)
-        .select($"g", explode($"trains").as("doc_id"), $"evals")
-        .select($"doc_id", $"g", explode($"evals").as("eval_id"))
+          sum(when($"source" === "src0", 1L).otherwise(0L)).as("n_eval"),
+          sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("n_train"))
+        .filter($"n_eval" > 0 && $"n_train" > 0 && ($"n_eval" + $"n_train") <= DecontamDfCap)
+        .select($"g")
+      grams.filter($"source" =!= "src0").select($"g", $"doc_id")
+        .join(live, Seq("g"), "left_semi")
+        .join(grams.filter($"source" === "src0").select($"g", $"doc_id".as("eval_id")), Seq("g"))
         .groupBy($"doc_id")
         .agg(
           countDistinct($"g").as("n_shared_ngrams"),
@@ -172,19 +188,25 @@ object Curation {
          FROM f ORDER BY doc_id""",
 
     "q73_decontamination" ->
-      """WITH w AS (
+      s"""WITH w AS (
            SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
          g AS (
            SELECT DISTINCT doc_id, source,
                   unnest(list_transform(range(1, len(words) - 2),
                     i -> md5(array_to_string(words[i:i+3], ' ')))) AS g
            FROM w WHERE len(words) >= 4),
-         ev AS (SELECT DISTINCT doc_id AS eval_id, g FROM g WHERE source = 'src0'),
+         live AS (
+           SELECT g FROM g
+           GROUP BY g
+           HAVING SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) > 0
+              AND SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) > 0
+              AND count(*) <= $DecontamDfCap),
+         ev AS (SELECT doc_id AS eval_id, g FROM g WHERE source = 'src0'),
          tr AS (SELECT doc_id, g FROM g WHERE source <> 'src0')
          SELECT tr.doc_id AS doc_id,
                 count(DISTINCT tr.g) AS n_shared_ngrams,
                 count(DISTINCT ev.eval_id) AS eval_docs_hit
-         FROM tr JOIN ev ON tr.g = ev.g
+         FROM tr JOIN live USING (g) JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id ORDER BY doc_id""",
 
     "q74_pii_redaction" ->

@@ -24,8 +24,8 @@ object TrainingDataPipeline {
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")))
       .withColumn("stop_bp",
-        expr("(size(filter(words, x -> x IN ('a', 'the', 'of', 'and', 'to'))) * 10000)" +
-          " div n_tokens"))
+        expr("CAST(size(filter(words, x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS BIGINT)" +
+          " * 10000 div n_tokens"))
       .filter(col("n_tokens") >= minTokens && col("stop_bp") <= maxStopBp)
       .drop("words")
 
@@ -54,7 +54,7 @@ object TrainingDataPipeline {
       .filter(size(col("__w")) >= 2)
       .withColumn("__bg", expr(
         "transform(sequence(1, size(__w) - 1), i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
-      .filter(expr("CAST((size(__bg) - size(array_distinct(__bg))) * 10000 AS BIGINT) div size(__bg)")
+      .filter(expr("CAST(size(__bg) - size(array_distinct(__bg)) AS BIGINT) * 10000 div size(__bg)")
         <= maxDupBigramBp)
       .drop("__w", "__bg")
 
