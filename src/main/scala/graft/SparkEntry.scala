@@ -20,6 +20,10 @@ import graft.operators._
   *  - [[graft.operators.Curation]]    — corpus curation: repetition signals,
   *    decontamination, PII redaction, stratified sampling, context packing,
   *    domain mixture weights
+  *  - [[graft.operators.Temporal]]    — as-of join (union+window) and
+  *    keyless range join (bucket-prejoin)
+  *  - [[graft.operators.Stats]]       — distributed exact percentiles
+  *    (rank arithmetic, no per-group collection) and single-pass ROLLUP
   */
 object SparkEntry {
 
@@ -35,7 +39,9 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (AdFunnel.queries, AdFunnel.oracle),
-    (Curation.queries, Curation.oracle))
+    (Curation.queries, Curation.oracle),
+    (Temporal.queries, Temporal.oracle),
+    (Stats.queries, Stats.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

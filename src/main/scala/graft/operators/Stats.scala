@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Distributional / multi-level aggregation operators:
+  *
+  *  - q80 '''distributed exact percentiles''': interpolated p50/p90 of
+  *    document length per language. Spark's built-in `percentile` collects
+  *    every value of a group into one aggregation buffer — an OOM at
+  *    100 TB group sizes. This plan never collects: ONE shuffle sorts each
+  *    language partition (`row_number` window), the group size rides along
+  *    as a window count, and the two rows flanking each target rank are
+  *    picked out by rank arithmetic in a hash aggregate. Rank positions and
+  *    the interpolation fraction are computed in INTEGER math
+  *    (`(n-1)*5 div 10`, `% 10 / 10.0`) so both engines produce
+  *    bit-identical doubles from the same formula (`lo + frac * (hi-lo)`,
+  *    the percentile_cont definition).
+  *  - q81 '''ROLLUP''': order counts/revenue at (status, priority),
+  *    (status), and grand-total levels in ONE pass — Spark plans rollup as
+  *    a single Expand (3 rows per input) into one hash aggregate, vs three
+  *    separate scans. Rolled-up keys are COALESCEd to a sentinel so the
+  *    result has a total ORDER BY without engine-specific NULL ordering.
+  */
+object Stats {
+
+  val queries: Map[String, QFn] = Map(
+    "q80_exact_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val wRank = Window.partitionBy($"lang").orderBy($"v", $"doc_id")
+      val wAll = Window.partitionBy($"lang")
+      val ranked = t(s, dir, "documents")
+        .select($"lang", $"doc_id", $"n_chars".as("v"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      ranked.groupBy($"lang", $"n")
+        .agg(
+          max(when($"rk" === expr("(n-1)*5 div 10 + 1"), $"v")).as("lo50"),
+          max(when($"rk" === expr("(n-1)*5 div 10 + 2"), $"v")).as("hi50"),
+          max(when($"rk" === expr("(n-1)*9 div 10 + 1"), $"v")).as("lo90"),
+          max(when($"rk" === expr("(n-1)*9 div 10 + 2"), $"v")).as("hi90"))
+        // every term explicitly DOUBLE: Spark parses a bare `10.0` literal
+        // as DECIMAL and would compute the whole chain in exact decimal,
+        // whose final cast can differ from DuckDB's IEEE sequence in the
+        // last ulp. Identical double ops on both sides → identical bits.
+        .select($"lang", $"n".as("n_docs"),
+          expr("CAST(lo50 AS DOUBLE) + CAST((n-1)*5 % 10 AS DOUBLE)/10.0D" +
+            " * CAST(coalesce(hi50, lo50) - lo50 AS DOUBLE)").as("p50_chars"),
+          expr("CAST(lo90 AS DOUBLE) + CAST((n-1)*9 % 10 AS DOUBLE)/10.0D" +
+            " * CAST(coalesce(hi90, lo90) - lo90 AS DOUBLE)").as("p90_chars"))
+        .orderBy($"lang")
+    },
+
+    "q81_rollup_orders" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), decCents($"o_totalprice").as("revenue_cents"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n_orders", $"revenue_cents")
+        .orderBy($"status", $"priority")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q80_exact_percentiles" ->
+      """WITH r AS (
+           SELECT lang, n_chars AS v,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+         a AS (
+           SELECT lang, n,
+                  max(CASE WHEN rk = (n-1)*5 // 10 + 1 THEN v END) AS lo50,
+                  max(CASE WHEN rk = (n-1)*5 // 10 + 2 THEN v END) AS hi50,
+                  max(CASE WHEN rk = (n-1)*9 // 10 + 1 THEN v END) AS lo90,
+                  max(CASE WHEN rk = (n-1)*9 // 10 + 2 THEN v END) AS hi90
+           FROM r GROUP BY lang, n)
+         SELECT lang, n AS n_docs,
+                CAST(lo50 AS DOUBLE) + CAST((n-1)*5 % 10 AS DOUBLE)/10.0
+                  * CAST(COALESCE(hi50, lo50) - lo50 AS DOUBLE) AS p50_chars,
+                CAST(lo90 AS DOUBLE) + CAST((n-1)*9 % 10 AS DOUBLE)/10.0
+                  * CAST(COALESCE(hi90, lo90) - lo90 AS DOUBLE) AS p90_chars
+         FROM a ORDER BY lang""",
+
+    "q81_rollup_orders" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                COALESCE(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""")
+}
