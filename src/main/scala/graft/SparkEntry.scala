@@ -24,6 +24,8 @@ import graft.operators._
   *    keyless range join (bucket-prejoin)
   *  - [[graft.operators.Stats]]       — distributed exact percentiles
   *    (rank arithmetic, no per-group collection) and single-pass ROLLUP
+  *  - [[graft.operators.Reshape]]     — single-pass CUBE, unpivot (stack),
+  *    INTERSECT/EXCEPT cohorts, calendar-spine time-series gap-fill
   */
 object SparkEntry {
 
@@ -41,7 +43,8 @@ object SparkEntry {
     (AdFunnel.queries, AdFunnel.oracle),
     (Curation.queries, Curation.oracle),
     (Temporal.queries, Temporal.oracle),
-    (Stats.queries, Stats.oracle))
+    (Stats.queries, Stats.oracle),
+    (Reshape.queries, Reshape.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

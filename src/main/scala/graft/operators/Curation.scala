@@ -37,6 +37,9 @@ import Q._
   *    basis points plus a sqrt-damped sampling weight (unigram-LM style
   *    temperature). The grand total is a broadcast of a 1-row aggregate,
   *    not a second scan.
+  *  - q85: weight-proportional Bernoulli sampling — keep probability
+  *    n_chars/10000 per doc via an md5-derived integer coin: deterministic,
+  *    seedless, and a pure map-side filter (no shuffle, no window).
   */
 object Curation {
 
@@ -169,6 +172,23 @@ object Curation {
           expr("(total_tokens * 10000) div grand_tokens").as("share_bp"))
         .withColumn("sqrt_share", sqrt($"share_bp".cast("double")))
         .orderBy($"source")
+    },
+
+    // Weight-proportional Bernoulli sampling: keep each doc with probability
+    // n_chars / 10000 (longer docs sampled more — token-budget-proportional
+    // corpus thinning). The coin is an md5-derived integer in [0, 10000), so
+    // the sample is deterministic, seedless, engine-portable, and decided
+    // per-row with NO shuffle — at 100 TB this is a pure map-side filter,
+    // unlike rank-based sampling (q75) which needs a per-stratum window.
+    "q85_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("u_bp",
+          expr("CAST(conv(substring(md5(concat('ws-', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000"))
+        .withColumn("weight_bp", least($"n_chars", lit(10000L)))
+        .filter($"u_bp" < $"weight_bp")
+        .select($"doc_id", $"lang", $"source", $"u_bp", $"weight_bp")
+        .orderBy($"doc_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -262,5 +282,14 @@ object Curation {
          SELECT source, n_docs, total_tokens,
                 (total_tokens * 10000) // CAST(SUM(total_tokens) OVER () AS BIGINT) AS share_bp,
                 sqrt(CAST((total_tokens * 10000) // CAST(SUM(total_tokens) OVER () AS BIGINT) AS DOUBLE)) AS sqrt_share
-         FROM s ORDER BY source""")
+         FROM s ORDER BY source""",
+
+    "q85_weighted_sample" ->
+      """SELECT doc_id, lang, source,
+                ('0x' || substr(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 AS u_bp,
+                LEAST(n_chars, 10000) AS weight_bp
+         FROM documents
+         WHERE ('0x' || substr(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000
+               < LEAST(n_chars, 10000)
+         ORDER BY doc_id""")
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Multi-dimensional and reshaping relational operators — the OLAP surface
+  * the reference's validation/report queries gesture at (labeled UNION
+  * reports, count-compare matrices: `scripts/90_validation_queries.sql`,
+  * `scripts/10_external_tables.sql:174-180`) generalized to the standard
+  * forms an analyst of those tables would reach for next:
+  *
+  *  - q82 '''CUBE''': item counts / revenue at every subset of
+  *    (returnflag, linestatus) in ONE pass. Spark plans cube exactly like
+  *    rollup (q81): a single Expand (4 rows per input here) feeding one
+  *    hash aggregate with map-side partials — vs 4 separate scans for the
+  *    manual UNION-of-aggregates spelling. Keys COALESCE to a sentinel so
+  *    the output has a total ORDER BY free of NULL-ordering differences.
+  *  - q83 '''unpivot''' (wide→long): per-nation metric columns rotated into
+  *    (metric, value) rows with `stack`. Stack is a zero-shuffle projection
+  *    (Expand, 2 rows per input) — the inverse of q19's pivot, and the form
+  *    a metrics table needs before a generic per-metric aggregation.
+  *  - q84 '''INTERSECT / EXCEPT''': customer cohorts by order year —
+  *    retained (both years) vs churned (1994 only). Spark plans both as
+  *    hash aggregates + joins on the distinct key; at scale these shuffle
+  *    once on custkey, the same cost as the anti-join spelling (J6) the
+  *    reference uses for set difference.
+  *  - q87 '''time-series gap-fill''': daily event counts per type with
+  *    explicit zero rows for missing (day, type) cells — `sequence` +
+  *    `explode` builds the calendar spine from a 1-row bounds aggregate,
+  *    cross-joined with the distinct type list (both tiny, broadcast), then
+  *    LEFT-joined to the aggregated facts. The big side is aggregated
+  *    BEFORE the join, so the spine join touches one row per (day, type) —
+  *    never the raw events.
+  */
+object Reshape {
+
+  val queries: Map[String, QFn] = Map(
+    "q82_cube_items" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          decCents($"l_extendedprice").as("price_cents"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_items", $"price_cents")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    "q83_unpivot_nation" -> { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val supp = t(s, dir, "supplier")
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      t(s, dir, "nation")
+        .select($"n_nationkey".as("nationkey"), $"n_name".as("nation"))
+        .join(cust, Seq("nationkey"), "left")
+        .join(supp, Seq("nationkey"), "left")
+        .select($"nation",
+          coalesce($"n_customers", lit(0L)).as("n_customers"),
+          coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+        .selectExpr("nation",
+          "stack(2, 'customers', n_customers, 'suppliers', n_suppliers)" +
+            " AS (metric, value)")
+        .orderBy($"nation", $"metric")
+    },
+
+    "q84_cohort_setops" -> { (s, dir) =>
+      import s.implicits._
+      def custsIn(yr: Int) = t(s, dir, "orders")
+        .filter(year($"o_orderdate") === yr)
+        .select($"o_custkey".as("custkey")).distinct()
+      val y94 = custsIn(1994)
+      val y95 = custsIn(1995)
+      y94.intersect(y95).select(lit("both_years").as("cohort"), $"custkey")
+        .unionAll(
+          y94.except(y95).select(lit("only_1994").as("cohort"), $"custkey"))
+        .orderBy($"cohort", $"custkey")
+    },
+
+    "q87_gapfill_daily" -> { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"event_type", $"value")
+      val days = e.agg(min($"day").as("min_d"), max($"day").as("max_d"))
+        .select(explode(expr("sequence(min_d, max_d, interval 1 day)")).as("day"))
+      val types = e.select($"event_type").distinct()
+      val daily = e.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n_events"), decCents($"value").as("value_cents"))
+      broadcast(days.crossJoin(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select($"day", $"event_type",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"value_cents", lit(0L)).as("value_cents"))
+        .orderBy($"day", $"event_type")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q82_cube_items" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+
+    "q83_unpivot_nation" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                    FROM customer GROUP BY 1),
+              sp AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                     FROM supplier GROUP BY 1),
+              w AS (SELECT n_name AS nation,
+                           COALESCE(n_customers, 0) AS n_customers,
+                           COALESCE(n_suppliers, 0) AS n_suppliers
+                    FROM nation
+                    LEFT JOIN c ON n_nationkey = c.nationkey
+                    LEFT JOIN sp ON n_nationkey = sp.nationkey)
+         SELECT nation, 'customers' AS metric, n_customers AS value FROM w
+         UNION ALL
+         SELECT nation, 'suppliers' AS metric, n_suppliers AS value FROM w
+         ORDER BY nation, metric""",
+
+    "q84_cohort_setops" ->
+      """WITH y94 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                      WHERE date_part('year', o_orderdate) = 1994),
+              y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                      WHERE date_part('year', o_orderdate) = 1995)
+         SELECT 'both_years' AS cohort, custkey
+         FROM (SELECT custkey FROM y94 INTERSECT SELECT custkey FROM y95)
+         UNION ALL
+         SELECT 'only_1994' AS cohort, custkey
+         FROM (SELECT custkey FROM y94 EXCEPT SELECT custkey FROM y95)
+         ORDER BY cohort, custkey""",
+
+    "q87_gapfill_daily" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+              b AS (SELECT min(day) AS min_d, max(day) AS max_d FROM e),
+              days AS (SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+              types AS (SELECT DISTINCT event_type FROM e),
+              daily AS (SELECT day, event_type, count(*) AS n_events,
+                               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+                        FROM e GROUP BY 1, 2)
+         SELECT d.day AS day, ty.event_type AS event_type,
+                COALESCE(daily.n_events, 0) AS n_events,
+                COALESCE(daily.value_cents, 0) AS value_cents
+         FROM days d
+         CROSS JOIN types ty
+         LEFT JOIN daily ON daily.day = d.day AND daily.event_type = ty.event_type
+         ORDER BY d.day, ty.event_type""")
+}

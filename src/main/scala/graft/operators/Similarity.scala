@@ -172,6 +172,59 @@ object Similarity {
         .orderBy($"q_id", $"rank")
     },
 
+    // Product-quantization ANN — the memory-compressed scale path beyond
+    // IVF (q55). The 64-dim vector splits into M=4 16-dim subspaces; each
+    // subspace gets a K=8 codebook (deterministically: the subvectors of
+    // vec_id 0..7 — a seedless stand-in for k-means; the plan shape is
+    // identical under trained codebooks). Encoding is a broadcast of the
+    // 32-row codebook against the corpus with a map-side-combined argmin —
+    // the shuffle carries ONE (vec, subspace) row per vector, and the
+    // stored code is 4 small ints per vector: 64 floats → 4 bytes, the
+    // whole point of PQ at 100 TB. Search is asymmetric-distance (ADC):
+    // per query, a 32-entry lookup table of query-subvector→codeword
+    // distances; a candidate's approximate distance is the FIXED-ORDER sum
+    // d0+d1+d2+d3 of its codes' LUT entries (fixed order keeps the double
+    // bit-identical across engines; a SUM() would be partition-order-
+    // dependent). Scoring never touches the original vectors.
+    "q88_pq_ann" -> { (s, dir) =>
+      import s.implicits._
+      def sq(a: String, b: String) =
+        s"""aggregate(zip_with($a, $b, (x, y) ->
+              (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+      val parts = t(s, dir, "embeddings")
+        .select($"vec_id", explode(sequence(lit(0), lit(3))).as("m"), $"embedding")
+        .select($"vec_id", $"m", expr("slice(embedding, m * 16 + 1, 16)").as("sub"))
+      val cents = parts.filter($"vec_id" < 8)
+        .select($"m", $"vec_id".cast("int").as("k"), $"sub".as("csub"))
+      val codes = parts.join(broadcast(cents), Seq("m"))
+        .withColumn("d", expr(sq("sub", "csub")))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d", $"k")).as("best"))
+        .select($"vec_id".as("n_id"), $"m", $"best.k".as("code"))
+      val lut = parts.filter($"vec_id".isin(0L, 1L, 2L))
+        .select($"vec_id".as("q_id"), $"m", $"sub".as("qsub"))
+        .join(broadcast(cents), Seq("m"))
+        .withColumn("qd", expr(sq("qsub", "csub")))
+        .select($"q_id", $"m", $"k", $"qd")
+      val wRank = Window.partitionBy($"q_id").orderBy($"adc_dist", $"n_id")
+      codes.join(broadcast(lut),
+          codes("m") === lut("m") && codes("code") === lut("k") &&
+            $"q_id" =!= $"n_id")
+        .select($"q_id", $"n_id", codes("m").as("m"), $"qd")
+        .groupBy($"q_id", $"n_id")
+        .agg(
+          max(when($"m" === 0, $"qd")).as("d0"),
+          max(when($"m" === 1, $"qd")).as("d1"),
+          max(when($"m" === 2, $"qd")).as("d2"),
+          max(when($"m" === 3, $"qd")).as("d3"))
+        .withColumn("adc_dist", $"d0" + $"d1" + $"d2" + $"d3")
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"n_id", $"adc_dist")
+        .orderBy($"q_id", $"rank")
+    },
+
     // Per-label norm statistics: per-row norms are deterministic doubles;
     // cross-row reductions stick to count/min/max (order-independent).
     "q52_norm_stats" -> { (s, dir) =>
@@ -306,5 +359,48 @@ object Similarity {
              AS centroid_r
          FROM embeddings, range(1, 65) t(i)
          WHERE i <= 8
-         GROUP BY label, i ORDER BY label, dim""")
+         GROUP BY label, i ORDER BY label, dim""",
+
+    "q88_pq_ann" -> {
+      val duckSq =
+        """list_reduce(list_transform(range(1, 17),
+             i -> (CAST(p.sub[i] AS DOUBLE) - CAST(c.csub[i] AS DOUBLE))
+                * (CAST(p.sub[i] AS DOUBLE) - CAST(c.csub[i] AS DOUBLE))),
+           (x, y) -> x + y)"""
+      s"""WITH parts AS (
+           SELECT vec_id, m, embedding[(m*16+1):(m*16+16)] AS sub
+           FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+         cents AS (
+           SELECT m, CAST(vec_id AS INT) AS k, sub AS csub
+           FROM parts WHERE vec_id < 8),
+         dists AS (
+           SELECT p.vec_id, p.m, c.k, $duckSq AS d
+           FROM parts p JOIN cents c ON p.m = c.m),
+         codes AS (
+           SELECT vec_id AS n_id, m, k AS code FROM (
+             SELECT vec_id, m, k,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         lut AS (
+           SELECT p.vec_id AS q_id, p.m, c.k, $duckSq AS qd
+           FROM parts p JOIN cents c ON p.m = c.m
+           WHERE p.vec_id IN (0, 1, 2)),
+         adc AS (
+           SELECT q_id, n_id,
+                  MAX(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+                  MAX(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+                  MAX(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+                  MAX(CASE WHEN codes.m = 3 THEN qd END) AS d3
+           FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.k
+           WHERE q_id <> n_id
+           GROUP BY q_id, n_id),
+         r AS (
+           SELECT q_id, n_id, d0 + d1 + d2 + d3 AS adc_dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+           FROM adc)
+         SELECT q_id, rank, n_id, adc_dist
+         FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+    })
 }

@@ -383,6 +383,35 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
         .orderBy(col("fp"))
+    },
+
+    // TF-IDF keyword extraction: top-3 salient terms per document. The idf
+    // surrogate is integer basis points ((N*10000) div df) so scoring is
+    // exact integer math end-to-end (a float log-idf would rank identically
+    // but hash-differently across engines). Plan shape at scale: one
+    // explode of the corpus into (doc, term) pairs, tf and df each a hash
+    // aggregate on the term key, N a broadcast 1-row aggregate, and the
+    // per-doc top-3 window partitions on doc_id — no global sort, no
+    // all-pairs anything.
+    "q86_tfidf_terms" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 3 && col("term").rlike("^[a-z]+$"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", expr("tf * ((n_docs * 10000) div df)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -558,5 +587,26 @@ object TextOps {
       s"""WITH $oracleSig
          SELECT substr(list_min(hs), 1, 16) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
          FROM hh GROUP BY substr(list_min(hs), 1, 16) HAVING count(*) > 1
-         ORDER BY fp""")
+         ORDER BY fp""",
+
+    "q86_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         ft AS (
+           SELECT doc_id, term FROM tok
+           WHERE len(term) >= 3 AND regexp_matches(term, '^[a-z]+$')),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+         df AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df, tf * ((n_docs * 10000) // df) AS score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf * ((n_docs * 10000) // df) DESC, term) AS rank
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, rank, term, tf, df, score
+         FROM scored WHERE rank <= 3
+         ORDER BY doc_id, rank""")
 }

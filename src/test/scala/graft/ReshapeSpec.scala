@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Reshape, Similarity, TextOps}
+
+/** Semantic checks for the round-5 operators (q82–q88), each against an
+  * independently computed answer:
+  *
+  *  - CUBE levels re-derived from flat aggregates;
+  *  - unpivot totals against the base-table counts it rotated;
+  *  - INTERSECT/EXCEPT cohorts against direct set cardinalities;
+  *  - the weighted sample's coin re-checked row by row;
+  *  - TF-IDF rank contiguity and score monotonicity;
+  *  - the gap-filled grid's shape (complete calendar × type matrix) and
+  *    mass conservation (zero rows add no events);
+  *  - PQ ANN against a from-scratch driver-side reimplementation (encode +
+  *    ADC in plain Scala over the collected 50-vector corpus).
+  */
+class ReshapeSpec extends SparkSpec {
+
+  test("q82 cube: every level re-derives from the flat aggregate") {
+    import spark.implicits._
+    val got = Reshape.queries("q82_cube_items")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val flat = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    // leaf cells match the plain group-by exactly
+    flat.foreach { case (k, v) => assert(got(k) === v) }
+    // each margin and the grand total are sums of the leaves
+    val byFlag = flat.groupBy(_._1._1).view.mapValues(_.map(_._2).reduce((a, b) => (a._1 + b._1, a._2 + b._2)))
+    byFlag.foreach { case (f, v) => assert(got((f, "ALL")) === v) }
+    val grand = flat.map(_._2).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(got(("ALL", "ALL")) === grand)
+    assert(got(("ALL", "ALL"))._1 === li.count())
+  }
+
+  test("q83 unpivot: long-form mass equals the base tables it rotated") {
+    import spark.implicits._
+    val got = Reshape.queries("q83_unpivot_nation")(spark, sfDir)
+    val nNation = Tables.load(spark, sfDir, "nation").count()
+    assert(got.count() === 2 * nNation)
+    val byMetric = got.groupBy($"metric").agg(sum($"value").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMetric("customers") === Tables.load(spark, sfDir, "customer").count())
+    assert(byMetric("suppliers") === Tables.load(spark, sfDir, "supplier").count())
+  }
+
+  test("q84 set ops: cohorts are disjoint and partition the 1994 customers") {
+    import spark.implicits._
+    val got = Reshape.queries("q84_cohort_setops")(spark, sfDir)
+    def custs(yr: Int) = Tables.load(spark, sfDir, "orders")
+      .filter(year($"o_orderdate") === yr).select($"o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (y94, y95) = (custs(1994), custs(1995))
+    val both = got.filter($"cohort" === "both_years").collect().map(_.getLong(1)).toSet
+    val only = got.filter($"cohort" === "only_1994").collect().map(_.getLong(1)).toSet
+    assert(both === (y94 intersect y95))
+    assert(only === (y94 diff y95))
+    assert((both intersect only).isEmpty)
+    assert(both.size + only.size === y94.size)
+  }
+
+  test("q85 weighted sample: every kept row won its md5 coin; no shuffle in plan") {
+    import spark.implicits._
+    val got = Curation.queries("q85_weighted_sample")(spark, sfDir)
+    assert(got.filter($"u_bp" >= $"weight_bp" || $"u_bp" < 0).count() === 0)
+    // the filter is map-side only: no Exchange anywhere in the plan
+    // (the final orderBy is the display sort; check the pre-sort plan)
+    val pre = Tables.load(spark, sfDir, "documents")
+      .withColumn("u_bp",
+        expr("CAST(conv(substring(md5(concat('ws-', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000"))
+      .filter($"u_bp" < least($"n_chars", lit(10000L)))
+    assert(!pre.queryExecution.executedPlan.toString.contains("Exchange"))
+    // deterministic: same result on a second evaluation
+    assert(got.collect().toSeq === Curation.queries("q85_weighted_sample")(spark, sfDir).collect().toSeq)
+  }
+
+  test("q86 tf-idf: ranks contiguous from 1, scores non-increasing per doc") {
+    val rows = TextOps.queries("q86_tfidf_terms")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("q87 gap-fill: complete day x type grid, mass conserved") {
+    import spark.implicits._
+    val got = Reshape.queries("q87_gapfill_daily")(spark, sfDir)
+    val e = Tables.load(spark, sfDir, "events").select(to_date($"ts").as("day"), $"event_type")
+    val span = e.agg(datediff(max($"day"), min($"day"))).collect()(0).getInt(0) + 1
+    val nTypes = e.select($"event_type").distinct().count()
+    assert(got.count() === span * nTypes)
+    val gotEvents = got.agg(sum($"n_events")).collect()(0).getLong(0)
+    assert(gotEvents === e.count())
+  }
+
+  test("q88 PQ ANN matches a from-scratch driver-side encode + ADC") {
+    import spark.implicits._
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def sub(v: Array[Float], m: Int): Array[Float] = v.slice(m * 16, m * 16 + 16)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val cents = vecs.take(8).map(_._2) // codebook k -> full vector
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until 4).map(m => (0 until 8).minBy(k => (sq(sub(v, m), sub(cents(k), m)), k))).toArray
+    }.toMap
+    val expected = (0L to 2L).flatMap { q =>
+      val qv = vecs.find(_._1 == q).get._2
+      val lut = Array.tabulate(4, 8)((m, k) => sq(sub(qv, m), sub(cents(k), m)))
+      vecs.filter(_._1 != q).map { case (n, _) =>
+        val cs = codes(n)
+        (q, n, lut(0)(cs(0)) + lut(1)(cs(1)) + lut(2)(cs(2)) + lut(3)(cs(3)))
+      }.sortBy { case (_, n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, i + 1L, n, d) }
+    }
+    val got = Similarity.queries("q88_pq_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g._4 - e._4) < 1e-9) }
+  }
+}
