@@ -20,7 +20,7 @@ import Q._
   *    (Expand, 2 rows per input) — the inverse of q19's pivot, and the form
   *    a metrics table needs before a generic per-metric aggregation.
   *  - q84 '''INTERSECT / EXCEPT''': customer cohorts by order year —
-  *    retained (both years) vs churned (1994 only). Spark plans both as
+  *    retained (both years) vs churned (1995 only). Spark plans both as
   *    hash aggregates + joins on the distinct key; at scale these shuffle
   *    once on custkey, the same cost as the anti-join spelling (J6) the
   *    reference uses for set difference.
@@ -74,11 +74,11 @@ object Reshape {
       def custsIn(yr: Int) = t(s, dir, "orders")
         .filter(year($"o_orderdate") === yr)
         .select($"o_custkey".as("custkey")).distinct()
-      val y94 = custsIn(1994)
       val y95 = custsIn(1995)
-      y94.intersect(y95).select(lit("both_years").as("cohort"), $"custkey")
+      val y96 = custsIn(1996)
+      y95.intersect(y96).select(lit("both_years").as("cohort"), $"custkey")
         .unionAll(
-          y94.except(y95).select(lit("only_1994").as("cohort"), $"custkey"))
+          y95.except(y96).select(lit("only_1995").as("cohort"), $"custkey"))
         .orderBy($"cohort", $"custkey")
     },
 
@@ -126,15 +126,15 @@ object Reshape {
          ORDER BY nation, metric""",
 
     "q84_cohort_setops" ->
-      """WITH y94 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
-                      WHERE date_part('year', o_orderdate) = 1994),
-              y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
-                      WHERE date_part('year', o_orderdate) = 1995)
+      """WITH y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                      WHERE date_part('year', o_orderdate) = 1995),
+              y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                      WHERE date_part('year', o_orderdate) = 1996)
          SELECT 'both_years' AS cohort, custkey
-         FROM (SELECT custkey FROM y94 INTERSECT SELECT custkey FROM y95)
+         FROM (SELECT custkey FROM y95 INTERSECT SELECT custkey FROM y96)
          UNION ALL
-         SELECT 'only_1994' AS cohort, custkey
-         FROM (SELECT custkey FROM y94 EXCEPT SELECT custkey FROM y95)
+         SELECT 'only_1995' AS cohort, custkey
+         FROM (SELECT custkey FROM y95 EXCEPT SELECT custkey FROM y96)
          ORDER BY cohort, custkey""",
 
     "q87_gapfill_daily" ->

@@ -62,6 +62,41 @@ object Stats {
           coalesce($"o_orderpriority", lit("ALL")).as("priority"),
           $"n_orders", $"revenue_cents")
         .orderBy($"status", $"priority")
+    },
+
+    // GROUPING SETS with margins ONLY — ((returnflag), (linestatus)) is
+    // the grouping-set shape rollup/cube CANNOT express (no leaf, no grand
+    // total). Spark still plans it as ONE Expand (2 rows per input) into
+    // one hash aggregate — two independent margin reports for one scan.
+    "q89_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_items"), decCents($"l_extendedprice").as("price_cents"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_items", $"price_cents")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    // Approximate COUNT(DISTINCT) — the scale path for q14's exact
+    // multi-distinct: HyperLogLog++ sketches are mergeable map-side
+    // partials (no Expand row multiplication, one shuffle row per group),
+    // the only viable distinct-count at 100 TB group cardinalities. No
+    // DuckDB oracle on purpose: its HLL is a different sketch — the driver
+    // records the weaker rows-only check, and StatsSpec bounds the error
+    // against the exact count (rsd 2%).
+    "q90_approx_distinct" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
+          countDistinct($"o_custkey").as("exact_custs"))
+        .orderBy($"o_orderpriority")
     })
 
   val oracle: Map[String, String] = Map(
@@ -92,5 +127,17 @@ object Stats {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
          FROM orders
          GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-         ORDER BY status, priority""")
+         ORDER BY status, priority""",
+
+    "q89_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY returnflag, linestatus""")
+    // q90_approx_distinct intentionally has NO oracle: DuckDB's
+    // approx_count_distinct is a different sketch; the driver's rows-only
+    // check applies, and StatsSpec bounds the error vs the exact count.
 }

@@ -6,8 +6,14 @@ package graft
   */
 class QueryContractSpec extends SparkSpec {
 
+  /** Queries that intentionally omit an oracle (driver falls back to the
+    * weaker rows-only check): sketch-based results no second engine
+    * reproduces bit-for-bit. Every member needs a spec bounding its error
+    * against an exact computation instead. */
+  private val rowsOnly = Set("q90_approx_distinct")
+
   test("every query has an oracle twin") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")

@@ -49,19 +49,20 @@ class ReshapeSpec extends SparkSpec {
     assert(byMetric("suppliers") === Tables.load(spark, sfDir, "supplier").count())
   }
 
-  test("q84 set ops: cohorts are disjoint and partition the 1994 customers") {
+  test("q84 set ops: cohorts are disjoint and partition the 1995 customers") {
     import spark.implicits._
     val got = Reshape.queries("q84_cohort_setops")(spark, sfDir)
     def custs(yr: Int) = Tables.load(spark, sfDir, "orders")
       .filter(year($"o_orderdate") === yr).select($"o_custkey").distinct()
       .collect().map(_.getLong(0)).toSet
-    val (y94, y95) = (custs(1994), custs(1995))
+    val (y95, y96) = (custs(1995), custs(1996))
     val both = got.filter($"cohort" === "both_years").collect().map(_.getLong(1)).toSet
-    val only = got.filter($"cohort" === "only_1994").collect().map(_.getLong(1)).toSet
-    assert(both === (y94 intersect y95))
-    assert(only === (y94 diff y95))
+    val only = got.filter($"cohort" === "only_1995").collect().map(_.getLong(1)).toSet
+    assert(both === (y95 intersect y96))
+    assert(only === (y95 diff y96))
     assert((both intersect only).isEmpty)
-    assert(both.size + only.size === y94.size)
+    assert(both.size + only.size === y95.size)
+    assert(both.nonEmpty, "empty intersect — pick years the data covers")
   }
 
   test("q85 weighted sample: every kept row won its md5 coin; no shuffle in plan") {
@@ -98,6 +99,30 @@ class ReshapeSpec extends SparkSpec {
     assert(got.count() === span * nTypes)
     val gotEvents = got.agg(sum($"n_events")).collect()(0).getLong(0)
     assert(gotEvents === e.count())
+  }
+
+  test("q89 grouping sets: each margin re-derives from the flat aggregate") {
+    import spark.implicits._
+    val got = graft.operators.Stats.queries("q89_grouping_sets")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // margins only: every row has exactly one 'ALL'
+    got.keys.foreach { case (f, l) => assert((f == "ALL") != (l == "ALL")) }
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def margin(key: String) = li.groupBy(col(key))
+      .agg(count(lit(1)), (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    margin("l_returnflag").foreach { case (f, v) => assert(got((f, "ALL")) === v) }
+    margin("l_linestatus").foreach { case (l, v) => assert(got(("ALL", l)) === v) }
+  }
+
+  test("q90 approx distinct stays within 5% of exact") {
+    val rows = graft.operators.Stats.queries("q90_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
   }
 
   test("q88 PQ ANN matches a from-scratch driver-side encode + ADC") {
