@@ -1,29 +1,24 @@
 package graft
-
-import org.apache.spark.sql.SparkSession
-
-/** Dev-only plan auditor: prints the formatted physical plan of the named
-  * queries (SPARK_GRAFT_ONLY prefix filter, default all) at
-  * SPARK_GRAFT_SF_DIR — the `.explain("formatted")` loop the build rule
-  * prescribes after each operator goes green. Run with
-  * `sbt "runMain graft.PlanAudit"`. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      .foreach { case (name, fn) =>
-        println(s"\n================ $name ================")
-        fn(spark, sfDir).explain("formatted")
-      }
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+        val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
+        val exch = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+        val sorts = plan.linesIterator.count(_.contains("Sort "))
+        println(f"AUDIT $name%-36s bnlj=$bnlj cart=$cart shuffles=$exch sorts=$sorts")
+      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+/** Plan-shape regression guard over the ENTIRE query inventory: no query
+  * may plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+  * only where the build side is provably tiny by construction (listed
+  * below with the reason). A new query that accidentally introduces an
+  * all-pairs join fails here before it ever reaches the bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin —
+    * every entry is a broadcast of a bounded-size side:
+    *  - q39: 1-row global min/max bounds aggregate
+    *  - q50: 4 query vectors vs corpus (brute-force baseline by design)
+    *  - q55: ≤10-row centroid table (IVF assignment)
+    *  - q77: 1-row grand-total aggregate
+    *  - q86: 1-row corpus-size aggregate
+    *  - q87: days × types calendar spine (both sides bounded + broadcast)
+    */
+  private val bnljAllowed: Set[String] =
+    Set("q39_price_histogram", "q50_cosine_topk", "q55_ivf_search",
+      "q77_domain_mixture", "q86_tfidf_terms", "q87_gapfill_daily")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plans no cartesian product / unlisted nested-loop join") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — all-pairs at scale")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the justified allowlist")
+    }
+  }
+}
