@@ -120,4 +120,45 @@ object TrainingDataPipeline {
       .agg(count(lit(1)).as("n_vectors"),
         min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"))
   }
+
+  /** Stage 4c — weight-proportional thinning (the q85 coin as a stage):
+    * keep each doc with probability weight/10000 where weight is its
+    * capped token-ish size. Deterministic, seedless, map-side only — the
+    * way a 100 TB corpus is thinned without a shuffle or an RNG whose
+    * state differs per attempt. `saltTag` varies the sample between
+    * pipeline epochs while staying reproducible within one. */
+  def weightedSample(docs: DataFrame, saltTag: String = "ws"): DataFrame =
+    docs.filter(
+      expr(s"CAST(conv(substring(md5(concat('$saltTag-', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000")
+        < least(col("n_chars"), lit(10000L)))
+
+  /** Stage 5b — PQ encode (the q88 codebook as a reusable compression
+    * stage): returns (vec_id, codes) where codes are the per-subspace
+    * nearest-codeword ids. Downstream ANN search runs on the codes alone
+    * (4 small ints), never the raw vectors — the storage/IO win that makes
+    * embedding search tractable at corpus scale. `codebook` must be
+    * (m, k, csub) with csub a 16-float subvector, broadcastable. */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val parts = embeddings
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"), expr("slice(embedding, m * 16 + 1, 16)").as("sub"))
+    parts.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", expr(
+        """aggregate(zip_with(sub, csub, (x, y) ->
+             (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("k"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("best.k").as("k")))).as("mk"))
+      .select(col("vec_id"), expr("transform(mk, p -> p.k)").as("codes"))
+  }
+
+  /** Default codebook for [[pqEncode]]: the subvectors of the first
+    * `k` vectors by id (a deterministic stand-in for trained k-means). */
+  def defaultCodebook(embeddings: DataFrame, k: Int = 8): DataFrame =
+    embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("k"),
+        explode(sequence(lit(0), lit(3))).as("m"), col("embedding"))
+      .select(col("m"), col("k"), expr("slice(embedding, m * 16 + 1, 16)").as("csub"))
 }

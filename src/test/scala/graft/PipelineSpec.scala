@@ -83,4 +83,27 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0, "chunk ids must be non-decreasing per shard")
     packed.unpersist()
   }
+
+  test("weighted sample is deterministic per salt and varies across salts") {
+    val a1 = weightedSample(docs, "epoch1").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val a2 = weightedSample(docs, "epoch1").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = weightedSample(docs, "epoch2").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 === a2, "same salt must reproduce the same sample")
+    assert(a1 !== b, "different salts must draw different coins")
+    assert(a1.nonEmpty && a1.size < docs.count())
+  }
+
+  test("PQ encode emits one 4-code row per vector, codes in codebook range") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val codes = pqEncode(emb, defaultCodebook(emb, k = 8)).cache()
+    assert(codes.count() === emb.count())
+    assert(codes.filter(size($"codes") =!= 4).count() === 0)
+    assert(codes.filter(expr("exists(codes, c -> c < 0 OR c >= 8)")).count() === 0)
+    // codebook members encode to themselves: vector k's own subvector is
+    // at distance 0 from codeword k in every subspace
+    val self = codes.filter($"vec_id" < 8)
+      .filter(expr("NOT forall(codes, c -> c = CAST(vec_id AS INT))")).count()
+    assert(self === 0, "codebook vectors must self-encode")
+    codes.unpersist()
+  }
 }
