@@ -385,6 +385,25 @@ object TextOps {
         .orderBy(col("fp"))
     },
 
+    // Near-dup retention policy: keep-BEST, not keep-first. Every LSH
+    // candidate pair is resolved to a loser by document quality (here:
+    // longer text wins — the mutated twins are tail-truncated, so the
+    // original survives; ties keep the lower id). The output is the
+    // decision log a production dedup emits for audit. Cost = q44's shape:
+    // the tiny candidate set joins the per-doc quality column twice.
+    "q91_dedup_keepbest" -> { (s, dir) =>
+      val lens = corpus(s, dir).select(col("doc_id"), length(col("text")).as("len"))
+      candidatePairs(s, dir)
+        .join(lens.select(col("doc_id").as("a_id"), col("len").as("a_len")), Seq("a_id"))
+        .join(lens.select(col("doc_id").as("b_id"), col("len").as("b_len")), Seq("b_id"))
+        .withColumn("loser_id",
+          when(col("a_len") > col("b_len"), col("b_id"))
+            .when(col("a_len") < col("b_len"), col("a_id"))
+            .otherwise(greatest(col("a_id"), col("b_id"))))
+        .select(col("a_id"), col("b_id"), col("a_len"), col("b_len"), col("loser_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // TF-IDF keyword extraction: top-3 salient terms per document. The idf
     // surrogate is integer basis points ((N*10000) div df) so scoring is
     // exact integer math end-to-end (a float log-idf would rank identically
@@ -588,6 +607,18 @@ object TextOps {
          SELECT substr(list_min(hs), 1, 16) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
          FROM hh GROUP BY substr(list_min(hs), 1, 16) HAVING count(*) > 1
          ORDER BY fp""",
+
+    "q91_dedup_keepbest" ->
+      s"""WITH $oracleSig,
+         l AS (SELECT doc_id, len(text) AS len FROM corpus)
+         SELECT a_id, b_id, la.len AS a_len, lb.len AS b_len,
+                CASE WHEN la.len > lb.len THEN b_id
+                     WHEN la.len < lb.len THEN a_id
+                     ELSE greatest(a_id, b_id) END AS loser_id
+         FROM pairs
+         JOIN l la ON la.doc_id = a_id
+         JOIN l lb ON lb.doc_id = b_id
+         ORDER BY a_id, b_id""",
 
     "q86_tfidf_terms" ->
       """WITH tok AS (

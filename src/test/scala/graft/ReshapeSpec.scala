@@ -125,6 +125,21 @@ class ReshapeSpec extends SparkSpec {
     }
   }
 
+  test("q91 keep-best: the longer side always survives; twins lose to originals") {
+    import spark.implicits._
+    val got = TextOps.queries("q91_dedup_keepbest")(spark, sfDir).cache()
+    assert(got.count() > 0)
+    // the loser is never the strictly longer doc
+    assert(got.filter(
+      ($"loser_id" === $"a_id" && $"a_len" > $"b_len") ||
+        ($"loser_id" === $"b_id" && $"b_len" > $"a_len")).count() === 0)
+    // a tail-truncated twin (id offset 100000) paired with its shorter
+    // length must lose to the original
+    assert(got.filter($"b_id" === $"a_id" + 100000L && $"loser_id" =!= $"b_id")
+      .count() === 0)
+    got.unpersist()
+  }
+
   test("q88 PQ ANN matches a from-scratch driver-side encode + ADC") {
     import spark.implicits._
     val vecs = Tables.load(spark, sfDir, "embeddings")
