@@ -185,6 +185,29 @@ final class SnapshotTable(
     currentSnapshotId.get
   }
 
+  /** MERGE INTO (upsert): every `source` row replaces the current row with
+    * the same key; unmatched source rows are inserted. The Iceberg/
+    * Snowflake MERGE the reference's DML surface stops short of, as one
+    * copy-on-write commit: target-side work is ONE anti-join against the
+    * (distinct) source keys — the standard COW MERGE plan, where the
+    * shuffle is keyed on the merge key and the only extra scan is of the
+    * source DELTA, never a second pass over the table. Duplicate-key
+    * sources are rejected up front (the engines' "nondeterministic MERGE"
+    * error). Returns (updatedRows, insertedRows). */
+  def merge(source: DataFrame, keys: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val srcKeys = source.select(keys.map(col): _*)
+    val srcTotal = srcKeys.count()
+    require(srcKeys.distinct.count() == srcTotal,
+      s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
+    val parts = partitionSpec()
+    val prev = count()
+    val kept = read().join(srcKeys.distinct(), keys, "left_anti")
+    commit(kept.unionByName(source), "base", parts)
+    val inserted = count() - prev
+    (srcTotal - inserted, inserted)
+  }
+
   /** Iceberg-style `expire_snapshots`: physically delete snapshots no
     * longer reachable from the `keepLast` newest ones (their base + delta
     * chain stays). Bounds storage on long-lived tables — a COW table that

@@ -84,6 +84,19 @@ class WarehouseSpec extends SparkSpec {
     assert(statuses.toSeq == Seq("RESOLVED", "DETECTED"))
   }
 
+  test("MERGE upserts: matched rows replaced, new rows inserted, dup keys rejected") {
+    val t = new SnapshotTable(spark, freshRoot("merge"))
+    t.createOrReplace(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val (updated, inserted) = t.merge(Seq((2, "B2"), (4, "d")).toDF("id", "v"), Seq("id"))
+    assert((updated, inserted) === (1L, 1L))
+    val state = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(state === Map(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
+    assert(t.snapshots().map(_._2) === Seq("base", "base"), "MERGE commits one COW snapshot")
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((5, "x"), (5, "y")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
   test("CREATE OR REPLACE resets state but keeps history") {
     val t = new SnapshotTable(spark, freshRoot("t5"))
     t.createOrReplace(spark.range(10).toDF("id"))
