@@ -125,6 +125,66 @@ case class DotProductF32F64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared-L2 sibling of [[DotProductF32]]: Σ (xᵢ−yᵢ)² over two float32
+  * vectors, the PQ encode/ADC hot loop (q88). Same contract: differences
+  * taken in double, accumulation strictly left-to-right in double —
+  * bit-identical to the `aggregate(zip_with(...))` HOF it replaces and to
+  * DuckDB's sequential `list_reduce`, so oracle hashes are unchanged; the
+  * win is a fused codegen loop instead of an interpreted HOF allocating an
+  * intermediate array per row (the encode pass runs it |corpus|×M×K
+  * times). */
+case class L2SquaredF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2sq_f32 expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32")
@@ -150,6 +210,14 @@ object GraftFunctions {
         require(children.length == 2,
           s"dot_f32f64 expects 2 arguments, got ${children.length}")
         DotProductF32F64(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("l2sq_f32"),
+      new ExpressionInfo(classOf[L2SquaredF32].getName, "l2sq_f32"),
+      { children =>
+        require(children.length == 2,
+          s"l2sq_f32 expects 2 arguments, got ${children.length}")
+        L2SquaredF32(children.head, children(1))
       })
     def const(fn: String, confKey: String, default: String): Unit =
       spark.sessionState.functionRegistry.registerFunction(

@@ -188,10 +188,10 @@ object Similarity {
     // dependent). Scoring never touches the original vectors.
     "q88_pq_ann" -> { (s, dir) =>
       import s.implicits._
-      def sq(a: String, b: String) =
-        s"""aggregate(zip_with($a, $b, (x, y) ->
-              (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+      graft.functions.GraftFunctions.register(s)
+      // native codegen'd Σ(x−y)² — bit-identical to the HOF formulation
+      // (see L2SquaredF32), run |corpus|×M×K times in the encode pass
+      def sq(a: String, b: String) = s"l2sq_f32($a, $b)"
       val parts = t(s, dir, "embeddings")
         .select($"vec_id", explode(sequence(lit(0), lit(3))).as("m"), $"embedding")
         .select($"vec_id", $"m", expr("slice(embedding, m * 16 + 1, 16)").as("sub"))

@@ -139,14 +139,12 @@ object TrainingDataPipeline {
     * embedding search tractable at corpus scale. `codebook` must be
     * (m, k, csub) with csub a 16-float subvector, broadcastable. */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val parts = embeddings
       .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"), expr("slice(embedding, m * 16 + 1, 16)").as("sub"))
     parts.join(broadcast(codebook), Seq("m"))
-      .withColumn("d", expr(
-        """aggregate(zip_with(sub, csub, (x, y) ->
-             (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .withColumn("d", expr("l2sq_f32(sub, csub)"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d"), col("k"))).as("best"))
       .groupBy(col("vec_id"))

@@ -39,6 +39,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("l2sq_f32 matches the HOF formulation bit-for-bit on real embeddings") {
+    GraftFunctions.register(spark)
+    val hofSq =
+      """aggregate(zip_with(a, b, (x, y) ->
+           (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+         CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val diffs = e.select(
+      expr("l2sq_f32(a, b)").as("native"), expr(hofSq).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diffs == 0)
+    // self-distance is exactly zero
+    val self = e.select(expr("l2sq_f32(a, a)").as("d")).filter(col("d") =!= 0.0).count()
+    assert(self == 0)
+  }
+
   test("dot_f32 handles nulls and simple values") {
     GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings").limit(1).createOrReplaceTempView("one_vec")
