@@ -191,6 +191,20 @@ object Joins {
         .filter($"c_custkey".isNotNull || $"s_suppkey".isNotNull)
         .select($"n_nationkey", $"n_name").distinct()
         .orderBy($"n_nationkey")
+    },
+
+    // Salted skew join through the correctness gate: the 8-way salted
+    // orders⋈customer must hash-match the PLAIN SQL join the oracle runs —
+    // proof that salting is result-transparent, not just a spec assertion.
+    // The salt spreads any hot custkey across 8 reducers at the cost of
+    // replicating the small side 8× (see SkewJoin's trade-off notes).
+    "q92_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val seg = t(s, dir, "customer").select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+      SkewJoin.saltedJoin(t(s, dir, "orders"), seg, "o_custkey", "o_orderkey", salts = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), decCents($"o_totalprice").as("revenue_cents"))
+        .orderBy($"c_mktsegment")
     })
 
   val oracle: Map[String, String] = Map(
@@ -294,5 +308,13 @@ object Joins {
          LEFT JOIN ch ON c_nationkey = n_nationkey
          LEFT JOIN sh ON s_nationkey = n_nationkey
          WHERE c_custkey IS NOT NULL OR s_suppkey IS NOT NULL
-         ORDER BY n_nationkey""")
+         ORDER BY n_nationkey""",
+
+    // plain join on purpose: the salted plan must produce the identical result
+    "q92_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""")
 }
