@@ -48,7 +48,33 @@ final class MaterializedViewManager(cat: Catalog) {
     } else { materialize(mvName); true }
   }
 
-  private def materialize(mvName: String): Unit = {
+  /** Run an MV (re)build with transparent MV routing OFF: a rebuild's
+    * aggregate-over-base plan must never be rewritten back onto the stale
+    * MV it is replacing (see [[MvRewrite]]). */
+  private def withRewriteOff[T](f: => T): T = {
+    val prev = cat.spark.conf.getOption(MvRewrite.FlagKey)
+    cat.spark.conf.set(MvRewrite.FlagKey, "false")
+    try f
+    finally prev match {
+      case Some(v) => cat.spark.conf.set(MvRewrite.FlagKey, v)
+      case None => cat.spark.conf.unset(MvRewrite.FlagKey)
+    }
+  }
+
+  /** Route matching aggregates over this MV's base table to the
+    * materialized partials (installs [[MvRewriteRule]] session-wide). */
+  def enableRewrite(name: String): Unit = {
+    val d = aggDefs(name)
+    MvRewrite.install(cat.spark)
+    MvRewrite.register(MvRewrite.Entry(
+      name,
+      cat.table(d.base._1, d.base._2).root,
+      d.keyCols, d.sumCols,
+      () => read(name).queryExecution.analyzed))
+    cat.spark.conf.set(MvRewrite.FlagKey, "true")
+  }
+
+  private def materialize(mvName: String): Unit = withRewriteOff {
     val (definition, bases) = defs(mvName)
     cat.registerTables()
     cat.table("_mv", mvName).createOrReplace(cat.spark.sql(definition))
@@ -98,7 +124,7 @@ final class MaterializedViewManager(cat: Catalog) {
           .as(s"sum_$c")): _*)
 
   def createAggMv(name: String, base: (String, String),
-      keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+      keyCols: Seq[String], sumCols: Seq[String]): Unit = withRewriteOff {
     val d = AggMvDef(base, keyCols, sumCols)
     aggDefs(name) = d
     val t = cat.table(base._1, base._2)
@@ -107,7 +133,7 @@ final class MaterializedViewManager(cat: Catalog) {
   }
 
   /** Returns the refresh mode taken: "noop", "incremental", or "full". */
-  def refreshIncremental(name: String): String = {
+  def refreshIncremental(name: String): String = withRewriteOff {
     val d = aggDefs(name)
     val t = cat.table(d.base._1, d.base._2)
     val cur = t.currentSnapshotId.getOrElse(0L)
@@ -169,7 +195,7 @@ final class MaterializedViewManager(cat: Catalog) {
       .na.fill(0, bases.map(b => s"${b.prefix}_rows"))
   }
 
-  def createMultiAggMv(name: String, bases: Seq[BaseAgg]): Unit = {
+  def createMultiAggMv(name: String, bases: Seq[BaseAgg]): Unit = withRewriteOff {
     require(bases.map(_.keyCols).distinct.size == 1, "all bases must share the composite key")
     multiDefs(name) = bases
     bases.foreach { b =>
@@ -183,7 +209,7 @@ final class MaterializedViewManager(cat: Catalog) {
 
   /** Per-base refresh modes taken, e.g. Map("imp" -> "noop", "clk" ->
     * "incremental"); the final join rebuild runs only when something moved. */
-  def refreshMultiAggMv(name: String): Map[String, String] = {
+  def refreshMultiAggMv(name: String): Map[String, String] = withRewriteOff {
     val bases = multiDefs(name)
     val built = multiBuiltAt(name)
     val modes = bases.map { b =>

@@ -1,0 +1,140 @@
+package graft.mv
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.DoubleType
+
+/** Transparent materialized-view routing — the optional Catalyst extension
+  * SURVEY §4 reserves ("rewrite queries to hit the MV — that *would* be a
+  * custom `Rule[LogicalPlan]`"). A registered aggregate MV (see
+  * [[MaterializedViewManager.createAggMv]]) stores count/decimal-sum
+  * partials at (keyCols) grain; this rule rewrites a user aggregate over
+  * the BASE table into a re-aggregation of those partials whenever the
+  * query's shape is answerable from them:
+  *
+  *   - grouping keys ⊆ the MV's keyCols (a strict subset re-aggregates the
+  *     partials one level up — classic rollup matching);
+  *   - every aggregate is `count(*)`/`count(1)` (→ `sum(n_rows)`) or a
+  *     `sum` over a registered metric column (→ `sum(sum_col)`, cast back
+  *     to the query's result type).
+  *
+  * At 100 TB this is the difference between scanning the fact table and
+  * scanning a few thousand partial rows — and it is exactly what the
+  * reference sells its MVs for ("pre-computed results … reduced compute",
+  * `scripts/12_materialized_views.sql:6-9`), made transparent so the
+  * analyst's query text doesn't change.
+  *
+  * Numerics: a rewritten `sum(double)` returns the DECIMAL-EXACT partial
+  * re-sum cast to double — the engine's house semantics for money sums
+  * (see `operators/Q.scala`), deterministic where the direct double sum is
+  * partition-order-dependent.
+  *
+  * Safety: the rule only fires when `spark.graft.mvRewrite=true`; the MV
+  * manager clears the flag around its own (re)build jobs so a rebuild can
+  * never be routed back to the stale MV it is replacing. Output attribute
+  * ids of the original Aggregate are preserved via aliases, so parent
+  * operators are untouched. The matcher is deliberately conservative: the
+  * aggregate's child must be the base scan (optionally under a
+  * column-pruning Project) — filters or joins above the scan disqualify
+  * the rewrite rather than risk a wrong answer.
+  */
+object MvRewrite {
+
+  /** One routable MV: base-table root path, partial grain, metric cols,
+    * and a thunk producing the CURRENT analyzed plan of the MV table. */
+  final case class Entry(name: String, basePath: String, keyCols: Seq[String],
+      sumCols: Seq[String], mvPlan: () => LogicalPlan)
+
+  @volatile private var entries: Seq[Entry] = Nil
+  def register(e: Entry): Unit = synchronized {
+    entries = entries.filterNot(_.name == e.name) :+ e
+  }
+  def unregister(name: String): Unit = synchronized {
+    entries = entries.filterNot(_.name == name)
+  }
+  def registered: Seq[Entry] = entries
+
+  val FlagKey = "spark.graft.mvRewrite"
+
+  /** Idempotently install the rule into a session's extra optimizations. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  /** Scheme-free filesystem path (a scan reports `file:/x/y`, the registry
+    * a plain `/x/y` — compare the path component only). */
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The root path of a plain file scan under at most a column Project. */
+  private def scanPath(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(p => normalize(p.toString))
+      case _ => None
+    }
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      scanPath(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (SQLConf.get.getConfString(MvRewrite.FlagKey, "false") != "true") return plan
+    plan.transformUp {
+      case agg @ Aggregate(_, _, child, _) =>
+        (for {
+          p <- scanPath(child)
+          e <- MvRewrite.registered.find { en =>
+            val b = normalize(en.basePath)
+            p == b || p.startsWith(b + "/")
+          }
+          out <- tryRewrite(agg, e)
+        } yield out).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, e: MvRewrite.Entry): Option[LogicalPlan] = {
+    // every grouping expression must be a bare key column of the MV grain
+    val groupNames: Seq[String] = agg.groupingExpressions.map {
+      case a: AttributeReference if e.keyCols.contains(a.name) => a.name
+      case _ => return None
+    }
+    val mv = e.mvPlan()
+    val mvOut: Map[String, Attribute] = mv.output.map(a => a.name -> a).toMap
+    if (!(groupNames ++ ("n_rows" +: e.sumCols.map("sum_" + _))).forall(mvOut.contains))
+      return None
+    def mvAttr(n: String): Attribute = mvOut(n)
+
+    def sumOf(n: String): Expression = Sum(mvAttr(n)).toAggregateExpression()
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      // pass-through grouping column
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      // count(*) / count(1) → sum of the stored row counts
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
+        Alias(Cast(sumOf("n_rows"), al.dataType), name)(exprId = al.exprId)
+      // sum(metric) or sum(cast(metric)) → re-sum of the stored partials
+      case al @ Alias(AggregateExpression(s: Sum, _, false, _, _), name) =>
+        val base = s.child match {
+          case a: AttributeReference => a.name
+          case Cast(a: AttributeReference, _, _, _) => a.name
+          case _ => return None
+        }
+        if (!e.sumCols.contains(base)) return None
+        Alias(Cast(sumOf(s"sum_$base"), al.dataType), name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val newGroups: Seq[Expression] = groupNames.map(mvAttr)
+    Some(Aggregate(newGroups, newAggExprs, mv))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.mv.{MaterializedViewManager, MvRewrite}
+
+/** Transparent MV routing: a matching aggregate over the BASE table must
+  * execute against the materialized partials (plan-asserted), produce the
+  * decimal-exact answer, survive incremental refresh, and NEVER fire for
+  * shapes the partials can't answer or while the flag is off.
+  */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(): Catalog = new Catalog(spark,
+    s"/root/repo/target/test-mvrw/${java.util.UUID.randomUUID().toString.take(8)}", "MVRW")
+
+  private def setup(): (Catalog, MaterializedViewManager) = {
+    val cat = freshCat()
+    val mvm = new MaterializedViewManager(cat)
+    val base = Seq(
+      ("alpha", "x", 10.50), ("alpha", "y", 2.25), ("beta", "x", 100.00),
+      ("beta", "y", 0.75), ("gamma", "x", 9.99)
+    ).toDF("seg", "sub", "amt")
+    cat.table("sales", "orders").createOrReplace(base)
+    mvm.createAggMv("orders_by_seg", ("sales", "orders"),
+      keyCols = Seq("seg", "sub"), sumCols = Seq("amt"))
+    mvm.enableRewrite("orders_by_seg")
+    (cat, mvm)
+  }
+
+  private def baseAgg(cat: Catalog) = cat.table("sales", "orders").read()
+    .groupBy($"seg")
+    .agg(count(lit(1)).as("n"), sum($"amt").as("total"))
+    .orderBy($"seg")
+
+  test("matching aggregate is routed to the MV partials and is exact") {
+    val (cat, _) = setup()
+    try {
+      val q = baseAgg(cat)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("/_mv/"), s"expected an MV scan in:\n$plan")
+      assert(!plan.contains("/sales/"), "base table must not be scanned")
+      val rows = q.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("alpha", 2L, 12.75), ("beta", 2L, 100.75), ("gamma", 1L, 9.99)))
+    } finally MvRewrite.unregister("orders_by_seg")
+  }
+
+  test("rollup matching: grouping by a key subset re-aggregates the partials") {
+    val (cat, _) = setup()
+    try {
+      // group on (sub) ⊂ (seg, sub): still answerable from the partial grain
+      val q = cat.table("sales", "orders").read()
+        .groupBy($"sub").agg(count(lit(1)).as("n")).orderBy($"sub")
+      assert(q.queryExecution.executedPlan.toString.contains("/_mv/"))
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("x", 3L), ("y", 2L)))
+    } finally MvRewrite.unregister("orders_by_seg")
+  }
+
+  test("non-matching shapes do not rewrite; flag off disables routing") {
+    val (cat, _) = setup()
+    try {
+      // avg is not answerable from count/sum partials as registered
+      val avgQ = cat.table("sales", "orders").read()
+        .groupBy($"seg").agg(avg($"amt").as("a"))
+      assert(!avgQ.queryExecution.executedPlan.toString.contains("/_mv/"))
+      // a filter above the scan disqualifies the conservative matcher
+      val filtQ = cat.table("sales", "orders").read()
+        .filter($"sub" === "x").groupBy($"seg").agg(count(lit(1)).as("n"))
+      assert(!filtQ.queryExecution.executedPlan.toString.contains("/_mv/"))
+      // and the kill switch
+      spark.conf.set(MvRewrite.FlagKey, "false")
+      assert(!baseAgg(cat).queryExecution.executedPlan.toString.contains("/_mv/"))
+      spark.conf.set(MvRewrite.FlagKey, "true")
+    } finally MvRewrite.unregister("orders_by_seg")
+  }
+
+  test("routing stays correct across incremental refresh, and rebuilds don't self-route") {
+    val (cat, mvm) = setup()
+    try {
+      cat.table("sales", "orders").append(Seq(("alpha", "x", 1.00)).toDF("seg", "sub", "amt"))
+      assert(mvm.refreshIncremental("orders_by_seg") === "incremental")
+      val rows = baseAgg(cat).collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("alpha", 3L, 13.75), ("beta", 2L, 100.75), ("gamma", 1L, 9.99)))
+      // a full rebuild recomputes from the BASE (guard keeps the rule off);
+      // if the rebuild had routed to the stale MV, a base rewrite would be
+      // invisible — prove it is visible
+      cat.table("sales", "orders").delete($"seg" === "beta")
+      assert(mvm.refreshIncremental("orders_by_seg") === "full")
+      val after = baseAgg(cat).collect().map(_.getString(0))
+      assert(after.toSeq === Seq("alpha", "gamma"))
+    } finally MvRewrite.unregister("orders_by_seg")
+  }
+}
