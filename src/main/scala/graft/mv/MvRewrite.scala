@@ -39,9 +39,10 @@ import org.apache.spark.sql.types.DoubleType
   * never be routed back to the stale MV it is replacing. Output attribute
   * ids of the original Aggregate are preserved via aliases, so parent
   * operators are untouched. The matcher is deliberately conservative: the
-  * aggregate's child must be the base scan (optionally under a
-  * column-pruning Project) — filters or joins above the scan disqualify
-  * the rewrite rather than risk a wrong answer.
+  * aggregate's child must be the base scan under only column-pruning
+  * Projects and Filters, and a Filter may reference KEY columns only
+  * (those apply unchanged at the partial grain); a metric filter, join,
+  * or generator disqualifies the rewrite rather than risk a wrong answer.
   */
 object MvRewrite {
 
@@ -75,15 +76,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** The root path of a plain file scan under at most a column Project. */
-  private def scanPath(plan: LogicalPlan): Option[String] = plan match {
+  /** The root path of a file scan under only column Projects and Filters,
+    * plus every Filter condition met on the way down. Conditions are
+    * validated against the MV key columns later — any other plan shape
+    * (joins, generators, …) disqualifies the rewrite. */
+  private def scanUnder(plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(p => normalize(p.toString))
+        fs.location.rootPaths.headOption.map(p => (normalize(p.toString), Nil))
       case _ => None
     }
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPath(child)
+      scanUnder(child)
+    case Filter(cond, child) =>
+      scanUnder(child).map { case (p, cs) => (p, cond +: cs) }
     case _ => None
   }
 
@@ -92,22 +98,27 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
-          p <- scanPath(child)
+          pc <- scanUnder(child)
           e <- MvRewrite.registered.find { en =>
             val b = normalize(en.basePath)
-            p == b || p.startsWith(b + "/")
+            pc._1 == b || pc._1.startsWith(b + "/")
           }
-          out <- tryRewrite(agg, e)
+          out <- tryRewrite(agg, e, pc._2)
         } yield out).getOrElse(agg)
     }
   }
 
-  private def tryRewrite(agg: Aggregate, e: MvRewrite.Entry): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate, e: MvRewrite.Entry,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     // every grouping expression must be a bare key column of the MV grain
     val groupNames: Seq[String] = agg.groupingExpressions.map {
       case a: AttributeReference if e.keyCols.contains(a.name) => a.name
       case _ => return None
     }
+    // filters may touch KEY columns only — a metric filter changes which
+    // base rows aggregate and cannot be answered from the partials
+    if (!filters.forall(_.references.forall(a => e.keyCols.contains(a.name))))
+      return None
     val mv = e.mvPlan()
     val mvOut: Map[String, Attribute] = mv.output.map(a => a.name -> a).toMap
     if (!(groupNames ++ ("n_rows" +: e.sumCols.map("sum_" + _))).forall(mvOut.contains))
@@ -135,6 +146,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGroups: Seq[Expression] = groupNames.map(mvAttr)
-    Some(Aggregate(newGroups, newAggExprs, mv))
+    // key-column filters apply unchanged at the partial grain
+    val filtered = filters.foldLeft(mv) { (p, cond) =>
+      Filter(cond.transform {
+        case a: AttributeReference => mvAttr(a.name)
+      }, p)
+    }
+    Some(Aggregate(newGroups, newAggExprs, filtered))
   }
 }

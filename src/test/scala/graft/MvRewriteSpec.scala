@@ -66,10 +66,16 @@ class MvRewriteSpec extends SparkSpec {
       val avgQ = cat.table("sales", "orders").read()
         .groupBy($"seg").agg(avg($"amt").as("a"))
       assert(!avgQ.queryExecution.executedPlan.toString.contains("/_mv/"))
-      // a filter above the scan disqualifies the conservative matcher
-      val filtQ = cat.table("sales", "orders").read()
-        .filter($"sub" === "x").groupBy($"seg").agg(count(lit(1)).as("n"))
-      assert(!filtQ.queryExecution.executedPlan.toString.contains("/_mv/"))
+      // a KEY-column filter routes (applies at the partial grain)...
+      val keyFilt = cat.table("sales", "orders").read()
+        .filter($"sub" === "x").groupBy($"seg").agg(count(lit(1)).as("n")).orderBy($"seg")
+      assert(keyFilt.queryExecution.executedPlan.toString.contains("/_mv/"))
+      assert(keyFilt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("alpha", 1L), ("beta", 1L), ("gamma", 1L)))
+      // ...but a METRIC filter must not: it changes which rows aggregate
+      val metricFilt = cat.table("sales", "orders").read()
+        .filter($"amt" > 5).groupBy($"seg").agg(count(lit(1)).as("n"))
+      assert(!metricFilt.queryExecution.executedPlan.toString.contains("/_mv/"))
       // and the kill switch
       spark.conf.set(MvRewrite.FlagKey, "false")
       assert(!baseAgg(cat).queryExecution.executedPlan.toString.contains("/_mv/"))
