@@ -50,6 +50,25 @@ object Sources {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
 
+    // ORC sink → source: the columnar sibling format (Spark ships a native
+    // vectorized ORC reader/writer next to parquet). Unlike the text legs,
+    // ORC preserves types natively, so the roundtrip asserts lossless
+    // column typing rather than declared-schema coercion. DuckDB cannot
+    // read ORC — the oracle computes the same aggregate straight from the
+    // parquet base table, which is exactly what makes this a roundtrip
+    // proof: Spark's answer survived a write+read through the format.
+    "q93_orc_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val out = scratch("orc-roundtrip")
+      t(s, dir, "supplier")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"), decCents($"s_acctbal").as("acctbal_cents"))
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .orderBy($"s_nationkey")
+    },
+
     // JSON-lines sink → source with declared schema: the third format leg
     // (parquet native, CSV q33/q34). The reference carries JSON in its
     // event props (q24 extracts it); here structured rows round-trip
@@ -106,6 +125,11 @@ object Sources {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q93_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q37_json_roundtrip" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
