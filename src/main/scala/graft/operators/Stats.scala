@@ -108,6 +108,23 @@ object Stats {
         .agg(countDistinct($"o_custkey").as("exact_custs"))
       approx.join(exact, Seq("o_orderpriority"))
         .orderBy($"o_orderpriority")
+    },
+
+    // Approximate percentiles — the scale companion to q80: Greenwald-
+    // Khanna-style mergeable quantile sketches bound memory per group by
+    // the accuracy parameter, where q80's exact rank arithmetic pays a
+    // per-group sort. Like q90, sketch results cross no engine boundary:
+    // rows-only for the driver, error-bounded against the exact window
+    // plan in ReshapeSpec (accuracy 1000 → ±0.1% rank error).
+    "q94_approx_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          percentile_approx($"n_chars", lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx($"n_chars", lit(0.9), lit(1000)).as("p90_approx"))
+        .orderBy($"lang")
     })
 
   val oracle: Map[String, String] = Map(

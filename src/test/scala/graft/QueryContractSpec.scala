@@ -10,7 +10,7 @@ class QueryContractSpec extends SparkSpec {
     * weaker rows-only check): sketch-based results no second engine
     * reproduces bit-for-bit. Every member needs a spec bounding its error
     * against an exact computation instead. */
-  private val rowsOnly = Set("q90_approx_distinct")
+  private val rowsOnly = Set("q90_approx_distinct", "q94_approx_percentiles")
 
   test("every query has an oracle twin") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly

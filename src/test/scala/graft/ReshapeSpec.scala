@@ -140,6 +140,27 @@ class ReshapeSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("q94 approx percentiles land within the rank-error bound of exact") {
+    import spark.implicits._
+    val approx = graft.operators.Stats.queries("q94_approx_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"lang", $"n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    docs.foreach { case (lang, vs) =>
+      val (p50, p90) = approx(lang)
+      // rank of the reported value must be within 0.1%·n of the target rank
+      def rankOk(v: Long, q: Double): Boolean = {
+        val lo = vs.count(_ < v); val hi = vs.count(_ <= v)
+        val target = q * vs.length
+        lo <= target + math.max(1.0, 0.001 * vs.length) &&
+          hi >= target - math.max(1.0, 0.001 * vs.length)
+      }
+      assert(rankOk(p50, 0.5), s"$lang p50=$p50")
+      assert(rankOk(p90, 0.9), s"$lang p90=$p90")
+    }
+  }
+
   test("q88 PQ ANN matches a from-scratch driver-side encode + ADC") {
     import spark.implicits._
     val vecs = Tables.load(spark, sfDir, "embeddings")
