@@ -104,6 +104,32 @@ object EventStream {
       }
   }
 
+  /** Stream–stream interval join: attribute each click to the views by the
+    * same user in the preceding hour — the streaming form of the funnel
+    * lineage join (J2) and the q78/q36 as-of family. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so Spark
+    * can EVICT buffered state once the watermark passes a row's
+    * [ts, ts + 1h] join range — without the time bound a stream–stream
+    * join's state grows forever. Inner join: unmatched rows simply never
+    * emit; state is O(events inside the watermark horizon), sharded by
+    * user_id. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Incremental MV refresh (the reference's auto-refresh MV semantics,
     * `scripts/12_materialized_views.sql:296`): each micro-batch of appended
     * events is folded into a parquet-backed MV by `foreachBatch` — the

@@ -124,6 +124,33 @@ class StreamingSpec extends SparkSpec {
     assert(!hours.contains(9), "late event beyond the watermark must be dropped")
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val ev = EventStream.readEvents(spark, sfDir)
+    val q = EventStream.clickAttribution(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+      .writeStream.format("memory").queryName("attrib_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("attrib_stream")
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Tables.load(spark, sfDir, "events")
+    val v = batch.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val want = c.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch twin found no attributable clicks — test data too sparse")
+    assert(got === want)
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
