@@ -32,10 +32,11 @@ final class SnapshotTable(
   private def snapDir(id: Long): Path = new Path(root, f"snap-$id%05d")
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
 
-  /** One parsed `.meta` marker. Line format `kind|p1,p2|rowCount`; the
-    * trailing fields are optional so pre-upgrade markers still parse. */
-  private final case class SnapMeta(id: Long, kind: String,
-                                    parts: Seq[String], rows: Option[Long])
+  /** One parsed `.meta` marker. Line format `kind|p1,p2|rowCount|s1,s2`
+    * (partition cols, footer row count, sort cols); trailing fields are
+    * optional so pre-upgrade markers still parse. */
+  private final case class SnapMeta(id: Long, kind: String, parts: Seq[String],
+                                    rows: Option[Long], sort: Seq[String])
 
   private def metas(): Seq[SnapMeta] = {
     val p = new Path(root)
@@ -50,7 +51,8 @@ final class SnapshotTable(
         val f = line.split('|')
         SnapMeta(id, f(0),
           if (f.length > 1 && f(1).nonEmpty) f(1).split(',').toSeq else Seq.empty,
-          if (f.length > 2) Some(f(2).toLong) else None)
+          if (f.length > 2) Some(f(2).toLong) else None,
+          if (f.length > 3 && f(3).nonEmpty) f(3).split(',').toSeq else Seq.empty)
       }
       .sortBy(_.id)
   }
@@ -62,6 +64,10 @@ final class SnapshotTable(
   /** The partition spec of the current base snapshot (empty = unpartitioned). */
   def partitionSpec(): Seq[String] =
     metas().reverse.find(_.kind == "base").map(_.parts).getOrElse(Seq.empty)
+
+  /** The clustering (sort-within-files) spec of the current base snapshot. */
+  def sortSpec(): Seq[String] =
+    metas().reverse.find(_.kind == "base").map(_.sort).getOrElse(Seq.empty)
 
   def exists: Boolean = metas().nonEmpty
   def currentSnapshotId: Option[Long] = metas().lastOption.map(_.id)
@@ -86,14 +92,20 @@ final class SnapshotTable(
     n
   }
 
-  private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty): Long = {
+  private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
+                     sort: Seq[String] = Seq.empty): Long = {
     writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
     val isNew = currentSnapshotId.isEmpty
     val id = currentSnapshotId.getOrElse(0L) + 1
-    val writer = df.write.mode(SaveMode.ErrorIfExists)
+    // clustering: sort INSIDE each task's output file only — a global sort
+    // would add an exchange per commit; within-file order is what parquet
+    // row-group min/max pruning and page skipping read
+    val clustered =
+      if (sort.nonEmpty) df.sortWithinPartitions(sort.map(df.col): _*) else df
+    val writer = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(snapDir(id).toString)
-    val line = s"$kind|${parts.mkString(",")}|${footerRows(snapDir(id))}"
+    val line = s"$kind|${parts.mkString(",")}|${footerRows(snapDir(id))}|${sort.mkString(",")}"
     val out = fs.create(metaFile(id)) // marker written last = commit point
     try out.write(line.getBytes("UTF-8")) finally out.close()
     if (isNew) onCreate() // object springs into existence → future grants fire
@@ -119,8 +131,9 @@ final class SnapshotTable(
   /** CREATE OR REPLACE TABLE AS (D7): new `base` snapshot; history is kept.
     * `partitionBy` (S4) lays the snapshot out hive-style so partition-key
     * filters prune directories at scan time — the 100 TB table layout. */
-  def createOrReplace(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long =
-    commit(df, "base", partitionBy)
+  def createOrReplace(df: DataFrame, partitionBy: Seq[String] = Seq.empty,
+                      sortBy: Seq[String] = Seq.empty): Long =
+    commit(df, "base", partitionBy, sortBy)
 
   /** CREATE TABLE IF NOT EXISTS semantics (D3). */
   def createIfNotExists(df: DataFrame, partitionBy: Seq[String] = Seq.empty): Long =
@@ -130,7 +143,7 @@ final class SnapshotTable(
     * partition layout. */
   def append(df: DataFrame): Long = {
     require(exists, s"append to non-existent table at $root")
-    commit(df, "append", partitionSpec())
+    commit(df, "append", partitionSpec(), sortSpec())
   }
 
   /** Table state at a snapshot: nearest base ≤ id, unioned with appends.
@@ -168,7 +181,7 @@ final class SnapshotTable(
   def delete(cond: org.apache.spark.sql.Column): Long = {
     val parts = partitionSpec()
     val prev = count() // metadata; falls back to a scan only for legacy tables
-    commit(read().filter(!cond), "base", parts)
+    commit(read().filter(!cond), "base", parts, sortSpec())
     prev - count() // the new snapshot always carries its footer count
   }
 
@@ -181,7 +194,7 @@ final class SnapshotTable(
     val updated = sets.foldLeft(cur) { case (df, (c, v)) =>
       df.withColumn(c, when(cond, v).otherwise(df(c)))
     }
-    commit(updated, "base", parts)
+    commit(updated, "base", parts, sortSpec())
     currentSnapshotId.get
   }
 

@@ -84,6 +84,27 @@ class WarehouseSpec extends SparkSpec {
     assert(statuses.toSeq == Seq("RESOLVED", "DETECTED"))
   }
 
+  test("sortBy clustering: files written internally sorted; appends inherit the spec") {
+    val t = new SnapshotTable(spark, freshRoot("clustered"))
+    // deliberately shuffled input
+    t.createOrReplace(spark.range(1000).toDF("id")
+      .withColumn("k", expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 6), 16, 10) AS BIGINT)"))
+      .repartition(4), sortBy = Seq("k"))
+    t.append(spark.range(1000, 1500).toDF("id")
+      .withColumn("k", expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 6), 16, 10) AS BIGINT)")))
+    assert(t.sortSpec() === Seq("k"))
+    // every parquet file of every snapshot is internally sorted on k —
+    // the property parquet min/max row-group pruning reads
+    val files = new java.io.File(t.root).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 5, "expected multiple task files")
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not internally sorted")
+    }
+    assert(t.count() === 1500)
+  }
+
   test("MERGE upserts: matched rows replaced, new rows inserted, dup keys rejected") {
     val t = new SnapshotTable(spark, freshRoot("merge"))
     t.createOrReplace(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
