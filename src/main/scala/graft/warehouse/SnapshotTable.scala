@@ -154,8 +154,22 @@ final class SnapshotTable(
     val snaps = snapshots().takeWhile(_._1 <= id)
     require(snaps.nonEmpty, s"no snapshot ≤ $id at $root")
     val fromBase = snaps.drop(snaps.lastIndexWhere(_._2 == "base"))
+    // allowMissingColumns = Iceberg-style schema evolution: an append may
+    // carry columns older snapshots lack (read as NULL there) and vice
+    // versa — adding a column never rewrites history
     fromBase.map(s => spark.read.parquet(snapDir(s._1).toString))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Iceberg-style `rewrite_data_files`: collapse the current base + its
+    * append chain into ONE fresh base snapshot (same rows, same layout
+    * specs). Bounds per-read file counts on append-heavy tables — a table
+    * taking 5-minute micro-appends otherwise accretes hundreds of small
+    * delta dirs for every scan to union. Old snapshots remain time-
+    * travelable until `expireSnapshots`. */
+  def compact(): Long = {
+    require(exists, s"compact of non-existent table at $root")
+    commit(read(), "base", partitionSpec(), sortSpec())
   }
 
   /** Current table state. */

@@ -105,6 +105,35 @@ class WarehouseSpec extends SparkSpec {
     assert(t.count() === 1500)
   }
 
+  test("schema evolution: appends may add columns; old snapshots read NULL") {
+    val t = new SnapshotTable(spark, freshRoot("evolve"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c", 9.5)).toDF("id", "v", "score"))
+    val cur = t.read()
+    assert(cur.columns.toSet === Set("id", "v", "score"))
+    val byId = cur.collect().map(r => r.getInt(0) -> Option(r.get(2))).toMap
+    assert(byId(1) === None && byId(3) === Some(9.5))
+    // history before the evolution still reads with the old schema
+    assert(t.asOf(1).columns.toSet === Set("id", "v"))
+  }
+
+  test("compact collapses the append chain into one base; counts and rows survive") {
+    val t = new SnapshotTable(spark, freshRoot("compact"))
+    t.createOrReplace(spark.range(100).toDF("id"))
+    (1 to 3).foreach(i => t.append(spark.range(100L * i + 100, 100L * i + 150).toDF("id")))
+    assert(t.snapshots().map(_._2) === Seq("base", "append", "append", "append"))
+    val before = t.read().collect().map(_.getLong(0)).toSet
+    t.compact()
+    assert(t.snapshots().last._2 === "base")
+    assert(t.count() === 250)
+    assert(t.read().collect().map(_.getLong(0)).toSet === before)
+    // post-compaction reads resolve from the new base alone
+    assert(t.rowCountFromMetadata === Some(250L))
+    // expire leaves only the compacted state
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read().collect().map(_.getLong(0)).toSet === before)
+  }
+
   test("MERGE upserts: matched rows replaced, new rows inserted, dup keys rejected") {
     val t = new SnapshotTable(spark, freshRoot("merge"))
     t.createOrReplace(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
