@@ -122,6 +122,25 @@ object Relational {
           to_timestamp(date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"))
             .as("ts_roundtrip"))
         .orderBy($"o_orderkey")
+    },
+
+    // Per-group top-k via the typed partial Aggregator (the q50 ranking
+    // machinery as a general relational operator): top-3 longest docs per
+    // language. The map-side buffer holds ≤ k rows per (group, partition),
+    // so the exchange carries k rows per group — a row_number window (the
+    // oracle's spelling) would shuffle and sort EVERY row. At 100 TB
+    // group sizes this is the difference between a bounded and an
+    // unbounded shuffle per group.
+    "q95_topk_per_group" -> { (s, dir) =>
+      import s.implicits._
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(topk($"n_chars".cast("double"), $"doc_id").as("top"))
+        .select($"lang", posexplode($"top").as(Seq("pos", "sc")))
+        .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+          $"sc._2".as("doc_id"), $"sc._1".cast("long").as("n_chars"))
+        .orderBy($"lang", $"rank")
     })
 
   /** Data-profiling histogram (q39): 10 equal-width buckets over order
@@ -221,5 +240,14 @@ object Relational {
            CAST(o_orderdate AS DATE) + 30 AS plus30d,
            o_orderdate + INTERVAL 12 HOUR AS plus12h,
            CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_roundtrip
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+
+    "q95_topk_per_group" ->
+      """WITH r AS (
+           SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+         SELECT lang, rank, doc_id, n_chars FROM r
+         WHERE rank <= 3 ORDER BY lang, rank""")
 }

@@ -159,4 +159,49 @@ object TrainingDataPipeline {
       .select(col("vec_id").cast("int").as("k"),
         explode(sequence(lit(0), lit(3))).as("m"), col("embedding"))
       .select(col("m"), col("k"), expr("slice(embedding, m * 16 + 1, 16)").as("csub"))
+
+  /** Stage 4d — distributed BPE merge training: learn `nMerges` byte-pair
+    * rules over the corpus. Each round is (1) ONE hash aggregation counting
+    * adjacent symbol pairs across every word (map-side combined — the
+    * shuffle carries one row per distinct pair), (2) a 1-row argmax to the
+    * driver (count desc, pair asc — deterministic), (3) a map-side rewrite
+    * folding each word's symbols left-to-right, merging non-overlapping
+    * occurrences of the winning pair (standard greedy BPE application).
+    * Lineage is truncated per round (`localCheckpoint`, the q58 pattern) so
+    * N rounds nest neither plans nor codegen. This is the tokenizer-
+    * training half an LLM data pipeline runs after curation; per-round cost
+    * is one corpus pass regardless of N. Returns ((a, b), pairCount) rules
+    * in merge order. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10): Seq[((String, String), Long)] = {
+    var corpus = docs
+      .select(expr("transform(split(lower(text), ' '), w -> split(w, ''))").as("words"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    def lit1(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    for (_ <- 0 until nMerges) {
+      val top = corpus.select(explode(col("words")).as("w"))
+        // single-symbol words have no pairs (and sequence(1, 0) counts DOWN)
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) return rules.toSeq
+      val (a, b) = (top(0).getString(0), top(0).getString(1))
+      rules += (((a, b), top(0).getLong(2)))
+      val next = corpus.select(expr(
+        s"""transform(words, w -> aggregate(w, CAST(array() AS ARRAY<STRING>),
+            (acc, x) -> CASE WHEN size(acc) > 0
+                 AND element_at(acc, -1) = '${lit1(a)}' AND x = '${lit1(b)}'
+               THEN concat(slice(acc, 1, size(acc) - 1), array('${lit1(a + b)}'))
+               ELSE concat(acc, array(x)) END))""").as("words"))
+        .localCheckpoint()
+      corpus.unpersist(blocking = false)
+      corpus = next
+    }
+    corpus.unpersist(blocking = false)
+    rules.toSeq
+  }
 }

@@ -93,6 +93,36 @@ class PipelineSpec extends SparkSpec {
     assert(a1.nonEmpty && a1.size < docs.count())
   }
 
+  test("BPE training matches a from-scratch sequential reimplementation") {
+    val texts = docs.select($"text").collect().map(_.getString(0))
+    // reference implementation: same greedy left-to-right merge, same
+    // deterministic (count desc, pair asc) rule selection
+    var words = texts.flatMap(_.toLowerCase.split(" ")).map(_.split("").toVector).toVector
+    val expected = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    for (_ <- 0 until 5) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach(w => w.indices.dropRight(1).foreach { i =>
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      })
+      if (counts.nonEmpty) {
+        val (pair, n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (n >= 2) {
+          expected += ((pair, n))
+          words = words.map { w =>
+            w.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == pair._1 && x == pair._2)
+                acc.dropRight(1) :+ (pair._1 + pair._2)
+              else acc :+ x
+            }
+          }
+        }
+      }
+    }
+    val got = bpeTrain(docs, nMerges = 5)
+    assert(got === expected.toSeq)
+    assert(got.length === 5, "corpus should support 5 merges")
+  }
+
   test("PQ encode emits one 4-code row per vector, codes in codebook range") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val codes = pqEncode(emb, defaultCodebook(emb, k = 8)).cache()
