@@ -89,6 +89,26 @@ object Windows {
         .select($"o_custkey", $"o_orderkey", $"spend_rank",
           $"run_spend_c", $"days_since_prev")
         .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // RANGE frame (value-based, vs q59/q38's ROWS frames): per event, how
+    // many same-user events — and how much value — landed in the preceding
+    // hour of EVENT TIME. RANGE bounds are offsets on the ORDER BY value
+    // (exact integer microseconds, so both engines agree on ties and frame
+    // membership), not row positions; irregular event spacing makes the
+    // two frame kinds genuinely different. One user_id shuffle; frame
+    // state per partition is bounded by the hour horizon.
+    "q96_range_frame" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("val_1h_cents", sum($"vc").over(w))
+        .select($"event_id", $"user_id", $"n_1h", $"val_1h_cents")
+        .orderBy($"event_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -141,5 +161,17 @@ object Windows {
              CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
                     ORDER BY o_orderdate, o_orderkey) AS DATE),
              CAST(o_orderdate AS DATE)) AS days_since_prev
-         FROM orders ORDER BY o_custkey, o_orderkey""")
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q96_range_frame" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events)
+         SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h,
+                CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS val_1h_cents
+         FROM e ORDER BY event_id""")
 }
