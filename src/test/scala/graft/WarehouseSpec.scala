@@ -105,6 +105,49 @@ class WarehouseSpec extends SparkSpec {
     assert(t.count() === 1500)
   }
 
+  test("model check: 60 random DML ops agree with an in-memory reference model") {
+    val t = new SnapshotTable(spark, freshRoot("model"))
+    val rnd = new scala.util.Random(42)
+    // model: id -> value, mirroring every operation applied to the table
+    var model = Map.empty[Int, String]
+    var nextId = 0
+    def rows(n: Int): Seq[(Int, String)] =
+      (0 until n).map { _ => nextId += 1; (nextId, s"v${rnd.nextInt(5)}") }
+
+    t.createOrReplace(Seq.empty[(Int, String)].toDF("id", "v"))
+    var (snapshots, compactions) = (1, 0)
+    for (step <- 1 to 60) {
+      rnd.nextInt(6) match {
+        case 0 | 1 => // append
+          val r = rows(1 + rnd.nextInt(4))
+          t.append(r.toDF("id", "v")); model ++= r; snapshots += 1
+        case 2 => // delete by value predicate
+          val v = s"v${rnd.nextInt(5)}"
+          val removed = t.delete($"v" === v)
+          val expect = model.count(_._2 == v)
+          assert(removed === expect, s"step $step delete($v)")
+          model = model.filterNot(_._2 == v); snapshots += 1
+        case 3 => // update by value predicate
+          val v = s"v${rnd.nextInt(5)}"
+          t.update($"v" === v, Map("v" -> lit("vX")))
+          model = model.map { case (k, x) => k -> (if (x == v) "vX" else x) }
+          snapshots += 1
+        case 4 => // merge: touch some existing ids + some new
+          val existing = model.keys.toSeq.sorted.take(2).map(k => (k, "merged"))
+          val fresh = rows(1)
+          t.merge((existing ++ fresh).toDF("id", "v"), Seq("id"))
+          model ++= existing ++ fresh; snapshots += 1
+        case 5 => // compact (occasionally expire too)
+          t.compact(); snapshots += 1; compactions += 1
+          if (rnd.nextBoolean()) t.expireSnapshots(keepLast = 2)
+      }
+      assert(t.count() === model.size, s"step $step count")
+      val got = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(got === model, s"step $step contents")
+    }
+    assert(model.nonEmpty && compactions > 0, "exercise the interesting paths")
+  }
+
   test("schema evolution: appends may add columns; old snapshots read NULL") {
     val t = new SnapshotTable(spark, freshRoot("evolve"))
     t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
