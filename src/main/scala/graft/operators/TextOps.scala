@@ -404,6 +404,37 @@ object TextOps {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Cross-modal dedup verification: every LSH TEXT candidate pair is
+    // re-scored in EMBEDDING space — exact word-set Jaccard next to the
+    // cosine of the two docs' vectors (twins share their original's
+    // embedding, ids map through the +100000 offset). Agreement between
+    // modalities is the production signal that separates true near-dups
+    // from hash accidents; the plan joins the tiny candidate set to the
+    // embeddings twice (broadcast-size lookups), never corpus×corpus.
+    "q97_crossmodal_dedup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("dot_f32(embedding, embedding)")).as("nrm"))
+      val texts = corpus(s, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      candidatePairs(s, dir)
+        .join(texts.select(col("doc_id").as("a_id"), col("ws").as("wa")), Seq("a_id"))
+        .join(texts.select(col("doc_id").as("b_id"), col("ws").as("wb")), Seq("b_id"))
+        .withColumn("a_vec", col("a_id") % 100000L)
+        .withColumn("b_vec", col("b_id") % 100000L)
+        .join(emb.select(col("vec_id").as("a_vec"), col("embedding").as("ea"),
+          col("nrm").as("na")), Seq("a_vec"))
+        .join(emb.select(col("vec_id").as("b_vec"), col("embedding").as("eb"),
+          col("nrm").as("nb")), Seq("b_vec"))
+        .select(
+          col("a_id"), col("b_id"),
+          expr("(size(array_intersect(wa, wb)) * 10000) div " +
+            "(size(wa) + size(wb) - size(array_intersect(wa, wb)))").as("jaccard_bp"),
+          round(expr("dot_f32(ea, eb)") / (col("na") * col("nb")), 6).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // TF-IDF keyword extraction: top-3 salient terms per document. The idf
     // surrogate is integer basis points ((N*10000) div df) so scoring is
     // exact integer math end-to-end (a float log-idf would rank identically
@@ -619,6 +650,27 @@ object TextOps {
          JOIN l la ON la.doc_id = a_id
          JOIN l lb ON lb.doc_id = b_id
          ORDER BY a_id, b_id""",
+
+    "q97_crossmodal_dedup" -> {
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+      s"""WITH $oracleSig,
+         t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus),
+         e AS (SELECT vec_id, embedding,
+                      sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings)
+         SELECT a_id, b_id,
+                (len(list_intersect(ta.ws, tb.ws)) * 10000)
+                  // (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))) AS jaccard_bp,
+                ROUND(${dot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS cos_sim
+         FROM pairs
+         JOIN t ta ON ta.doc_id = a_id
+         JOIN t tb ON tb.doc_id = b_id
+         JOIN e ea ON ea.vec_id = a_id % 100000
+         JOIN e eb ON eb.vec_id = b_id % 100000
+         ORDER BY a_id, b_id"""
+    },
 
     "q86_tfidf_terms" ->
       """WITH tok AS (
