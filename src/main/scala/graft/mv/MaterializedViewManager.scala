@@ -70,7 +70,10 @@ final class MaterializedViewManager(cat: Catalog) {
       name,
       cat.table(d.base._1, d.base._2).root,
       d.keyCols, d.sumCols,
-      () => read(name).queryExecution.analyzed))
+      () => read(name).queryExecution.analyzed,
+      // stale MV ⇒ no routing: the base committed past the last refresh
+      () => cat.table(d.base._1, d.base._2).currentSnapshotId.getOrElse(0L) ==
+        aggBuiltAt.getOrElse(name, -1L)))
     cat.spark.conf.set(MvRewrite.FlagKey, "true")
   }
 

@@ -46,10 +46,17 @@ import org.apache.spark.sql.types.DoubleType
   */
 object MvRewrite {
 
-  /** One routable MV: base-table root path, partial grain, metric cols,
-    * and a thunk producing the CURRENT analyzed plan of the MV table. */
+  /** One routable MV: base-table root path, partial grain, metric cols, a
+    * thunk producing the CURRENT analyzed plan of the MV table, and a
+    * freshness probe — routing must DECLINE when the base has committed
+    * past the last refresh, or the transparent rewrite would silently
+    * change answers (a direct scan sees the new data; the MV does not).
+    * The reference's MVs are eventually consistent behind an explicit MV
+    * name; a rewrite hiding inside the base table's own query plan has to
+    * hold the stricter bar. */
   final case class Entry(name: String, basePath: String, keyCols: Seq[String],
-      sumCols: Seq[String], mvPlan: () => LogicalPlan)
+      sumCols: Seq[String], mvPlan: () => LogicalPlan,
+      isFresh: () => Boolean = () => true)
 
   @volatile private var entries: Seq[Entry] = Nil
   def register(e: Entry): Unit = synchronized {
@@ -101,7 +108,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           pc <- scanUnder(child)
           e <- MvRewrite.registered.find { en =>
             val b = normalize(en.basePath)
-            pc._1 == b || pc._1.startsWith(b + "/")
+            (pc._1 == b || pc._1.startsWith(b + "/")) && en.isFresh()
           }
           out <- tryRewrite(agg, e, pc._2)
         } yield out).getOrElse(agg)

@@ -87,6 +87,13 @@ class MvRewriteSpec extends SparkSpec {
     val (cat, mvm) = setup()
     try {
       cat.table("sales", "orders").append(Seq(("alpha", "x", 1.00)).toDF("seg", "sub", "amt"))
+      // base advanced past the last refresh: routing must DECLINE (a stale
+      // MV answering for the base would silently hide the append)
+      val staleQ = baseAgg(cat)
+      assert(!staleQ.queryExecution.executedPlan.toString.contains("/_mv/"),
+        "stale MV must not be routed to")
+      assert(staleQ.collect().find(_.getString(0) == "alpha").get.getLong(1) === 3L,
+        "un-routed query must see the appended row")
       assert(mvm.refreshIncremental("orders_by_seg") === "incremental")
       val rows = baseAgg(cat).collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       assert(rows.toSeq === Seq(("alpha", 3L, 13.75), ("beta", 2L, 100.75), ("gamma", 1L, 9.99)))
