@@ -223,16 +223,21 @@ final class SnapshotTable(
     * error). Returns (updatedRows, insertedRows). */
   def merge(source: DataFrame, keys: Seq[String]): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    val srcKeys = source.select(keys.map(col): _*)
-    val srcTotal = srcKeys.count()
-    require(srcKeys.distinct.count() == srcTotal,
-      s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
-    val parts = partitionSpec()
-    val prev = count()
-    val kept = read().join(srcKeys.distinct(), keys, "left_anti")
-    commit(kept.unionByName(source), "base", parts)
-    val inserted = count() - prev
-    (srcTotal - inserted, inserted)
+    // the source delta is referenced three times (count, key check, final
+    // union) — pin it so a derived source computes once, not per reference
+    val src = source.persist()
+    try {
+      val srcKeys = src.select(keys.map(col): _*)
+      val srcTotal = srcKeys.count()
+      require(srcKeys.distinct.count() == srcTotal,
+        s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
+      val parts = partitionSpec()
+      val prev = count()
+      val kept = read().join(srcKeys, keys, "left_anti")
+      commit(kept.unionByName(src), "base", parts, sortSpec())
+      val inserted = count() - prev
+      (srcTotal - inserted, inserted)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Iceberg-style `expire_snapshots`: physically delete snapshots no
