@@ -151,6 +151,28 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stateless curation stages run unchanged on a stream and match batch") {
+    import graft.pipeline.TrainingDataPipeline._
+    // documents as a file stream (same glob trick as readEvents)
+    val docDir = sfDir
+    val schema = spark.read.parquet(s"$docDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(docDir)
+    // qualityFilter → redactPii → weightedSample: projections and filters
+    // only, so the SAME stage functions apply to a streaming DataFrame —
+    // the property that lets one curation codebase serve backfill and feed
+    val staged = weightedSample(redactPii(qualityFilter(stream)), "stream-test")
+    val q = staged.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("curated_stream").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = weightedSample(redactPii(qualityFilter(
+        Tables.load(spark, sfDir, "documents"))), "stream-test")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
