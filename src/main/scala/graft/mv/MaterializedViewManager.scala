@@ -77,6 +77,26 @@ final class MaterializedViewManager(cat: Catalog) {
     cat.spark.conf.set(MvRewrite.FlagKey, "true")
   }
 
+  /** Route matching aggregates over EACH base of a multi-base MV to that
+    * base's partial table (prefixed column naming). A query touching one
+    * fact of the funnel MV reads |keys| partial rows instead of the fact. */
+  def enableRewriteMulti(name: String): Unit = {
+    val bases = multiDefs(name)
+    MvRewrite.install(cat.spark)
+    bases.foreach { b =>
+      MvRewrite.register(MvRewrite.Entry(
+        partialName(name, b),
+        cat.table(b.base._1, b.base._2).root,
+        b.keyCols, b.sumCols,
+        () => read(partialName(name, b)).queryExecution.analyzed,
+        () => cat.table(b.base._1, b.base._2).currentSnapshotId.getOrElse(0L) ==
+          multiBuiltAt.get(name).flatMap(_.get(b.base)).getOrElse(-1L),
+        countCol = s"${b.prefix}_rows",
+        sumCol = c => s"${b.prefix}_sum_$c"))
+    }
+    cat.spark.conf.set(MvRewrite.FlagKey, "true")
+  }
+
   private def materialize(mvName: String): Unit = withRewriteOff {
     val (definition, bases) = defs(mvName)
     cat.registerTables()

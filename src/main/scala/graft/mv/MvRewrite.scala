@@ -56,7 +56,13 @@ object MvRewrite {
     * hold the stricter bar. */
   final case class Entry(name: String, basePath: String, keyCols: Seq[String],
       sumCols: Seq[String], mvPlan: () => LogicalPlan,
-      isFresh: () => Boolean = () => true)
+      isFresh: () => Boolean = () => true,
+      // partial-table column naming: single-base agg MVs store (n_rows,
+      // sum_<col>); multi-base MVs' per-base partials store
+      // (<prefix>_rows, <prefix>_sum_<col>) — both route through the same
+      // rule by parameterizing the names
+      countCol: String = "n_rows",
+      sumCol: String => String = c => s"sum_$c")
 
   @volatile private var entries: Seq[Entry] = Nil
   def register(e: Entry): Unit = synchronized {
@@ -128,7 +134,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       return None
     val mv = e.mvPlan()
     val mvOut: Map[String, Attribute] = mv.output.map(a => a.name -> a).toMap
-    if (!(groupNames ++ ("n_rows" +: e.sumCols.map("sum_" + _))).forall(mvOut.contains))
+    if (!(groupNames ++ (e.countCol +: e.sumCols.map(e.sumCol))).forall(mvOut.contains))
       return None
     def mvAttr(n: String): Attribute = mvOut(n)
 
@@ -140,7 +146,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
       // count(*) / count(1) → sum of the stored row counts
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
-        Alias(Cast(sumOf("n_rows"), al.dataType), name)(exprId = al.exprId)
+        Alias(Cast(sumOf(e.countCol), al.dataType), name)(exprId = al.exprId)
       // sum(metric) or sum(cast(metric)) → re-sum of the stored partials
       case al @ Alias(AggregateExpression(s: Sum, _, false, _, _), name) =>
         val base = s.child match {
@@ -149,7 +155,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           case _ => return None
         }
         if (!e.sumCols.contains(base)) return None
-        Alias(Cast(sumOf(s"sum_$base"), al.dataType), name)(exprId = al.exprId)
+        Alias(Cast(sumOf(e.sumCol(base)), al.dataType), name)(exprId = al.exprId)
       case _ => return None
     }
     val newGroups: Seq[Expression] = groupNames.map(mvAttr)

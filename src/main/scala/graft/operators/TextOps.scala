@@ -442,7 +442,11 @@ object TextOps {
     // explode of the corpus into (doc, term) pairs, tf and df each a hash
     // aggregate on the term key, N a broadcast 1-row aggregate, and the
     // per-doc top-3 window partitions on doc_id — no global sort, no
-    // all-pairs anything.
+    // all-pairs anything. Known skew point: the tf⋈df sort-merge join keys
+    // on the term, and ubiquitous terms make hot partitions — AQE's skew-
+    // join split handles those at runtime (each left row matches exactly
+    // one df row, so splitting a hot partition is always safe); df itself
+    // is |vocab| rows, too large to assume broadcastable at corpus scale.
     "q86_tfidf_terms" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val tok = d.select(col("doc_id"),

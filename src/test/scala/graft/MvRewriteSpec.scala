@@ -83,6 +83,40 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.unregister("orders_by_seg")
   }
 
+  test("multi-base MV: each base routes to its own partial table") {
+    val cat = freshCat()
+    val mvm = new MaterializedViewManager(cat)
+    val imps = Seq(("c1", "d1", 0.10), ("c1", "d1", 0.20), ("c2", "d1", 0.30))
+      .toDF("campaign", "day", "cost")
+    val clks = Seq(("c1", "d1", 1.50), ("c2", "d1", 2.50))
+      .toDF("campaign", "day", "cost")
+    cat.table("ads", "impressions").createOrReplace(imps)
+    cat.table("ads", "clicks").createOrReplace(clks)
+    import mvm.BaseAgg
+    mvm.createMultiAggMv("funnel", Seq(
+      BaseAgg(("ads", "impressions"), Seq("campaign", "day"), Seq("cost"), "imp"),
+      BaseAgg(("ads", "clicks"), Seq("campaign", "day"), Seq("cost"), "clk")))
+    mvm.enableRewriteMulti("funnel")
+    try {
+      val q = cat.table("ads", "impressions").read()
+        .groupBy($"campaign").agg(count(lit(1)).as("n"), sum($"cost").as("c"))
+        .orderBy($"campaign")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("/_mv/") && plan.contains("funnel__imp"),
+        s"expected the imp partial in:\n$plan")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+        Seq(("c1", 2L, 0.30), ("c2", 1L, 0.30)))
+      // the clicks base routes to ITS partial, not imp's
+      val q2 = cat.table("ads", "clicks").read()
+        .groupBy($"campaign").agg(count(lit(1)).as("n")).orderBy($"campaign")
+      assert(q2.queryExecution.executedPlan.toString.contains("funnel__clk"))
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("c1", 1L), ("c2", 1L)))
+    } finally {
+      MvRewrite.unregister("funnel__imp"); MvRewrite.unregister("funnel__clk")
+    }
+  }
+
   test("routing stays correct across incremental refresh, and rebuilds don't self-route") {
     val (cat, mvm) = setup()
     try {
