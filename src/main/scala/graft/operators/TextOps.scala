@@ -58,16 +58,22 @@ object TextOps {
 
   /** (band_id, band_hash, doc_id) — one row per doc per band, via a single
     * explode over the signature pass (NOT a union of per-band selects, which
-    * would re-scan and re-hash the corpus once per band). */
-  private def bandBuckets(s: SparkSession, dir: String): DataFrame = {
+    * would re-scan and re-hash the corpus once per band). Public within the
+    * engine: a persisted band-bucket table IS the near-dup index the
+    * incremental dedup path joins new batches against (see
+    * `pipeline.TrainingDataPipeline.buildBandIndex`). */
+  private[graft] def bandBucketsOf(docs: DataFrame): DataFrame = {
     val bandArr = array((0 until BANDS).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band_hash"))
     }: _*)
-    withSignature(corpus(s, dir))
+    withSignature(docs)
       .select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("bb.band_id").as("band_id"), col("bb.band_hash").as("band_hash"), col("doc_id"))
   }
+
+  private def bandBuckets(s: SparkSession, dir: String): DataFrame =
+    bandBucketsOf(corpus(s, dir))
 
   /** Candidate near-dup pairs from LSH band collisions (a_id < b_id).
     *

@@ -160,6 +160,38 @@ object TrainingDataPipeline {
         explode(sequence(lit(0), lit(3))).as("m"), col("embedding"))
       .select(col("m"), col("k"), expr("slice(embedding, m * 16 + 1, 16)").as("csub"))
 
+  /** Stage 3e — the near-dup INDEX for incremental dedup: MinHash band
+    * buckets of the accepted corpus, persisted once. Production dedup is
+    * incremental — a daily batch is checked against the corpus via this
+    * index; the historical documents' signatures are NEVER recomputed. */
+  def buildBandIndex(accepted: DataFrame): DataFrame =
+    graft.operators.TextOps.bandBucketsOf(accepted)
+
+  /** Stage 3f — incremental near-dup dedup of a new batch: a new doc is
+    * dropped if any of its bands collides with the index (near-dup of the
+    * accepted corpus) or with an earlier doc of the same batch (in-batch
+    * keep-first). Returns (kept, updatedIndex). Cost at scale: ONE
+    * signature pass over the new batch only, one bucket-keyed join against
+    * the index, and the in-batch pair expansion — Σ bucket², never
+    * batch × corpus, and zero recomputation of historical signatures. */
+  def incrementalDedup(newDocs: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
+    val nb = graft.operators.TextOps.bandBucketsOf(newDocs).persist()
+    val vsCorpus = nb.join(
+        index.select(col("band_id"), col("band_hash")).distinct(),
+        Seq("band_id", "band_hash"))
+      .select(col("doc_id")).distinct()
+    val inBatch = nb.groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr("slice(ids, 2, size(ids))")).as("doc_id"))
+      .distinct()
+    val doomed = vsCorpus.unionByName(inBatch).distinct()
+    val kept = newDocs.join(doomed, Seq("doc_id"), "left_anti")
+    val updated = index.unionByName(
+      nb.join(doomed, Seq("doc_id"), "left_anti"))
+    (kept, updated)
+  }
+
   /** Stage 4d — distributed BPE merge training: learn `nMerges` byte-pair
     * rules over the corpus. Each round is (1) ONE hash aggregation counting
     * adjacent symbol pairs across every word (map-side combined — the

@@ -93,6 +93,37 @@ class PipelineSpec extends SparkSpec {
     assert(a1.nonEmpty && a1.size < docs.count())
   }
 
+  test("incremental dedup: twins of indexed docs dropped, novel docs kept, index grows") {
+    val base = docs.select($"doc_id", $"text")
+    val index = buildBandIndex(base).persist()
+    // new batch: tail-truncated twins of indexed docs (near-dups) + novel
+    // docs (shuffled word salad — different shingles, no collisions)
+    val twins = docs.filter($"n_chars" >= 60)
+      .select(($"doc_id" + 500000L).as("doc_id"),
+        expr("substring(text, 1, length(text) - 20)").as("text"))
+    val novel = docs.limit(5)
+      .select(($"doc_id" + 900000L).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 40), i -> concat('zq', CAST(doc_id AS STRING), 'w', CAST(i AS STRING))))").as("text"))
+    val batch = twins.unionByName(novel)
+    val (kept, updated) = incrementalDedup(batch, index)
+    val keptIds = kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel.collect().map(_.getLong(0)).forall(keptIds.contains), "novel docs must survive")
+    // expected drops = exactly the twins sharing ≥1 band with the index
+    // (LSH recall < 100% by design: heavily-truncated short docs may land
+    // in all-new buckets — those legitimately survive)
+    val expectDropped = buildBandIndex(twins)
+      .join(index.select($"band_id", $"band_hash").distinct(), Seq("band_id", "band_hash"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val twinIds = twins.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(expectDropped.size > twinIds.size / 2, "most twins should collide")
+    assert((twinIds diff keptIds) === expectDropped,
+      "dropped twins must be exactly the band-colliding ones")
+    // the index grew by exactly the kept docs' buckets
+    assert(updated.count() === index.count() +
+      buildBandIndex(kept).count())
+    index.unpersist()
+  }
+
   test("BPE training matches a from-scratch sequential reimplementation") {
     val texts = docs.select($"text").collect().map(_.getString(0))
     // reference implementation: same greedy left-to-right merge, same
