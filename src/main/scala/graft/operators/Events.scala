@@ -63,6 +63,26 @@ object Events {
           max($"k").as("max_k"),
           sum($"k".cast("long")).as("sum_k"))
         .orderBy($"event_type")
+    },
+
+    // Latest event per user as an ARGMAX AGGREGATE — max over a struct
+    // whose leading fields (event-time µs, then the unique event_id as the
+    // total-order tie-break) drive the lexicographic comparison, with the
+    // payload columns riding along. One hash aggregate with map-side
+    // partials: the shuffle carries ONE row per user. The usual
+    // row_number-window spelling sorts every event inside each user
+    // partition first — this shape never sorts anything.
+    "q98_argmax_latest" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type", ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+        .groupBy($"user_id")
+        .agg(max(struct($"us", $"event_id", $"event_type", $"vc")).as("m"),
+          count(lit(1)).as("n_events"))
+        .select($"user_id", $"m.us".as("last_us"), $"m.event_id".as("last_event_id"),
+          $"m.event_type".as("last_type"), $"m.vc".as("last_value_cents"), $"n_events")
+        .orderBy($"user_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -94,5 +114,20 @@ object Events {
            MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
            MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
            CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q98_argmax_latest" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+                  event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events),
+         a AS (
+           SELECT user_id,
+                  max(struct_pack(us := us, event_id := event_id,
+                                  event_type := event_type, vc := vc)) AS m,
+                  count(*) AS n_events
+           FROM e GROUP BY user_id)
+         SELECT user_id, m.us AS last_us, m.event_id AS last_event_id,
+                m.event_type AS last_type, m.vc AS last_value_cents, n_events
+         FROM a ORDER BY user_id""")
 }
