@@ -92,6 +92,44 @@ object Reshape {
         .orderBy($"cohort", $"custkey")
     },
 
+    // Correlated scalar subqueries through Catalyst's decorrelation: big
+    // orders = price above 2× the customer's average. Written as SQL so the
+    // optimizer's RewriteCorrelatedScalarSubquery turns both per-row
+    // subqueries into ONE aggregate + join — the plan a hand-decorrelated
+    // DataFrame would build, derived automatically. The predicate is
+    // decimal-exact (price × count > 2 × sum) — an AVG comparison would
+    // ride on last-ulp double division and could flip boundary rows
+    // between engines.
+    "q99_correlated_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+                (SELECT COUNT(*) FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                     FROM v_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): returned vs
+    // non-returned item part multisets — duplicates COUNT, so a part
+    // returned 3× and shipped 5× appears min(3,5) times in the
+    // intersection and 2× in the difference. Spark plans both as an
+    // aggregate computing per-row multiplicities + a generator — one
+    // shuffle on the value, no join.
+    "q100_bag_setops" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val ret = li.filter($"l_returnflag" === "R").select($"l_partkey")
+      val kept = li.filter($"l_returnflag" === "N").select($"l_partkey")
+      ret.intersectAll(kept).select(lit("both").as("side"), $"l_partkey")
+        .unionAll(ret.exceptAll(kept).select(lit("returned_only").as("side"), $"l_partkey"))
+        .groupBy($"side", $"l_partkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy($"side", $"l_partkey")
+    },
+
     "q87_gapfill_daily" -> { (s, dir) =>
       import s.implicits._
       val e = t(s, dir, "events")
@@ -146,6 +184,29 @@ object Reshape {
          SELECT 'only_1995' AS cohort, custkey
          FROM (SELECT custkey FROM y95 EXCEPT SELECT custkey FROM y96)
          ORDER BY cohort, custkey""",
+
+    "q99_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+         FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+                 (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+               > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                      FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "q100_bag_setops" ->
+      """WITH ret AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+              kept AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'),
+              b AS (
+                SELECT 'both' AS side, l_partkey
+                FROM (SELECT l_partkey FROM ret INTERSECT ALL SELECT l_partkey FROM kept)
+                UNION ALL
+                SELECT 'returned_only' AS side, l_partkey
+                FROM (SELECT l_partkey FROM ret EXCEPT ALL SELECT l_partkey FROM kept))
+         SELECT side, l_partkey, count(*) AS multiplicity
+         FROM b GROUP BY side, l_partkey
+         ORDER BY side, l_partkey""",
 
     "q87_gapfill_daily" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
