@@ -36,7 +36,7 @@ object BlowUp {
 
     /** One stride per key DOMAIN: next power of ten above the domain max. */
     def strideOf(name: String, c: String): Long = {
-      val mx = raw(name).agg(max(col(c).cast("long"))).head.getLong(0)
+      val mx = raw(name).agg(max(col(c).cast("long"))).head().getLong(0)
       math.pow(10, math.ceil(math.log10(mx.toDouble + 1))).toLong
     }
     val sCust = strideOf("customer", "c_custkey")

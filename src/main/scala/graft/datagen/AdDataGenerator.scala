@@ -147,9 +147,9 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
     val nI = imps.count().toDouble
     val nC = clks.count().toDouble
     val nV = convs.count().toDouble
-    val cost = imps.agg(sum($"cost_usd")).head.getDouble(0) +
-      clks.agg(sum($"cost_usd")).head.getDouble(0)
-    val revenue = convs.agg(sum($"revenue_usd")).head.getDouble(0)
+    val cost = imps.agg(sum($"cost_usd")).head().getDouble(0) +
+      clks.agg(sum($"cost_usd")).head().getDouble(0)
+    val revenue = convs.agg(sum($"revenue_usd")).head().getDouble(0)
     Map(
       "impressions" -> nI, "clicks" -> nC, "conversions" -> nV,
       "ctr" -> nC / nI, "cvr" -> (if (nC > 0) nV / nC else 0.0),

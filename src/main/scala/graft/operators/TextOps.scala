@@ -310,7 +310,7 @@ object TextOps {
       // lowers the sum. The convergence check is a tiny agg over the
       // just-checkpointed result — the old second full join is gone.
       def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var changed = true
       while (changed) {

@@ -31,7 +31,7 @@ final class LogTable(spark: SparkSession, root: String, valueSchema: StructType)
 
   private def nextId(): Long =
     if (!table.exists) 1L
-    else table.read().agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+    else table.read().agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1L
 
   /** INSERT INTO ... VALUES with generated id + timestamp (D4). */
   def append(rows: Seq[Row]): Unit = {

@@ -229,7 +229,7 @@ final class SnapshotTable(
     try {
       val srcKeys = src.select(keys.map(col): _*)
       val srcTotal = srcKeys.count()
-      require(srcKeys.distinct.count() == srcTotal,
+      require(srcKeys.distinct().count() == srcTotal,
         s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
       val parts = partitionSpec()
       val prev = count()
