@@ -151,6 +151,44 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("left-outer stream-stream join: NULL rows emit only after the watermark closes the window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def df(rows: Seq[(Long, Long, Long, String)]) = rows
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .select($"event_id", expr("timestamp_seconds(sec)").as("ts"),
+        $"user_id", $"event_type")
+    val vSrc = MemoryStream[(Long, Long, Long, String)]
+    val cSrc = MemoryStream[(Long, Long, Long, String)]
+    def toEv(s: MemoryStream[(Long, Long, Long, String)]) = s.toDF()
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .select($"event_id", expr("timestamp_seconds(sec)").as("ts"), $"user_id", $"event_type")
+    val joined = EventStream.clickAttributionOuter(toEv(vSrc), toEv(cSrc))
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+
+    // batch 1: user 1 clicks at t=7200 with a view at t=7000 (attributable);
+    // user 2 clicks at t=7200 with NO view
+    vSrc.addData((101L, 7000L, 1L, "view"))
+    cSrc.addData((201L, 7200L, 1L, "click"), (202L, 7200L, 2L, "click"))
+    q.processAllAvailable()
+    val after1 = spark.table("attrib_outer").collect()
+    assert(after1.map(_.getLong(0)).toSet === Set(201L),
+      "only the matched click may emit while the unmatched one's window is open")
+
+    // batch 2: far-future events push the watermark past 7200 + 2h horizon,
+    // closing click 202's join window → it must now emit with NULL view
+    vSrc.addData((102L, 40000L, 9L, "view"))
+    cSrc.addData((203L, 40000L, 9L, "click"))
+    q.processAllAvailable()
+    val after2 = spark.table("attrib_outer").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(after2(201L).contains(101L))
+    assert(after2.contains(202L) && after2(202L).isEmpty,
+      "unmatched click must emit with NULL view after the watermark closes")
+    q.stop()
+  }
+
   test("stateless curation stages run unchanged on a stream and match batch") {
     import graft.pipeline.TrainingDataPipeline._
     // documents as a file stream (same glob trick as readEvents)
