@@ -92,7 +92,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   /** The root path of a file scan under only column Projects and Filters,
     * plus every Filter condition met on the way down. Conditions are
     * validated against the MV key columns later — any other plan shape
-    * (joins, generators, …) disqualifies the rewrite. */
+    * (joins, generators, …) disqualifies the rewrite.
+    *
+    * A Union of scans counts as a scan IF every branch resolves under the
+    * same snapshot-table root: `SnapshotTable.read()` plans base+append
+    * chains as exactly that Union, and append-heavy tables are the
+    * PRIMARY routing target — without this case the rule is inert after
+    * the first append. All roots must agree (the longest common prefix is
+    * the table root because snapshot dirs live directly under it). */
   private def scanUnder(plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
@@ -103,6 +110,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       scanUnder(child)
     case Filter(cond, child) =>
       scanUnder(child).map { case (p, cs) => (p, cond +: cs) }
+    case u: Union =>
+      val parts = u.children.map(scanUnder)
+      if (parts.exists(_.isEmpty)) None
+      else {
+        val resolved = parts.map(_.get)
+        // every branch must be filter-free (a filtered branch of a union
+        // is not a plain table read) and share a parent directory
+        if (resolved.exists(_._2.nonEmpty)) None
+        else {
+          val dirs = resolved.map(r => r._1.substring(0, math.max(r._1.lastIndexOf('/'), 0)))
+          if (dirs.distinct.size == 1 && dirs.head.nonEmpty) Some((dirs.head, Nil))
+          else None
+        }
+      }
     case _ => None
   }
 
@@ -128,9 +149,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference if e.keyCols.contains(a.name) => a.name
       case _ => return None
     }
-    // filters may touch KEY columns only — a metric filter changes which
-    // base rows aggregate and cannot be answered from the partials
-    if (!filters.forall(_.references.forall(a => e.keyCols.contains(a.name))))
+    // filters must be deterministic, reference at least one column, and
+    // touch KEY columns only. A metric filter changes which base rows
+    // aggregate; a reference-free nondeterministic predicate (rand())
+    // would be re-flipped per PARTIAL instead of per base row — both are
+    // unanswerable from the partials
+    if (!filters.forall(f => f.deterministic && f.references.nonEmpty &&
+        f.references.forall(a => e.keyCols.contains(a.name))))
       return None
     val mv = e.mvPlan()
     val mvOut: Map[String, Attribute] = mv.output.map(a => a.name -> a).toMap
@@ -144,11 +169,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // pass-through grouping column
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
-      // count(*) / count(1) → sum of the stored row counts
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
-        Alias(Cast(sumOf(e.countCol), al.dataType), name)(exprId = al.exprId)
+      // count(*) / count(1) → sum of the stored row counts. FILTER
+      // clauses must be absent (the 4th AggregateExpression slot): a
+      // filtered aggregate needs per-row evaluation the partials lost.
+      // Count is non-nullable (0 on empty input) where Sum yields NULL —
+      // coalesce restores the contract for empty MVs.
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), name) =>
+        Alias(Cast(Coalesce(Seq(sumOf(e.countCol), Literal(0L))), al.dataType),
+          name)(exprId = al.exprId)
       // sum(metric) or sum(cast(metric)) → re-sum of the stored partials
-      case al @ Alias(AggregateExpression(s: Sum, _, false, _, _), name) =>
+      case al @ Alias(AggregateExpression(s: Sum, _, false, None, _), name) =>
         val base = s.child match {
           case a: AttributeReference => a.name
           case Cast(a: AttributeReference, _, _, _) => a.name

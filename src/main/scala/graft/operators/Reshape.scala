@@ -48,12 +48,19 @@ object Reshape {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
           sum($"l_extendedprice".cast(DecimalType(18, 2))).as("s_dec"))
+      // GROUPING() picks the sentinel, not NULL-ness: a genuine NULL data
+      // key stays 'NULL' while margin rows say 'ALL' — otherwise the two
+      // would collide on one ORDER BY key with engine-dependent tie order
       leaf.cube($"l_returnflag", $"l_linestatus")
         .agg(sum($"n").as("n_items"),
-          (sum($"s_dec") * lit(100)).cast("long").as("price_cents"))
+          (sum($"s_dec") * lit(100)).cast("long").as("price_cents"),
+          grouping($"l_returnflag").as("g_rf"),
+          grouping($"l_linestatus").as("g_ls"))
         .select(
-          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
-          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          when($"g_rf" === 1, lit("ALL"))
+            .otherwise(coalesce($"l_returnflag", lit("NULL"))).as("returnflag"),
+          when($"g_ls" === 1, lit("ALL"))
+            .otherwise(coalesce($"l_linestatus", lit("NULL"))).as("linestatus"),
           $"n_items", $"price_cents")
         .orderBy($"returnflag", $"linestatus")
     },
@@ -149,8 +156,10 @@ object Reshape {
 
   val oracle: Map[String, String] = Map(
     "q82_cube_items" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-                COALESCE(l_linestatus, 'ALL') AS linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                     ELSE COALESCE(l_returnflag, 'NULL') END AS returnflag,
+                CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                     ELSE COALESCE(l_linestatus, 'NULL') END AS linestatus,
                 count(*) AS n_items,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
          FROM lineitem

@@ -176,20 +176,26 @@ object TrainingDataPipeline {
     * batch × corpus, and zero recomputation of historical signatures. */
   def incrementalDedup(newDocs: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
     val nb = graft.operators.TextOps.bandBucketsOf(newDocs).persist()
-    val vsCorpus = nb.join(
-        index.select(col("band_id"), col("band_hash")).distinct(),
-        Seq("band_id", "band_hash"))
-      .select(col("doc_id")).distinct()
-    val inBatch = nb.groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr("slice(ids, 2, size(ids))")).as("doc_id"))
-      .distinct()
-    val doomed = vsCorpus.unionByName(inBatch).distinct()
-    val kept = newDocs.join(doomed, Seq("doc_id"), "left_anti")
-    val updated = index.unionByName(
-      nb.join(doomed, Seq("doc_id"), "left_anti"))
-    (kept, updated)
+    try {
+      val vsCorpus = nb.join(
+          index.select(col("band_id"), col("band_hash")).distinct(),
+          Seq("band_id", "band_hash"))
+        .select(col("doc_id")).distinct()
+      val inBatch = nb.groupBy(col("band_id"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr("slice(ids, 2, size(ids))")).as("doc_id"))
+        .distinct()
+      // doomed is tiny (colliding ids only) — materialize it eagerly so the
+      // cached band buckets can be RELEASED before returning; the lazy
+      // returned frames recompute nb's lineage at most once, at the
+      // caller's write, instead of leaking one cached dataset per batch
+      val doomed = vsCorpus.unionByName(inBatch).distinct().localCheckpoint(true)
+      val kept = newDocs.join(doomed, Seq("doc_id"), "left_anti")
+      val updated = index.unionByName(
+        graft.operators.TextOps.bandBucketsOf(kept))
+      (kept, updated)
+    } finally nb.unpersist(blocking = false)
   }
 
   /** Stage 4d — distributed BPE merge training: learn `nMerges` byte-pair
@@ -205,8 +211,14 @@ object TrainingDataPipeline {
     * is one corpus pass regardless of N. Returns ((a, b), pairCount) rules
     * in merge order. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 10): Seq[((String, String), Long)] = {
+    // NB: Spark's split(w, '') keeps a TRAILING EMPTY element (limit -1
+    // semantics) — filter it out or every word contributes a phantom
+    // (lastChar, "") pair that standard BPE (and the spec's sequential
+    // reference) never counts
     var corpus = docs
-      .select(expr("transform(split(lower(text), ' '), w -> split(w, ''))").as("words"))
+      .select(expr(
+        "transform(split(lower(text), ' '), w -> filter(split(w, ''), c -> c <> ''))")
+        .as("words"))
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
     def lit1(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")

@@ -113,31 +113,14 @@ object EventStream {
     * join's state grows forever. Inner join: unmatched rows simply never
     * emit; state is O(events inside the watermark horizon), sharded by
     * user_id. */
-  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
-    val v = views
-      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-        col("ts").as("view_ts"))
-      .withWatermark("view_ts", "2 hours")
-    val c = clicks
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    c.join(v,
-      col("user_id") === col("v_user") &&
-        col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("click_id"), col("user_id"), col("view_id"),
-        col("click_ts"), col("view_ts"))
-  }
+  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(views, clicks, "inner")
 
-  /** LEFT OUTER variant of [[clickAttribution]]: every click emits — with
-    * its attributed view, or with NULLs once the watermark passes the end
-    * of its one-hour join window and no view can still arrive. The outer
-    * side is exactly what a funnel pipeline needs (unattributed clicks are
-    * a metric, not discardable rows), and the delayed NULL emission is the
-    * correctness contract: emitting earlier could double-report a click
-    * whose view is merely late. */
-  def clickAttributionOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+  /** Shared body of the two attribution variants: the watermark horizon
+    * and the interval condition live in ONE place so the inner and outer
+    * spellings cannot drift apart. */
+  private def attributionJoin(views: DataFrame, clicks: DataFrame,
+      joinType: String): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("view_ts"))
@@ -150,10 +133,20 @@ object EventStream {
       col("user_id") === col("v_user") &&
         col("view_ts") <= col("click_ts") &&
         col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
       .select(col("click_id"), col("user_id"), col("view_id"),
         col("click_ts"), col("view_ts"))
   }
+
+  /** LEFT OUTER variant of [[clickAttribution]]: every click emits — with
+    * its attributed view, or with NULLs once the watermark passes the end
+    * of its one-hour join window and no view can still arrive. The outer
+    * side is exactly what a funnel pipeline needs (unattributed clicks are
+    * a metric, not discardable rows), and the delayed NULL emission is the
+    * correctness contract: emitting earlier could double-report a click
+    * whose view is merely late. */
+  def clickAttributionOuter(views: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(views, clicks, "left_outer")
 
   /** Incremental MV refresh (the reference's auto-refresh MV semantics,
     * `scripts/12_materialized_views.sql:296`): each micro-batch of appended

@@ -99,9 +99,13 @@ final class SnapshotTable(
     val id = currentSnapshotId.getOrElse(0L) + 1
     // clustering: sort INSIDE each task's output file only — a global sort
     // would add an exchange per commit; within-file order is what parquet
-    // row-group min/max pruning and page skipping read
+    // row-group min/max pruning and page skipping read. Sort columns the
+    // batch doesn't carry are skipped: schema evolution allows an append
+    // with fewer columns, and crashing the commit over a layout hint
+    // would contradict that contract.
+    val sortable = sort.filter(df.columns.contains)
     val clustered =
-      if (sort.nonEmpty) df.sortWithinPartitions(sort.map(df.col): _*) else df
+      if (sortable.nonEmpty) df.sortWithinPartitions(sortable.map(df.col): _*) else df
     val writer = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(snapDir(id).toString)

@@ -76,6 +76,17 @@ class MvRewriteSpec extends SparkSpec {
       val metricFilt = cat.table("sales", "orders").read()
         .filter($"amt" > 5).groupBy($"seg").agg(count(lit(1)).as("n"))
       assert(!metricFilt.queryExecution.executedPlan.toString.contains("/_mv/"))
+      // a FILTER-clause aggregate needs per-row evaluation the partials lost
+      val filterClause = cat.table("sales", "orders").read()
+        .groupBy($"seg").agg(
+          expr("count(1) FILTER (WHERE sub = 'x')").as("n"),
+          expr("sum(amt) FILTER (WHERE sub = 'x')").as("s"))
+      assert(!filterClause.queryExecution.executedPlan.toString.contains("/_mv/"))
+      // a nondeterministic reference-free predicate flips per PARTIAL if
+      // re-applied at the MV grain — must not route
+      val randFilt = cat.table("sales", "orders").read()
+        .filter(rand() < 0.5).groupBy($"seg").agg(count(lit(1)).as("n"))
+      assert(!randFilt.queryExecution.executedPlan.toString.contains("/_mv/"))
       // and the kill switch
       spark.conf.set(MvRewrite.FlagKey, "false")
       assert(!baseAgg(cat).queryExecution.executedPlan.toString.contains("/_mv/"))
@@ -129,7 +140,13 @@ class MvRewriteSpec extends SparkSpec {
       assert(staleQ.collect().find(_.getString(0) == "alpha").get.getLong(1) === 3L,
         "un-routed query must see the appended row")
       assert(mvm.refreshIncremental("orders_by_seg") === "incremental")
-      val rows = baseAgg(cat).collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // CRITICAL: after an append the base read() is a Union of snapshot
+      // scans — routing must still fire (append-heavy tables are the
+      // primary target; without the Union case the rule is inert)
+      val routed = baseAgg(cat)
+      assert(routed.queryExecution.executedPlan.toString.contains("/_mv/"),
+        "routing must survive the base's append-chain Union plan")
+      val rows = routed.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       assert(rows.toSeq === Seq(("alpha", 3L, 13.75), ("beta", 2L, 100.75), ("gamma", 1L, 9.99)))
       // a full rebuild recomputes from the BASE (guard keeps the rule off);
       // if the rebuild had routed to the stale MV, a base rewrite would be
