@@ -165,27 +165,47 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
     def sumOf(n: String): Expression = Sum(mvAttr(n)).toAggregateExpression()
 
-    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      // pass-through grouping column
-      case a: AttributeReference if groupNames.contains(a.name) =>
-        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
-      // count(*) / count(1) → sum of the stored row counts. FILTER
-      // clauses must be absent (the 4th AggregateExpression slot): a
-      // filtered aggregate needs per-row evaluation the partials lost.
-      // Count is non-nullable (0 on empty input) where Sum yields NULL —
-      // coalesce restores the contract for empty MVs.
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), name) =>
-        Alias(Cast(Coalesce(Seq(sumOf(e.countCol), Literal(0L))), al.dataType),
-          name)(exprId = al.exprId)
-      // sum(metric) or sum(cast(metric)) → re-sum of the stored partials
-      case al @ Alias(AggregateExpression(s: Sum, _, false, None, _), name) =>
+    // Rewrite ONE AggregateExpression to its partial-table equivalent.
+    // FILTER clauses must be absent (the 4th slot): a filtered aggregate
+    // needs per-row evaluation the partials lost. Count is non-nullable
+    // (0 on empty input) where Sum yields NULL — coalesce restores the
+    // contract for empty MVs. The replacement carries the ORIGINAL
+    // aggregate's dataType so surrounding scalar expressions type-check.
+    def rewriteOne(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
+        Some(Cast(Coalesce(Seq(sumOf(e.countCol), Literal(0L))), ae.dataType))
+      case AggregateExpression(s: Sum, _, false, None, _) =>
         val base = s.child match {
           case a: AttributeReference => a.name
           case Cast(a: AttributeReference, _, _, _) => a.name
           case _ => return None
         }
-        if (!e.sumCols.contains(base)) return None
-        Alias(Cast(sumOf(e.sumCol(base)), al.dataType), name)(exprId = al.exprId)
+        if (e.sumCols.contains(base)) Some(Cast(sumOf(e.sumCol(base)), ae.dataType))
+        else None
+      case _ => None
+    }
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      // pass-through grouping column
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      // an aggregate possibly under scalar wrappers — CollapseProject folds
+      // post-agg projections (casts, arithmetic) INTO the aggregate list,
+      // so `sum(x)` often arrives as `cast(sum(x) * 100 as bigint)`.
+      // Rewrite the inner AggregateExpression in place; everything outside
+      // it must be base-attribute-free (deterministic scalar ops only).
+      case al @ Alias(child, name) =>
+        val aggs = child.collect { case ae: AggregateExpression => ae }
+        if (aggs.length != 1) return None
+        val outsideRefs = child.transform {
+          case ae: AggregateExpression => Literal(0L)
+        }.references
+        if (outsideRefs.nonEmpty || !child.deterministic) return None
+        val replacement = rewriteOne(aggs.head).getOrElse(return None)
+        val target = aggs.head
+        Alias(child.transform {
+          case ae: AggregateExpression if ae eq target => replacement
+        }, name)(exprId = al.exprId)
       case _ => return None
     }
     val newGroups: Seq[Expression] = groupNames.map(mvAttr)

@@ -131,9 +131,59 @@ object Views {
         .groupBy($"n_name", $"kind")
         .agg(count(lit(1)).as("n_parties"), decSum($"bal").as("total_bal"))
         .orderBy($"n_name", $"kind")
+    },
+
+    // Transparent MV routing through the CORRECTNESS GATE: the query
+    // builds a snapshot table + aggregate MV from `orders`, turns the
+    // MvRewriteRule on, and REQUIRES its own physical plan to scan the
+    // materialized partials — then the driver's DuckDB oracle hash-checks
+    // the routed answer against the plain SQL over the base parquet. A
+    // silent fallback to the direct scan raises (visible as a red
+    // correctness row), so the optimizer rule itself sits behind the
+    // end-to-end gate, not just a unit spec.
+    "q101_mv_routed" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}" +
+        s"/mvroute-${java.util.UUID.randomUUID().toString.take(8)}"
+      val cat = new graft.catalog.Catalog(s, wh, "MVROUTE")
+      val mvm = new graft.mv.MaterializedViewManager(cat)
+      cat.table("gate", "orders").createOrReplace(
+        t(s, dir, "orders").select($"o_orderpriority", $"o_orderstatus", $"o_totalprice"))
+      mvm.createAggMv("orders_by_prio", ("gate", "orders"),
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"))
+      mvm.enableRewrite("orders_by_prio")
+      val routed = cat.table("gate", "orders").read()
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"))
+        .select($"o_orderpriority", $"n_orders",
+          ($"total".cast("decimal(18,2)") * 100).cast("long").as("total_cents"))
+        .orderBy($"o_orderpriority")
+      // detect routing on the optimized plan's RELATIONS, not the plan
+      // string (executedPlan.toString truncates long scan locations); the
+      // entry stays registered — the caller's write re-optimizes from the
+      // logical plan and must route AGAIN, and the UUID base path can
+      // never match another query's scans
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains("/_mv/")),
+        s"q101 must read ONLY the MV partials, scanned: $scans")
+      routed
     })
 
   val oracle: Map[String, String] = Map(
+    "q101_mv_routed" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     "q27_funnel_mv" ->
       """WITH od AS (
            SELECT o_custkey AS od_k, CAST(o_orderdate AS DATE) AS od_d,
