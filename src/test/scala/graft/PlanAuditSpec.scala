@@ -31,4 +31,23 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a BroadcastNestedLoopJoin outside the justified allowlist")
     }
   }
+
+  /** Spot-check predicate pushdown: for queries whose semantics filter a
+    * base table on plain columns, the parquet scan itself must carry
+    * PushedFilters — a scan reading everything and filtering above it
+    * would multiply I/O by the selectivity at 100 TB. */
+  private val pushdownExpected = Seq(
+    "q02_filter_case_proj",   // IN-list filter
+    "q10_semi_join",          // time-range filter on o_orderdate
+    "q25_null_or_filter")     // acctbal range filters on both dims
+  pushdownExpected.foreach { name =>
+    test(s"$name pushes its filters into the parquet scan") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters: ["))
+        .exists(l => !l.contains("PushedFilters: []"))
+      assert(pushed, s"$name: no non-empty PushedFilters in any scan:\n$plan")
+    }
+  }
 }
