@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
 
 /** Transparent materialized-view routing — the optional Catalyst extension
   * SURVEY §4 reserves ("rewrite queries to hit the MV — that *would* be a
@@ -46,15 +46,20 @@ import org.apache.spark.sql.types.DoubleType
   */
 object MvRewrite {
 
-  /** One routable MV: base-table root path, partial grain, metric cols, a
+  /** One routable MV: the base table's CURRENT live snapshot-dir set (a
+    * thunk — it changes on every commit), partial grain, metric cols, a
     * thunk producing the CURRENT analyzed plan of the MV table, and a
     * freshness probe — routing must DECLINE when the base has committed
     * past the last refresh, or the transparent rewrite would silently
     * change answers (a direct scan sees the new data; the MV does not).
+    * `liveDirs` is matched against the scanned dir set by EQUALITY, so a
+    * time-travel or appendsSince-delta scan under the same table root —
+    * which reads a DIFFERENT dir set — is declined rather than silently
+    * answered with full-table partials (VERDICT r5 "What's wrong" #1).
     * The reference's MVs are eventually consistent behind an explicit MV
     * name; a rewrite hiding inside the base table's own query plan has to
     * hold the stricter bar. */
-  final case class Entry(name: String, basePath: String, keyCols: Seq[String],
+  final case class Entry(name: String, liveDirs: () => Set[String], keyCols: Seq[String],
       sumCols: Seq[String], mvPlan: () => LogicalPlan,
       isFresh: () => Boolean = () => true,
       // partial-table column naming: single-base agg MVs store (n_rows,
@@ -89,21 +94,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** The root path of a file scan under only column Projects and Filters,
-    * plus every Filter condition met on the way down. Conditions are
-    * validated against the MV key columns later — any other plan shape
-    * (joins, generators, …) disqualifies the rewrite.
+  /** The SET of snapshot dirs a file scan reads, walked under only column
+    * Projects and Filters, plus every Filter condition met on the way
+    * down. Conditions are validated against the MV key columns later —
+    * any other plan shape (joins, generators, …) disqualifies the rewrite.
     *
-    * A Union of scans counts as a scan IF every branch resolves under the
-    * same snapshot-table root: `SnapshotTable.read()` plans base+append
-    * chains as exactly that Union, and append-heavy tables are the
-    * PRIMARY routing target — without this case the rule is inert after
-    * the first append. All roots must agree (the longest common prefix is
-    * the table root because snapshot dirs live directly under it). */
-  private def scanUnder(plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
+    * A Union of scans counts as a scan: `SnapshotTable.read()` plans
+    * base+append chains as exactly that Union, and append-heavy tables
+    * are the PRIMARY routing target — without this case the rule is inert
+    * after the first append. The caller matches the dir set against each
+    * registered table's CURRENT live set by equality, so a time-travel or
+    * delta scan (different set, same root) can never route. */
+  private def scanUnder(plan: LogicalPlan): Option[(Set[String], Seq[Expression])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(p => (normalize(p.toString), Nil))
+        Some((fs.location.rootPaths.map(p => normalize(p.toString)).toSet, Nil))
       case _ => None
     }
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -116,13 +121,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       else {
         val resolved = parts.map(_.get)
         // every branch must be filter-free (a filtered branch of a union
-        // is not a plain table read) and share a parent directory
+        // is not a plain table read)
         if (resolved.exists(_._2.nonEmpty)) None
-        else {
-          val dirs = resolved.map(r => r._1.substring(0, math.max(r._1.lastIndexOf('/'), 0)))
-          if (dirs.distinct.size == 1 && dirs.head.nonEmpty) Some((dirs.head, Nil))
-          else None
-        }
+        else Some((resolved.flatMap(_._1).toSet, Nil))
       }
     case _ => None
   }
@@ -134,12 +135,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         (for {
           pc <- scanUnder(child)
           e <- MvRewrite.registered.find { en =>
-            val b = normalize(en.basePath)
-            (pc._1 == b || pc._1.startsWith(b + "/")) && en.isFresh()
+            en.isFresh() && en.liveDirs().map(normalize) == pc._1
           }
           out <- tryRewrite(agg, e, pc._2)
         } yield out).getOrElse(agg)
     }
+  }
+
+  /** Cast targets for which cast-then-sum equals sum-then-cast, given the
+    * partials are EXACT decimal(18,2) sums: widening to double, or any
+    * decimal able to represent every decimal(18,2) value exactly (scale
+    * ≥ 2 with ≥ 16 integer digits). A narrowing cast — `sum(cast(amt as
+    * bigint))`, `decimal(10,0)` — truncates PER ROW before summing, which
+    * the partials cannot reproduce (ADVICE r5 #2): decline those. */
+  private def sumSafeCast(t: DataType): Boolean = t match {
+    case DoubleType => true
+    case d: DecimalType => d.scale >= 2 && d.precision - d.scale >= 16
+    case _ => false
   }
 
   private def tryRewrite(agg: Aggregate, e: MvRewrite.Entry,
@@ -177,7 +189,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case AggregateExpression(s: Sum, _, false, None, _) =>
         val base = s.child match {
           case a: AttributeReference => a.name
-          case Cast(a: AttributeReference, _, _, _) => a.name
+          case Cast(a: AttributeReference, t, _, _) if sumSafeCast(t) => a.name
           case _ => return None
         }
         if (e.sumCols.contains(base)) Some(Cast(sumOf(e.sumCol(base)), ae.dataType))

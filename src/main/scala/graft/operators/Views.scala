@@ -143,37 +143,50 @@ object Views {
     // end-to-end gate, not just a unit spec.
     "q101_mv_routed" -> { (s, dir) =>
       import s.implicits._
-      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}" +
-        s"/mvroute-${java.util.UUID.randomUUID().toString.take(8)}"
-      val cat = new graft.catalog.Catalog(s, wh, "MVROUTE")
-      val mvm = new graft.mv.MaterializedViewManager(cat)
-      cat.table("gate", "orders").createOrReplace(
-        t(s, dir, "orders").select($"o_orderpriority", $"o_orderstatus", $"o_totalprice"))
-      mvm.createAggMv("orders_by_prio", ("gate", "orders"),
-        Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"))
-      mvm.enableRewrite("orders_by_prio")
-      val routed = cat.table("gate", "orders").read()
-        .groupBy($"o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"))
-        .select($"o_orderpriority", $"n_orders",
-          ($"total".cast("decimal(18,2)") * 100).cast("long").as("total_cents"))
-        .orderBy($"o_orderpriority")
-      // detect routing on the optimized plan's RELATIONS, not the plan
-      // string (executedPlan.toString truncates long scan locations); the
-      // entry stays registered — the caller's write re-optimizes from the
-      // logical plan and must route AGAIN, and the UUID base path can
-      // never match another query's scans
-      val scans = routed.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Nil
-          }
-      }.flatten
-      require(scans.nonEmpty && scans.forall(_.contains("/_mv/")),
-        s"q101 must read ONLY the MV partials, scanned: $scans")
-      routed
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/mvroute"
+      val prevFlag = s.conf.getOption(graft.mv.MvRewrite.FlagKey)
+      try {
+        val cat = new graft.catalog.Catalog(s, wh, "MVROUTE")
+        val mvm = new graft.mv.MaterializedViewManager(cat)
+        cat.table("gate", "orders").createOrReplace(
+          t(s, dir, "orders").select($"o_orderpriority", $"o_orderstatus", $"o_totalprice"))
+        mvm.createAggMv("orders_by_prio", ("gate", "orders"),
+          Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"))
+        mvm.enableRewrite("orders_by_prio")
+        val routed = cat.table("gate", "orders").read()
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"))
+          .select($"o_orderpriority", $"n_orders",
+            ($"total".cast("decimal(18,2)") * 100).cast("long").as("total_cents"))
+          .orderBy($"o_orderpriority")
+        // detect routing on the optimized plan's RELATIONS, not the plan
+        // string (executedPlan.toString truncates long scan locations)
+        val scans = routed.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        require(scans.nonEmpty && scans.forall(_.contains("/_mv/")),
+          s"q101 must read ONLY the MV partials, scanned: $scans")
+        // execute the ROUTED plan while the rule is live, then hand the
+        // caller an inert local result: the session flag, rule registry,
+        // and scratch warehouse are all restored below (ADVICE r5 #4) —
+        // a query function must not leak session-global state
+        val rows = routed.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
+      } finally {
+        graft.mv.MvRewrite.unregister("orders_by_prio")
+        prevFlag match {
+          case Some(v) => s.conf.set(graft.mv.MvRewrite.FlagKey, v)
+          case None => s.conf.unset(graft.mv.MvRewrite.FlagKey)
+        }
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     })
 
   val oracle: Map[String, String] = Map(

@@ -104,8 +104,13 @@ final class SnapshotTable(
     // with fewer columns, and crashing the commit over a layout hint
     // would contradict that contract.
     val sortable = sort.filter(df.columns.contains)
+    // partition cols lead the within-task order: FileFormatWriter requires
+    // its output sorted by the dynamic-partition columns and inserts its
+    // own (sort-cols-destroying) sort when they aren't — leading with them
+    // satisfies that required ordering so the clustering survives to disk
+    val orderCols = (parts.filter(df.columns.contains) ++ sortable).distinct
     val clustered =
-      if (sortable.nonEmpty) df.sortWithinPartitions(sortable.map(df.col): _*) else df
+      if (sortable.nonEmpty) df.sortWithinPartitions(orderCols.map(df.col): _*) else df
     val writer = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(snapDir(id).toString)
@@ -179,6 +184,17 @@ final class SnapshotTable(
   /** Current table state. */
   def read(): DataFrame = asOf(currentSnapshotId.getOrElse(
     throw new IllegalStateException(s"table at $root does not exist")))
+
+  /** The snapshot dirs the CURRENT `read()` resolves to (nearest base plus
+    * the appends after it) — the exact directory set a live full-table scan
+    * touches. MV routing compares a query's scanned dirs against this set
+    * by EQUALITY, so a time-travel (`asOf`) or delta (`appendsSince`) scan
+    * over the same root — a different dir set — can never be misrouted to
+    * the full-table MV answer. */
+  def liveSnapshotDirs(): Seq[String] = currentSnapshotId.toSeq.flatMap { id =>
+    val snaps = snapshots().takeWhile(_._1 <= id)
+    snaps.drop(snaps.lastIndexWhere(_._2 == "base")).map(s => snapDir(s._1).toString)
+  }
 
   /** The rows appended strictly after snapshot `id` — the incremental-read
     * path (an Iceberg incremental scan between snapshots). Returns None if

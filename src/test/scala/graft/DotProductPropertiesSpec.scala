@@ -13,7 +13,10 @@ import graft.functions.DotProductF32
   *  - agreement with an exact left-to-right reference implementation
   *  - commutativity (x·y = y·x holds in IEEE for same-order accumulation
   *    of identical products)
-  *  - common-prefix semantics on unequal lengths (the documented contract)
+  *  - NULL on unequal lengths — the HOF-matching contract (`zip_with`
+  *    null-pads the shorter side, so `aggregate(+)` over the products is
+  *    NULL): the native substitute must never silently compute a
+  *    truncated prefix instead (ADVICE r5 #5)
   */
 object DotProductPropertiesSpec extends Properties("dot_f32") {
 
@@ -23,33 +26,42 @@ object DotProductPropertiesSpec extends Properties("dot_f32") {
   private val vecGen: Gen[Array[Float]] =
     Gen.chooseNum(0, 64).flatMap(n => Gen.listOfN(n, floatGen)).map(_.toArray)
 
-  private def native(a: Array[Float], b: Array[Float]): Double =
+  /** Pair generator with EQUAL lengths (the well-formed-embedding case). */
+  private val pairGen: Gen[(Array[Float], Array[Float])] = for {
+    a <- vecGen
+    b <- Gen.listOfN(a.length, floatGen).map(_.toArray)
+  } yield (a, b)
+
+  private def native(a: Array[Float], b: Array[Float]): Any =
     DotProductF32(
       Literal.create(a, ArrayType(FloatType)),
       Literal.create(b, ArrayType(FloatType)))
-      .eval(null).asInstanceOf[Double]
+      .eval(null)
+
+  private def nativeD(a: Array[Float], b: Array[Float]): Double =
+    native(a, b).asInstanceOf[Double]
 
   private def reference(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
 
   property("matches the left-to-right double reference exactly") =
-    Prop.forAll(vecGen, vecGen) { (a, b) =>
-      java.lang.Double.compare(native(a, b), reference(a, b)) == 0
+    Prop.forAll(pairGen) { case (a, b) =>
+      java.lang.Double.compare(nativeD(a, b), reference(a, b)) == 0
     }
 
   property("commutative") =
-    Prop.forAll(vecGen, vecGen) { (a, b) =>
-      java.lang.Double.compare(native(a, b), native(b, a)) == 0
+    Prop.forAll(pairGen) { case (a, b) =>
+      java.lang.Double.compare(nativeD(a, b), nativeD(b, a)) == 0
     }
 
-  property("unequal lengths dot the common prefix") =
-    Prop.forAll(vecGen, Gen.chooseNum(0, 64)) { (a, cut) =>
+  property("unequal lengths yield NULL (HOF-matching, never a truncated prefix)") =
+    Prop.forAll(vecGen, Gen.chooseNum(0, 63)) { (a, cut) =>
       val b = a.take(math.min(cut, a.length))
-      java.lang.Double.compare(native(a, b), reference(a.take(b.length), b)) == 0
+      if (b.length == a.length) native(a, b) != null
+      else native(a, b) == null
     }
 }

@@ -68,6 +68,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("ragged inputs yield NULL in codegen for all three natives, matching the HOF") {
+    GraftFunctions.register(spark)
+    // slice off the last element so every row is a genuine length mismatch;
+    // runs through whole-stage codegen (real scan, not constant folding)
+    val e = Tables.load(spark, sfDir, "embeddings").limit(5)
+      .select(col("embedding").as("a"),
+        expr("slice(embedding, 1, size(embedding) - 1)").as("b"))
+      .selectExpr("dot_f32(a, b) AS d", "l2sq_f32(a, b) AS l",
+        "dot_f32f64(a, CAST(b AS ARRAY<DOUBLE>)) AS m",
+        // the HOF the natives claim identity with must agree: NULL too
+        """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS hof""")
+    val rows = e.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)),
+      "ragged inputs must yield NULL (never a truncated-prefix value)")
+  }
+
   test("engine-identity constant functions resolve from session conf (F17)") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT current_account() AS a").collect().head.getString(0)

@@ -105,6 +105,29 @@ class WarehouseSpec extends SparkSpec {
     assert(t.count() === 1500)
   }
 
+  test("sortBy + partitionBy: within-file clustering survives the dynamic-partition sort") {
+    // FileFormatWriter requires its output ordered by the dynamic-partition
+    // columns and inserts its OWN sort when it isn't — which used to
+    // destroy the sortBy clustering (ADVICE r5 #3). Leading the within-task
+    // order with the partition cols satisfies that requirement, so the
+    // within-file k-order must now survive to disk.
+    val t = new SnapshotTable(spark, freshRoot("clustered-part"))
+    t.createOrReplace(spark.range(2000).toDF("id")
+      .withColumn("p", expr("CAST(id % 3 AS INT)"))
+      .withColumn("k", expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 6), 16, 10) AS BIGINT)"))
+      .repartition(4), partitionBy = Seq("p"), sortBy = Seq("k"))
+    assert(t.partitionSpec() === Seq("p") && t.sortSpec() === Seq("k"))
+    val files = new java.io.File(t.root).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.isDirectory) // hive partition dirs p=0..2
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3, "expected task files under partition dirs")
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not internally sorted on k")
+    }
+    assert(t.count() === 2000)
+  }
+
   test("model check: 60 random DML ops agree with an in-memory reference model") {
     val t = new SnapshotTable(spark, freshRoot("model"))
     val rnd = new scala.util.Random(42)
