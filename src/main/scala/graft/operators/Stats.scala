@@ -101,10 +101,12 @@ object Stats {
     // approx and exact sides are SEPARATE aggregations joined on the
     // 5-row group key: one combined .agg would route the HLL through the
     // multi-distinct Expand, allocating a sketch per (priority, custkey)
-    // partial group — measured 6.9× worse scaling at 10× data. No DuckDB
-    // oracle on purpose: its HLL is a different sketch — the driver
-    // records the weaker rows-only check, and ReshapeSpec bounds the
-    // error against the exact count (rsd 2%).
+    // partial group — measured 6.9× worse scaling at 10× data. The HLL
+    // estimate itself never crosses the engine boundary (DuckDB's sketch
+    // differs bit-for-bit); what the oracle hash-checks is the EXACT
+    // count plus a deterministic error-bound VERDICT — the oracle asserts
+    // TRUE, so a sketch drifting past its rsd bound turns the row red
+    // (VERDICT r5 next-round #4).
     "q90_approx_distinct" -> { (s, dir) =>
       import s.implicits._
       val o = t(s, dir, "orders")
@@ -112,24 +114,46 @@ object Stats {
         .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_custs"))
       val exact = o.groupBy($"o_orderpriority")
         .agg(countDistinct($"o_custkey").as("exact_custs"))
-      approx.join(exact, Seq("o_orderpriority"))
+      exact.join(approx, Seq("o_orderpriority"))
+        .select($"o_orderpriority", $"exact_custs",
+          // rsd 0.02 → 2.5σ = 5%; deterministic for a fixed dataset
+          (abs($"approx_custs" - $"exact_custs") <=
+            greatest($"exact_custs" * lit(0.05), lit(1.0))).as("within_5pct"))
         .orderBy($"o_orderpriority")
     },
 
     // Approximate percentiles — the scale companion to q80: Greenwald-
     // Khanna-style mergeable quantile sketches bound memory per group by
     // the accuracy parameter, where q80's exact rank arithmetic pays a
-    // per-group sort. Like q90, sketch results cross no engine boundary:
-    // rows-only for the driver, error-bounded against the exact window
-    // plan in ReshapeSpec (accuracy 1000 → ±0.1% rank error).
+    // per-group sort. Like q90, the sketch value stays out of the oracle
+    // hash; the result carries the EXACT rank elements (reproducible in
+    // DuckDB by the same integer rank arithmetic as q80) plus verdicts
+    // that the approx landed inside a ±1%-of-ranks value window — 10×
+    // the sketch's guaranteed 1/accuracy rank error, and deterministic.
     "q94_approx_percentiles" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
-        .groupBy($"lang")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          percentile_approx($"n_chars", lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx($"n_chars", lit(0.9), lit(1000)).as("p90_approx"))
+      val docs = t(s, dir, "documents").select($"lang", $"doc_id", $"n_chars".as("v"))
+      val wRank = Window.partitionBy($"lang").orderBy($"v", $"doc_id")
+      val wAll = Window.partitionBy($"lang")
+      val ranked = docs
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      // value at rank k is the k-th smallest v (tiebreak-independent), so
+      // the exact elements and the ±1% window bounds are all rank probes
+      val ex = ranked.groupBy($"lang", $"n").agg(
+        max(when($"rk" === expr("(n-1)*5 div 10 + 1"), $"v")).as("p50_exact"),
+        max(when($"rk" === expr("(n-1)*9 div 10 + 1"), $"v")).as("p90_exact"),
+        max(when($"rk" === expr("greatest((n-1)*5 div 10 + 1 - (n div 100 + 1), 1)"), $"v")).as("lo50"),
+        max(when($"rk" === expr("least((n-1)*5 div 10 + 1 + (n div 100 + 1), n)"), $"v")).as("hi50"),
+        max(when($"rk" === expr("greatest((n-1)*9 div 10 + 1 - (n div 100 + 1), 1)"), $"v")).as("lo90"),
+        max(when($"rk" === expr("least((n-1)*9 div 10 + 1 + (n div 100 + 1), n)"), $"v")).as("hi90"))
+      val ap = docs.groupBy($"lang").agg(
+        percentile_approx($"v", lit(0.5), lit(1000)).as("a50"),
+        percentile_approx($"v", lit(0.9), lit(1000)).as("a90"))
+      ex.join(ap, Seq("lang"))
+        .select($"lang", $"n".as("n_docs"), $"p50_exact", $"p90_exact",
+          ($"a50" >= $"lo50" && $"a50" <= $"hi50").as("p50_within"),
+          ($"a90" >= $"lo90" && $"a90" <= $"hi90").as("p90_within"))
         .orderBy($"lang")
     })
 
@@ -172,8 +196,29 @@ object Stats {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-         ORDER BY returnflag, linestatus""")
-    // q90_approx_distinct intentionally has NO oracle: DuckDB's
-    // approx_count_distinct is a different sketch; the driver's rows-only
-    // check applies, and StatsSpec bounds the error vs the exact count.
+         ORDER BY returnflag, linestatus""",
+
+    // The sketch values stay out of the hash (not cross-engine
+    // reproducible); the oracle re-derives the EXACT columns and asserts
+    // the verdict booleans are TRUE — a drifting sketch reds the row.
+    "q90_approx_distinct" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS exact_custs,
+                TRUE AS within_5pct
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    "q94_approx_percentiles" ->
+      """WITH r AS (
+           SELECT lang, n_chars AS v,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, n AS n_docs,
+                max(CASE WHEN rk = (n-1)*5 // 10 + 1 THEN v END) AS p50_exact,
+                max(CASE WHEN rk = (n-1)*9 // 10 + 1 THEN v END) AS p90_exact,
+                TRUE AS p50_within,
+                TRUE AS p90_within
+         FROM r GROUP BY lang, n ORDER BY lang""")
 }

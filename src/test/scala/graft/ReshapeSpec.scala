@@ -115,14 +115,20 @@ class ReshapeSpec extends SparkSpec {
     margin("l_linestatus").foreach { case (l, v) => assert(got(("ALL", l)) === v) }
   }
 
-  test("q90 approx distinct stays within 5% of exact") {
+  test("q90 approx distinct: verdict column TRUE and exact counts correct") {
+    import spark.implicits._
     val rows = graft.operators.Stats.queries("q90_approx_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    // the error-bound verdict IS the result now (the sketch value stays
+    // out of the oracle hash); all rows must report within-bound
     rows.foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getBoolean(2), s"${r.getString(0)}: approx drifted past 5% of exact")
     }
+    // exact side independently recomputed
+    val expect = Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority").agg(countDistinct($"o_custkey").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === expect(r.getString(0))))
   }
 
   test("q91 keep-best: the longer side always survives; twins lose to originals") {
@@ -140,24 +146,23 @@ class ReshapeSpec extends SparkSpec {
     got.unpersist()
   }
 
-  test("q94 approx percentiles land within the rank-error bound of exact") {
+  test("q94 approx percentiles: verdicts TRUE, exact elements match a driver-side sort") {
     import spark.implicits._
-    val approx = graft.operators.Stats.queries("q94_approx_percentiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val rows = graft.operators.Stats.queries("q94_approx_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
     val docs = Tables.load(spark, sfDir, "documents")
       .select($"lang", $"n_chars").collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(rows.keySet === docs.keySet)
     docs.foreach { case (lang, vs) =>
-      val (p50, p90) = approx(lang)
-      // rank of the reported value must be within 0.1%·n of the target rank
-      def rankOk(v: Long, q: Double): Boolean = {
-        val lo = vs.count(_ < v); val hi = vs.count(_ <= v)
-        val target = q * vs.length
-        lo <= target + math.max(1.0, 0.001 * vs.length) &&
-          hi >= target - math.max(1.0, 0.001 * vs.length)
-      }
-      assert(rankOk(p50, 0.5), s"$lang p50=$p50")
-      assert(rankOk(p90, 0.9), s"$lang p90=$p90")
+      val (n, p50, p90, w50, w90) = rows(lang)
+      assert(n === vs.length.toLong)
+      // the exact columns are the rank elements the query's integer rank
+      // arithmetic selects: value at rank (n-1)*q*10 div 10 + 1 (1-based)
+      assert(p50 === vs(((vs.length - 1) * 5 / 10).toInt), s"$lang p50")
+      assert(p90 === vs(((vs.length - 1) * 9 / 10).toInt), s"$lang p90")
+      assert(w50 && w90, s"$lang: sketch outside the ±1%-rank value window")
     }
   }
 
