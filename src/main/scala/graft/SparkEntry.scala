@@ -16,7 +16,8 @@ import graft.operators._
   *  - [[graft.operators.Views]]       — the reference's view/MV layer (SURVEY §2.9)
   *  - [[graft.operators.TextOps]]     — LLM-pipeline text analysis + dedup
   *  - [[graft.operators.Similarity]]  — embedding similarity / ANN
-  *  - [[graft.operators.Multimodal]]  — opaque-binary media columns + stub decode
+  *  - [[graft.operators.Multimodal]]  — opaque-binary media columns with
+  *    real JDK codec decode (PNG/BMP/GIF via imageio, WAV via javax.sound)
   *  - [[graft.operators.Curation]]    — corpus curation: repetition signals,
   *    decontamination, PII redaction, stratified sampling, context packing,
   *    domain mixture weights
