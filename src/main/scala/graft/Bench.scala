@@ -41,8 +41,9 @@ object Bench {
     // ad-funnel MV materialization is table setup, not query work: the MV
     // queries (q64+) measure reads over the materialized tables, so build
     // them in the untimed warmup — exactly as the reference builds its MVs
-    // before analysts query them
-    graft.operators.AdFunnel.ensure(spark)
+    // before analysts query them. The sf dir sizes the datagen (sf0.1 =
+    // the reference's 50×10,000 operating point).
+    graft.operators.AdFunnel.ensure(spark, sfDir)
     // dev aid: SPARK_GRAFT_ONLY=q58,q21 restricts the run (prefix match);
     // unset = all queries, which is what the driver measures
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

