@@ -49,6 +49,112 @@ object Similarity {
     df.withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
   }
 
+  // ── PQ (q88): one SQL template, rendered per engine ──────────────────
+  //
+  // The k-means training, encode, and ADC search are a single CTE chain
+  // whose dialect-specific pieces (subvector slicing, dim explosion,
+  // sequential Σ(x−y)² fold, ordered list collection) are injected — so
+  // Spark and the DuckDB oracle can never drift, and a green hash row
+  // means DuckDB independently re-derived the SAME trained codebooks.
+
+  /** Dialect hooks for [[pqTrainCtes]]. */
+  private final case class PqDialect(
+      parts: String, // SQL producing (vec_id, m, sub: ARRAY<DOUBLE>)
+      l2: (String, String) => String, // left-to-right Σ(a_i−b_i)²
+      dims: String => String, // src(m,k,sub) → (m, k, pos, v)
+      ordArr: String) // aggregate: cv values ordered by pos → array
+
+  private val sparkPq = PqDialect(
+    parts = """SELECT vec_id, m,
+              |       transform(slice(embedding, m * 16 + 1, 16),
+              |                 x -> CAST(x AS DOUBLE)) AS sub
+              |FROM (SELECT vec_id, embedding, explode(sequence(0, 3)) AS m
+              |      FROM embeddings)""".stripMargin,
+    l2 = (a, b) => s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)""",
+    dims = src => s"SELECT m, k, posexplode(sub) AS (pos, v) FROM $src",
+    ordArr = "transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)")
+
+  private def duckPq = PqDialect(
+    parts = """SELECT vec_id, m,
+              |       list_transform(embedding[(m*16+1):(m*16+16)],
+              |                      x -> CAST(x AS DOUBLE)) AS sub
+              |FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS m) ms""".stripMargin,
+    l2 = (a, b) => s"""list_reduce(list_transform(range(1, 17),
+                       i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""",
+    dims = src => s"SELECT m, k, i - 1 AS pos, sub[i] AS v FROM $src, range(1, 17) t(i)",
+    ordArr = "list(cv ORDER BY pos)")
+
+  /** One Lloyd iteration as CTEs: assign each subvector to its nearest
+    * centroid (ties → lowest k), recompute per-dim DECIMAL-EXACT means
+    * (a double mean would be partition-order-dependent in Spark), and
+    * keep the previous centroid for any cluster that emptied. */
+  private def lloydCtes(d: PqDialect, it: Int, prev: String): String =
+    s"""asg$it AS (
+       |  SELECT vec_id, m, sub, k FROM (
+       |    SELECT p.vec_id, p.m, p.sub, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM parts p JOIN $prev c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |mean$it AS (
+       |  SELECT m, k, pos,
+       |         CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
+       |  FROM (${d.dims(s"asg$it")}) dv$it GROUP BY m, k, pos),
+       |new$it AS (SELECT m, k, ${d.ordArr} AS cvec FROM mean$it GROUP BY m, k),
+       |cents$it AS (
+       |  SELECT c.m, c.k, COALESCE(n.cvec, c.cvec) AS cvec
+       |  FROM $prev c LEFT JOIN new$it n ON c.m = n.m AND c.k = n.k)""".stripMargin
+
+  /** Training chain: parts → init (vec_id 0..7 subvectors) → 2 Lloyd
+    * iterations → `cents2`, the trained codebook. */
+  private def pqTrainCtes(d: PqDialect): String =
+    s"""parts AS (${d.parts}),
+       |cents0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cvec
+       |           FROM parts WHERE vec_id < 8),
+       |${lloydCtes(d, 1, "cents0")},
+       |${lloydCtes(d, 2, "cents1")}""".stripMargin
+
+  /** The full q88: train, encode the corpus against `cents2`, build the
+    * per-query LUT, ADC-rank. Rendered for Spark AND DuckDB. */
+  private def pqQuerySql(d: PqDialect): String =
+    s"""WITH ${pqTrainCtes(d)},
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, k AS code FROM (
+       |    SELECT p.vec_id, p.m, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM parts p JOIN cents2 c ON p.m = c.m) y
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT p.vec_id AS q_id, p.m, c.k, ${d.l2("p.sub", "c.cvec")} AS qd
+       |  FROM parts p JOIN cents2 c ON p.m = c.m
+       |  WHERE p.vec_id IN (0, 1, 2)),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |         MAX(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+       |         MAX(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+       |         MAX(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+       |         MAX(CASE WHEN codes.m = 3 THEN qd END) AS d3
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.k
+       |  WHERE q_id <> n_id
+       |  GROUP BY q_id, n_id),
+       |r AS (
+       |  SELECT q_id, n_id, d0 + d1 + d2 + d3 AS adc_dist,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** The trained codebook alone (spec use: distortion measurement);
+    * `cents` is "cents0" (init) or "cents2" (trained). */
+  private[graft] def pqCodebookSql(cents: String): String =
+    s"WITH ${pqTrainCtes(sparkPq)}\nSELECT m, k, cvec FROM $cents"
+
+  /** Spark rendering of the full q88 (spec use). */
+  private[graft] def pqSparkSql: String = pqQuerySql(sparkPq)
+
   val queries: Map[String, QFn] = Map(
     // Brute-force cosine top-k: 4 query vectors × all rows. The query side
     // is broadcast (tiny), the big side streams — no shuffle of the corpus.
@@ -174,55 +280,24 @@ object Similarity {
 
     // Product-quantization ANN — the memory-compressed scale path beyond
     // IVF (q55). The 64-dim vector splits into M=4 16-dim subspaces; each
-    // subspace gets a K=8 codebook (deterministically: the subvectors of
-    // vec_id 0..7 — a seedless stand-in for k-means; the plan shape is
-    // identical under trained codebooks). Encoding is a broadcast of the
-    // 32-row codebook against the corpus with a map-side-combined argmin —
-    // the shuffle carries ONE (vec, subspace) row per vector, and the
-    // stored code is 4 small ints per vector: 64 floats → 4 bytes, the
-    // whole point of PQ at 100 TB. Search is asymmetric-distance (ADC):
-    // per query, a 32-entry lookup table of query-subvector→codeword
-    // distances; a candidate's approximate distance is the FIXED-ORDER sum
-    // d0+d1+d2+d3 of its codes' LUT entries (fixed order keeps the double
-    // bit-identical across engines; a SUM() would be partition-order-
-    // dependent). Scoring never touches the original vectors.
+    // subspace gets a K=8 codebook TRAINED by a deterministic k-means
+    // (init = the subvectors of vec_id 0..7, 2 Lloyd iterations,
+    // decimal-exact per-dim means, empty clusters keep their previous
+    // centroid — see [[pqTrainCtes]]; the whole derivation is one SQL
+    // template rendered for BOTH engines, so the DuckDB oracle re-runs
+    // the training and the hash match proves it). Encoding is a broadcast
+    // of the 32-row codebook against the corpus with an argmin — the
+    // shuffle carries ONE (vec, subspace) row per vector, and the stored
+    // code is 4 small ints per vector: 64 floats → 4 bytes, the whole
+    // point of PQ at 100 TB. Search is asymmetric-distance (ADC): per
+    // query, a 32-entry lookup table of query-subvector→codeword
+    // distances; a candidate's approximate distance is the FIXED-ORDER
+    // sum d0+d1+d2+d3 of its codes' LUT entries (fixed order keeps the
+    // double bit-identical across engines; a SUM() would be partition-
+    // order-dependent). Scoring never touches the original vectors.
     "q88_pq_ann" -> { (s, dir) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      // native codegen'd Σ(x−y)² — bit-identical to the HOF formulation
-      // (see L2SquaredF32), run |corpus|×M×K times in the encode pass
-      def sq(a: String, b: String) = s"l2sq_f32($a, $b)"
-      val parts = t(s, dir, "embeddings")
-        .select($"vec_id", explode(sequence(lit(0), lit(3))).as("m"), $"embedding")
-        .select($"vec_id", $"m", expr("slice(embedding, m * 16 + 1, 16)").as("sub"))
-      val cents = parts.filter($"vec_id" < 8)
-        .select($"m", $"vec_id".cast("int").as("k"), $"sub".as("csub"))
-      val codes = parts.join(broadcast(cents), Seq("m"))
-        .withColumn("d", expr(sq("sub", "csub")))
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"d", $"k")).as("best"))
-        .select($"vec_id".as("n_id"), $"m", $"best.k".as("code"))
-      val lut = parts.filter($"vec_id".isin(0L, 1L, 2L))
-        .select($"vec_id".as("q_id"), $"m", $"sub".as("qsub"))
-        .join(broadcast(cents), Seq("m"))
-        .withColumn("qd", expr(sq("qsub", "csub")))
-        .select($"q_id", $"m", $"k", $"qd")
-      val wRank = Window.partitionBy($"q_id").orderBy($"adc_dist", $"n_id")
-      codes.join(broadcast(lut),
-          codes("m") === lut("m") && codes("code") === lut("k") &&
-            $"q_id" =!= $"n_id")
-        .select($"q_id", $"n_id", codes("m").as("m"), $"qd")
-        .groupBy($"q_id", $"n_id")
-        .agg(
-          max(when($"m" === 0, $"qd")).as("d0"),
-          max(when($"m" === 1, $"qd")).as("d1"),
-          max(when($"m" === 2, $"qd")).as("d2"),
-          max(when($"m" === 3, $"qd")).as("d3"))
-        .withColumn("adc_dist", $"d0" + $"d1" + $"d2" + $"d3")
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter($"rank" <= 5)
-        .select($"q_id", $"rank", $"n_id", $"adc_dist")
-        .orderBy($"q_id", $"rank")
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(pqQuerySql(sparkPq))
     },
 
     // Per-label norm statistics: per-row norms are deterministic doubles;
@@ -361,46 +436,8 @@ object Similarity {
          WHERE i <= 8
          GROUP BY label, i ORDER BY label, dim""",
 
-    "q88_pq_ann" -> {
-      val duckSq =
-        """list_reduce(list_transform(range(1, 17),
-             i -> (CAST(p.sub[i] AS DOUBLE) - CAST(c.csub[i] AS DOUBLE))
-                * (CAST(p.sub[i] AS DOUBLE) - CAST(c.csub[i] AS DOUBLE))),
-           (x, y) -> x + y)"""
-      s"""WITH parts AS (
-           SELECT vec_id, m, embedding[(m*16+1):(m*16+16)] AS sub
-           FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS m) ms),
-         cents AS (
-           SELECT m, CAST(vec_id AS INT) AS k, sub AS csub
-           FROM parts WHERE vec_id < 8),
-         dists AS (
-           SELECT p.vec_id, p.m, c.k, $duckSq AS d
-           FROM parts p JOIN cents c ON p.m = c.m),
-         codes AS (
-           SELECT vec_id AS n_id, m, k AS code FROM (
-             SELECT vec_id, m, k,
-                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         lut AS (
-           SELECT p.vec_id AS q_id, p.m, c.k, $duckSq AS qd
-           FROM parts p JOIN cents c ON p.m = c.m
-           WHERE p.vec_id IN (0, 1, 2)),
-         adc AS (
-           SELECT q_id, n_id,
-                  MAX(CASE WHEN codes.m = 0 THEN qd END) AS d0,
-                  MAX(CASE WHEN codes.m = 1 THEN qd END) AS d1,
-                  MAX(CASE WHEN codes.m = 2 THEN qd END) AS d2,
-                  MAX(CASE WHEN codes.m = 3 THEN qd END) AS d3
-           FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.k
-           WHERE q_id <> n_id
-           GROUP BY q_id, n_id),
-         r AS (
-           SELECT q_id, n_id, d0 + d1 + d2 + d3 AS adc_dist,
-                  row_number() OVER (PARTITION BY q_id
-                    ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
-           FROM adc)
-         SELECT q_id, rank, n_id, adc_dist
-         FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
-    })
+    // Same template as the Spark side — DuckDB re-derives the k-means
+    // training (2 Lloyd iterations, decimal-exact means) and the ADC
+    // ranking from scratch; the hash match is the cross-engine proof.
+    "q88_pq_ann" -> pqQuerySql(duckPq))
 }

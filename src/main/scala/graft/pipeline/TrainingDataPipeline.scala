@@ -152,13 +152,28 @@ object TrainingDataPipeline {
       .select(col("vec_id"), expr("transform(mk, p -> p.k)").as("codes"))
   }
 
-  /** Default codebook for [[pqEncode]]: the subvectors of the first
-    * `k` vectors by id (a deterministic stand-in for trained k-means). */
+  /** Init codebook for [[pqEncode]]: the subvectors of the first `k`
+    * vectors by id — the k-means INIT (use [[trainedCodebook]] for the
+    * trained version; this alone is only the iteration-0 seed). */
   def defaultCodebook(embeddings: DataFrame, k: Int = 8): DataFrame =
     embeddings.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("k"),
         explode(sequence(lit(0), lit(3))).as("m"), col("embedding"))
       .select(col("m"), col("k"), expr("slice(embedding, m * 16 + 1, 16)").as("csub"))
+
+  /** TRAINED codebook for [[pqEncode]]: the q88 deterministic k-means
+    * (init = [[defaultCodebook]], 2 Lloyd iterations, decimal-exact
+    * means — one shared SQL derivation with the oracle-gated query, see
+    * [[graft.operators.Similarity]]). Centroids come back as float32 for
+    * the codegen'd l2sq_f32 encode path; registers the input under the
+    * `embeddings` temp view name. */
+  def trainedCodebook(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    embeddings.createOrReplaceTempView("embeddings")
+    s.sql(graft.operators.Similarity.pqCodebookSql("cents2"))
+      .select(col("m"), col("k"),
+        expr("transform(cvec, x -> CAST(x AS FLOAT))").as("csub"))
+  }
 
   /** Stage 3e — the near-dup INDEX for incremental dedup: MinHash band
     * buckets of the accepted corpus, persisted once. Production dedup is

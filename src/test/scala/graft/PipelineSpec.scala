@@ -167,4 +167,16 @@ class PipelineSpec extends SparkSpec {
     assert(self === 0, "codebook vectors must self-encode")
     codes.unpersist()
   }
+
+  test("pipeline trained codebook keeps the pqEncode contract") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = trainedCodebook(emb).cache()
+    // 4 subspaces × 8 codewords of 16 float dims
+    assert(cb.count() === 32)
+    assert(cb.filter(size($"csub") =!= 16).count() === 0)
+    val codes = pqEncode(emb, cb).cache()
+    assert(codes.count() === emb.count())
+    assert(codes.filter(expr("exists(codes, c -> c < 0 OR c >= 8)")).count() === 0)
+    codes.unpersist(); cb.unpersist()
+  }
 }

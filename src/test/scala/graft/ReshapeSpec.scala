@@ -166,24 +166,49 @@ class ReshapeSpec extends SparkSpec {
     }
   }
 
-  test("q88 PQ ANN matches a from-scratch driver-side encode + ADC") {
+  test("q88 PQ ANN matches a from-scratch driver reimpl INCLUDING the k-means training") {
     import spark.implicits._
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
-    def sub(v: Array[Float], m: Int): Array[Float] = v.slice(m * 16, m * 16 + 16)
-    def sq(a: Array[Float], b: Array[Float]): Double = {
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).sortBy(_._1)
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * 16, m * 16 + 16)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
-    val cents = vecs.take(8).map(_._2) // codebook k -> full vector
+    // ── deterministic k-means, replicated independently: init = subs of
+    // vec_id 0..7; 2 Lloyd iterations; per-dim means via DECIMAL(·,9)
+    // exact sums (java BigDecimal.valueOf mirrors Spark's double→decimal
+    // cast); empty clusters keep the previous centroid
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def argmin(s: Array[Double], cents: Array[Array[Double]]): Int =
+      (0 until 8).minBy(k => (sq(s, cents(k)), k))
+    var cb: Array[Array[Array[Double]]] = // m -> k -> 16 dims
+      Array.tabulate(4, 8)((m, k) => sub(vecs(k)._2, m))
+    for (_ <- 1 to 2) {
+      val assigned = Array.fill(4, 8)(List.empty[Array[Double]])
+      for ((_, v) <- vecs; m <- 0 until 4) {
+        val s = sub(v, m)
+        val k = argmin(s, cb(m))
+        assigned(m)(k) = s :: assigned(m)(k)
+      }
+      cb = Array.tabulate(4, 8) { (m, k) =>
+        val group = assigned(m)(k)
+        if (group.isEmpty) cb(m)(k)
+        else Array.tabulate(16) { i =>
+          val sum = group.map(s => JBD.valueOf(s(i)).setScale(9, RoundingMode.HALF_UP))
+            .reduce(_ add _)
+          sum.doubleValue / group.size
+        }
+      }
+    }
     val codes = vecs.map { case (id, v) =>
-      id -> (0 until 4).map(m => (0 until 8).minBy(k => (sq(sub(v, m), sub(cents(k), m)), k))).toArray
+      id -> (0 until 4).map(m => argmin(sub(v, m), cb(m))).toArray
     }.toMap
     val expected = (0L to 2L).flatMap { q =>
       val qv = vecs.find(_._1 == q).get._2
-      val lut = Array.tabulate(4, 8)((m, k) => sq(sub(qv, m), sub(cents(k), m)))
+      val lut = Array.tabulate(4, 8)((m, k) => sq(sub(qv, m), cb(m)(k)))
       vecs.filter(_._1 != q).map { case (n, _) =>
         val cs = codes(n)
         (q, n, lut(0)(cs(0)) + lut(1)(cs(1)) + lut(2)(cs(2)) + lut(3)(cs(3)))
@@ -194,5 +219,29 @@ class ReshapeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got.map(t => (t._1, t._2, t._3)) === expected.map(t => (t._1, t._2, t._3)))
     got.zip(expected).foreach { case (g, e) => assert(math.abs(g._4 - e._4) < 1e-9) }
+  }
+
+  test("trained PQ codebook strictly reduces encode distortion vs the init stand-in") {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    val parts = spark.sql(
+      """SELECT vec_id, m,
+        |       transform(slice(embedding, m * 16 + 1, 16),
+        |                 x -> CAST(x AS DOUBLE)) AS sub
+        |FROM (SELECT vec_id, embedding, explode(sequence(0, 3)) AS m
+        |      FROM embeddings)""".stripMargin)
+    def distortion(cents: String): Double =
+      parts.join(broadcast(spark.sql(Similarity.pqCodebookSql(cents))), Seq("m"))
+        .withColumn("d", expr(
+          """aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .groupBy($"vec_id", $"m").agg(min($"d").as("dmin"))
+        .agg(avg($"dmin")).head.getDouble(0)
+    val (init, trained) = (distortion("cents0"), distortion("cents2"))
+    assert(trained < init,
+      f"k-means must reduce mean quantization error (init $init%.4f, trained $trained%.4f)")
+    // Lloyd monotonicity also holds at the intermediate step
+    val mid = distortion("cents1")
+    assert(mid <= init && trained <= mid)
   }
 }
