@@ -300,6 +300,37 @@ object Similarity {
       s.sql(pqQuerySql(sparkPq))
     },
 
+    // Recall@k — the first question a user of an ANN index asks: how many
+    // of the EXACT top-k does each approximate method return? Composes
+    // the three index paths against q50's brute-force truth: sign-LSH's
+    // top-1 (q51), IVF's cell-probed top-3 (q55), PQ's ADC top-5 (q88).
+    // `hits_in_topk` is an integer per (method, query) — fully
+    // deterministic, oracle-hashable — and the recall/cost trade-off it
+    // quantifies is documented in BENCH_NOTES.
+    "q102_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val exact = queries("q50_cosine_topk")(s, dir)
+        .select($"q_id", $"rank", $"n_id")
+      def recallOf(approx: DataFrame, k: Int, method: String): DataFrame = {
+        val spine = approx.select($"q_id").distinct()
+        val h = approx.join(exact.filter($"rank" <= k).select($"q_id", $"n_id"),
+            Seq("q_id", "n_id"))
+          .groupBy($"q_id").agg(count(lit(1)).as("h"))
+        spine.join(h, Seq("q_id"), "left")
+          .select(lit(method).as("method"), $"q_id",
+            lit(k).cast("int").as("k"), coalesce($"h", lit(0L)).as("hits_in_topk"))
+      }
+      val lsh = queries("q51_ann_lsh")(s, dir)
+        .filter($"vec_id".isin(0L, 1L, 2L, 3L))
+        .select($"vec_id".as("q_id"), $"nn_id".as("n_id"))
+      val ivf = queries("q55_ivf_search")(s, dir).select($"q_id", $"n_id")
+      val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
+      recallOf(lsh, 1, "lsh_top1")
+        .unionByName(recallOf(ivf, 3, "ivf_top3"))
+        .unionByName(recallOf(pq, 5, "pq_top5"))
+        .orderBy($"method", $"q_id")
+    },
+
     // Per-label norm statistics: per-row norms are deterministic doubles;
     // cross-row reductions stick to count/min/max (order-independent).
     "q52_norm_stats" -> { (s, dir) =>
@@ -326,7 +357,7 @@ object Similarity {
         .orderBy(col("label"), col("dim"))
     })
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q50_cosine_topk" ->
       s"""WITH e AS (
            SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS norm
@@ -440,4 +471,38 @@ object Similarity {
     // training (2 Lloyd iterations, decimal-exact means) and the ADC
     // ranking from scratch; the hash match is the cross-engine proof.
     "q88_pq_ann" -> pqQuerySql(duckPq))
+
+  /** q102's oracle embeds the other four oracles as subqueries, so DuckDB
+    * recomputes every index from scratch and then the recall counts. */
+  private def recallOracle: String =
+    s"""WITH exact AS (SELECT q_id, rank, n_id FROM (${oracleBase("q50_cosine_topk")}) e),
+       |     lsh AS (SELECT vec_id AS q_id, nn_id AS n_id
+       |             FROM (${oracleBase("q51_ann_lsh")}) l WHERE vec_id IN (0, 1, 2, 3)),
+       |     ivf AS (SELECT q_id, n_id FROM (${oracleBase("q55_ivf_search")}) i),
+       |     pq AS (SELECT q_id, n_id FROM (${oracleBase("q88_pq_ann")}) p),
+       |     spine AS (
+       |       SELECT 'lsh_top1' AS method, q_id, 1 AS k FROM (SELECT DISTINCT q_id FROM lsh) a
+       |       UNION ALL
+       |       SELECT 'ivf_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivf) b
+       |       UNION ALL
+       |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c),
+       |     hits AS (
+       |       SELECT 'lsh_top1' AS method, l.q_id, count(*) AS h
+       |       FROM lsh l JOIN exact e ON l.q_id = e.q_id AND l.n_id = e.n_id AND e.rank <= 1
+       |       GROUP BY l.q_id
+       |       UNION ALL
+       |       SELECT 'ivf_top3', i.q_id, count(*)
+       |       FROM ivf i JOIN exact e ON i.q_id = e.q_id AND i.n_id = e.n_id AND e.rank <= 3
+       |       GROUP BY i.q_id
+       |       UNION ALL
+       |       SELECT 'pq_top5', p.q_id, count(*)
+       |       FROM pq p JOIN exact e ON p.q_id = e.q_id AND p.n_id = e.n_id AND e.rank <= 5
+       |       GROUP BY p.q_id)
+       |SELECT s.method, s.q_id, CAST(s.k AS INT) AS k,
+       |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_in_topk
+       |FROM spine s LEFT JOIN hits h ON s.method = h.method AND s.q_id = h.q_id
+       |ORDER BY s.method, s.q_id""".stripMargin
+
+  val oracle: Map[String, String] =
+    oracleBase + ("q102_ann_recall" -> recallOracle)
 }
