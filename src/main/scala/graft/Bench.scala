@@ -65,11 +65,22 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON small enough to
+    // survive log-tail truncation (VERDICT r5 next-round #9); the full
+    // line is also written to a stable sidecar so every per-query timing
+    // is diffable round-over-round even if stdout is clipped
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), line + "\n")
+    catch { case _: Exception => () } // sidecar is best-effort
+    println(line)
     spark.stop()
   }
 }

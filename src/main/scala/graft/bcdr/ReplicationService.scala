@@ -58,6 +58,22 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
 
   def refreshAll(): Int = groups.keys.map(refresh).sum
 
+  /** Wire the replication cycle into the task scheduler at the reference's
+    * 10-minute cadence (`scripts/20_failover_groups_primary.sql:113`
+    * `REPLICATION_SCHEDULE = '10 MINUTE'`), with the same no-overlap and
+    * TASK_HISTORY surface the sync/heartbeat tasks get (D10+D11). Returns
+    * the task name for history lookups. */
+  def scheduleRefresh(sched: graft.services.TaskScheduler,
+      everyMs: Long = 10 * 60 * 1000L,
+      taskName: String = "failover_group_refresh"): String = {
+    sched.define(taskName) {
+      val n = refreshAll()
+      s"refreshed ${groups.size} group(s), $n object(s)"
+    }
+    sched.schedule(taskName, everyMs)
+    taskName
+  }
+
   /** Planned failover: promote secondary to primary (RTO < 5 min path). */
   def promote(): Unit = {
     secondary.readOnly = false

@@ -309,9 +309,16 @@ object Similarity {
     // quantifies is documented in BENCH_NOTES.
     "q102_ann_recall" -> { (s, dir) =>
       import s.implicits._
+      // the exact top-k is ≤20 rows but costs a full brute-force scan —
+      // pin it eagerly so the three per-method joins below don't re-run
+      // the scan (localCheckpoint: materialized, lineage cut, no cache
+      // entry to leak past the query)
       val exact = queries("q50_cosine_topk")(s, dir)
-        .select($"q_id", $"rank", $"n_id")
-      def recallOf(approx: DataFrame, k: Int, method: String): DataFrame = {
+        .select($"q_id", $"rank", $"n_id").localCheckpoint(true)
+      def recallOf(approxResult: DataFrame, k: Int, method: String): DataFrame = {
+        // each method's result is ≤20 rows but referenced twice (spine +
+        // hit counts) and costs a full index build — pin it eagerly too
+        val approx = approxResult.localCheckpoint(true)
         val spine = approx.select($"q_id").distinct()
         val h = approx.join(exact.filter($"rank" <= k).select($"q_id", $"n_id"),
             Seq("q_id", "n_id"))

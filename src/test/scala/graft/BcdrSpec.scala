@@ -58,4 +58,31 @@ class BcdrSpec extends SparkSpec {
     assert(secondary.table("adv", "campaigns").read().count() == 5)
     intercept[IllegalArgumentException] { primary.checkWritable() }
   }
+
+  test("failover-group refresh runs as a scheduled task with run history (10-min cadence)") {
+    val primary = new Catalog(spark, freshDir("pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("sec"), "sec")
+    secondary.readOnly = true
+    primary.createSchema("adv")
+    primary.table("adv", "campaigns").createOrReplace(
+      Seq((1, "active"), (2, "paused")).toDF("id", "status"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "campaigns")), includeViews = false)
+
+    val sched = new graft.services.TaskScheduler
+    try {
+      // registered at the reference's 10-minute replication schedule
+      // (scripts/20_failover_groups_primary.sql:113); the test drives a
+      // fire directly instead of waiting wall-clock
+      val task = repl.scheduleRefresh(sched)
+      assert(sched.runOnce(task), "scheduled refresh must run")
+      val runs = sched.taskHistory().filter(_.task == task)
+      assert(runs.nonEmpty && runs.forall(_.status == "SUCCEEDED"))
+      assert(runs.head.message.contains("1 group(s)"))
+      // the fire actually replicated
+      assert(secondary.table("adv", "campaigns").exists)
+      assert(repl.validate("core").filter(col("verdict") === "MISMATCH").count() == 0)
+      assert(repl.lagMs("core").exists(_ >= 0))
+    } finally sched.shutdown()
+  }
 }

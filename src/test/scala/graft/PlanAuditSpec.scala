@@ -16,10 +16,14 @@ class PlanAuditSpec extends SparkSpec {
     *  - q77: 1-row grand-total aggregate
     *  - q86: 1-row corpus-size aggregate
     *  - q87: days × types calendar spine (both sides bounded + broadcast)
+    *  - q102: recall harness composing q50 + q55 — exactly their
+    *    allowlisted broadcasts (4 query vectors / ≤10 centroids) appear
+    *    inside its plan, nothing new
     */
   private val bnljAllowed: Set[String] =
     Set("q39_price_histogram", "q50_cosine_topk", "q55_ivf_search",
-      "q77_domain_mixture", "q86_tfidf_terms", "q87_gapfill_daily")
+      "q77_domain_mixture", "q86_tfidf_terms", "q87_gapfill_daily",
+      "q102_ann_recall")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no cartesian product / unlisted nested-loop join") {
