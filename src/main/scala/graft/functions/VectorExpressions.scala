@@ -215,6 +215,76 @@ case class L2SquaredF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Float64 sibling of [[L2SquaredF32]]: Σ (xᵢ−yᵢ)² over two float64
+  * vectors — the PQ k-means hot loop (q88), where subvectors and trained
+  * centroids are both double arrays. Same contract: strictly left-to-
+  * right double accumulation, bit-identical to the interpreted
+  * `aggregate(zip_with(...))` HOF it replaces (and to DuckDB's
+  * sequential `list_reduce`), NULL on ragged inputs. The training pass
+  * runs it |corpus|×M×K times per Lloyd iteration — codegen vs
+  * interpreted HOF is the difference between compute-bound and
+  * allocation-bound there. */
+case class L2SquaredF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true // ragged inputs yield NULL
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2sq_f64 expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_f64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32")
@@ -248,6 +318,14 @@ object GraftFunctions {
         require(children.length == 2,
           s"l2sq_f32 expects 2 arguments, got ${children.length}")
         L2SquaredF32(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("l2sq_f64"),
+      new ExpressionInfo(classOf[L2SquaredF64].getName, "l2sq_f64"),
+      { children =>
+        require(children.length == 2,
+          s"l2sq_f64 expects 2 arguments, got ${children.length}")
+        L2SquaredF64(children.head, children(1))
       })
     def const(fn: String, confKey: String, default: String): Unit =
       spark.sessionState.functionRegistry.registerFunction(

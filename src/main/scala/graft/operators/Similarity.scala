@@ -70,8 +70,10 @@ object Similarity {
               |                 x -> CAST(x AS DOUBLE)) AS sub
               |FROM (SELECT vec_id, embedding, explode(sequence(0, 3)) AS m
               |      FROM embeddings)""".stripMargin,
-    l2 = (a, b) => s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)""",
+    // native codegen'd Σ(x−y)² — bit-identical to the interpreted
+    // aggregate(zip_with(...)) HOF and to DuckDB's list_reduce (see
+    // L2SquaredF64); the training pass runs it |corpus|×32 per iteration
+    l2 = (a, b) => s"l2sq_f64($a, $b)",
     dims = src => s"SELECT m, k, posexplode(sub) AS (pos, v) FROM $src",
     ordArr = "transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)")
 
@@ -296,6 +298,7 @@ object Similarity {
     // double bit-identical across engines; a SUM() would be partition-
     // order-dependent). Scoring never touches the original vectors.
     "q88_pq_ann" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
       s.sql(pqQuerySql(sparkPq))
     },

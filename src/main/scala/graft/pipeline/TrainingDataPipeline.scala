@@ -169,6 +169,7 @@ object TrainingDataPipeline {
     * `embeddings` temp view name. */
   def trainedCodebook(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
+    GraftFunctions.register(s) // the training template uses l2sq_f64
     embeddings.createOrReplaceTempView("embeddings")
     s.sql(graft.operators.Similarity.pqCodebookSql("cents2"))
       .select(col("m"), col("k"),

@@ -223,6 +223,7 @@ class ReshapeSpec extends SparkSpec {
 
   test("trained PQ codebook strictly reduces encode distortion vs the init stand-in") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
     val parts = spark.sql(
       """SELECT vec_id, m,

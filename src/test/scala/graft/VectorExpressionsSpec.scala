@@ -68,6 +68,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("l2sq_f64 matches the HOF formulation bit-for-bit on double arrays") {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("a"),
+        expr("transform(reverse(embedding), x -> CAST(x AS DOUBLE))").as("b"))
+      .select(expr("l2sq_f64(a, b)").as("native"),
+        expr("""aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("hof"))
+    val rows = e.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0))
+    // ragged → NULL, matching the siblings' contract
+    val ragged = spark.sql(
+      """SELECT l2sq_f64(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+                         CAST(array(1.0) AS ARRAY<DOUBLE>)) AS d""").collect().head
+    assert(ragged.isNullAt(0))
+  }
+
   test("ragged inputs yield NULL in codegen for all three natives, matching the HOF") {
     GraftFunctions.register(spark)
     // slice off the last element so every row is a genuine length mismatch;
