@@ -191,12 +191,17 @@ object DatagenMain {
     val out = opts.getOrElse("--out",
       sys.error("required: --out <dir> (plus optional --campaigns, " +
         "--per-campaign, --click-rate, --conversion-rate, --start-date, --days, --seed)"))
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // reuse a live session when embedded (tests, notebooks) and only stop
+    // a session this main itself created
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse {
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
     val gen = new AdDataGenerator(spark,
       seed = opts.getOrElse("--seed", "42").toLong,
@@ -213,6 +218,7 @@ object DatagenMain {
     convs.write.mode("overwrite").parquet(s"$out/conversions")
     gen.summary(imps, clks, convs).toSeq.sortBy(_._1)
       .foreach { case (k, v) => println(f"$k%-16s $v%.4f") }
-    spark.stop()
+    Seq(camps, imps, clks, convs).foreach(_.unpersist(blocking = false))
+    if (existing.isEmpty) spark.stop()
   }
 }

@@ -95,6 +95,27 @@ class DatagenSpec extends SparkSpec {
     } finally { i.unpersist(); c.unpersist() }
   }
 
+  test("DatagenMain CLI writes the four funnel tables at the requested size") {
+    // getOrCreate inside the main reuses the test session; params mirror
+    // the reference CLI (scripts/02_generate_iceberg_data.py:223-271)
+    val out = java.nio.file.Files.createTempDirectory("datagen-cli").toString
+    graft.datagen.DatagenMain.main(Array(
+      "--out", out, "--campaigns", "5", "--per-campaign", "40",
+      "--click-rate", "0.1", "--start-date", "2023-06-01", "--days", "30"))
+    val camps2 = spark.read.parquet(s"$out/campaigns")
+    assert(camps2.count() === 5)
+    val imps2 = spark.read.parquet(s"$out/impressions")
+    assert(imps2.count() > 0)
+    // date range honored: all impressions inside [start, start+days]
+    val ts = imps2.agg(min($"timestamp"), max($"timestamp")).head()
+    assert(!ts.getTimestamp(0).before(java.sql.Timestamp.valueOf("2023-06-01 00:00:00")))
+    assert(ts.getTimestamp(1).before(java.sql.Timestamp.valueOf("2023-07-02 00:00:00")))
+    // click-rate parameter flows through (10% vs the default 2%)
+    val ctr = spark.read.parquet(s"$out/clicks").count().toDouble / imps2.count()
+    assert(ctr > 0.05 && ctr < 0.15, s"ctr $ctr should be ~10%")
+    assert(spark.read.parquet(s"$out/conversions").count() >= 0)
+  }
+
   test("summary economics are self-consistent (A14)") {
     val m = gen.summary(imps, clks, convs)
     assert(m("impressions") > 0 && m("clicks") > 0 && m("conversions") > 0)
