@@ -280,6 +280,54 @@ object Similarity {
         .orderBy($"q_id", $"rank")
     },
 
+    // Multi-probe IVF — the production recall knob q55 stops short of:
+    // the INDEX still assigns each vector to exactly one cell, but a
+    // query probes its nprobe=2 nearest cells, trading 2× scanned
+    // candidates for recall (measured in q102: the gain is hash-gated).
+    // Same scale shape as q55 — the probe fan-out is 2 rows per query in
+    // the broadcast, the corpus is still touched in 2/k cells only.
+    "q103_ivf_multiprobe" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1))).as("cv"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
+        .select($"label".as("c_label"),
+          expr("transform(pairs, p -> p.cv)").as("c_vec"),
+          expr("""sqrt(aggregate(transform(pairs, p -> p.cv * p.cv),
+                  CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("c_norm"))
+      val scored = emb
+        .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+        .crossJoin(broadcast(cent))
+        .withColumn("a_cos",
+          expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
+      val ranked = scored
+        .withColumn("rn", row_number().over(wAssign))
+        .persist()
+      // the index: one cell per vector (exactly q55's assignment)
+      val assigned = ranked.filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
+      // probes: each query's TWO nearest cells
+      val probes = ranked
+        .filter($"vec_id".isin(0L, 1L, 2L, 3L) && $"rn" <= 2)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"norm".as("q_norm"), $"c_label".as("q_cell"))
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      broadcast(probes)
+        .join(assigned, $"q_cell" === $"cell" && $"q_id" =!= $"vec_id")
+        .withColumn("cos", expr(dot("q_emb", "embedding")) / ($"q_norm" * $"norm"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"rank", $"vec_id".as("n_id"), $"q_cell".as("cell"),
+          round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rank")
+    },
+
     // Product-quantization ANN — the memory-compressed scale path beyond
     // IVF (q55). The 64-dim vector splits into M=4 16-dim subspaces; each
     // subspace gets a K=8 codebook TRAINED by a deterministic k-means
@@ -334,9 +382,11 @@ object Similarity {
         .filter($"vec_id".isin(0L, 1L, 2L, 3L))
         .select($"vec_id".as("q_id"), $"nn_id".as("n_id"))
       val ivf = queries("q55_ivf_search")(s, dir).select($"q_id", $"n_id")
+      val ivfmp = queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id")
       val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
       recallOf(lsh, 1, "lsh_top1")
         .unionByName(recallOf(ivf, 3, "ivf_top3"))
+        .unionByName(recallOf(ivfmp, 3, "ivf_mp_top3"))
         .unionByName(recallOf(pq, 5, "pq_top5"))
         .orderBy($"method", $"q_id")
     },
@@ -443,6 +493,48 @@ object Similarity {
          SELECT q_id, rank, n_id, q_cell AS cell, ROUND(cos, 6) AS cos_sim
          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
 
+    "q103_ivf_multiprobe" ->
+      s"""WITH cd AS (
+           SELECT label, i AS pos,
+                  CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i),
+         cent AS (
+           SELECT label AS c_label,
+                  list(cv ORDER BY pos) AS c_vec,
+                  sqrt(list_reduce(list_transform(list(cv ORDER BY pos), v -> v * v),
+                       (x, y) -> x + y)) AS c_norm
+           FROM cd GROUP BY label),
+         e AS (
+           SELECT vec_id, embedding,
+                  sqrt(${duckDot("embedding", "embedding")}) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT e.vec_id, e.embedding, e.norm, c_label, c_norm,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * c_vec[i]), (x, y) -> x + y)
+                    / (norm * c_norm) AS a_cos
+           FROM e CROSS JOIN cent),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY a_cos DESC, c_label) AS rn
+           FROM scored),
+         assigned AS (
+           SELECT vec_id, embedding, norm, c_label AS cell
+           FROM ranked WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, c_label AS q_cell
+           FROM ranked WHERE vec_id IN (0, 1, 2, 3) AND rn <= 2),
+         nn AS (
+           SELECT q_id, a.vec_id AS n_id, q_cell,
+                  ${duckDot("q_emb", "a.embedding")} / (q_norm * a.norm) AS cos
+           FROM probes JOIN assigned a ON q_cell = a.cell AND q_id <> a.vec_id),
+         rq AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM nn)
+         SELECT q_id, rank, n_id, q_cell AS cell, ROUND(cos, 6) AS cos_sim
+         FROM rq WHERE rank <= 3 ORDER BY q_id, rank""",
+
     "q54_embed_neardup" ->
       s"""WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
@@ -489,11 +581,14 @@ object Similarity {
        |     lsh AS (SELECT vec_id AS q_id, nn_id AS n_id
        |             FROM (${oracleBase("q51_ann_lsh")}) l WHERE vec_id IN (0, 1, 2, 3)),
        |     ivf AS (SELECT q_id, n_id FROM (${oracleBase("q55_ivf_search")}) i),
+       |     ivfmp AS (SELECT q_id, n_id FROM (${oracleBase("q103_ivf_multiprobe")}) im),
        |     pq AS (SELECT q_id, n_id FROM (${oracleBase("q88_pq_ann")}) p),
        |     spine AS (
        |       SELECT 'lsh_top1' AS method, q_id, 1 AS k FROM (SELECT DISTINCT q_id FROM lsh) a
        |       UNION ALL
        |       SELECT 'ivf_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivf) b
+       |       UNION ALL
+       |       SELECT 'ivf_mp_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivfmp) bm
        |       UNION ALL
        |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c),
        |     hits AS (
@@ -504,6 +599,10 @@ object Similarity {
        |       SELECT 'ivf_top3', i.q_id, count(*)
        |       FROM ivf i JOIN exact e ON i.q_id = e.q_id AND i.n_id = e.n_id AND e.rank <= 3
        |       GROUP BY i.q_id
+       |       UNION ALL
+       |       SELECT 'ivf_mp_top3', im.q_id, count(*)
+       |       FROM ivfmp im JOIN exact e ON im.q_id = e.q_id AND im.n_id = e.n_id AND e.rank <= 3
+       |       GROUP BY im.q_id
        |       UNION ALL
        |       SELECT 'pq_top5', p.q_id, count(*)
        |       FROM pq p JOIN exact e ON p.q_id = e.q_id AND p.n_id = e.n_id AND e.rank <= 5
