@@ -187,9 +187,62 @@ object Views {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }
+    },
+
+    // Iceberg-style METADATA PRUNING through the correctness gate: build a
+    // snapshot table from `orders` laid out as 8 date-ranged files, plan a
+    // one-year scan from the footer-stat sidecar alone, and REQUIRE that
+    // files were skipped — then aggregate only the surviving files' rows.
+    // The DuckDB oracle computes the same year over the FULL table, so a
+    // stats bug that drops a needed file (missing rows) or the pruning not
+    // firing at all (the require) both turn the row red. At 100 TB this
+    // planFiles step is the difference between opening every data file of
+    // a 7-year table and opening ~2/8 of them — before any Spark job runs.
+    "q104_pruned_scan" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/prune"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderdate"),
+          sortBy = Seq("o_orderdate"))
+        val lo = java.time.Instant.parse("1997-01-01T00:00:00Z")
+        val hi = java.time.Instant.parse("1998-01-01T00:00:00Z")
+        val (pruned, plan) = tbl.readPruned(Seq(
+          graft.warehouse.ColRange("o_orderdate", Some(lo), Some(hi))))
+        require(plan.filesKept < plan.filesTotal,
+          s"q104 expects metadata pruning to skip files: kept ${plan.filesKept}/${plan.filesTotal}")
+        val res = pruned
+          .filter($"o_orderdate" >= lit(java.sql.Timestamp.from(lo)) &&
+            $"o_orderdate" < lit(java.sql.Timestamp.from(hi)))
+          .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+          .agg(count(lit(1)).as("n_orders"), decCents($"o_totalprice").as("total_cents"))
+          .withColumn("pruned", lit(plan.filesKept < plan.filesTotal))
+          .orderBy($"month")
+        // materialize before the scratch warehouse is deleted below
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     })
 
   val oracle: Map[String, String] = Map(
+    "q104_pruned_scan" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                TRUE AS pruned
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1
+         ORDER BY 1""",
+
     "q101_mv_routed" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents

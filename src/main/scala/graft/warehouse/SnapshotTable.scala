@@ -31,6 +31,7 @@ final class SnapshotTable(
 
   private def snapDir(id: Long): Path = new Path(root, f"snap-$id%05d")
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
+  private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
 
   /** One parsed `.meta` marker. Line format `kind|p1,p2|rowCount|s1,s2`
     * (partition cols, footer row count, sort cols); trailing fields are
@@ -72,24 +73,127 @@ final class SnapshotTable(
   def exists: Boolean = metas().nonEmpty
   def currentSnapshotId: Option[Long] = metas().lastOption.map(_.id)
 
-  /** Sum the row counts from the parquet FOOTERS of a just-written snapshot
-    * dir — metadata-only I/O, no Spark job. Runs once per commit; readers
-    * afterwards get the total from the one-line `.meta` marker, exactly as
-    * Iceberg readers get record counts from manifests. */
-  private def footerRows(dir: Path): Long = {
+  /** One walk over the parquet FOOTERS of a just-written snapshot dir —
+    * metadata-only I/O, no Spark job. Returns the total row count AND the
+    * per-file column min/max lines for the `.stats` sidecar (the same
+    * footer read serves both, so stats collection adds zero extra I/O).
+    * This is the Iceberg manifest model: writers record file-level bounds
+    * once at commit time; scan planning afterwards prunes files from
+    * metadata alone — at 100 TB that decides whether a time-range query
+    * opens 100 TB of data or 100 GB. */
+  private def footerWalk(dir: Path): (Long, Seq[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
+    val dirStr = fs.makeQualified(dir).toString
     val it = fs.listFiles(dir, true)
     var n = 0L
+    val lines = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-        try n += r.getRecordCount finally r.close()
+        try {
+          n += r.getRecordCount
+          val rel = fs.makeQualified(f.getPath).toString.stripPrefix(dirStr).stripPrefix("/")
+          // merge chunk stats across row groups, top-level primitive columns only
+          val perCol = scala.collection.mutable.Map.empty[String, (String, Any, Any, Boolean)]
+          var bad = Set.empty[String] // columns with an unusable chunk → no stats
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.foreach { c =>
+              val pathArr = c.getPath.toArray
+              if (pathArr.length == 1) {
+                val col = pathArr(0)
+                val st = c.getStatistics
+                val pt = c.getPrimitiveType
+                // stat kind: l=long d=double s=string t=epoch-day date
+                // u=epoch-micros timestamp c:<scale>=unscaled-long decimal
+                val kind: Option[String] = (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+                  case (INT32, _: DateLogicalTypeAnnotation) => Some("t")
+                  case (INT32, d: DecimalLogicalTypeAnnotation) => Some(s"c:${d.getScale}")
+                  case (INT32, _) => Some("l")
+                  case (INT64, ts: TimestampLogicalTypeAnnotation)
+                      if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some("u")
+                  case (INT64, d: DecimalLogicalTypeAnnotation) => Some(s"c:${d.getScale}")
+                  case (INT64, _: TimestampLogicalTypeAnnotation) => None
+                  case (INT64, _) => Some("l")
+                  case (FLOAT, _) | (DOUBLE, _) => Some("d")
+                  case (BINARY, _: StringLogicalTypeAnnotation) => Some("s")
+                  // high-precision decimals (e.g. Spark's default 38,18)
+                  // are unscaled big-endian bytes in a fixed/binary field
+                  case (FIXED_LEN_BYTE_ARRAY, d: DecimalLogicalTypeAnnotation) => Some(s"c:${d.getScale}")
+                  case (BINARY, d: DecimalLogicalTypeAnnotation) => Some(s"c:${d.getScale}")
+                  case _ => None
+                }
+                kind match {
+                  case Some(k) if st != null && !st.isEmpty && !bad(col) =>
+                    if (!st.hasNonNullValue) {
+                      // all-null chunk: contributes no values; note presence
+                      if (!perCol.contains(col)) perCol(col) = (k, null, null, true)
+                    } else {
+                      val (mn, mx) = (st.genericGetMin, st.genericGetMax)
+                      // parquet float/double stats around NaN are unreliable
+                      val nan = (mn, mx) match {
+                        case (a: java.lang.Double, b: java.lang.Double) => a.isNaN || b.isNaN
+                        case (a: java.lang.Float, b: java.lang.Float) => a.isNaN || b.isNaN
+                        case _ => false
+                      }
+                      if (nan) { bad += col; perCol.remove(col) }
+                      else perCol.get(col) match {
+                        case Some((k0, m0, x0, _)) if m0 != null =>
+                          perCol(col) = (k0, minOf(k0, m0, mn), maxOf(k0, x0, mx), false)
+                        case _ => perCol(col) = (k, mn, mx, false)
+                      }
+                    }
+                  case _ => bad += col; perCol.remove(col)
+                }
+              }
+            }
+          }
+          perCol.foreach { case (col, (k, mn, mx, _)) =>
+            lines +=
+              (if (mn == null) s"${esc(rel)}|${esc(col)}|n||"
+               else s"${esc(rel)}|${esc(col)}|$k|${esc(render(k, mn))}|${esc(render(k, mx))}")
+          }
+        } finally r.close()
       }
     }
-    n
+    (n, lines.result())
+  }
+
+  // ---- stat value plumbing: render / compare raw parquet stat objects ----
+
+  private def render(kind: String, v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary =>
+      // decimal binaries are unscaled big-endian two's-complement ints;
+      // everything else binary we record is a UTF-8 string
+      if (kind.startsWith("c:")) new java.math.BigInteger(b.getBytes).toString
+      else b.toStringUsingUTF8
+    case x => x.toString
+  }
+  private def cmp(kind: String, a: Any, b: Any): Int =
+    if (kind == "s") render(kind, a).compareTo(render(kind, b))
+    else BigDecimal(render(kind, a)).compare(BigDecimal(render(kind, b)))
+  private def minOf(kind: String, a: Any, b: Any): Any = if (cmp(kind, a, b) <= 0) a else b
+  private def maxOf(kind: String, a: Any, b: Any): Any = if (cmp(kind, a, b) >= 0) a else b
+
+  private def esc(s: String): String =
+    s.flatMap { case '\\' => "\\\\"; case '|' => "\\p"; case '\n' => "\\n"
+                case '\r' => "\\r"; case c => c.toString }
+  private def unesc(s: String): String = {
+    val out = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        out += (s(i + 1) match { case 'p' => '|'; case 'n' => '\n'; case 'r' => '\r'; case c => c })
+        i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toString
   }
 
   private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
@@ -114,7 +218,12 @@ final class SnapshotTable(
     val writer = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(snapDir(id).toString)
-    val line = s"$kind|${parts.mkString(",")}|${footerRows(snapDir(id))}|${sort.mkString(",")}"
+    val (rows, statLines) = footerWalk(snapDir(id))
+    // stats sidecar first, .meta marker last = commit point: a crash
+    // between the two leaves an invisible snapshot, never a stats-less one
+    val sout = fs.create(statsFile(id))
+    try sout.write((statLines.mkString("\n") + "\n").getBytes("UTF-8")) finally sout.close()
+    val line = s"$kind|${parts.mkString(",")}|$rows|${sort.mkString(",")}"
     val out = fs.create(metaFile(id)) // marker written last = commit point
     try out.write(line.getBytes("UTF-8")) finally out.close()
     if (isNew) onCreate() // object springs into existence → future grants fire
@@ -209,6 +318,86 @@ final class SnapshotTable(
       .reduce(_ unionByName _))
   }
 
+  /** Metadata-only scan planning (Iceberg `planFiles`): keep only the data
+    * files whose recorded column bounds can overlap every requested range.
+    * Files or columns without usable stats are conservatively KEPT; a file
+    * whose column is entirely NULL is pruned (a range predicate matches no
+    * NULL row). Reads one small `.stats` sidecar per live snapshot — no
+    * data I/O, no Spark job. Returns (per-snapshot-dir kept files, kept
+    * count, total count). */
+  def planFiles(filters: Seq[ColRange]): ScanPlan = {
+    val kept = Seq.newBuilder[(String, Seq[String])]
+    var nKept = 0
+    var nTotal = 0
+    val liveIds = currentSnapshotId.toSeq.flatMap { id =>
+      val snaps = snapshots().takeWhile(_._1 <= id)
+      snaps.drop(snaps.lastIndexWhere(_._2 == "base")).map(_._1)
+    }
+    liveIds.foreach { id =>
+      val dir = fs.makeQualified(snapDir(id)).toString
+      // rel path -> col -> (kind, min, max); kind "n" = all-NULL column
+      val stats: Map[String, Map[String, (String, String, String)]] =
+        if (!fs.exists(statsFile(id))) Map.empty
+        else {
+          val in = fs.open(statsFile(id))
+          val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+          txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+            val f = line.split("\\|", -1).map(unesc) // '|' in values is escaped as \p
+            (f(0), f(1), (f(2), f(3), f(4)))
+          }.groupBy(_._1).map { case (p, rows) =>
+            p -> rows.map(r => r._2 -> r._3).toMap
+          }
+        }
+      val it = fs.listFiles(snapDir(id), true)
+      val files = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          nTotal += 1
+          val full = fs.makeQualified(f.getPath).toString
+          val rel = full.stripPrefix(dir).stripPrefix("/")
+          // hive partition-dir values double as exact single-value "stats"
+          val partVals: Map[String, String] = rel.split('/').dropRight(1).toSeq
+            .filter(_.contains('='))
+            .map { seg =>
+              val i = seg.indexOf('=')
+              seg.take(i) -> java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8")
+            }.toMap
+          val colStats = stats.getOrElse(rel, Map.empty)
+          val keep = filters.forall { r =>
+            partVals.get(r.col) match {
+              case Some(v) => SnapshotTable.partValueInRange(v, r)
+              case None => colStats.get(r.col) match {
+                case Some(("n", _, _)) => r.lower.isEmpty && r.upper.isEmpty
+                case Some((k, mn, mx)) => SnapshotTable.rangesOverlap(k, mn, mx, r)
+                case None => true // no stats recorded → cannot prune
+              }
+            }
+          }
+          if (keep) { files += full; nKept += 1 }
+        }
+      }
+      val fl = files.result()
+      if (fl.nonEmpty) kept += dir -> fl
+    }
+    ScanPlan(kept.result(), nKept, nTotal)
+  }
+
+  /** Pruned scan: the rows of every file `planFiles` kept — a SUPERSET of
+    * the rows matching `filters` (file granularity), so callers apply their
+    * own residual predicate, exactly as Spark applies residual filters over
+    * an Iceberg scan. Per-dir reads keep hive partition columns (basePath). */
+  def readPruned(filters: Seq[ColRange]): (DataFrame, ScanPlan) = {
+    val plan = planFiles(filters)
+    if (plan.files.isEmpty) (read().limit(0), plan)
+    else {
+      val df = plan.files.map { case (dir, files) =>
+        spark.read.option("basePath", dir).parquet(files: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      (df, plan)
+    }
+  }
+
   /** DELETE FROM ... WHERE cond (D5) — copy-on-write, returns rows deleted.
     * ONE data scan (the rewrite itself): the before/after counts both come
     * from snapshot metadata, not extra scans (VERDICT r2 "What's wrong" #3). */
@@ -278,6 +467,7 @@ final class SnapshotTable(
     expired.foreach { m =>
       fs.delete(snapDir(m.id), true)
       fs.delete(metaFile(m.id), false)
+      fs.delete(statsFile(m.id), false)
     }
     expired.map(_.id)
   }
@@ -287,5 +477,91 @@ final class SnapshotTable(
     writeGuard()
     val p = new Path(root)
     if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+/** An inclusive column-range predicate for metadata-only scan pruning.
+  * Bounds take the natural Scala/JDBC value types for the column: numbers,
+  * String, java.sql.Date / LocalDate, java.sql.Timestamp / Instant,
+  * BigDecimal. An absent bound is open. */
+final case class ColRange(col: String, lower: Option[Any] = None, upper: Option[Any] = None)
+
+/** The outcome of metadata-only scan planning: surviving files grouped by
+  * snapshot dir (the grouping readPruned needs for hive basePath reads),
+  * plus the counts callers assert pruning effectiveness with. */
+final case class ScanPlan(files: Seq[(String, Seq[String])], filesKept: Int, filesTotal: Int)
+
+object SnapshotTable {
+
+  /** Coerce a filter bound to the numeric axis of a stat kind. None =
+    * not comparable on this axis → the caller must keep the file. */
+  private def toAxis(kind: String, v: Any): Option[BigDecimal] = {
+    def dateDays(v: Any): Option[Long] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case s: String => scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption
+      case _ => None
+    }
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant; Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    kind match {
+      case "t" => dateDays(v).map(BigDecimal(_))
+      case "u" => micros(v).map(BigDecimal(_))
+      case _ => v match {
+        // covers scala/java BigDecimal too (both extend java.lang.Number);
+        // toString is the exact decimal rendering for all of them
+        case n: java.lang.Number => Some(BigDecimal(n.toString))
+        case _ => None
+      }
+    }
+  }
+
+  /** Can any value in the file's recorded [min, max] satisfy the range? */
+  private[warehouse] def rangesOverlap(kind: String, minS: String, maxS: String,
+                                       r: ColRange): Boolean = {
+    if (kind == "s") {
+      val loOk = r.lower.forall { case s: String => s <= maxS; case _ => true }
+      val hiOk = r.upper.forall { case s: String => s >= minS; case _ => true }
+      loOk && hiOk
+    } else {
+      // decimal stats are unscaled longs: rescale to the value axis
+      val scale = if (kind.startsWith("c:")) kind.drop(2).toInt else 0
+      def stat(s: String): BigDecimal =
+        if (scale > 0) BigDecimal(BigInt(s), scale) else BigDecimal(s)
+      val (mn, mx) = (stat(minS), stat(maxS))
+      val loOk = r.lower.flatMap(toAxis(kind, _)).forall(_ <= mx)
+      val hiOk = r.upper.flatMap(toAxis(kind, _)).forall(_ >= mn)
+      loOk && hiOk
+    }
+  }
+
+  /** A hive partition-dir value is an EXACT value: in range or pruned.
+    * `__HIVE_DEFAULT_PARTITION__` is the NULL partition — no range matches. */
+  private[warehouse] def partValueInRange(v: String, r: ColRange): Boolean = {
+    if (v == "__HIVE_DEFAULT_PARTITION__") return r.lower.isEmpty && r.upper.isEmpty
+    def axis(bound: Any): Option[(BigDecimal, BigDecimal)] = bound match {
+      case d: java.sql.Date =>
+        scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+          .map(pv => (BigDecimal(pv), BigDecimal(d.toLocalDate.toEpochDay)))
+      case d: java.time.LocalDate =>
+        scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+          .map(pv => (BigDecimal(pv), BigDecimal(d.toEpochDay)))
+      case n: java.lang.Number =>
+        scala.util.Try(BigDecimal(v)).toOption.map(pv => (pv, BigDecimal(n.toString)))
+      case _ => None
+    }
+    val loOk = r.lower.forall { b =>
+      axis(b).map { case (pv, bv) => pv >= bv }
+        .getOrElse(b match { case s: String => v >= s; case _ => true })
+    }
+    val hiOk = r.upper.forall { b =>
+      axis(b).map { case (pv, bv) => pv <= bv }
+        .getOrElse(b match { case s: String => v <= s; case _ => true })
+    }
+    loOk && hiOk
   }
 }

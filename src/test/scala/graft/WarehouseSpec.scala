@@ -260,4 +260,79 @@ class WarehouseSpec extends SparkSpec {
     assert(t.read().count() == 3)
     assert(new java.io.File(t.root, "snap-00003/day=2026-01-02").isDirectory)
   }
+
+  test("file stats: planFiles prunes by min/max, pruned read stays correct") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("stats1"))
+    // 4 files with disjoint id ranges (repartitionByRange + sortBy)
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("grp", (col("id") / 100).cast("int"))
+      .withColumn("amt", (col("id") * 7 % 501).cast("double"))
+      .repartitionByRange(4, col("id"))
+    t.createOrReplace(df, sortBy = Seq("id"))
+    assert(new java.io.File(t.root, "snap-00001.stats").isFile, "stats sidecar written")
+    val plan = t.planFiles(Seq(ColRange("id", Some(100L), Some(200L))))
+    assert(plan.filesTotal == 4)
+    assert(plan.filesKept < plan.filesTotal, s"expected pruning, kept ${plan.filesKept}/4")
+    // the kept files still contain every matching row
+    val (pruned, _) = t.readPruned(Seq(ColRange("id", Some(100L), Some(200L))))
+    val got = pruned.filter(col("id").between(100, 200)).agg(sum(col("id"))).head.getLong(0)
+    val want = t.read().filter(col("id").between(100, 200)).agg(sum(col("id"))).head.getLong(0)
+    assert(got == want)
+    // a range beyond every file prunes everything but returns the schema
+    val (none, emptyPlan) = t.readPruned(Seq(ColRange("id", Some(5000L), None)))
+    assert(emptyPlan.filesKept == 0 && none.count() == 0 && none.columns.contains("amt"))
+    // a column with no recorded stats (unsupported type) never prunes
+    assert(t.planFiles(Seq(ColRange("nope", Some(1L), None))).filesKept == 4)
+  }
+
+  test("file stats: appends carry their own stats; partition dirs prune exactly") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("stats2"))
+    val mk = (lo: Int, hi: Int, day: String) =>
+      spark.range(lo, hi).coalesce(1).toDF("id").withColumn("day", lit(day))
+    t.createOrReplace(mk(0, 100, "2026-01-01"), partitionBy = Seq("day"))
+    t.append(mk(100, 200, "2026-01-02"))
+    t.append(mk(200, 300, "2026-01-03"))
+    // partition-value pruning: only the day=2026-01-02 file survives
+    val byDay = t.planFiles(Seq(ColRange("day", Some("2026-01-02"), Some("2026-01-02"))))
+    assert(byDay.filesTotal == 3 && byDay.filesKept == 1)
+    // date-typed bounds prune string partition dirs via the date axis
+    val byDate = t.planFiles(Seq(ColRange("day",
+      Some(java.sql.Date.valueOf("2026-01-02")), None)))
+    assert(byDate.filesKept == 2)
+    // column stats from the append snapshots prune ids too
+    val byId = t.planFiles(Seq(ColRange("id", Some(250L), None)))
+    assert(byId.filesKept == 1)
+    // conjunction: both filters must overlap
+    val both = t.planFiles(Seq(
+      ColRange("id", Some(250L), None),
+      ColRange("day", Some("2026-01-01"), Some("2026-01-02"))))
+    assert(both.filesKept == 0)
+    // pruned read keeps the hive partition column with correct values
+    val (df2, _) = t.readPruned(Seq(ColRange("id", Some(250L), None)))
+    assert(df2.select("day").distinct().as[String].collect().toSeq == Seq("2026-01-03"))
+    // compaction rewrites stats for the collapsed base
+    t.compact()
+    val after = t.planFiles(Seq(ColRange("day", Some("2026-01-02"), Some("2026-01-02"))))
+    assert(after.filesKept < after.filesTotal, "compacted base keeps pruning by partition")
+  }
+
+  test("file stats: all-NULL columns prune; strings and decimals compare correctly") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("stats3"))
+    val a = Seq(("alpha", Option.empty[String], BigDecimal("10.50")),
+      ("beta", None, BigDecimal("20.25"))).toDF("word", "note", "price")
+    val b = Seq(("omega", Option("x"), BigDecimal("99.99")),
+      ("zeta", Some("y"), BigDecimal("150.00"))).toDF("word", "note", "price")
+    t.createOrReplace(a.coalesce(1))
+    t.append(b.coalesce(1))
+    // string range: only the omega..zeta file reaches 'n' prefix and later
+    assert(t.planFiles(Seq(ColRange("word", Some("n"), None))).filesKept == 1)
+    // all-NULL column in file a: any bounded range prunes it
+    assert(t.planFiles(Seq(ColRange("note", Some("a"), None))).filesKept == 1)
+    // decimal stats rescale from unscaled longs: 50 < 99.99 keeps only b
+    assert(t.planFiles(Seq(ColRange("price", Some(BigDecimal("50")), None))).filesKept == 1)
+    assert(t.planFiles(Seq(ColRange("price", Some(15L), Some(30L)))).filesKept == 1)
+  }
 }
