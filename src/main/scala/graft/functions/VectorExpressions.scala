@@ -327,6 +327,14 @@ object GraftFunctions {
           s"l2sq_f64 expects 2 arguments, got ${children.length}")
         L2SquaredF64(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "zorder2"),
+      { children =>
+        require(children.length == 2,
+          s"zorder2 expects 2 arguments, got ${children.length}")
+        InterleaveBits(children.head, children(1))
+      })
     def const(fn: String, confKey: String, default: String): Unit =
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(fn),

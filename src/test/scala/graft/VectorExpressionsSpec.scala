@@ -135,6 +135,31 @@ class VectorExpressionsSpec extends SparkSpec {
       direct.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("zorder2 interleaves bits: known values, codegen = interpreter = reference") {
+    GraftFunctions.register(spark)
+    import graft.functions.InterleaveBits
+    // hand-checked Morton values: x bits land even, y bits odd
+    assert(InterleaveBits.interleave(1, 0) == 1L)
+    assert(InterleaveBits.interleave(0, 1) == 2L)
+    assert(InterleaveBits.interleave(3, 3) == 15L)
+    assert(InterleaveBits.interleave(2, 3) == 14L)
+    assert(InterleaveBits.interleave(0xFFFFFFFFL, 0) == 0x5555555555555555L)
+    // codegen path over a DF agrees with the reference implementation
+    import spark.implicits._
+    val rows = spark.range(0, 2048).select(
+      (col("id") % 41).cast("int").as("x"), (col("id") % 59).cast("int").as("y"))
+    val got = rows.selectExpr("x", "y", "zorder2(x, y) AS z").as[(Int, Int, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == InterleaveBits.interleave(x.toLong, y.toLong), s"($x, $y)")
+    }
+    // locality: z respects per-dimension monotonicity on aligned pairs
+    assert(InterleaveBits.interleave(10, 7) < InterleaveBits.interleave(12, 7))
+    assert(InterleaveBits.interleave(10, 7) < InterleaveBits.interleave(10, 9))
+    // NULL propagates
+    val n = spark.sql("SELECT zorder2(CAST(NULL AS INT), 3) AS z").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("the extensions-injected builder constructs a working expression") {
     // the canonical install path is spark.sql.extensions at builder time;
     // assert the builder GraftExtensions injects evaluates correctly.

@@ -318,6 +318,39 @@ class WarehouseSpec extends SparkSpec {
     assert(after.filesKept < after.filesTotal, "compacted base keeps pruning by partition")
   }
 
+  test("z-order layout: one clustering prunes BOTH dimensions; linear prunes one") {
+    import graft.warehouse.ColRange
+    graft.functions.GraftFunctions.register(spark)
+    // a 256x256 grid of (x, y) points, written two ways into 16 files
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256).cast("int").as("x"),
+      (col("id") / 256).cast("int").as("y"))
+    val linear = new SnapshotTable(spark, freshRoot("zlin"))
+    linear.createOrReplace(grid.repartitionByRange(16, col("x")), sortBy = Seq("x"))
+    val zorder = new SnapshotTable(spark, freshRoot("zord"))
+    zorder.createOrReplace(grid.repartitionByRange(16, expr("zorder2(x, y)")))
+    val xRange = Seq(ColRange("x", Some(0), Some(15)))
+    val yRange = Seq(ColRange("y", Some(0), Some(15)))
+    // linear layout: x prunes hard, y prunes NOTHING (every file spans all y)
+    assert(linear.planFiles(xRange).filesKept <= 2)
+    assert(linear.planFiles(yRange).filesKept == 16)
+    // z-order layout: BOTH dimensions prune (16x16 query box touches ~1/4
+    // of the curve's quadrants at this granularity)
+    val zx = zorder.planFiles(xRange).filesKept
+    val zy = zorder.planFiles(yRange).filesKept
+    assert(zx <= 8, s"z-order x-filter kept $zx/16")
+    assert(zy <= 8, s"z-order y-filter kept $zy/16")
+    // pruned reads remain correct on both layouts
+    val want = grid.filter(col("y") <= 15).agg(sum(col("x")), sum(col("y")))
+      .as[(Long, Long)].head()
+    Seq(linear, zorder).foreach { t =>
+      val (df, _) = t.readPruned(yRange)
+      val got = df.filter(col("y") <= 15).agg(sum(col("x")), sum(col("y")))
+        .as[(Long, Long)].head()
+      assert(got == want)
+    }
+  }
+
   test("file stats: all-NULL columns prune; strings and decimals compare correctly") {
     import graft.warehouse.ColRange
     val t = new SnapshotTable(spark, freshRoot("stats3"))
