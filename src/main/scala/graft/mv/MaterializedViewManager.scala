@@ -75,7 +75,8 @@ final class MaterializedViewManager(cat: Catalog) {
       () => read(name).queryExecution.analyzed,
       // stale MV ⇒ no routing: the base committed past the last refresh
       () => cat.table(d.base._1, d.base._2).currentSnapshotId.getOrElse(0L) ==
-        aggBuiltAt.getOrElse(name, -1L)))
+        aggBuiltAt.getOrElse(name, -1L),
+      minMaxCols = d.minMaxCols))
     cat.spark.conf.set(MvRewrite.FlagKey, "true")
   }
 
@@ -129,8 +130,12 @@ final class MaterializedViewManager(cat: Catalog) {
   // rebuild automatically when a base rewrite (DELETE/UPDATE/replace)
   // invalidates the delta algebra.
 
-  /** key columns + decimal-summed metric columns over one base table. */
-  final case class AggMvDef(base: (String, String), keyCols: Seq[String], sumCols: Seq[String])
+  /** key columns + decimal-summed metric columns + min/max-tracked columns
+    * over one base table. min/max partials re-aggregate EXACTLY (min of
+    * mins), so the router answers min/max rollups with zero numeric drift;
+    * they also give avg = sum/count for free. */
+  final case class AggMvDef(base: (String, String), keyCols: Seq[String],
+                            sumCols: Seq[String], minMaxCols: Seq[String] = Nil)
 
   private val aggDefs = mutable.LinkedHashMap.empty[String, AggMvDef]
   private val aggBuiltAt = mutable.Map.empty[String, Long]
@@ -138,19 +143,24 @@ final class MaterializedViewManager(cat: Catalog) {
   private def aggregate(df: DataFrame, d: AggMvDef): DataFrame =
     df.groupBy(d.keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        d.sumCols.map(c => sum(col(c).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
-          .as(s"sum_$c")): _*)
+        (d.sumCols.map(c => sum(col(c).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as(s"sum_$c")) ++
+         d.minMaxCols.flatMap(c =>
+           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
 
   /** Merge partial aggregates (old MV rows ∪ delta rows) — associative. */
   private def remerge(partials: DataFrame, d: AggMvDef): DataFrame =
     partials.groupBy(d.keyCols.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
-        d.sumCols.map(c => sum(col(s"sum_$c")).cast(DecimalType(18, 2))
-          .as(s"sum_$c")): _*)
+        (d.sumCols.map(c => sum(col(s"sum_$c")).cast(DecimalType(18, 2))
+          .as(s"sum_$c")) ++
+         d.minMaxCols.flatMap(c =>
+           Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c")))): _*)
 
   def createAggMv(name: String, base: (String, String),
-      keyCols: Seq[String], sumCols: Seq[String]): Unit = withRewriteOff {
-    val d = AggMvDef(base, keyCols, sumCols)
+      keyCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Unit = withRewriteOff {
+    val d = AggMvDef(base, keyCols, sumCols, minMaxCols)
     aggDefs(name) = d
     val t = cat.table(base._1, base._2)
     cat.table("_mv", name).createOrReplace(aggregate(t.read(), d))

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
   *
   *   - grouping keys ⊆ the MV's keyCols (a strict subset re-aggregates the
   *     partials one level up — classic rollup matching);
-  *   - every aggregate is `count(*)`/`count(1)` (→ `sum(n_rows)`) or a
+  *   - every aggregate is `count(*)`/`count(1)` (→ `sum(n_rows)`), a
   *     `sum` over a registered metric column (→ `sum(sum_col)`, cast back
-  *     to the query's result type).
+  *     to the query's result type), a `min`/`max` over a min/max-tracked
+  *     column (→ `min(min_col)` / `max(max_col)` — exact, extremes
+  *     re-aggregate with zero drift), or an `avg` over a metric column
+  *     (→ decimal-exact partial sum ÷ exact count, one double division).
   *
   * At 100 TB this is the difference between scanning the fact table and
   * scanning a few thousand partial rows — and it is exactly what the
@@ -67,7 +70,12 @@ object MvRewrite {
       // (<prefix>_rows, <prefix>_sum_<col>) — both route through the same
       // rule by parameterizing the names
       countCol: String = "n_rows",
-      sumCol: String => String = c => s"sum_$c")
+      sumCol: String => String = c => s"sum_$c",
+      // columns whose min/max partials the MV stores — min-of-mins /
+      // max-of-maxes re-aggregate EXACTLY, and sum+count give avg
+      minMaxCols: Seq[String] = Nil,
+      minCol: String => String = c => s"min_$c",
+      maxCol: String => String = c => s"max_$c")
 
   @volatile private var entries: Seq[Entry] = Nil
   def register(e: Entry): Unit = synchronized {
@@ -171,7 +179,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       return None
     val mv = e.mvPlan()
     val mvOut: Map[String, Attribute] = mv.output.map(a => a.name -> a).toMap
-    if (!(groupNames ++ (e.countCol +: e.sumCols.map(e.sumCol))).forall(mvOut.contains))
+    if (!(groupNames ++ (e.countCol +: e.sumCols.map(e.sumCol)) ++
+        e.minMaxCols.flatMap(c => Seq(e.minCol(c), e.maxCol(c)))).forall(mvOut.contains))
       return None
     def mvAttr(n: String): Attribute = mvOut(n)
 
@@ -194,6 +203,28 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         }
         if (e.sumCols.contains(base)) Some(Cast(sumOf(e.sumCol(base)), ae.dataType))
         else None
+      // min/max re-aggregate exactly from the stored per-grain extremes —
+      // no numeric caveat: min-of-mins IS the min
+      case AggregateExpression(m: Min, _, false, None, _) => m.child match {
+        case a: AttributeReference if e.minMaxCols.contains(a.name) =>
+          Some(Cast(Min(mvAttr(e.minCol(a.name))).toAggregateExpression(), ae.dataType))
+        case _ => None
+      }
+      case AggregateExpression(m: Max, _, false, None, _) => m.child match {
+        case a: AttributeReference if e.minMaxCols.contains(a.name) =>
+          Some(Cast(Max(mvAttr(e.maxCol(a.name))).toAggregateExpression(), ae.dataType))
+        case _ => None
+      }
+      // avg = decimal-exact partial sum / exact count, one double division
+      // at the end — the engine's house average (Q.decAvg), deterministic
+      // where a direct double Average is partition-order-dependent
+      case AggregateExpression(av: Average, _, false, None, _) => av.child match {
+        case a: AttributeReference if e.sumCols.contains(a.name) =>
+          Some(Cast(Divide(
+            Cast(sumOf(e.sumCol(a.name)), DoubleType),
+            Cast(sumOf(e.countCol), DoubleType)), ae.dataType))
+        case _ => None
+      }
       case _ => None
     }
 

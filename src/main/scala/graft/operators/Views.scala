@@ -151,13 +151,20 @@ object Views {
         cat.table("gate", "orders").createOrReplace(
           t(s, dir, "orders").select($"o_orderpriority", $"o_orderstatus", $"o_totalprice"))
         mvm.createAggMv("orders_by_prio", ("gate", "orders"),
-          Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"))
+          Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"),
+          minMaxCols = Seq("o_totalprice"))
         mvm.enableRewrite("orders_by_prio")
         val routed = cat.table("gate", "orders").read()
           .groupBy($"o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"))
+          .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"),
+            // min/max re-aggregate exactly from the per-grain extremes;
+            // avg routes as decimal-exact sum ÷ count (house semantics)
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"),
+            avg($"o_totalprice").as("avg_price"))
           .select($"o_orderpriority", $"n_orders",
-            ($"total".cast("decimal(18,2)") * 100).cast("long").as("total_cents"))
+            ($"total".cast("decimal(18,2)") * 100).cast("long").as("total_cents"),
+            $"min_price", $"max_price", $"avg_price")
           .orderBy($"o_orderpriority")
         // detect routing on the optimized plan's RELATIONS, not the plan
         // string (executedPlan.toString truncates long scan locations)
@@ -245,7 +252,10 @@ object Views {
 
     "q101_mv_routed" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_totalprice) AS min_price,
+                MAX(o_totalprice) AS max_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",

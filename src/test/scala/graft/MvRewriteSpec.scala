@@ -59,13 +59,57 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.unregister("orders_by_seg")
   }
 
+  test("min/max/avg route to partials: extremes exact, avg = house decimal avg") {
+    val cat = freshCat()
+    val mvm = new MaterializedViewManager(cat)
+    val base = Seq(
+      ("alpha", 10.50), ("alpha", 2.25), ("beta", 100.00),
+      ("beta", 0.75), ("gamma", 9.99)
+    ).toDF("seg", "amt")
+    cat.table("sales", "orders").createOrReplace(base)
+    mvm.createAggMv("mm_by_seg", ("sales", "orders"),
+      keyCols = Seq("seg"), sumCols = Seq("amt"), minMaxCols = Seq("amt"))
+    mvm.enableRewrite("mm_by_seg")
+    try {
+      val q = cat.table("sales", "orders").read()
+        .groupBy($"seg")
+        .agg(min($"amt").as("lo"), max($"amt").as("hi"), avg($"amt").as("mean"))
+        .orderBy($"seg")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("/_mv/"), s"expected an MV scan in:\n$plan")
+      assert(!plan.contains("/sales/"), "base table must not be scanned")
+      val rows = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq(
+        ("alpha", 2.25, 10.50, 6.375), ("beta", 0.75, 100.00, 50.375),
+        ("gamma", 9.99, 9.99, 9.99)))
+      // min/max also answer the GLOBAL rollup (no grouping keys) exactly
+      val g = cat.table("sales", "orders").read()
+        .agg(min($"amt").as("lo"), max($"amt").as("hi"))
+      assert(g.queryExecution.executedPlan.toString.contains("/_mv/"))
+      assert(g.collect()(0) === org.apache.spark.sql.Row(0.75, 100.00))
+      // a min over a column WITHOUT min/max partials declines (routes not)
+      val dec = cat.table("sales", "orders").read()
+        .groupBy($"seg").agg(min($"seg").as("m"))
+      assert(!dec.queryExecution.executedPlan.toString.contains("/_mv/"),
+        "min over an untracked column must not route")
+      // incremental refresh keeps extremes correct (new global max arrives)
+      cat.table("sales", "orders").append(Seq(("alpha", 999.99)).toDF("seg", "amt"))
+      assert(mvm.refreshIncremental("mm_by_seg") == "incremental")
+      val q2 = cat.table("sales", "orders").read()
+        .groupBy($"seg").agg(max($"amt").as("hi")).orderBy($"seg")
+      assert(q2.queryExecution.executedPlan.toString.contains("/_mv/"))
+      assert(q2.collect().map(_.getDouble(1)).toSeq === Seq(999.99, 100.00, 9.99))
+    } finally MvRewrite.unregister("mm_by_seg")
+  }
+
   test("non-matching shapes do not rewrite; flag off disables routing") {
     val (cat, _) = setup()
     try {
-      // avg is not answerable from count/sum partials as registered
-      val avgQ = cat.table("sales", "orders").read()
-        .groupBy($"seg").agg(avg($"amt").as("a"))
-      assert(!avgQ.queryExecution.executedPlan.toString.contains("/_mv/"))
+      // min/max aren't answerable unless the MV tracks min/max partials
+      // (this MV registers sumCols only — avg/sum/count route, min can't)
+      val minQ = cat.table("sales", "orders").read()
+        .groupBy($"seg").agg(min($"amt").as("m"))
+      assert(!minQ.queryExecution.executedPlan.toString.contains("/_mv/"))
       // a KEY-column filter routes (applies at the partial grain)...
       val keyFilt = cat.table("sales", "orders").read()
         .filter($"sub" === "x").groupBy($"seg").agg(count(lit(1)).as("n")).orderBy($"seg")
