@@ -33,11 +33,13 @@ final class SnapshotTable(
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
   private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
 
-  /** One parsed `.meta` marker. Line format `kind|p1,p2|rowCount|s1,s2`
-    * (partition cols, footer row count, sort cols); trailing fields are
-    * optional so pre-upgrade markers still parse. */
+  /** One parsed `.meta` marker. Line format
+    * `kind|p1,p2|rowCount|s1,s2|note` (partition cols, footer row count,
+    * sort cols, free-form commit note); trailing fields are optional so
+    * pre-upgrade markers still parse. */
   private final case class SnapMeta(id: Long, kind: String, parts: Seq[String],
-                                    rows: Option[Long], sort: Seq[String])
+                                    rows: Option[Long], sort: Seq[String],
+                                    note: Option[String])
 
   private def metas(): Seq[SnapMeta] = {
     val p = new Path(root)
@@ -53,10 +55,18 @@ final class SnapshotTable(
         SnapMeta(id, f(0),
           if (f.length > 1 && f(1).nonEmpty) f(1).split(',').toSeq else Seq.empty,
           if (f.length > 2) Some(f(2).toLong) else None,
-          if (f.length > 3 && f(3).nonEmpty) f(3).split(',').toSeq else Seq.empty)
+          if (f.length > 3 && f(3).nonEmpty) f(3).split(',').toSeq else Seq.empty,
+          if (f.length > 4 && f(4).nonEmpty) Some(unesc(f(4))) else None)
       }
       .sortBy(_.id)
   }
+
+  /** The commit note of every snapshot that carries one, ascending by id —
+    * e.g. the `batch=<id>` markers [[graft.streaming.WarehouseIngest]]
+    * records ATOMICALLY with each streamed append (same one-marker commit
+    * point), which is what makes its retry-skip exactly-once. */
+  def commitNotes(): Seq[(Long, String)] =
+    metas().flatMap(m => m.note.map(m.id -> _))
 
   /** (id, kind) for every committed snapshot, ascending — the table history
     * (S7: `SELECT * FROM t.snapshots`). */
@@ -197,10 +207,16 @@ final class SnapshotTable(
   }
 
   private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
-                     sort: Seq[String] = Seq.empty): Long = {
+                     sort: Seq[String] = Seq.empty,
+                     note: Option[String] = None): Long = {
     writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
     val isNew = currentSnapshotId.isEmpty
     val id = currentSnapshotId.getOrElse(0L) + 1
+    // crash recovery: a snapshot dir without its marker is an uncommitted
+    // orphan from a writer that died mid-commit — clear it so the retry's
+    // ErrorIfExists write can proceed (readers never saw the orphan)
+    if (fs.exists(snapDir(id)) && !fs.exists(metaFile(id)))
+      fs.delete(snapDir(id), true)
     // clustering: sort INSIDE each task's output file only — a global sort
     // would add an exchange per commit; within-file order is what parquet
     // row-group min/max pruning and page skipping read. Sort columns the
@@ -223,7 +239,8 @@ final class SnapshotTable(
     // between the two leaves an invisible snapshot, never a stats-less one
     val sout = fs.create(statsFile(id))
     try sout.write((statLines.mkString("\n") + "\n").getBytes("UTF-8")) finally sout.close()
-    val line = s"$kind|${parts.mkString(",")}|$rows|${sort.mkString(",")}"
+    val line = s"$kind|${parts.mkString(",")}|$rows|${sort.mkString(",")}|" +
+      note.map(esc).getOrElse("")
     val out = fs.create(metaFile(id)) // marker written last = commit point
     try out.write(line.getBytes("UTF-8")) finally out.close()
     if (isNew) onCreate() // object springs into existence → future grants fire
@@ -258,10 +275,12 @@ final class SnapshotTable(
     currentSnapshotId.getOrElse(commit(df, "base", partitionBy))
 
   /** Snapshot append (S7/D4): writes only the delta, in the table's
-    * partition layout. */
-  def append(df: DataFrame): Long = {
+    * partition layout. The optional `note` is recorded in the commit
+    * marker ATOMICALLY with the data becoming visible — the transactional
+    * hook streaming ingestion builds exactly-once on. */
+  def append(df: DataFrame, note: Option[String] = None): Long = {
     require(exists, s"append to non-existent table at $root")
-    commit(df, "append", partitionSpec(), sortSpec())
+    commit(df, "append", partitionSpec(), sortSpec(), note)
   }
 
   /** Table state at a snapshot: nearest base ≤ id, unioned with appends.

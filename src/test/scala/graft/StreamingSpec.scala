@@ -211,6 +211,58 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("warehouse ingest: streamed appends land exactly once, retries skip") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.WarehouseIngest
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("whingest").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq.empty[(Long, String)].toDF("id", "v")) // layout DDL first
+    val src = MemoryStream[(Long, String)]
+    src.addData((1L, "a"), (2L, "b"))
+    val q1 = WarehouseIngest.start(src.toDF().toDF("id", "v"), t, s"$tmp/ckpt")
+    q1.awaitTermination()
+    assert(t.read().count() == 2)
+    assert(WarehouseIngest.lastBatchId(t).contains(0L))
+    // restart the SAME checkpoint with more data: only the new batch lands
+    src.addData((3L, "c"))
+    val q2 = WarehouseIngest.start(src.toDF().toDF("id", "v"), t, s"$tmp/ckpt")
+    q2.awaitTermination()
+    assert(t.read().count() == 3)
+    // crash-redelivery: the same batch id arriving again is a no-op
+    val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(!WarehouseIngest.ingestBatch(t, replay, 0L), "redelivered batch must skip")
+    assert(!WarehouseIngest.ingestBatch(t, replay, 1L))
+    assert(t.read().count() == 3, "no duplicate rows after redelivery")
+    // a NEW batch id still appends
+    assert(WarehouseIngest.ingestBatch(t, Seq((4L, "d")).toDF("id", "v"), 99L))
+    assert(t.read().count() == 4)
+    // batch ids recorded atomically with the appends, in commit order
+    assert(WarehouseIngest.lastBatchId(t).contains(99L))
+    val notes = t.commitNotes().map(_._2)
+    assert(notes == Seq("batch=0", "batch=1", "batch=99"))
+  }
+
+  test("warehouse ingest: mid-commit crash orphan is cleared by the retry") {
+    import spark.implicits._
+    import graft.streaming.WarehouseIngest
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("whorphan").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a writer that died after writing data, before the marker:
+    // snap-00002 dir exists, no snap-00002.meta
+    val orphan = new java.io.File(s"$tmp/tbl/snap-00002")
+    Seq((9L, "ghost")).toDF("id", "v").write.parquet(orphan.toString)
+    assert(orphan.isDirectory && !new java.io.File(s"$tmp/tbl/snap-00002.meta").exists)
+    assert(t.read().count() == 1, "orphan is invisible to readers")
+    // the retry of that batch commits cleanly over the orphan
+    assert(WarehouseIngest.ingestBatch(t, Seq((2L, "b")).toDF("id", "v"), 0L))
+    assert(t.read().count() == 2)
+    assert(t.read().filter(col("v") === "ghost").count() == 0, "ghost rows never surface")
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
