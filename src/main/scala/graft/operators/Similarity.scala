@@ -328,6 +328,59 @@ object Similarity {
         .orderBy($"q_id", $"rank")
     },
 
+    // SemDeDup (Abbas et al. 2023): SEMANTIC dedup — cluster the corpus,
+    // compare only within a cluster, and for each near-dup pair drop the
+    // MORE prototypical member (higher cosine to its centroid), keeping
+    // the diversity-preserving outlier. This is the embedding-native
+    // complement of the LSH near-dup family: candidates come from k-means
+    // cells (cost Σ cell², never N²), and the keep rule is the paper's
+    // centroid-proximity policy rather than keep-first. The corpus is
+    // embeddings ∪ planted scaled twins (q54's construction) so the
+    // operator provably separates real semantic dups (cos ≈ 1) from the
+    // ~0.5 background similarity of random vectors.
+    "q105_semdedup" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val baseE = t(s, dir, "embeddings")
+      val corpus = baseE.select($"vec_id", $"embedding").unionAll(
+        baseE.select(($"vec_id" + 100000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(1.015625 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+      val cent = baseE
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1))).as("cv"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
+        .select($"label".as("c_label"),
+          expr("transform(pairs, p -> p.cv)").as("c_vec"),
+          expr("""sqrt(aggregate(transform(pairs, p -> p.cv * p.cv),
+                  CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("c_norm"))
+      val scored = corpus
+        .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+        .crossJoin(broadcast(cent))
+        .withColumn("a_cos",
+          expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
+      val assigned = scored
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"norm",
+          $"c_label".as("cell"), $"a_cos".as("proto"))
+      val a = assigned.select($"cell", $"vec_id".as("a_id"), $"embedding".as("a_emb"),
+        $"norm".as("a_norm"), $"proto".as("a_proto"))
+      val b = assigned.select($"cell".as("b_cell"), $"vec_id".as("b_id"),
+        $"embedding".as("b_emb"), $"norm".as("b_norm"), $"proto".as("b_proto"))
+      a.join(b, $"cell" === $"b_cell" && $"a_id" < $"b_id")
+        .withColumn("cos", expr(dot("a_emb", "b_emb")) / ($"a_norm" * $"b_norm"))
+        .filter($"cos" >= 0.999)
+        .select($"cell", $"a_id", $"b_id", round($"cos", 6).as("cos_sim"),
+          when($"a_proto" > $"b_proto" ||
+               ($"a_proto" === $"b_proto" && $"a_id" > $"b_id"), $"a_id")
+            .otherwise($"b_id").as("drop_id"))
+        .orderBy($"a_id", $"b_id")
+    },
+
     // Product-quantization ANN — the memory-compressed scale path beyond
     // IVF (q55). The 64-dim vector splits into M=4 16-dim subspaces; each
     // subspace gets a K=8 codebook TRAINED by a deterministic k-means
@@ -534,6 +587,51 @@ object Similarity {
            FROM nn)
          SELECT q_id, rank, n_id, q_cell AS cell, ROUND(cos, 6) AS cos_sim
          FROM rq WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "q105_semdedup" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000,
+                  list_transform(embedding, x -> CAST(x * CAST(1.015625 AS FLOAT) AS FLOAT))
+           FROM embeddings),
+         cd AS (
+           SELECT label, i AS pos,
+                  CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY label, i),
+         cent AS (
+           SELECT label AS c_label,
+                  list(cv ORDER BY pos) AS c_vec,
+                  sqrt(list_reduce(list_transform(list(cv ORDER BY pos), v -> v * v),
+                       (x, y) -> x + y)) AS c_norm
+           FROM cd GROUP BY label),
+         e AS (
+           SELECT vec_id, embedding,
+                  sqrt(${duckDot("embedding", "embedding")}) AS norm
+           FROM corpus),
+         scored AS (
+           SELECT e.vec_id, e.embedding, e.norm, c_label, c_norm,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * c_vec[i]), (x, y) -> x + y)
+                    / (norm * c_norm) AS a_cos
+           FROM e CROSS JOIN cent),
+         assigned AS (
+           SELECT vec_id, embedding, norm, c_label AS cell, a_cos AS proto FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY vec_id ORDER BY a_cos DESC, c_label) AS rn
+             FROM scored) x
+           WHERE rn = 1),
+         pairs AS (
+           SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos,
+                  a.proto AS a_proto, b.proto AS b_proto
+           FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT cell, a_id, b_id, ROUND(cos, 6) AS cos_sim,
+                CASE WHEN a_proto > b_proto OR (a_proto = b_proto AND a_id > b_id)
+                     THEN a_id ELSE b_id END AS drop_id
+         FROM pairs WHERE cos >= 0.999
+         ORDER BY a_id, b_id""",
 
     "q54_embed_neardup" ->
       s"""WITH corpus AS (
