@@ -264,4 +264,29 @@ object TrainingDataPipeline {
     corpus.unpersist(blocking = false)
     rules.toSeq
   }
+
+  /** Stage 4e — BPE ENCODE: tokenize a corpus with trained merges. This is
+    * Sennrich application — each learned rule, in merge order, rewrites
+    * every word with the SAME greedy left-to-right non-overlapping fold
+    * the trainer used — so train + encode round-trip exactly. The whole
+    * encoder is ONE projection (the R rules compose into a single nested
+    * expression): zero shuffle, zero state, embarrassingly parallel — the
+    * shape that tokenizes 100 TB at scan speed. Output: (idCol, tokens,
+    * n_tokens); token concatenation reproduces the input words exactly
+    * (merges never drop or reorder symbols — PipelineSpec asserts the
+    * losslessness and matches a from-scratch driver encoder). */
+  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def lit1(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val s0 = s"transform(split(lower($textCol), ' '), w -> filter(split(w, ''), c -> c <> ''))"
+    val sN = rules.foldLeft(s0) { case (prev, (a, b)) =>
+      s"""transform($prev, w -> aggregate(w, CAST(array() AS ARRAY<STRING>),
+          (acc, x) -> CASE WHEN size(acc) > 0
+               AND element_at(acc, -1) = '${lit1(a)}' AND x = '${lit1(b)}'
+             THEN concat(slice(acc, 1, size(acc) - 1), array('${lit1(a + b)}'))
+             ELSE concat(acc, array(x)) END))"""
+    }
+    docs.select(col(idCol), expr(s"flatten($sN)").as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
 }

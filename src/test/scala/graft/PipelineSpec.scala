@@ -154,6 +154,44 @@ class PipelineSpec extends SparkSpec {
     assert(got.length === 5, "corpus should support 5 merges")
   }
 
+  test("BPE encode: Sennrich application matches a driver encoder and is lossless") {
+    val rules = bpeTrain(docs, nMerges = 8).map(_._1)
+    assert(rules.nonEmpty)
+    val encoded = bpeEncode(docs, rules).cache()
+    // reference: the same greedy fold per rule, applied in merge order
+    def refEncode(text: String): Seq[String] =
+      text.toLowerCase.split(" ").toSeq.flatMap { w =>
+        var syms = w.split("").toVector.filter(_.nonEmpty)
+        rules.foreach { case (a, b) =>
+          syms = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.dropRight(1) :+ (a + b)
+            else acc :+ x
+          }
+        }
+        syms
+      }
+    val want = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> refEncode(r.getString(1))).toMap
+    val got = encoded.select($"doc_id", $"tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, toks) => assert(toks === want(id), s"doc $id") }
+    // losslessness: token concatenation reproduces the space-stripped text
+    val broken = encoded.join(docs, "doc_id")
+      .filter(expr("concat_ws('', tokens) <> replace(lower(text), ' ', '')"))
+      .count()
+    assert(broken === 0, "BPE encoding must be lossless")
+    // merges actually fired: fewer tokens than characters for some doc
+    val shrunk = encoded.join(docs, "doc_id")
+      .filter($"n_tokens" < length(replace(lower($"text"), lit(" "), lit(""))))
+      .count()
+    assert(shrunk > 0, "trained merges should compress at least one doc")
+    // the encoder is one shuffle-free projection (tokenize-at-scan-speed)
+    val exchanges = encoded.queryExecution.executedPlan.toString
+    assert(!exchanges.contains("Exchange"), "BPE encode must not shuffle")
+    encoded.unpersist()
+  }
+
   test("PQ encode emits one 4-code row per vector, codes in codebook range") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val codes = pqEncode(emb, defaultCodebook(emb, k = 8)).cache()
