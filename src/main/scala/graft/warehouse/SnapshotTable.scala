@@ -34,12 +34,14 @@ final class SnapshotTable(
   private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
 
   /** One parsed `.meta` marker. Line format
-    * `kind|p1,p2|rowCount|s1,s2|note` (partition cols, footer row count,
-    * sort cols, free-form commit note); trailing fields are optional so
-    * pre-upgrade markers still parse. */
+    * `kind|p1,p2|rowCount|s1,s2|note|commitMillis` (partition cols, footer
+    * row count, sort cols, free-form commit note, commit wall time);
+    * trailing fields are optional so pre-upgrade markers still parse.
+    * Kinds: `base` (full rewrite), `append` (delta), `spec` (partition/
+    * sort spec evolution — a marker-only commit with NO data dir). */
   private final case class SnapMeta(id: Long, kind: String, parts: Seq[String],
                                     rows: Option[Long], sort: Seq[String],
-                                    note: Option[String])
+                                    note: Option[String], ts: Option[Long])
 
   private def metas(): Seq[SnapMeta] = {
     val p = new Path(root)
@@ -56,9 +58,18 @@ final class SnapshotTable(
           if (f.length > 1 && f(1).nonEmpty) f(1).split(',').toSeq else Seq.empty,
           if (f.length > 2) Some(f(2).toLong) else None,
           if (f.length > 3 && f(3).nonEmpty) f(3).split(',').toSeq else Seq.empty,
-          if (f.length > 4 && f(4).nonEmpty) Some(unesc(f(4))) else None)
+          if (f.length > 4 && f(4).nonEmpty) Some(unesc(f(4))) else None,
+          if (f.length > 5 && f(5).nonEmpty) Some(f(5).toLong) else None)
       }
       .sortBy(_.id)
+  }
+
+  /** The data-bearing snapshots a read at `id` resolves to: nearest base
+    * at-or-before `id` plus the appends after it, `spec` markers skipped
+    * (they carry layout only, no data dir). */
+  private def dataChainAt(id: Long): Seq[SnapMeta] = {
+    val snaps = metas().takeWhile(_.id <= id)
+    snaps.drop(snaps.lastIndexWhere(_.kind == "base")).filterNot(_.kind == "spec")
   }
 
   /** The commit note of every snapshot that carries one, ascending by id —
@@ -72,13 +83,16 @@ final class SnapshotTable(
     * (S7: `SELECT * FROM t.snapshots`). */
   def snapshots(): Seq[(Long, String)] = metas().map(m => (m.id, m.kind))
 
-  /** The partition spec of the current base snapshot (empty = unpartitioned). */
+  /** The CURRENT partition spec: the newest `base` rewrite or `spec`
+    * evolution marker wins (empty = unpartitioned). */
   def partitionSpec(): Seq[String] =
-    metas().reverse.find(_.kind == "base").map(_.parts).getOrElse(Seq.empty)
+    metas().reverse.find(m => m.kind == "base" || m.kind == "spec")
+      .map(_.parts).getOrElse(Seq.empty)
 
-  /** The clustering (sort-within-files) spec of the current base snapshot. */
+  /** The current clustering (sort-within-files) spec, same resolution. */
   def sortSpec(): Seq[String] =
-    metas().reverse.find(_.kind == "base").map(_.sort).getOrElse(Seq.empty)
+    metas().reverse.find(m => m.kind == "base" || m.kind == "spec")
+      .map(_.sort).getOrElse(Seq.empty)
 
   def exists: Boolean = metas().nonEmpty
   def currentSnapshotId: Option[Long] = metas().lastOption.map(_.id)
@@ -239,11 +253,33 @@ final class SnapshotTable(
     // between the two leaves an invisible snapshot, never a stats-less one
     val sout = fs.create(statsFile(id))
     try sout.write((statLines.mkString("\n") + "\n").getBytes("UTF-8")) finally sout.close()
+    writeMarker(id, kind, parts, rows, sort, note)
+    if (isNew) onCreate() // object springs into existence → future grants fire
+    id
+  }
+
+  private def writeMarker(id: Long, kind: String, parts: Seq[String], rows: Long,
+                          sort: Seq[String], note: Option[String]): Unit = {
     val line = s"$kind|${parts.mkString(",")}|$rows|${sort.mkString(",")}|" +
-      note.map(esc).getOrElse("")
+      s"${note.map(esc).getOrElse("")}|${System.currentTimeMillis()}"
     val out = fs.create(metaFile(id)) // marker written last = commit point
     try out.write(line.getBytes("UTF-8")) finally out.close()
-    if (isNew) onCreate() // object springs into existence → future grants fire
+  }
+
+  /** Iceberg-style PARTITION SPEC EVOLUTION: change the layout (and
+    * optionally the clustering) for FUTURE appends without touching a byte
+    * of existing data — a marker-only commit. Old files keep their layout;
+    * `read()` unions mixed layouts per snapshot dir (hive discovery is
+    * per-dir already), and `planFiles` prunes each file under its OWN
+    * layout — partition-dir values on new files, column stats on old. At
+    * 100 TB this is the difference between re-laying-out a table (a full
+    * rewrite) and a one-line commit when the query pattern shifts. */
+  def evolvePartitionSpec(partitionBy: Seq[String],
+                          sortBy: Option[Seq[String]] = None): Long = {
+    writeGuard()
+    require(exists, s"evolve of non-existent table at $root")
+    val id = currentSnapshotId.get + 1
+    writeMarker(id, "spec", partitionBy, 0L, sortBy.getOrElse(sortSpec()), None)
     id
   }
 
@@ -288,15 +324,29 @@ final class SnapshotTable(
     * hive partition discovery — one multi-path read would reject the
     * mixed snapshot-dir/partition-dir layout as conflicting structures). */
   def asOf(id: Long): DataFrame = {
-    val snaps = snapshots().takeWhile(_._1 <= id)
-    require(snaps.nonEmpty, s"no snapshot ≤ $id at $root")
-    val fromBase = snaps.drop(snaps.lastIndexWhere(_._2 == "base"))
+    require(metas().exists(_.id <= id), s"no snapshot ≤ $id at $root")
     // allowMissingColumns = Iceberg-style schema evolution: an append may
     // carry columns older snapshots lack (read as NULL there) and vice
     // versa — adding a column never rewrites history
-    fromBase.map(s => spark.read.parquet(snapDir(s._1).toString))
+    dataChainAt(id).map(s => spark.read.parquet(snapDir(s.id).toString))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Time travel by WALL CLOCK (Iceberg `TIMESTAMP AS OF`): the table
+    * state at the newest snapshot committed at-or-before `ts`. Commit
+    * times come from the markers themselves (recorded atomically at
+    * commit), not file mtimes, so replication/copies don't shift history. */
+  def asOfTimestamp(ts: java.time.Instant): DataFrame = {
+    val at = metas().filter(_.ts.exists(_ <= ts.toEpochMilli)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before $ts at $root"))
+    asOf(at.id)
+  }
+
+  /** (id, kind, commit time) for every snapshot, ascending — the
+    * timestamped history `asOfTimestamp` resolves against. */
+  def snapshotTimes(): Seq[(Long, String, Option[java.time.Instant])] =
+    metas().map(m => (m.id, m.kind, m.ts.map(java.time.Instant.ofEpochMilli)))
 
   /** Iceberg-style `rewrite_data_files`: collapse the current base + its
     * append chain into ONE fresh base snapshot (same rows, same layout
@@ -320,8 +370,7 @@ final class SnapshotTable(
     * over the same root — a different dir set — can never be misrouted to
     * the full-table MV answer. */
   def liveSnapshotDirs(): Seq[String] = currentSnapshotId.toSeq.flatMap { id =>
-    val snaps = snapshots().takeWhile(_._1 <= id)
-    snaps.drop(snaps.lastIndexWhere(_._2 == "base")).map(s => snapDir(s._1).toString)
+    dataChainAt(id).map(s => snapDir(s.id).toString)
   }
 
   /** The rows appended strictly after snapshot `id` — the incremental-read
@@ -330,11 +379,15 @@ final class SnapshotTable(
     * are no longer sufficient and the caller must fall back to a full
     * read. Reading N append dirs scans ONLY the delta bytes. */
   def appendsSince(id: Long): Option[DataFrame] = {
-    val later = snapshots().dropWhile(_._1 <= id)
-    if (later.exists(_._2 != "append")) None
-    else if (later.isEmpty) Some(read().limit(0)) // schema-preserving empty
-    else Some(later.map(s => spark.read.parquet(snapDir(s._1).toString))
-      .reduce(_ unionByName _))
+    // a `spec` marker between appends is layout-only: deltas stay valid
+    val later = metas().dropWhile(_.id <= id)
+    if (later.exists(m => m.kind != "append" && m.kind != "spec")) None
+    else {
+      val appends = later.filter(_.kind == "append")
+      if (appends.isEmpty) Some(read().limit(0)) // schema-preserving empty
+      else Some(appends.map(s => spark.read.parquet(snapDir(s.id).toString))
+        .reduce(_ unionByName _))
+    }
   }
 
   /** Metadata-only scan planning (Iceberg `planFiles`): keep only the data
@@ -348,10 +401,7 @@ final class SnapshotTable(
     val kept = Seq.newBuilder[(String, Seq[String])]
     var nKept = 0
     var nTotal = 0
-    val liveIds = currentSnapshotId.toSeq.flatMap { id =>
-      val snaps = snapshots().takeWhile(_._1 <= id)
-      snaps.drop(snaps.lastIndexWhere(_._2 == "base")).map(_._1)
-    }
+    val liveIds = currentSnapshotId.toSeq.flatMap(id => dataChainAt(id).map(_.id))
     liveIds.foreach { id =>
       val dir = fs.makeQualified(snapDir(id)).toString
       // rel path -> col -> (kind, min, max); kind "n" = all-NULL column

@@ -318,6 +318,61 @@ class WarehouseSpec extends SparkSpec {
     assert(after.filesKept < after.filesTotal, "compacted base keeps pruning by partition")
   }
 
+  test("asOfTimestamp: wall-clock time travel resolves against commit times") {
+    val t = new SnapshotTable(spark, freshRoot("ttts"))
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(15)
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    Thread.sleep(15)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val times = t.snapshotTimes()
+    assert(times.length == 3 && times.forall(_._3.isDefined), "every commit is timestamped")
+    val Seq(t1, t2, t3) = times.map(_._3.get)
+    assert(!t2.isBefore(t1) && !t3.isBefore(t2), "commit times are monotone")
+    // between commit 2 and 3 → the 2-row state
+    val mid = t2.plusMillis(java.time.Duration.between(t2, t3).toMillis / 2)
+    assert(t.asOfTimestamp(mid).count() == 2)
+    assert(t.asOfTimestamp(t1).count() == 1, "exactly-at resolves inclusively")
+    assert(t.asOfTimestamp(java.time.Instant.now()).count() == 3)
+    intercept[IllegalArgumentException](t.asOfTimestamp(t1.minusSeconds(3600)))
+  }
+
+  test("partition evolution: marker-only commit, mixed layouts read and prune") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("pevo"))
+    val mk = (lo: Int, hi: Int, day: String, reg: String) =>
+      spark.range(lo, hi).coalesce(1).toDF("id")
+        .withColumn("day", lit(day)).withColumn("region", lit(reg))
+    // original layout: partition by day only
+    t.createOrReplace(mk(0, 100, "2026-01-01", "eu"), partitionBy = Seq("day"))
+    t.append(mk(100, 200, "2026-01-02", "us"))
+    // evolve: future appends partition by (day, region); NO data rewritten
+    val specId = t.evolvePartitionSpec(Seq("day", "region"))
+    assert(t.partitionSpec() == Seq("day", "region"))
+    t.append(mk(200, 300, "2026-01-03", "ap"))
+    // old snapshot dirs untouched, new append uses the evolved layout
+    assert(new java.io.File(t.root, "snap-00002/day=2026-01-02").isDirectory)
+    assert(!new java.io.File(t.root, f"snap-$specId%05d").exists, "spec commit is marker-only")
+    assert(new java.io.File(t.root, "snap-00004/day=2026-01-03/region=ap").isDirectory)
+    // reads union the mixed layouts; counts stay metadata-only
+    assert(t.read().count() == 300)
+    assert(t.rowCountFromMetadata.contains(300L))
+    assert(t.read().filter(col("region") === "us").count() == 100)
+    // pruning works under BOTH layouts: region is a data column in old
+    // files (column stats) and a path value in the new one (partition dir)
+    val plan = t.planFiles(Seq(ColRange("region", Some("us"), Some("us"))))
+    assert(plan.filesTotal == 3 && plan.filesKept == 1)
+    // delta reads skip the spec marker but keep appends across it valid
+    val delta = t.appendsSince(2)
+    assert(delta.isDefined && delta.get.count() == 100)
+    // time travel BEFORE the evolution sees the old state
+    assert(t.asOf(2).count() == 200)
+    // a COW rewrite (delete) inherits the evolved spec
+    t.delete(col("id") === 0L)
+    assert(t.partitionSpec() == Seq("day", "region"))
+    assert(t.read().count() == 299)
+  }
+
   test("z-order layout: one clustering prunes BOTH dimensions; linear prunes one") {
     import graft.warehouse.ColRange
     graft.functions.GraftFunctions.register(spark)
