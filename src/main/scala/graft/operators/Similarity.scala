@@ -108,6 +108,62 @@ object Similarity {
        |  SELECT c.m, c.k, COALESCE(n.cvec, c.cvec) AS cvec
        |  FROM $prev c LEFT JOIN new$it n ON c.m = n.m AND c.k = n.k)""".stripMargin
 
+  // ── trained IVF (q106): the SAME k-means template, one 64-dim space ──
+  //
+  // q53/q55/q103 build their cells from label means — a stand-in that
+  // leans on a datagen attribute a real corpus wouldn't have. q106 trains
+  // the cells themselves: the PQ dialect machinery generalizes to a single
+  // full-width subspace (m ≡ 0, 64 dims, k = 8 centroids initialized from
+  // the first 8 vectors, 2 Lloyd iterations, decimal-exact means), so the
+  // index structure AND its centroids are learned from the data alone, and
+  // the DuckDB oracle re-derives the identical training.
+
+  private val sparkIvf = PqDialect(
+    parts = """SELECT vec_id, 0 AS m,
+              |       transform(embedding, x -> CAST(x AS DOUBLE)) AS sub
+              |FROM embeddings""".stripMargin,
+    l2 = (a, b) => s"l2sq_f64($a, $b)",
+    dims = src => s"SELECT m, k, posexplode(sub) AS (pos, v) FROM $src",
+    ordArr = "transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)")
+
+  private def duckIvf = PqDialect(
+    parts = """SELECT vec_id, 0 AS m,
+              |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sub
+              |FROM embeddings""".stripMargin,
+    l2 = (a, b) => s"""list_reduce(list_transform(range(1, 65),
+                       i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""",
+    dims = src => s"SELECT m, k, i - 1 AS pos, sub[i] AS v FROM $src, range(1, 65) t(i)",
+    ordArr = "list(cv ORDER BY pos)")
+
+  /** q106 body: train cells, assign the corpus, probe each query's own
+    * cell, rank in-cell candidates by true cosine. `dotD` is the dialect's
+    * sequential double dot (norms precomputed once per vector in `asgf`). */
+  private def ivfQuerySql(d: PqDialect, dotD: (String, String) => String): String =
+    s"""WITH ${pqTrainCtes(d)},
+       |asgf AS (
+       |  SELECT vec_id, sub, sqrt(${dotD("sub", "sub")}) AS norm, k AS cell FROM (
+       |    SELECT p.vec_id, p.sub, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM parts p JOIN cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |nn AS (
+       |  SELECT q.vec_id AS q_id, a.vec_id AS n_id, q.cell,
+       |         ${dotD("q.sub", "a.sub")} / (q.norm * a.norm) AS cos
+       |  FROM asgf q JOIN asgf a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+       |  WHERE q.vec_id IN (0, 1, 2, 3)),
+       |r AS (
+       |  SELECT q_id, n_id, cell, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM nn)
+       |SELECT q_id, rank, n_id, cell, ROUND(cos, 6) AS cos_sim
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  private val sparkDotD: (String, String) => String = (a, b) =>
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private val duckDotD: (String, String) => String = (a, b) =>
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
   /** Training chain: parts → init (vec_id 0..7 subvectors) → 2 Lloyd
     * iterations → `cents2`, the trained codebook. */
   private def pqTrainCtes(d: PqDialect): String =
@@ -404,6 +460,17 @@ object Similarity {
       s.sql(pqQuerySql(sparkPq))
     },
 
+    // Trained IVF: the cells are k-means-learned from the vectors alone
+    // (no datagen attribute), via the same deterministic training template
+    // as q88's PQ codebooks — the oracle re-derives the identical
+    // centroids, so a green row certifies the TRAINING cross-engine, not
+    // just the search. Probe cost is one cell (~1/8 of the corpus).
+    "q106_ivf_trained" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(ivfQuerySql(sparkIvf, sparkDotD))
+    },
+
     // Recall@k — the first question a user of an ANN index asks: how many
     // of the EXACT top-k does each approximate method return? Composes
     // the three index paths against q50's brute-force truth: sign-LSH's
@@ -436,10 +503,12 @@ object Similarity {
         .select($"vec_id".as("q_id"), $"nn_id".as("n_id"))
       val ivf = queries("q55_ivf_search")(s, dir).select($"q_id", $"n_id")
       val ivfmp = queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id")
+      val ivftr = queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id")
       val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
       recallOf(lsh, 1, "lsh_top1")
         .unionByName(recallOf(ivf, 3, "ivf_top3"))
         .unionByName(recallOf(ivfmp, 3, "ivf_mp_top3"))
+        .unionByName(recallOf(ivftr, 3, "ivf_tr_top3"))
         .unionByName(recallOf(pq, 5, "pq_top5"))
         .orderBy($"method", $"q_id")
     },
@@ -670,7 +739,11 @@ object Similarity {
     // Same template as the Spark side — DuckDB re-derives the k-means
     // training (2 Lloyd iterations, decimal-exact means) and the ADC
     // ranking from scratch; the hash match is the cross-engine proof.
-    "q88_pq_ann" -> pqQuerySql(duckPq))
+    "q88_pq_ann" -> pqQuerySql(duckPq),
+
+    // Trained-IVF twin: DuckDB re-trains the full-width k-means cells and
+    // re-runs the cell-probed search — green row = identical training.
+    "q106_ivf_trained" -> ivfQuerySql(duckIvf, duckDotD))
 
   /** q102's oracle embeds the other four oracles as subqueries, so DuckDB
     * recomputes every index from scratch and then the recall counts. */
@@ -680,6 +753,7 @@ object Similarity {
        |             FROM (${oracleBase("q51_ann_lsh")}) l WHERE vec_id IN (0, 1, 2, 3)),
        |     ivf AS (SELECT q_id, n_id FROM (${oracleBase("q55_ivf_search")}) i),
        |     ivfmp AS (SELECT q_id, n_id FROM (${oracleBase("q103_ivf_multiprobe")}) im),
+       |     ivftr AS (SELECT q_id, n_id FROM (${oracleBase("q106_ivf_trained")}) it),
        |     pq AS (SELECT q_id, n_id FROM (${oracleBase("q88_pq_ann")}) p),
        |     spine AS (
        |       SELECT 'lsh_top1' AS method, q_id, 1 AS k FROM (SELECT DISTINCT q_id FROM lsh) a
@@ -687,6 +761,8 @@ object Similarity {
        |       SELECT 'ivf_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivf) b
        |       UNION ALL
        |       SELECT 'ivf_mp_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivfmp) bm
+       |       UNION ALL
+       |       SELECT 'ivf_tr_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivftr) bt
        |       UNION ALL
        |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c),
        |     hits AS (
@@ -701,6 +777,10 @@ object Similarity {
        |       SELECT 'ivf_mp_top3', im.q_id, count(*)
        |       FROM ivfmp im JOIN exact e ON im.q_id = e.q_id AND im.n_id = e.n_id AND e.rank <= 3
        |       GROUP BY im.q_id
+       |       UNION ALL
+       |       SELECT 'ivf_tr_top3', it.q_id, count(*)
+       |       FROM ivftr it JOIN exact e ON it.q_id = e.q_id AND it.n_id = e.n_id AND e.rank <= 3
+       |       GROUP BY it.q_id
        |       UNION ALL
        |       SELECT 'pq_top5', p.q_id, count(*)
        |       FROM pq p JOIN exact e ON p.q_id = e.q_id AND p.n_id = e.n_id AND e.rank <= 5

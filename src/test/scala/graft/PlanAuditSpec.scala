@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("q39_price_histogram", "q50_cosine_topk", "q55_ivf_search",
       "q77_domain_mixture", "q86_tfidf_terms", "q87_gapfill_daily",
       "q102_ann_recall", "q103_ivf_multiprobe", // q103: same ≤10-row centroid broadcast as q55
-      "q105_semdedup") // q105: ≤10-row centroid broadcast for cluster assignment
+      "q105_semdedup", // q105: ≤10-row centroid broadcast for cluster assignment
+      "q106_ivf_trained") // q106: 8-row trained-centroid broadcast (m≡0 join folds)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no cartesian product / unlisted nested-loop join") {
