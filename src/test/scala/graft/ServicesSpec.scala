@@ -301,4 +301,37 @@ class ServicesSpec extends SparkSpec {
     assert(mvm.refreshIncremental("mv_sales") == "full")
     assert(mvm.read("mv_sales").select($"k").as[String].collect().toSet == Set("a", "c"))
   }
+
+  test("maintenance sweep: fragmented tables compact, history expires, rows survive") {
+    val cat = newCatalog("MAINT")
+    cat.createSchema("ing")
+    val t = cat.table("ing", "feed")
+    t.createOrReplace(Seq((0L, "seed")).toDF("id", "v"))
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"batch$i")).toDF("id", "v")))
+    assert(t.liveSnapshotDirs().size == 7, "append-heavy chain before maintenance")
+    val quiet = cat.table("ing", "dim")
+    quiet.createOrReplace(Seq((1L, "x")).toDF("id", "v"))
+    // keepSnapshots=1: after the compact only the fresh base is retained,
+    // so the whole pre-compaction chain becomes expirable in the same sweep
+    // (keepLast≥2 would pin an old append, which pins its ENTIRE chain —
+    // expiry is correctly conservative about reachability)
+    val svc = new graft.services.MaintenanceService(cat, maxDeltas = 4, keepSnapshots = 1)
+    val sched = new graft.services.TaskScheduler
+    val task = svc.scheduleSweep(sched, everyMs = 3600 * 1000L)
+    assert(sched.runOnce(task))
+    // fragmented table collapsed to one base; quiet table untouched
+    assert(t.liveSnapshotDirs().size == 1)
+    assert(quiet.snapshots().size == 1)
+    // expiry removed the 7 pre-compaction snapshots; live rows all survive
+    assert(t.snapshots().size == 1)
+    assert(t.read().count() == 7)
+    assert(t.count() == 7, "metadata count intact after compaction")
+    val run = sched.taskHistory().filter(_.task == task)
+    assert(run.nonEmpty && run.head.status == "SUCCEEDED")
+    assert(run.head.message.contains("compacted 1 table(s), expired 7 snapshot(s)"))
+    // a second sweep is a no-op (nothing fragmented, nothing expirable)
+    assert(sched.runOnce(task))
+    assert(sched.taskHistory().filter(_.task == task).last.message
+      .contains("compacted 0 table(s), expired 0 snapshot(s)"))
+  }
 }
