@@ -335,6 +335,20 @@ object GraftFunctions {
           s"zorder2 expects 2 arguments, got ${children.length}")
         InterleaveBits(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      { children =>
+        require(children.length == 2,
+          s"bloom_might_contain expects (key, 'base64-filter'), got ${children.length} args")
+        val bytes = children(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            java.util.Base64.getDecoder.decode(s.toString)
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain: second argument must be a base64 string literal, got $other")
+        }
+        BloomMightContain(children.head, bytes)
+      })
     def const(fn: String, confKey: String, default: String): Unit =
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(fn),

@@ -198,6 +198,38 @@ object Joins {
     // proof that salting is result-transparent, not just a spec assertion.
     // The salt spreads any hot custkey across 8 reducers at the cost of
     // replicating the small side 8× (see SkewJoin's trade-off notes).
+    // Bloom-filter semi-join reduction through the correctness gate: the
+    // dim side (suppliers of one nation, ~6% of the key space) is
+    // aggregated into a Bloom filter on the driver — dim-sized work, the
+    // same build Spark's own InjectRuntimeFilter does for shuffle joins —
+    // and probed on the fact side BEFORE the exchange via the native
+    // codegen'd bloom_might_contain expression, so the shuffle carries
+    // only probable matches (+ fpp≤1% false positives). The exact join
+    // downstream removes the false positives, which is why the oracle's
+    // PLAIN join must hash-match: the reduction is result-transparent by
+    // construction. At 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the selective fraction of it
+    // (RuntimeFilterSpec asserts the pruning actually happens and that
+    // the probe stays inside whole-stage codegen).
+    "q108_bloom_join" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val dim = t(s, dir, "supplier").filter($"s_nationkey" === 3)
+      val keys = dim.select($"s_suppkey")
+      val bf = keys.stat.bloomFilter("s_suppkey",
+        expectedNumItems = math.max(keys.count(), 64L), fpp = 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      t(s, dir, "lineitem")
+        .filter(expr(s"bloom_might_contain(l_suppkey, '$b64')"))
+        .join(broadcast(dim), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(decSum($"l_extendedprice").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"s_suppkey")
+    },
+
     "q92_salted_join" -> { (s, dir) =>
       import s.implicits._
       val seg = t(s, dir, "customer").select($"c_custkey".as("o_custkey"), $"c_mktsegment")
@@ -316,5 +348,16 @@ object Joins {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment
-         ORDER BY c_mktsegment""")
+         ORDER BY c_mktsegment""",
+
+    // the PLAIN join — no bloom anywhere: hash-match proves the
+    // fact-side reduction is result-transparent
+    "q108_bloom_join" ->
+      """SELECT s_suppkey, s_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey = 3
+         GROUP BY s_suppkey, s_name
+         ORDER BY s_suppkey""")
 }

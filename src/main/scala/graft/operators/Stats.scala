@@ -155,9 +155,54 @@ object Stats {
           ($"a50" >= $"lo50" && $"a50" <= $"hi50").as("p50_within"),
           ($"a90" >= $"lo90" && $"a90" <= $"hi90").as("p90_within"))
         .orderBy($"lang")
+    },
+
+    // Single-pass COLUMN PROFILER — the data-quality census a pipeline
+    // runs before trusting a new table: per column, row/non-null/distinct
+    // counts and min/max, for every column in ONE scan. Shape: a
+    // zero-shuffle Expand (`stack`) turns each row into (col, val) pairs —
+    // 6× map-side rows, never materialized — then one two-phase distinct
+    // aggregate keyed on the column name. Values are canonicalized to
+    // exact string forms (bigint/decimal(18,2)/date) so min/max and
+    // distinct are engine-portable; doubles are never stringified raw
+    // (their shortest-repr printing is engine-specific). At 100 TB this
+    // is one pass over the table where a per-column loop would be |cols|
+    // passes — the reason every warehouse profiler (ANALYZE, dbt tests,
+    // Deequ) batches columns exactly like this.
+    "q110_profile" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(expr(
+          """stack(6,
+             'o_orderkey',      CAST(o_orderkey AS STRING),
+             'o_custkey',       CAST(o_custkey AS STRING),
+             'o_orderstatus',   o_orderstatus,
+             'o_orderpriority', o_orderpriority,
+             'o_totalprice',    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+             'o_orderdate',     CAST(CAST(o_orderdate AS DATE) AS STRING)) AS (col, val)"""))
+        .groupBy($"col")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"val").as("n_nonnull"),
+          countDistinct($"val").as("n_distinct"),
+          min($"val").as("min_val"),
+          max($"val").as("max_val"))
+        .orderBy($"col")
     })
 
   val oracle: Map[String, String] = Map(
+    "q110_profile" ->
+      """WITH v AS (
+           SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders)
+         SELECT col, count(*) AS n_rows, count(val) AS n_nonnull,
+                count(DISTINCT val) AS n_distinct,
+                min(val) AS min_val, max(val) AS max_val
+         FROM v GROUP BY col ORDER BY col""",
+
     "q80_exact_percentiles" ->
       """WITH r AS (
            SELECT lang, n_chars AS v,

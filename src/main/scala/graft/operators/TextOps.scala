@@ -31,6 +31,18 @@ object TextOps {
   private val K = 6
   private val BANDS = 3
 
+  /** q107: word 4-grams appearing in more than this many distinct documents
+    * are dropped before the positional self-join — ubiquitous grams
+    * (boilerplate) would otherwise expand a single hot key into df² match
+    * rows, the same skew hazard q73's decontamination cap guards against. */
+  private val DupSpanDfCap = 16
+
+  /** q107: minimum shared-run length (in tokens) worth reporting — the
+    * Lee et al. 2021 exact-substring dedup uses 50 BPE tokens at corpus
+    * scale; 8 words fits the synthetic corpus while keeping the same
+    * shape (well above the 4-gram seed so runs must chain). */
+  private val MinSpanTokens = 8
+
   /** documents ∪ near-dup twins (tail-truncated copies, ids offset 100000). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -453,6 +465,61 @@ object TextOps {
     // join split handles those at runtime (each left row matches exactly
     // one df row, so splitting a hot partition is always safe); df itself
     // is |vocab| rows, too large to assume broadcastable at corpus scale.
+    // Exact duplicated-SPAN detection — the suffix-array substring dedup of
+    // Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    // Better") re-expressed relationally. Where q42/q44 ask "are these two
+    // DOCUMENTS near-identical?", this asks the finer question their method
+    // answers: "which exact token RUNS are shared verbatim between
+    // documents?" — the signal that catches a licence block or a quoted
+    // paragraph inside otherwise-unrelated pages. Algorithm: a suffix
+    // array's duplicated substrings are exactly the maximal diagonal runs
+    // of matching k-gram positions, so (1) emit (doc, pos, hash(4-gram)),
+    // (2) drop grams above a document-frequency cap (boilerplate carries
+    // no span signal and one hot gram makes df² pairs — the q73 hazard),
+    // (3) equi-join on the gram hash (shuffle keyed on the hash, never
+    // all-pairs), (4) matches between a pair lying on the same diagonal
+    // (pa−pb constant) at consecutive pa form runs — the classic
+    // gaps-and-islands grouping (pa − row_number), (5) runs of n grams =
+    // spans of n+3 tokens; keep ≥ MinSpanTokens. The per-pair window
+    // partitions on (a,b,diag) — bounded by shared grams per pair, no
+    // global sort. The corpus plants 20-token excerpts (ids +300000) so
+    // every source doc yields exactly one known span to find.
+    "q107_dup_spans" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val c = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(size(split(col("text"), " ")) >= 30)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            expr("array_join(slice(split(text, ' '), 5, 20), ' ')").as("text")))
+      val grams = c.withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 3), i -> struct(" +
+            "CAST(i AS BIGINT) AS pos, md5(array_join(slice(words, i, 4), ' ')) AS g))")).as("x"))
+        .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+        // computed ONCE (the explode+md5 chain is the expensive part) and
+        // read by the df-cap aggregate and both sides of the pair join —
+        // without this the self-join re-derives the gram chain per side
+        .cache()
+      val live = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") <= DupSpanDfCap)
+        .select(col("g"))
+      val hits = grams.join(live, Seq("g"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
+      hits.select(col("g"), col("doc_id").as("a_id"), col("pos").as("pa"))
+        .join(hits.select(col("g"), col("doc_id").as("b_id"), col("pos").as("pb")), Seq("g"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("diag", col("pa") - col("pb"))
+        .withColumn("island", col("pa") - row_number().over(w))
+        .groupBy(col("a_id"), col("b_id"), col("diag"), col("island"))
+        .agg(min(col("pa")).as("a_pos"), min(col("pb")).as("b_pos"),
+          (count(lit(1)) + lit(3L)).as("span_tokens"))
+        .filter(col("span_tokens") >= MinSpanTokens)
+        .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"), col("span_tokens"))
+        .orderBy(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
+    },
+
     "q86_tfidf_terms" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val tok = d.select(col("doc_id"),
@@ -681,6 +748,39 @@ object TextOps {
          JOIN e eb ON eb.vec_id = b_id % 100000
          ORDER BY a_id, b_id"""
     },
+
+    "q107_dup_spans" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 300000,
+                  array_to_string(string_split(text, ' ')[5:24], ' ')
+           FROM documents WHERE len(string_split(text, ' ')) >= 30),
+         w AS (
+           SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+           WHERE len(string_split(text, ' ')) >= 4),
+         p AS (
+           SELECT doc_id, words, unnest(range(1, len(words) - 2)) AS pos FROM w),
+         g AS (
+           SELECT doc_id, pos,
+                  md5(words[CAST(pos AS INT)] || ' ' || words[CAST(pos + 1 AS INT)] || ' ' ||
+                      words[CAST(pos + 2 AS INT)] || ' ' || words[CAST(pos + 3 AS INT)]) AS g
+           FROM p),
+         live AS (
+           SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) <= $DupSpanDfCap),
+         h AS (SELECT g.* FROM g JOIN live USING (g)),
+         m AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb,
+                  a.pos - b.pos AS diag
+           FROM h a JOIN h b ON a.g = b.g AND a.doc_id < b.doc_id),
+         i AS (
+           SELECT *, pa - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS island
+           FROM m)
+         SELECT a_id, b_id, min(pa) AS a_pos, min(pb) AS b_pos,
+                count(*) + 3 AS span_tokens
+         FROM i GROUP BY a_id, b_id, diag, island
+         HAVING count(*) + 3 >= $MinSpanTokens
+         ORDER BY a_id, b_id, a_pos, b_pos""",
 
     "q86_tfidf_terms" ->
       """WITH tok AS (

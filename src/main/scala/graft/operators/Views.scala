@@ -236,9 +236,60 @@ object Views {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }
+    },
+
+    // DYNAMIC partition pruning through the correctness gate. q104 proves
+    // STATIC pruning (literal predicates resolved against footer stats at
+    // plan time); this is the runtime sibling: the selective values arrive
+    // through a JOIN, so no literal filter exists on the fact at plan time
+    // — Catalyst's PartitionPruning rule instead plants a dynamicpruning
+    // subquery on the fact scan's PARTITION column, reusing the dim's
+    // broadcast, and whole hive partitions of the fact are skipped at
+    // runtime. The require turns "DPP didn't fire" into a red correctness
+    // row, and the DuckDB oracle (plain WHERE ... IN over the full table)
+    // proves pruning changed nothing. At 100 TB fact ⋈ filtered-dim on a
+    // partition key IS the star-schema read path — scanning only the
+    // joined partitions is the whole point of partitioning the fact.
+    "q109_dpp_join" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/dpp"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_totalprice", $"o_orderpriority"),
+          partitionBy = Seq("o_orderpriority"))
+        val fact = tbl.read()
+        // the selective set reaches the fact only through the join
+        val dim = t(s, dir, "orders")
+          .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+          .select($"o_orderpriority").distinct()
+        val res = fact.join(dim, Seq("o_orderpriority"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            decCents($"o_totalprice").as("total_cents"))
+          .orderBy($"o_orderpriority")
+        require(res.queryExecution.executedPlan.toString
+            .toLowerCase.contains("dynamicpruning"),
+          "q109 expects a dynamicpruning subquery on the fact's partition column")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     })
 
   val oracle: Map[String, String] = Map(
+    "q109_dpp_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     "q104_pruned_scan" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                 count(*) AS n_orders,
