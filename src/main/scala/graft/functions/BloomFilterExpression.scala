@@ -32,8 +32,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * multiplications and a bit test per row, inside whole-stage codegen, no
   * boxing. NULL keys yield NULL (a NULL equi-join key can never match, and
   * the downstream join drops the row either way).
+  *
+  * The filter payload is carried as a base64 STRING field (not a raw
+  * `Array[Byte]`): Scala case-class equality on arrays is reference-based,
+  * which would make two identical probe expressions never `equals` each
+  * other and silently defeat Catalyst canonicalization, common-subexpression
+  * elimination, and cached-plan/exchange-reuse matching. Strings compare
+  * structurally, so equal filters yield equal (and canonically equal)
+  * expressions; the bytes are decoded once per plan instance in the lazy
+  * val below.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression, filterB64: String)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -46,7 +55,8 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   override def prettyName: String = "bloom_might_contain"
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(filterB64)))
 
   private def asLong(v: Any): Long = v match {
     case i: java.lang.Integer => i.toLong

@@ -341,13 +341,12 @@ object GraftFunctions {
       { children =>
         require(children.length == 2,
           s"bloom_might_contain expects (key, 'base64-filter'), got ${children.length} args")
-        val bytes = children(1) match {
-          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-            java.util.Base64.getDecoder.decode(s.toString)
+        val b64 = children(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
           case other => throw new IllegalArgumentException(
             s"bloom_might_contain: second argument must be a base64 string literal, got $other")
         }
-        BloomMightContain(children.head, bytes)
+        BloomMightContain(children.head, b64)
       })
     def const(fn: String, confKey: String, default: String): Unit =
       spark.sessionState.functionRegistry.registerFunction(

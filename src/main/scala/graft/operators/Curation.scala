@@ -78,8 +78,12 @@ object Curation {
 
     "q73_decontamination" -> { (s, dir) =>
       import s.implicits._
-      // The gram table is computed ONCE (cached — the explode + md5 chain
-      // is the expensive part) and every downstream leg reads the cache.
+      // The gram table is computed ONCE (localCheckpoint — the explode +
+      // md5 chain is the expensive part) and every downstream leg reads the
+      // materialized blocks. localCheckpoint instead of cache() so repeated
+      // harness runs don't accumulate entries in the session CacheManager:
+      // checkpoint blocks are reclaimed by the ContextCleaner once the
+      // result DataFrame is dropped.
       // A high-frequency gram (boilerplate, licence text) is dropped by a
       // document-frequency cap BEFORE any pair expansion: real
       // decontamination sweeps discard ubiquitous grams because they carry
@@ -93,7 +97,7 @@ object Curation {
         .select($"doc_id", $"source", explode(expr(
           "transform(sequence(1, size(words) - 3), i -> md5(array_join(slice(words, i, 4), ' ')))")).as("g"))
         .dropDuplicates("doc_id", "g")
-        .cache()
+        .localCheckpoint()
       val live = grams.groupBy($"g")
         .agg(
           sum(when($"source" === "src0", 1L).otherwise(0L)).as("n_eval"),

@@ -216,8 +216,14 @@ object Joins {
       graft.functions.GraftFunctions.register(s)
       val dim = t(s, dir, "supplier").filter($"s_nationkey" === 3)
       val keys = dim.select($"s_suppkey")
+      // Sized with a fixed conservative expectedNumItems rather than an
+      // eager keys.count() job: the dim is one nation's suppliers (~1/25 of
+      // a bounded dimension table), so a constant upper bound avoids a whole
+      // extra driver-side pass over the dim during query CONSTRUCTION, and
+      // oversizing a Bloom filter only lowers its fpp — it never changes
+      // the result. 1<<16 keeps the serialized filter ~77 KB.
       val bf = keys.stat.bloomFilter("s_suppkey",
-        expectedNumItems = math.max(keys.count(), 64L), fpp = 0.01)
+        expectedNumItems = 1L << 16, fpp = 0.01)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)

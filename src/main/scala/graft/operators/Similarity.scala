@@ -18,10 +18,11 @@ import Q._
   * vectors against N rows, cost Q×N, the right plan when Q is small. q51 is
   * the scale path: sign-LSH buckets (hyperoctant of the leading dims) turn
   * the self-join all-pairs O(N²) into Σ bucket² with the shuffle keyed on
-  * the bucket — the same banding idea as MinHash-LSH for text. q53 is the
-  * IVF building block: per-label centroids via posexplode + decimal-exact
-  * component sums (a double sum across rows would be partition-order-
-  * dependent; decimal is associative).
+  * the bucket — the same banding idea as MinHash-LSH for text. The IVF
+  * family (q55/q103/q106) k-means-trains its cells from the vectors alone;
+  * q53 is a supervised diagnostic (per-label mean vectors via posexplode +
+  * decimal-exact component sums — a double sum across rows would be
+  * partition-order-dependent; decimal is associative), NOT an index input.
   */
 object Similarity {
 
@@ -108,15 +109,19 @@ object Similarity {
        |  SELECT c.m, c.k, COALESCE(n.cvec, c.cvec) AS cvec
        |  FROM $prev c LEFT JOIN new$it n ON c.m = n.m AND c.k = n.k)""".stripMargin
 
-  // ── trained IVF (q106): the SAME k-means template, one 64-dim space ──
+  // ── trained IVF cells: the SAME k-means template, one 64-dim space ──
   //
-  // q53/q55/q103 build their cells from label means — a stand-in that
-  // leans on a datagen attribute a real corpus wouldn't have. q106 trains
-  // the cells themselves: the PQ dialect machinery generalizes to a single
-  // full-width subspace (m ≡ 0, 64 dims, k = 8 centroids initialized from
-  // the first 8 vectors, 2 Lloyd iterations, decimal-exact means), so the
-  // index structure AND its centroids are learned from the data alone, and
-  // the DuckDB oracle re-derives the identical training.
+  // Every IVF path (q55, q103, q106 — and their q102 recall rows) trains
+  // its cells from the vectors ALONE: the PQ dialect machinery generalizes
+  // to a single full-width subspace (m ≡ 0, 64 dims, k = 8 centroids
+  // initialized from the first 8 vectors, 2 Lloyd iterations, decimal-exact
+  // means), so the index structure AND its centroids are learned from the
+  // data — no datagen attribute is consulted anywhere in index
+  // construction — and the DuckDB oracle re-derives the identical training.
+  // q106 assigns corpus and probe by L2 (classic IVF-flat); q55/q103 assign
+  // by cosine against the same trained centroids (the spherical-assignment
+  // variant — recall depends on the corpus and the probe agreeing on the
+  // assignment function, which they do).
 
   private val sparkIvf = PqDialect(
     parts = """SELECT vec_id, 0 AS m,
@@ -163,6 +168,28 @@ object Similarity {
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
   private val duckDotD: (String, String) => String = (a, b) =>
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** The trained cell table for the cosine-IVF family (q55/q103):
+    * `cent(c_label, c_vec, c_norm)` derived from the full-width k-means
+    * chain. Rendered for BOTH engines, so a green q55/q103 row certifies
+    * the cross-engine training, not just the search. */
+  private def trainedCentCtes(d: PqDialect, dotD: (String, String) => String): String =
+    s"""${pqTrainCtes(d)},
+       |cent AS (
+       |  SELECT k AS c_label, cvec AS c_vec,
+       |         sqrt(${dotD("cvec", "cvec")}) AS c_norm
+       |  FROM cents2)""".stripMargin
+
+  /** Spark rendering of [[trainedCentCtes]] as a DataFrame (8 rows —
+    * broadcast-sized by construction; at 100 TB this is a separately
+    * persisted index-build job, here it is inlined so each query stays
+    * standalone for the correctness gate). */
+  private def trainedCells(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(s"WITH ${trainedCentCtes(sparkIvf, sparkDotD)}\n" +
+      "SELECT c_label, c_vec, c_norm FROM cent")
+  }
 
   /** Training chain: parts → init (vec_id 0..7 subvectors) → 2 Lloyd
     * iterations → `cents2`, the trained codebook. */
@@ -284,28 +311,20 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // IVF search — the ANN scale path q53's centroids are the building
-    // block for: (1) per-label centroids (decimal-exact means), (2) every
-    // vector assigned to its nearest centroid by cosine (argmax over a
-    // BROADCAST of 10 centroids — no shuffle of the corpus), (3) the query
-    // vectors search ONLY their assigned cell. At 100 TB the corpus is
-    // hash-partitioned by cell id, so a probe touches 1/k of the data;
-    // here k = 10 labels. Output: top-3 in-cell neighbours per query.
+    // IVF search — the ANN scale path: (1) cells k-means-TRAINED from the
+    // vectors alone (q106's template — init = first 8 vectors, 2
+    // decimal-exact Lloyd iterations; no datagen attribute anywhere in the
+    // index build, and the DuckDB oracle re-derives the training), (2)
+    // every vector assigned to its nearest centroid by cosine (argmax over
+    // a BROADCAST of k = 8 centroids — no shuffle of the corpus), (3) the
+    // query vectors search ONLY their assigned cell. At 100 TB the corpus
+    // is hash-partitioned by cell id, so a probe touches ~1/k of the data.
+    // Output: top-3 in-cell neighbours per query.
     "q55_ivf_search" -> { (s, dir) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-      // centroids as 64 (label, dim, value) rows -> per-label double array
-      val cent = emb
-        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1))).as("cv"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
-        .select($"label".as("c_label"),
-          expr("transform(pairs, p -> p.cv)").as("c_vec"),
-          expr("""sqrt(aggregate(transform(pairs, p -> p.cv * p.cv),
-                  CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("c_norm"))
+      val cent = trainedCells(s, dir)
       // assign every vector to its nearest centroid (cosine argmax)
       val scored = emb
         .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
@@ -316,11 +335,13 @@ object Similarity {
       // The cell assignment IS the IVF index — probes and candidates both
       // read it, so materialize it once (in production it's a persisted
       // table; recomputing it per join side doubles the whole pipeline).
+      // localCheckpoint, not persist(): no CacheManager entry to leak
+      // across repeated harness runs in a shared session.
       val assigned = scored
         .withColumn("rn", row_number().over(wAssign))
         .filter($"rn" === 1)
         .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
-        .persist()
+        .localCheckpoint()
       // probe: query vectors search only their own cell
       val probes = assigned.filter($"vec_id".isin(0L, 1L, 2L, 3L))
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
@@ -337,25 +358,17 @@ object Similarity {
     },
 
     // Multi-probe IVF — the production recall knob q55 stops short of:
-    // the INDEX still assigns each vector to exactly one cell, but a
-    // query probes its nprobe=2 nearest cells, trading 2× scanned
-    // candidates for recall (measured in q102: the gain is hash-gated).
-    // Same scale shape as q55 — the probe fan-out is 2 rows per query in
-    // the broadcast, the corpus is still touched in 2/k cells only.
+    // the INDEX (same trained cells as q55) still assigns each vector to
+    // exactly one cell, but a query probes its nprobe=2 nearest cells,
+    // trading 2× scanned candidates for recall (measured in q102: the
+    // gain is hash-gated). Same scale shape as q55 — the probe fan-out is
+    // 2 rows per query in the broadcast, the corpus is still touched in
+    // 2/k cells only.
     "q103_ivf_multiprobe" -> { (s, dir) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-      val cent = emb
-        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1))).as("cv"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
-        .select($"label".as("c_label"),
-          expr("transform(pairs, p -> p.cv)").as("c_vec"),
-          expr("""sqrt(aggregate(transform(pairs, p -> p.cv * p.cv),
-                  CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("c_norm"))
+      val cent = trainedCells(s, dir)
       val scored = emb
         .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
         .crossJoin(broadcast(cent))
@@ -364,7 +377,7 @@ object Similarity {
       val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
       val ranked = scored
         .withColumn("rn", row_number().over(wAssign))
-        .persist()
+        .localCheckpoint()
       // the index: one cell per vector (exactly q55's assignment)
       val assigned = ranked.filter($"rn" === 1)
         .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
@@ -389,11 +402,13 @@ object Similarity {
     // MORE prototypical member (higher cosine to its centroid), keeping
     // the diversity-preserving outlier. This is the embedding-native
     // complement of the LSH near-dup family: candidates come from k-means
-    // cells (cost Σ cell², never N²), and the keep rule is the paper's
-    // centroid-proximity policy rather than keep-first. The corpus is
-    // embeddings ∪ planted scaled twins (q54's construction) so the
-    // operator provably separates real semantic dups (cos ≈ 1) from the
-    // ~0.5 background similarity of random vectors.
+    // cells TRAINED on the base corpus vectors (cost Σ cell², never N²; a
+    // scaled twin has the same direction as its source so the pair always
+    // shares a cell), and the keep rule is the paper's centroid-proximity
+    // policy rather than keep-first. The corpus is embeddings ∪ planted
+    // scaled twins (q54's construction) so the operator provably separates
+    // real semantic dups (cos ≈ 1) from the ~0.5 background similarity of
+    // random vectors.
     "q105_semdedup" -> { (s, dir) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
@@ -402,16 +417,7 @@ object Similarity {
         baseE.select(($"vec_id" + 100000L).as("vec_id"),
           expr("transform(embedding, x -> CAST(x * CAST(1.015625 AS FLOAT) AS FLOAT))")
             .as("embedding")))
-      val cent = baseE
-        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1))).as("cv"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
-        .select($"label".as("c_label"),
-          expr("transform(pairs, p -> p.cv)").as("c_vec"),
-          expr("""sqrt(aggregate(transform(pairs, p -> p.cv * p.cv),
-                  CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("c_norm"))
+      val cent = trainedCells(s, dir)
       val scored = corpus
         .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
         .crossJoin(broadcast(cent))
@@ -525,9 +531,12 @@ object Similarity {
         .orderBy(col("label"))
     },
 
-    // IVF centroids: per-(label, dim) mean via posexplode + decimal-exact
-    // sums (order-independent across partitions). Output limited to the
-    // first 8 dims to keep the diff small; the plan computes all 64.
+    // Per-label mean vectors — a supervised cluster PROFILE (how separated
+    // are the label populations?), via posexplode + decimal-exact sums
+    // (order-independent across partitions). This is a diagnostic, not an
+    // index input: the IVF cells used by q55/q103/q106 are k-means-trained
+    // from the vectors alone. Output limited to the first 8 dims to keep
+    // the diff small; the plan computes all 64.
     "q53_centroid_ivf" -> { (s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
@@ -575,17 +584,7 @@ object Similarity {
          FROM ranked WHERE rn = 1 ORDER BY vec_id""",
 
     "q55_ivf_search" ->
-      s"""WITH cd AS (
-           SELECT label, i AS pos,
-                  CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
-           FROM embeddings, range(1, 65) t(i)
-           GROUP BY label, i),
-         cent AS (
-           SELECT label AS c_label,
-                  list(cv ORDER BY pos) AS c_vec,
-                  sqrt(list_reduce(list_transform(list(cv ORDER BY pos), v -> v * v),
-                       (x, y) -> x + y)) AS c_norm
-           FROM cd GROUP BY label),
+      s"""WITH ${trainedCentCtes(duckIvf, duckDotD)},
          e AS (
            SELECT vec_id, embedding,
                   sqrt(${duckDot("embedding", "embedding")}) AS norm
@@ -616,17 +615,7 @@ object Similarity {
          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "q103_ivf_multiprobe" ->
-      s"""WITH cd AS (
-           SELECT label, i AS pos,
-                  CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
-           FROM embeddings, range(1, 65) t(i)
-           GROUP BY label, i),
-         cent AS (
-           SELECT label AS c_label,
-                  list(cv ORDER BY pos) AS c_vec,
-                  sqrt(list_reduce(list_transform(list(cv ORDER BY pos), v -> v * v),
-                       (x, y) -> x + y)) AS c_norm
-           FROM cd GROUP BY label),
+      s"""WITH ${trainedCentCtes(duckIvf, duckDotD)},
          e AS (
            SELECT vec_id, embedding,
                   sqrt(${duckDot("embedding", "embedding")}) AS norm
@@ -658,23 +647,13 @@ object Similarity {
          FROM rq WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "q105_semdedup" ->
-      s"""WITH corpus AS (
+      s"""WITH ${trainedCentCtes(duckIvf, duckDotD)},
+         corpus AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
            SELECT vec_id + 100000,
                   list_transform(embedding, x -> CAST(x * CAST(1.015625 AS FLOAT) AS FLOAT))
            FROM embeddings),
-         cd AS (
-           SELECT label, i AS pos,
-                  CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
-           FROM embeddings, range(1, 65) t(i)
-           GROUP BY label, i),
-         cent AS (
-           SELECT label AS c_label,
-                  list(cv ORDER BY pos) AS c_vec,
-                  sqrt(list_reduce(list_transform(list(cv ORDER BY pos), v -> v * v),
-                       (x, y) -> x + y)) AS c_norm
-           FROM cd GROUP BY label),
          e AS (
            SELECT vec_id, embedding,
                   sqrt(${duckDot("embedding", "embedding")}) AS norm

@@ -498,8 +498,13 @@ object TextOps {
         .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
         // computed ONCE (the explode+md5 chain is the expensive part) and
         // read by the df-cap aggregate and both sides of the pair join —
-        // without this the self-join re-derives the gram chain per side
-        .cache()
+        // without this the self-join re-derives the gram chain per side.
+        // localCheckpoint, not cache(): cached plans live in the session's
+        // CacheManager until an explicit unpersist, so repeated runs in a
+        // long-lived harness session would leak one cached DataFrame per
+        // run; checkpoint blocks are owned by the RDD and reclaimed by the
+        // ContextCleaner once the result DataFrame is dropped.
+        .localCheckpoint()
       val live = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") <= DupSpanDfCap)

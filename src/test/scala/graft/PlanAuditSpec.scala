@@ -12,19 +12,19 @@ class PlanAuditSpec extends SparkSpec {
     * every entry is a broadcast of a bounded-size side:
     *  - q39: 1-row global min/max bounds aggregate
     *  - q50: 4 query vectors vs corpus (brute-force baseline by design)
-    *  - q55: ≤10-row centroid table (IVF assignment)
+    *  - q55: 8-row trained-centroid table (IVF assignment)
     *  - q77: 1-row grand-total aggregate
     *  - q86: 1-row corpus-size aggregate
     *  - q87: days × types calendar spine (both sides bounded + broadcast)
     *  - q102: recall harness composing q50 + q55 — exactly their
-    *    allowlisted broadcasts (4 query vectors / ≤10 centroids) appear
+    *    allowlisted broadcasts (4 query vectors / 8 centroids) appear
     *    inside its plan, nothing new
     */
   private val bnljAllowed: Set[String] =
     Set("q39_price_histogram", "q50_cosine_topk", "q55_ivf_search",
       "q77_domain_mixture", "q86_tfidf_terms", "q87_gapfill_daily",
-      "q102_ann_recall", "q103_ivf_multiprobe", // q103: same ≤10-row centroid broadcast as q55
-      "q105_semdedup", // q105: ≤10-row centroid broadcast for cluster assignment
+      "q102_ann_recall", "q103_ivf_multiprobe", // q103: same 8-row trained-centroid broadcast as q55
+      "q105_semdedup", // q105: 8-row trained-centroid broadcast for cluster assignment
       "q106_ivf_trained") // q106: 8-row trained-centroid broadcast (m≡0 join folds)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

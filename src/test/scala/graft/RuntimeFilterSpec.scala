@@ -63,8 +63,13 @@ class RuntimeFilterSpec extends SparkSpec {
     val pass = fact.filter(expr(s"bloom_might_contain(l_suppkey, '$b64')")).count()
     val exact = fact.join(dim, $"l_suppkey" === $"s_suppkey", "left_semi").count()
     assert(pass >= exact, "bloom dropped a true match — impossible for a correct filter")
-    assert(pass < total / 2,
-      s"bloom passed $pass of $total rows — no meaningful reduction for a 1-of-10-nations dim")
+    // dim is 1 of TPC-H's 25 nations (~4% of supplier keys), so the bound
+    // is derived from the observed exact-match count plus the 1% fpp margin
+    // over the non-matching remainder — tight, not a loose total/2.
+    val bound = exact + (total - exact) / 20
+    assert(pass <= bound,
+      s"bloom passed $pass of $total rows (exact matches: $exact, bound: $bound) — " +
+        "pruning far weaker than the sized fpp allows for a 1-of-25-nations dim")
     // and the full query agrees with the plain (no-bloom) formulation
     val viaBloom = Joins.queries("q108_bloom_join")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
