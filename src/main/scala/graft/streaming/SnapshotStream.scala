@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.StreamingBatch
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.warehouse.SnapshotTable
+
+/** Streaming READ source over a [[SnapshotTable]] — the consumer half of
+  * the exactly-once loop whose producer half is [[WarehouseIngest]]: a
+  * `readStream` micro-batch source that tails the table's commit markers
+  * and emits each new snapshot's delta, the Iceberg/Delta streaming-read
+  * model that replaces the reference's 5-minute polling tasks
+  * (`scripts/16_sync_task_primary.sql:483-489`) with a continuous,
+  * checkpointed tail.
+  *
+  * Offsets ARE snapshot ids: `getOffset` reads the one-line `.meta`
+  * markers (metadata-only — no data I/O per poll), and `getBatch(a, b]`
+  * unions exactly the append dirs committed in that id range. Because a
+  * snapshot becomes visible only when its marker lands (the single-file
+  * atomic commit point), a mid-commit orphan dir is invisible to the tail
+  * for the same reason it is invisible to batch readers — the
+  * data-then-marker protocol serves both. The first batch (no prior
+  * offset) delivers the full table as of the stream's start, so a tail
+  * that catches up has seen exactly the table's current rows — the
+  * batch/stream agreement StreamingSpec gates.
+  *
+  * Rewrites: `spec` markers and `compact` bases are skipped (no new
+  * logical rows); any other `base` fails the stream by default — history
+  * was rewritten under the tail — unless `.option("ignoreReplaces",
+  * "true")` opts into append-only tailing across rewrites (the
+  * Iceberg `skip-overwrite-snapshots` / Delta `ignoreChanges` stance).
+  *
+  * Scale shape: each poll reads markers only; each batch scans ONLY its
+  * delta bytes in the table's partition/sort layout. A tail over a 100 TB
+  * table does no work proportional to table size — only to the appends
+  * since its checkpoint.
+  */
+class SnapshotStreamSource(spark: SparkSession, root: String,
+                           declaredSchema: Option[StructType],
+                           ignoreReplaces: Boolean)
+    extends Source {
+
+  private def table = new SnapshotTable(spark, root)
+
+  override val schema: StructType =
+    declaredSchema.getOrElse(table.read().schema)
+
+  /** Latest committed snapshot id — marker listing only, no data I/O. */
+  override def getOffset: Option[Offset] =
+    table.currentSnapshotId.map(LongOffset(_))
+
+  // offsets recovered from the checkpoint log arrive as SerializedOffset;
+  // LongOffset's json IS the id, so parsing the json covers both forms
+  private def idOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = idOf(end)
+    val t = table
+    val batch = start match {
+      // stream start: the full table as of the first observed snapshot —
+      // a tail that catches up has seen exactly the table's live rows
+      case None => t.asOf(endId)
+      case Some(s) => t.appendsBetween(idOf(s), endId, ignoreReplaces)
+    }
+    // align column order to the declared schema (partitioned appends list
+    // partition columns last) and re-tag as a streaming frame
+    StreamingBatch.asStreaming(batch.select(schema.fieldNames.map(col): _*))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$root]"
+}
+
+/** `spark.readStream.format("graft-snapshots").option("path", root)` —
+  * registered via META-INF/services so the short name resolves. */
+class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshots"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      """graft-snapshots requires .option("path", <snapshot table root>)"""))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      new SnapshotTable(ctx.sparkSession, rootOf(parameters)).read().schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new SnapshotStreamSource(ctx.sparkSession, rootOf(parameters), schema,
+      ignoreReplaces = parameters.get("ignoreReplaces").exists(_.toBoolean))
+}
+
+object SnapshotStream {
+
+  /** Tail `root` as a streaming DataFrame: full table first, then one
+    * micro-batch per committed append. */
+  def read(spark: SparkSession, root: String,
+           ignoreReplaces: Boolean = false): DataFrame =
+    spark.readStream
+      .format("graft-snapshots")
+      .option("path", root)
+      .option("ignoreReplaces", ignoreReplaces.toString)
+      .load()
+}

@@ -356,7 +356,10 @@ final class SnapshotTable(
     * travelable until `expireSnapshots`. */
   def compact(): Long = {
     require(exists, s"compact of non-existent table at $root")
-    commit(read(), "base", partitionSpec(), sortSpec())
+    // the note distinguishes this base from a REPLACE rewrite: compaction
+    // adds no logical rows, so a streaming tail ([[appendsBetween]]) can
+    // skip it where a true rewrite must fail the stream
+    commit(read(), "base", partitionSpec(), sortSpec(), note = Some("compact"))
   }
 
   /** Current table state. */
@@ -388,6 +391,35 @@ final class SnapshotTable(
       else Some(appends.map(s => spark.read.parquet(snapDir(s.id).toString))
         .reduce(_ unionByName _))
     }
+  }
+
+  /** The append deltas committed in `(sinceId, endId]` — the micro-batch
+    * read of a streaming tail ([[graft.streaming.SnapshotStream]]), the
+    * consumer half of the exactly-once loop whose producer half is
+    * [[graft.streaming.WarehouseIngest]]. `spec` markers (layout-only) and
+    * `compact` rewrites (same logical rows, new files) are SKIPPED — they
+    * add nothing a tail hasn't already delivered. Any OTHER `base` in the
+    * range means history was rewritten under the stream (CREATE OR
+    * REPLACE / DELETE / UPDATE / MERGE): rows the tail already emitted may
+    * no longer exist, so this fails loudly unless the caller opts into
+    * `ignoreReplaces` (the Iceberg/Delta streaming-read stance: refuse
+    * overwrites by default, `skip-delete-snapshots`/`ignoreChanges` to
+    * proceed append-only). Scans ONLY the delta dirs — a tail never
+    * re-reads table history, which is what makes it viable on a table with
+    * 100 TB behind the current offset. */
+  def appendsBetween(sinceId: Long, endId: Long,
+                     ignoreReplaces: Boolean = false): DataFrame = {
+    val range = metas().filter(m => m.id > sinceId && m.id <= endId)
+    val rewrites = range.filter(m => m.kind == "base" && !m.note.contains("compact"))
+    if (rewrites.nonEmpty && !ignoreReplaces)
+      throw new IllegalStateException(
+        s"snapshot(s) ${rewrites.map(_.id).mkString(", ")} rewrote table $root " +
+          "under a streaming tail; restart from a fresh checkpoint (or read " +
+          "with ignoreReplaces=true to skip rewrites and tail appends only)")
+    val appends = range.filter(_.kind == "append")
+    if (appends.isEmpty) read().limit(0) // schema-preserving empty
+    else appends.map(m => spark.read.parquet(snapDir(m.id).toString))
+      .reduce(_ unionByName _)
   }
 
   /** Metadata-only scan planning (Iceberg `planFiles`): keep only the data

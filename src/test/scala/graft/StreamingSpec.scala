@@ -263,6 +263,113 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().filter(col("v") === "ghost").count() == 0, "ghost rows never surface")
   }
 
+  /** One checkpointed AvailableNow pass of a snapshot tail; returns the
+    * rows delivered by THIS run (foreachBatch collector — the memory sink
+    * can't recover from a checkpoint, which is the very thing these tests
+    * exercise). */
+  private def tailOnce(root: String, ckpt: String,
+                       ignoreReplaces: Boolean = false): Set[(Long, String)] = {
+    val buf = scala.collection.mutable.Set.empty[(Long, String)]
+    val q = graft.streaming.SnapshotStream.read(spark, root, ignoreReplaces)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized {
+          buf ++= batch.collect().map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    buf.synchronized(buf.toSet)
+  }
+
+  test("snapshot tail: full table first, then exactly the new appends across a restart") {
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snaptail").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+
+    // batch/stream agreement gate: a tail that catches up has delivered
+    // exactly the table's live rows
+    val first = tailOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    val live = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first === live && live === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // restart the SAME checkpoint after two more commits: exactly the two
+    // new appends are delivered, nothing re-delivered
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    val second = tailOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    assert(second === Set((4L, "d"), (5L, "e")),
+      s"restarted tail must deliver only the new appends, got $second")
+
+    // nothing new → nothing delivered
+    val third = tailOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    assert(third.isEmpty, "a caught-up tail must deliver no rows")
+  }
+
+  test("snapshot tail: exactly-once loop with WarehouseIngest, compaction invisible, orphan invisible") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{SnapshotStream, WarehouseIngest}
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snaploop").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq.empty[(Long, String)].toDF("id", "v"))
+
+    // producer half: streamed ingest (exactly-once via batch-id markers)
+    val src = MemoryStream[(Long, String)]
+    src.addData((1L, "a"), (2L, "b"))
+    WarehouseIngest.start(src.toDF().toDF("id", "v"), t, s"$tmp/ingest_ckpt")
+      .awaitTermination()
+
+    // a mid-commit orphan (data dir, no marker) must stay invisible
+    val orphanId = t.currentSnapshotId.get + 1
+    Seq((99L, "ghost")).toDF("id", "v")
+      .write.parquet(f"$tmp/tbl/snap-$orphanId%05d")
+
+    // consumer half: the tail sees exactly what the ingest committed
+    val first = tailOnce(s"$tmp/tbl", s"$tmp/tail_ckpt")
+    assert(first === Set((1L, "a"), (2L, "b")))
+    assert(!first.exists(_._2 == "ghost"), "orphan rows must never surface")
+
+    // compaction rewrites files, not rows: the tail must deliver nothing
+    // for it (and not fail), then keep tailing appends committed after it
+    t.compact()
+    src.addData((3L, "c"))
+    WarehouseIngest.start(src.toDF().toDF("id", "v"), t, s"$tmp/ingest_ckpt")
+      .awaitTermination()
+    val second = tailOnce(s"$tmp/tbl", s"$tmp/tail_ckpt")
+    assert(second === Set((3L, "c")),
+      s"tail across a compaction must deliver only the new append, got $second")
+  }
+
+  test("snapshot tail: a replace under the stream fails loudly; ignoreReplaces tails on") {
+    import spark.implicits._
+    import graft.streaming.SnapshotStream
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snapreplace").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+
+    tailOnce(s"$tmp/tbl", s"$tmp/ckpt") // initial batch
+    t.createOrReplace(Seq((7L, "z")).toDF("id", "v")) // history rewritten
+    t.append(Seq((8L, "y")).toDF("id", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      tailOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("rewrote table") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrote table")),
+      s"expected the rewrite refusal, got: ${e.getMessage}")
+    // opting in resumes append-only tailing past the rewrite
+    val got = tailOnce(s"$tmp/tbl", s"$tmp/ckpt", ignoreReplaces = true)
+    assert(got === Set((8L, "y")),
+      s"ignoreReplaces must deliver appends after the rewrite only, got $got")
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
