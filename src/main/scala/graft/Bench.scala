@@ -9,9 +9,20 @@ import org.apache.spark.sql.SparkSession
   * failures (value -1), never as timings.
   */
 object Bench {
+  /** 1-minute system load average — the solo-run witness. A clean bench on
+    * an otherwise idle machine starts near 0; a concurrent sbt/Spark JVM
+    * (the VERDICT r6 "contended and truncated" artifact: timings inflated
+    * up to 27× vs the solo sidecar) shows up as a high start load. Recorded
+    * in the JSON line itself so every BENCH_r{N} documents its own
+    * execution conditions. */
+  private def load1m(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = load1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,8 +86,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // load_start ≈ 0 certifies a solo run; a contended artifact (r6's was
+    // inflated up to 27×) indicts itself instead of the engine
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"load1m_start":${fmt(loadStart)},"load1m_end":${fmt(load1m())}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), line + "\n")
     catch { case _: Exception => () } // sidecar is best-effort

@@ -169,6 +169,91 @@ object Similarity {
   private val duckDotD: (String, String) => String = (a, b) =>
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  // ── clustered-corpus recall (q111): the locality regime ─────────────
+  //
+  // q102 grades every index on the uniform-random `embeddings` corpus,
+  // where ALL locality methods ceiling out low — random points have no
+  // neighborhood structure to exploit. Real embedding corpora are the
+  // opposite: heavily clustered. q111 builds a deterministic
+  // mixture-of-Gaussians corpus both engines reproduce bit-identically —
+  // 5 well-separated integer centers (component `((c*37 + d*17) % 11) - 5`
+  // for cluster c = vec_id % 5) plus a ±0.2 LCG noise term
+  // (`((vec_id*1103515245 + d*12345) % 2001 - 1000) / 5000`), all integer
+  // arithmetic until one final double divide — trains IVF cells on it with
+  // the SAME Lloyd template, and reports recall@3 AND candidates-scanned
+  // per nprobe ∈ {1, 2, 4}: the recall-vs-probe-cost curve a user tuning
+  // nprobe actually reads. Everything (corpus, training, exact top-3,
+  // probe sets, costs) is re-derived by the DuckDB oracle — the curve is
+  // hash-gated, not a log line.
+
+  /** The generated corpus as a dialect `parts` clause: (vec_id, m ≡ 0,
+    * sub: ARRAY<DOUBLE>[64]). `xform` wraps the shared integer-arithmetic
+    * component body in the engine's array comprehension. */
+  private def clusteredPartsSql(xform: String => String): String =
+    s"""SELECT vec_id, 0 AS m,
+       |       ${xform(
+      "CAST((((vec_id % 5) * 37 + d * 17) % 11) - 5 AS DOUBLE) + " +
+        "CAST((vec_id * 1103515245 + d * 12345) % 2001 - 1000 AS DOUBLE) / 5000.0")} AS sub
+       |FROM embeddings""".stripMargin
+
+  private val sparkClust = sparkIvf.copy(
+    parts = clusteredPartsSql(body => s"transform(sequence(1, 64), d -> $body)"))
+  private def duckClust = duckIvf.copy(
+    parts = clusteredPartsSql(body => s"list_transform(range(1, 65), d -> $body)"))
+
+  /** q111 body: train cells on the clustered corpus, then for each
+    * nprobe ∈ {1,2,4} probe each query's nprobe nearest cells and grade
+    * the in-cell top-3 against the exact top-3 — one hash-gated row per
+    * (nprobe, query) carrying both recall and scan cost. */
+  private def clusteredRecallSql(d: PqDialect, dotD: (String, String) => String): String =
+    s"""WITH ${pqTrainCtes(d)},
+       |asgf AS (
+       |  SELECT vec_id, sub, sqrt(${dotD("sub", "sub")}) AS norm,
+       |         k AS cell, rn AS cell_rank FROM (
+       |    SELECT p.vec_id, p.sub, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM parts p JOIN cents2 c ON p.m = c.m) x
+       |  WHERE rn <= 4),
+       |idx AS (SELECT vec_id, sub, norm, cell FROM asgf WHERE cell_rank = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, sub AS q_sub, norm AS q_norm,
+       |         cell AS q_cell, cell_rank
+       |  FROM asgf WHERE vec_id IN (0, 1, 2, 3)),
+       |nprobes AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL SELECT 4),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, a.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotD("q.sub", "a.sub")} / (q.norm * a.norm) DESC,
+       |                      a.vec_id) AS rank
+       |    FROM (SELECT * FROM idx WHERE vec_id IN (0, 1, 2, 3)) q
+       |    JOIN idx a ON q.vec_id <> a.vec_id) e
+       |  WHERE rank <= 3),
+       |cand AS (
+       |  SELECT n.np, p.q_id, a.vec_id AS n_id,
+       |         ${dotD("p.q_sub", "a.sub")} / (p.q_norm * a.norm) AS cos
+       |  FROM nprobes n
+       |  JOIN probes p ON p.cell_rank <= n.np
+       |  JOIN idx a ON a.cell = p.q_cell AND a.vec_id <> p.q_id),
+       |cost AS (SELECT np, q_id, count(*) AS candidates FROM cand GROUP BY np, q_id),
+       |appr AS (
+       |  SELECT np, q_id, n_id FROM (
+       |    SELECT np, q_id, n_id,
+       |           row_number() OVER (PARTITION BY np, q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM cand) r
+       |  WHERE rank <= 3),
+       |hits AS (
+       |  SELECT a.np, a.q_id, count(*) AS h
+       |  FROM appr a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY a.np, a.q_id)
+       |SELECT c.np AS nprobe, c.q_id, CAST(3 AS INT) AS k,
+       |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_in_top3,
+       |       CAST(c.candidates AS BIGINT) AS candidates
+       |FROM cost c LEFT JOIN hits h ON c.np = h.np AND c.q_id = h.q_id
+       |ORDER BY nprobe, c.q_id""".stripMargin
+
   /** The trained cell table for the cosine-IVF family (q55/q103):
     * `cent(c_label, c_vec, c_norm)` derived from the full-width k-means
     * chain. Rendered for BOTH engines, so a green q55/q103 row certifies
@@ -466,6 +551,18 @@ object Similarity {
       s.sql(pqQuerySql(sparkPq))
     },
 
+    // Recall-vs-probe-cost curve on a CLUSTERED corpus — the regime real
+    // embedding corpora live in (see the block comment at
+    // [[clusteredRecallSql]]). One row per (nprobe, query): recall@3
+    // against the exact top-3 plus the candidates actually scanned, both
+    // hash-gated through the oracle, which re-derives corpus, training,
+    // probe sets and costs from scratch.
+    "q111_clustered_recall" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(clusteredRecallSql(sparkClust, sparkDotD))
+    },
+
     // Trained IVF: the cells are k-means-learned from the vectors alone
     // (no datagen attribute), via the same deterministic training template
     // as q88's PQ codebooks — the oracle re-derives the identical
@@ -511,11 +608,18 @@ object Similarity {
       val ivfmp = queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id")
       val ivftr = queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id")
       val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
+      // the clustered-corpus regime (q111) alongside the uniform-random
+      // one: same trained-IVF machinery, a corpus with real locality —
+      // the side-by-side that shows WHY the uniform numbers sit low
+      val clust = queries("q111_clustered_recall")(s, dir)
+        .select(concat(lit("ivf_clust_np"), $"nprobe".cast("string")).as("method"),
+          $"q_id", $"k", $"hits_in_top3".as("hits_in_topk"))
       recallOf(lsh, 1, "lsh_top1")
         .unionByName(recallOf(ivf, 3, "ivf_top3"))
         .unionByName(recallOf(ivfmp, 3, "ivf_mp_top3"))
         .unionByName(recallOf(ivftr, 3, "ivf_tr_top3"))
         .unionByName(recallOf(pq, 5, "pq_top5"))
+        .unionByName(clust)
         .orderBy($"method", $"q_id")
     },
 
@@ -722,7 +826,11 @@ object Similarity {
 
     // Trained-IVF twin: DuckDB re-trains the full-width k-means cells and
     // re-runs the cell-probed search — green row = identical training.
-    "q106_ivf_trained" -> ivfQuerySql(duckIvf, duckDotD))
+    "q106_ivf_trained" -> ivfQuerySql(duckIvf, duckDotD),
+
+    // Clustered-recall twin: DuckDB regenerates the mixture corpus from
+    // the same integer arithmetic, re-trains, re-probes, re-costs.
+    "q111_clustered_recall" -> clusteredRecallSql(duckClust, duckDotD))
 
   /** q102's oracle embeds the other four oracles as subqueries, so DuckDB
     * recomputes every index from scratch and then the recall counts. */
@@ -734,6 +842,10 @@ object Similarity {
        |     ivfmp AS (SELECT q_id, n_id FROM (${oracleBase("q103_ivf_multiprobe")}) im),
        |     ivftr AS (SELECT q_id, n_id FROM (${oracleBase("q106_ivf_trained")}) it),
        |     pq AS (SELECT q_id, n_id FROM (${oracleBase("q88_pq_ann")}) p),
+       |     clustq AS (
+       |       SELECT 'ivf_clust_np' || CAST(nprobe AS VARCHAR) AS method,
+       |              q_id, hits_in_top3
+       |       FROM (${oracleBase("q111_clustered_recall")}) cq),
        |     spine AS (
        |       SELECT 'lsh_top1' AS method, q_id, 1 AS k FROM (SELECT DISTINCT q_id FROM lsh) a
        |       UNION ALL
@@ -743,7 +855,9 @@ object Similarity {
        |       UNION ALL
        |       SELECT 'ivf_tr_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivftr) bt
        |       UNION ALL
-       |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c),
+       |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c
+       |       UNION ALL
+       |       SELECT method, q_id, 3 FROM clustq),
        |     hits AS (
        |       SELECT 'lsh_top1' AS method, l.q_id, count(*) AS h
        |       FROM lsh l JOIN exact e ON l.q_id = e.q_id AND l.n_id = e.n_id AND e.rank <= 1
@@ -763,7 +877,9 @@ object Similarity {
        |       UNION ALL
        |       SELECT 'pq_top5', p.q_id, count(*)
        |       FROM pq p JOIN exact e ON p.q_id = e.q_id AND p.n_id = e.n_id AND e.rank <= 5
-       |       GROUP BY p.q_id)
+       |       GROUP BY p.q_id
+       |       UNION ALL
+       |       SELECT method, q_id, hits_in_top3 FROM clustq)
        |SELECT s.method, s.q_id, CAST(s.k AS INT) AS k,
        |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_in_topk
        |FROM spine s LEFT JOIN hits h ON s.method = h.method AND s.q_id = h.q_id

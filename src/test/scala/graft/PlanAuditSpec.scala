@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
       "q77_domain_mixture", "q86_tfidf_terms", "q87_gapfill_daily",
       "q102_ann_recall", "q103_ivf_multiprobe", // q103: same 8-row trained-centroid broadcast as q55
       "q105_semdedup", // q105: 8-row trained-centroid broadcast for cluster assignment
-      "q106_ivf_trained") // q106: 8-row trained-centroid broadcast (m≡0 join folds)
+      "q106_ivf_trained", // q106: 8-row trained-centroid broadcast (m≡0 join folds)
+      "q111_clustered_recall") // q111: 3-row nprobe spine × ≤16 probes + the same centroid folds; exact top-3 is a 4-query broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no cartesian product / unlisted nested-loop join") {
