@@ -279,9 +279,65 @@ object Views {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }
+    },
+
+    // The streaming TAIL through the correctness gate. StreamingSpec
+    // proves the tail's protocol properties (restart, orphan invisibility,
+    // replace refusal); this puts its DELIVERY SEMANTICS behind the DuckDB
+    // hash: build a scratch snapshot table from `nation` in three commits,
+    // run a real checkpointed readStream tail (phase 1 — must deliver the
+    // full table at stream start), commit one more append, restart the
+    // SAME checkpoint (phase 2 — must deliver exactly the delta). The
+    // result is one row per (phase, delivered key): a re-delivered or lost
+    // row changes the row set, a row delivered in the wrong phase moves
+    // between phases — every failure mode of an exactly-once tail turns
+    // the hash red. The oracle re-derives the expected phase partition
+    // from `nation` with plain SQL.
+    "q112_stream_tail_gate" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/tailgate"
+      try {
+        val root = s"$wh/tbl"
+        val tbl = new graft.warehouse.SnapshotTable(s, root)
+        val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+        tbl.createOrReplace(nat.filter($"n_nationkey" < 10))
+        tbl.append(nat.filter($"n_nationkey" >= 10 && $"n_nationkey" < 20))
+        def tailOnce(): Seq[(Int, String)] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+          val q = graft.streaming.SnapshotStream.read(s, root)
+            .writeStream
+            .option("checkpointLocation", s"$wh/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              buf.synchronized {
+                buf ++= b.collect().map(r => (r.getInt(0), r.getString(1)))
+              }
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          buf.synchronized(buf.toSeq)
+        }
+        val phase1 = tailOnce() // stream start: the full table so far
+        tbl.append(nat.filter($"n_nationkey" >= 20))
+        val phase2 = tailOnce() // restart, same checkpoint: the delta only
+        (phase1.map(kv => (1, kv._1, kv._2)) ++ phase2.map(kv => (2, kv._1, kv._2)))
+          .toDF("phase", "n_nationkey", "n_name")
+          .orderBy($"phase", $"n_nationkey")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     })
 
   val oracle: Map[String, String] = Map(
+    "q112_stream_tail_gate" ->
+      """SELECT 1 AS phase, n_nationkey, n_name FROM nation WHERE n_nationkey < 20
+         UNION ALL
+         SELECT 2, n_nationkey, n_name FROM nation WHERE n_nationkey >= 20
+         ORDER BY phase, n_nationkey""",
+
     "q109_dpp_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
