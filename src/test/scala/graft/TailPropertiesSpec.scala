@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+import graft.warehouse.SnapshotTable
+
+/** ScalaCheck properties for the streaming-tail delta read
+  * (`SnapshotTable.appendsBetween`): over GENERATED commit histories —
+  * random interleavings of appends, compactions, and partition-spec
+  * evolutions — and random `(since, end]` offset ranges, the delta read
+  * must return EXACTLY the union of the append batches committed in that
+  * range: nothing lost (a silent data-loss class for a tail), nothing
+  * re-delivered (a silent duplication class), compactions and spec
+  * markers contributing nothing. A REPLACE inside the range must throw
+  * unless `ignoreReplaces`, in which case the tail degrades to
+  * appends-only — the exact contract `SnapshotStream` builds on. */
+object TailPropertiesSpec extends Properties("snapshotTail") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5) // each case commits a multi-snapshot table
+
+  private lazy val spark = SparkSpec.session
+
+  private sealed trait Op
+  private case class Append(rows: Seq[Long]) extends Op
+  private case object Compact extends Op
+  private case object Evolve extends Op
+  private case class Replace(rows: Seq[Long]) extends Op
+
+  private var nextBase = 0L
+  private def freshRows(n: Int): Seq[Long] = synchronized {
+    val start = nextBase; nextBase += n; (start until start + n)
+  }
+
+  private val opGen: Gen[Int => Op] = Gen.frequency(
+    6 -> Gen.chooseNum(1, 4).map(n => (_: Int) => Append(freshRows(n))),
+    2 -> Gen.const((_: Int) => Compact),
+    1 -> Gen.const((_: Int) => Evolve),
+    1 -> Gen.chooseNum(1, 3).map(n => (_: Int) => Replace(freshRows(n))))
+
+  private val historyGen: Gen[List[Op]] =
+    Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, opGen).map(_.map(_(0))))
+
+  /** Apply the history; return (table, per-snapshot-id appended keys). */
+  private def build(ops: List[Op]): (SnapshotTable, Map[Long, Seq[Long]]) = {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, Files.createTempDirectory("tail-prop").toString + "/t")
+    t.createOrReplace(freshRows(2).toDF("id"))
+    val appended = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    ops.foreach {
+      case Append(rows) => appended(t.append(rows.toDF("id"))) = rows
+      case Compact => t.compact()
+      case Evolve => t.evolvePartitionSpec(Seq.empty, Some(Seq("id")))
+      case Replace(rows) => t.createOrReplace(rows.toDF("id"))
+    }
+    (t, appended.toMap)
+  }
+
+  property("delta read = exact union of in-range appends; replaces throw unless ignored") =
+    Prop.forAll(historyGen) { ops =>
+      val (t, appended) = build(ops)
+      val ids = t.snapshots().map(_._1)
+      val kinds = t.snapshots().toMap
+      val notes = t.commitNotes().toMap
+      val rangeGen = for {
+        since <- Gen.oneOf(0L +: ids)
+        end <- Gen.oneOf(ids.filter(_ >= since))
+      } yield (since, end)
+      Prop.forAll(rangeGen) { case (since, end) =>
+        val inRange = ids.filter(id => id > since && id <= end)
+        val hasReplace = inRange.exists(id =>
+          kinds(id) == "base" && !notes.get(id).contains("compact"))
+        val expected = inRange.flatMap(appended.getOrElse(_, Seq.empty)).sorted
+        if (hasReplace) {
+          val thrown =
+            try { t.appendsBetween(since, end); false }
+            catch { case _: IllegalStateException => true }
+          val ignored = t.appendsBetween(since, end, ignoreReplaces = true)
+            .collect().map(_.getLong(0)).sorted.toSeq
+          ("un-ignored replace in range must throw" |: thrown) &&
+            (s"ignoreReplaces must still deliver exactly the in-range appends: got $ignored want $expected" |:
+              (ignored == expected))
+        } else {
+          val got = t.appendsBetween(since, end)
+            .collect().map(_.getLong(0)).sorted.toSeq
+          s"delta ($since, $end]: got $got want $expected" |: (got == expected)
+        }
+      }
+    }
+}
