@@ -370,6 +370,54 @@ class StreamingSpec extends SparkSpec {
       s"ignoreReplaces must deliver appends after the rewrite only, got $got")
   }
 
+  test("continuous MV maintenance: tail-driven incremental folds match full recompute") {
+    import spark.implicits._
+    import graft.catalog.Catalog
+    import graft.mv.MaterializedViewManager
+    import graft.streaming.MvMaintenance
+    val tmp = java.nio.file.Files.createTempDirectory("mvtail").toString
+    val cat = new Catalog(spark, s"$tmp/cat", "mvtail")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(Seq(("a", 10.0), ("b", 1.0)).toDF("k", "amt"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createAggMv("mv_sales", ("adv", "sales"), Seq("k"), Seq("amt"))
+
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sweep(): Unit = {
+      val q = MvMaintenance.continuousRefresh(mvm, "mv_sales", sales, s"$tmp/ckpt",
+        onRefresh = m => modes.synchronized { modes += m })
+      q.awaitTermination()
+    }
+    def mvState(): Set[(String, Long, Double)] = mvm.read("mv_sales")
+      .select($"k", $"n_rows", $"sum_amt".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // commits land, the tail fires, the fold is delta-only
+    sales.append(Seq(("a", 2.0), ("c", 7.0)).toDF("k", "amt"))
+    sweep()
+    assert(modes.synchronized(modes.toSeq).contains("incremental"))
+    assert(mvState() === Set(("a", 2L, 12.0), ("b", 1L, 1.0), ("c", 1L, 7.0)))
+
+    // caught up: a sweep with no new commits must not touch the MV
+    modes.synchronized(modes.clear())
+    sweep()
+    assert(modes.synchronized(modes.toSeq).forall(_ == "noop"),
+      s"caught-up maintenance must fold nothing, got ${modes.toSeq}")
+
+    // a rewrite under maintenance must not crash the stream: the manager
+    // detects invalid deltas and falls back to a full rebuild
+    sales.delete($"k" === "b")
+    sales.append(Seq(("d", 4.0)).toDF("k", "amt"))
+    modes.synchronized(modes.clear())
+    sweep()
+    assert(modes.synchronized(modes.toSeq).contains("full"))
+    val want = sales.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"amt".cast("decimal(18,9)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mvState() === want)
+  }
+
   test("foreachBatch refresh materializes the hourly MV to parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("mvstream").toString
     val q = EventStream.hourlyMvRefresh(
