@@ -238,6 +238,54 @@ object Views {
       }
     },
 
+    // NULL-COUNT pruning through the correctness gate (VERDICT r6 #7).
+    // q104 proves min/max bounds prune; this proves the OTHER sidecar
+    // field: `urgent_cust` is NULL except on 1-URGENT orders, and the
+    // table is laid out so whole files carry only non-urgent rows — an
+    // IS NOT NULL scan (a ColRange with notNull and NO bounds, so min/max
+    // can't help) must drop those files from the footer-recorded null
+    // counts alone, before any Spark job. readPruned auto-applies the
+    // IS NOT NULL residual (VERDICT r6 #5), so the kept file's mixed rows
+    // are trimmed without a manual re-filter. The DuckDB oracle runs the
+    // equivalent predicate over the FULL table: a lost file (missing
+    // rows) or pruning not firing (the require) both red the row. At
+    // 100 TB this is the "scan the sparse column" shape — reading only
+    // the files where an optional attribute is populated.
+    "q113_notnull_pruned" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/nnprune"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_orderdate", $"o_totalprice", $"o_custkey", $"o_orderpriority")
+            .withColumn("urgent_cust", when($"o_orderpriority" === "1-URGENT", $"o_custkey"))
+            .repartition(8, $"o_orderpriority"))
+        val (pruned, plan) = tbl.readPruned(Seq(
+          graft.warehouse.ColRange("urgent_cust", notNull = true)))
+        require(plan.filesKept < plan.filesTotal,
+          s"q113 expects null-count pruning to skip files: kept ${plan.filesKept}/${plan.filesTotal}")
+        // the profile the pruning read from must also account every null
+        val prof = tbl.columnStats()("urgent_cust")
+        require(prof.nullCount.isDefined && prof.valueCount.isDefined,
+          "q113 expects the sidecar to carry value/null counts")
+        val res = pruned
+          .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct($"urgent_cust").as("n_custs"),
+            decCents($"o_totalprice").as("total_cents"))
+          .withColumn("pruned", lit(plan.filesKept < plan.filesTotal))
+          .orderBy($"month")
+        // materialize before the scratch warehouse is deleted below
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // DYNAMIC partition pruning through the correctness gate. q104 proves
     // STATIC pruning (literal predicates resolved against footer stats at
     // plan time); this is the runtime sibling: the selective values arrive
@@ -345,6 +393,17 @@ object Views {
          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    "q113_notnull_pruned" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                count(*) AS n_orders,
+                count(DISTINCT o_custkey) AS n_custs,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                TRUE AS pruned
+         FROM orders
+         WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
+         GROUP BY 1
+         ORDER BY 1""",
 
     "q104_pruned_scan" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

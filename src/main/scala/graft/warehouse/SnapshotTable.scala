@@ -99,12 +99,15 @@ final class SnapshotTable(
 
   /** One walk over the parquet FOOTERS of a just-written snapshot dir —
     * metadata-only I/O, no Spark job. Returns the total row count AND the
-    * per-file column min/max lines for the `.stats` sidecar (the same
-    * footer read serves both, so stats collection adds zero extra I/O).
-    * This is the Iceberg manifest model: writers record file-level bounds
-    * once at commit time; scan planning afterwards prunes files from
-    * metadata alone — at 100 TB that decides whether a time-range query
-    * opens 100 TB of data or 100 GB. */
+    * per-file column stats lines for the `.stats` sidecar (the same
+    * footer read serves both, so min/max/null-count collection adds zero
+    * extra I/O; the NDV upper bound additionally reads each chunk's
+    * DICTIONARY page — a few KB per column chunk, still no data pages and
+    * no Spark job). This is the Iceberg manifest model: writers record
+    * file-level bounds + value/null counts (+ NDV, Iceberg keeps that one
+    * in puffin sketches) once at commit time; scan planning afterwards
+    * prunes files from metadata alone — at 100 TB that decides whether a
+    * time-range query opens 100 TB of data or 100 GB. */
   private def footerWalk(dir: Path): (Long, Seq[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -128,13 +131,47 @@ final class SnapshotTable(
           // merge chunk stats across row groups, top-level primitive columns only
           val perCol = scala.collection.mutable.Map.empty[String, (String, Any, Any, Boolean)]
           var bad = Set.empty[String] // columns with an unusable chunk → no stats
+          // value/null/NDV accounting, independent of min/max usability:
+          // a NaN-poisoned double column loses its bounds but keeps counts
+          val vals = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+          val nulls = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+          var nullsUnknown = Set.empty[String]
+          val ndv = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+          var ndvUnknown = Set.empty[String]
           r.getFooter.getBlocks.asScala.foreach { b =>
+            // dictionary pages load lazily; chunks that never need one
+            // (all-null or non-dictionary) don't open the store at all
+            lazy val dicts: org.apache.parquet.column.page.DictionaryPageReadStore =
+              r.getDictionaryReader(b)
             b.getColumns.asScala.foreach { c =>
               val pathArr = c.getPath.toArray
               if (pathArr.length == 1) {
                 val col = pathArr(0)
                 val st = c.getStatistics
                 val pt = c.getPrimitiveType
+                vals(col) += c.getValueCount
+                val chunkNulls: Option[Long] =
+                  if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                    Some(st.getNumNulls)
+                  else None
+                chunkNulls match {
+                  case Some(nn) => nulls(col) += nn
+                  case None => nullsUnknown += col
+                }
+                // NDV upper bound per chunk: all-null chunks add 0; a chunk
+                // whose every data page is dictionary-encoded is bounded by
+                // its dictionary size; a plain-encoded fallback page means
+                // the writer saw too many distinct values to keep the
+                // dictionary → the bound is unknowable from metadata
+                val es = c.getEncodingStats
+                if (chunkNulls.contains(c.getValueCount)) { /* all-null: +0 */ }
+                else if (es != null && es.hasDictionaryEncodedPages() &&
+                  !es.hasNonDictionaryEncodedPages()) {
+                  val desc = r.getFooter.getFileMetaData.getSchema.getColumnDescription(pathArr)
+                  val dp = dicts.readDictionaryPage(desc)
+                  if (dp != null) ndv(col) += dp.getDictionarySize.toLong
+                  else ndvUnknown += col
+                } else ndvUnknown += col
                 // stat kind: l=long d=double s=string t=epoch-day date
                 // u=epoch-micros timestamp c:<scale>=unscaled-long decimal
                 val kind: Option[String] = (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
@@ -179,10 +216,26 @@ final class SnapshotTable(
               }
             }
           }
-          perCol.foreach { case (col, (k, mn, mx, _)) =>
-            lines +=
-              (if (mn == null) s"${esc(rel)}|${esc(col)}|n||"
-               else s"${esc(rel)}|${esc(col)}|$k|${esc(render(k, mn))}|${esc(render(k, mx))}")
+          // one line per top-level primitive column, even when min/max were
+          // unusable (kind "x"): counts still prune IS NOT NULL scans.
+          // Line: rel|col|kind|min|max|valueCount|nullCount|ndvUpper
+          // (trailing fields empty = unknown; old 5-field sidecars parse).
+          vals.keys.toSeq.sorted.foreach { col =>
+            val (kindStr, mnS, mxS) = perCol.get(col) match {
+              case Some((k, mn, mx, _)) if mn != null =>
+                (k, esc(render(k, mn)), esc(render(k, mx)))
+              case Some(_) => ("n", "", "")
+              case None => ("x", "", "")
+            }
+            val cnt = vals(col)
+            val nnS = if (nullsUnknown(col)) "" else nulls(col).toString
+            val ndvS =
+              if (ndvUnknown(col)) ""
+              else {
+                val nonNull = if (nullsUnknown(col)) cnt else cnt - nulls(col)
+                math.min(ndv(col), nonNull).toString
+              }
+            lines += s"${esc(rel)}|${esc(col)}|$kindStr|$mnS|$mxS|$cnt|$nnS|$ndvS"
           }
         } finally r.close()
       }
@@ -422,13 +475,30 @@ final class SnapshotTable(
       .reduce(_ unionByName _)
   }
 
+  /** The parsed `.stats` sidecar of one snapshot: rel path -> col -> stat.
+    * Pre-upgrade 5-field lines (no counts) parse with unknown counts. */
+  private def readStatsSidecar(id: Long): Map[String, Map[String, FileColStat]] =
+    if (!fs.exists(statsFile(id))) Map.empty
+    else {
+      val in = fs.open(statsFile(id))
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        val f = line.split("\\|", -1).map(unesc) // '|' in values is escaped as \p
+        def optL(i: Int) = if (f.length > i && f(i).nonEmpty) Some(f(i).toLong) else None
+        (f(0), f(1), FileColStat(f(2), f(3), f(4), optL(5), optL(6), optL(7)))
+      }.groupBy(_._1).map { case (p, rows) =>
+        p -> rows.map(r => r._2 -> r._3).toMap
+      }
+    }
+
   /** Metadata-only scan planning (Iceberg `planFiles`): keep only the data
     * files whose recorded column bounds can overlap every requested range.
     * Files or columns without usable stats are conservatively KEPT; a file
     * whose column is entirely NULL is pruned (a range predicate matches no
-    * NULL row). Reads one small `.stats` sidecar per live snapshot — no
-    * data I/O, no Spark job. Returns (per-snapshot-dir kept files, kept
-    * count, total count). */
+    * NULL row), and a `notNull` filter prunes all-null files even when it
+    * carries no bounds (the IS NOT NULL scan shape). Reads one small
+    * `.stats` sidecar per live snapshot — no data I/O, no Spark job.
+    * Returns (per-snapshot-dir kept files, kept count, total count). */
   def planFiles(filters: Seq[ColRange]): ScanPlan = {
     val kept = Seq.newBuilder[(String, Seq[String])]
     var nKept = 0
@@ -436,19 +506,7 @@ final class SnapshotTable(
     val liveIds = currentSnapshotId.toSeq.flatMap(id => dataChainAt(id).map(_.id))
     liveIds.foreach { id =>
       val dir = fs.makeQualified(snapDir(id)).toString
-      // rel path -> col -> (kind, min, max); kind "n" = all-NULL column
-      val stats: Map[String, Map[String, (String, String, String)]] =
-        if (!fs.exists(statsFile(id))) Map.empty
-        else {
-          val in = fs.open(statsFile(id))
-          val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-          txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
-            val f = line.split("\\|", -1).map(unesc) // '|' in values is escaped as \p
-            (f(0), f(1), (f(2), f(3), f(4)))
-          }.groupBy(_._1).map { case (p, rows) =>
-            p -> rows.map(r => r._2 -> r._3).toMap
-          }
-        }
+      val stats = readStatsSidecar(id)
       val it = fs.listFiles(snapDir(id), true)
       val files = Seq.newBuilder[String]
       while (it.hasNext) {
@@ -469,8 +527,13 @@ final class SnapshotTable(
             partVals.get(r.col) match {
               case Some(v) => SnapshotTable.partValueInRange(v, r)
               case None => colStats.get(r.col) match {
-                case Some(("n", _, _)) => r.lower.isEmpty && r.upper.isEmpty
-                case Some((k, mn, mx)) => SnapshotTable.rangesOverlap(k, mn, mx, r)
+                case Some(st) =>
+                  val rangeOk = st.kind match {
+                    case "n" => r.lower.isEmpty && r.upper.isEmpty
+                    case "x" => true // counts recorded, bounds unusable
+                    case k => SnapshotTable.rangesOverlap(k, st.min, st.max, r)
+                  }
+                  rangeOk && !(r.notNull && st.allNull)
                 case None => true // no stats recorded → cannot prune
               }
             }
@@ -484,18 +547,61 @@ final class SnapshotTable(
     ScanPlan(kept.result(), nKept, nTotal)
   }
 
-  /** Pruned scan: the rows of every file `planFiles` kept — a SUPERSET of
-    * the rows matching `filters` (file granularity), so callers apply their
-    * own residual predicate, exactly as Spark applies residual filters over
-    * an Iceberg scan. Per-dir reads keep hive partition columns (basePath). */
+  /** Pruned scan: plans files from metadata, then AUTO-APPLIES each
+    * filter's residual predicate over the surviving files — exactly as
+    * Spark plants residual filters over an Iceberg scan. File-granularity
+    * pruning alone returns a superset; baking the residual in here means a
+    * caller CANNOT forget it and silently read extra rows (VERDICT r6 #5).
+    * Residuals are inclusive on both bounds (the ColRange semantics);
+    * callers with stricter shapes (half-open ranges) layer their own
+    * filter on top, which composes — never widens. A filter naming a
+    * column absent from the schema prunes nothing and filters nothing,
+    * mirroring `planFiles`' conservative keep. Per-dir reads keep hive
+    * partition columns (basePath). */
   def readPruned(filters: Seq[ColRange]): (DataFrame, ScanPlan) = {
+    import org.apache.spark.sql.functions.lit
     val plan = planFiles(filters)
-    if (plan.files.isEmpty) (read().limit(0), plan)
-    else {
-      val df = plan.files.map { case (dir, files) =>
+    val base =
+      if (plan.files.isEmpty) read().limit(0)
+      else plan.files.map { case (dir, files) =>
         spark.read.option("basePath", dir).parquet(files: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-      (df, plan)
+    val df = filters.filter(f => base.columns.contains(f.col)).foldLeft(base) { (d, f) =>
+      val c = d(f.col)
+      val preds = f.lower.map(v => c >= lit(v)).toSeq ++
+        f.upper.map(v => c <= lit(v)).toSeq ++
+        (if (f.notNull) Seq(c.isNotNull) else Nil)
+      preds.foldLeft(d)(_ filter _)
+    }
+    (df, plan)
+  }
+
+  /** Fold every live file's sidecar line into one profile per column —
+    * the ANALYZE summary, from metadata alone (no data I/O, no Spark job).
+    * Columns a live file omits entirely (schema evolution) profile only
+    * the files that carry them. */
+  def columnStats(): Map[String, ColumnProfile] = {
+    val liveIds = currentSnapshotId.toSeq.flatMap(id => dataChainAt(id).map(_.id))
+    val all: Seq[(String, FileColStat)] =
+      liveIds.flatMap(id => readStatsSidecar(id).valuesIterator.flatMap(_.iterator).toSeq)
+    all.groupBy(_._1).map { case (col, pairs) =>
+      val sts = pairs.map(_._2)
+      val kinds = sts.map(_.kind).filter(k => k != "n" && k != "x").distinct
+      // bounds are known only when every file WITH values recorded usable
+      // bounds on one shared axis ("x" hides values; mixed kinds don't sort)
+      val boundsKnown = kinds.size == 1 && !sts.exists(_.kind == "x")
+      val kind = if (kinds.size == 1) kinds.head else if (kinds.isEmpty) "n" else "x"
+      def axis(s: String): String =
+        if (kind.startsWith("c:")) BigDecimal(BigInt(s), kind.drop(2).toInt).toString else s
+      val bounded = sts.filter(s => s.kind != "n" && s.kind != "x")
+      val ord: Ordering[String] = (a, b) => SnapshotTable.cmpStat(kind, a, b)
+      val mn = if (boundsKnown && bounded.nonEmpty) Some(axis(bounded.map(_.min).min(ord))) else None
+      val mx = if (boundsKnown && bounded.nonEmpty) Some(axis(bounded.map(_.max).max(ord))) else None
+      def sumOpt(f: FileColStat => Option[Long]): Option[Long] =
+        if (sts.forall(f(_).isDefined)) Some(sts.flatMap(f(_)).sum) else None
+      col -> ColumnProfile(kind, mn, mx,
+        sumOpt(_.valueCount), sumOpt(_.nullCount),
+        sumOpt(s => if (s.allNull) Some(0L) else s.ndvUpper))
     }
   }
 
@@ -585,7 +691,38 @@ final class SnapshotTable(
   * Bounds take the natural Scala/JDBC value types for the column: numbers,
   * String, java.sql.Date / LocalDate, java.sql.Timestamp / Instant,
   * BigDecimal. An absent bound is open. */
-final case class ColRange(col: String, lower: Option[Any] = None, upper: Option[Any] = None)
+/** One scan filter for metadata pruning: an inclusive range on `col`
+  * (either bound optional) plus an optional IS NOT NULL requirement —
+  * `notNull` alone (no bounds) is the IS NOT NULL scan shape, pruned via
+  * recorded null counts. */
+final case class ColRange(col: String, lower: Option[Any] = None, upper: Option[Any] = None,
+                          notNull: Boolean = false)
+
+/** One column's recorded stats for one data file (a `.stats` sidecar
+  * line). `kind`: a value axis (`l`/`d`/`s`/`t`/`u`/`c:<scale>`), `n` =
+  * all-NULL column, `x` = bounds unusable but counts recorded. Counts are
+  * `None` when unknown (pre-upgrade sidecar, or the footer didn't say).
+  * `ndvUpper` is a TRUE upper bound on distinct non-null values, from
+  * dictionary-page sizes — only recorded when every chunk was fully
+  * dictionary-encoded (else a plain fallback hides values). */
+final case class FileColStat(kind: String, min: String, max: String,
+                             valueCount: Option[Long], nullCount: Option[Long],
+                             ndvUpper: Option[Long]) {
+  /** Provably no non-null value in this file's column. */
+  def allNull: Boolean =
+    kind == "n" || (valueCount.isDefined && valueCount == nullCount)
+}
+
+/** Table-level column profile: the live files' sidecar lines folded into
+  * one row per column — the ANALYZE-shaped summary a cost-based decision
+  * (broadcast threshold, join order, NDV-aware agg sizing) reads without
+  * scanning data. min/max are rendered on the VALUE axis (decimals
+  * rescaled); counts are `None` if any live file didn't record them;
+  * `ndvUpper` sums per-file bounds, so it is an upper bound, not an
+  * estimate of the table-wide distinct count. */
+final case class ColumnProfile(kind: String, min: Option[String], max: Option[String],
+                               valueCount: Option[Long], nullCount: Option[Long],
+                               ndvUpper: Option[Long])
 
 /** The outcome of metadata-only scan planning: surviving files grouped by
   * snapshot dir (the grouping readPruned needs for hive basePath reads),
@@ -640,10 +777,19 @@ object SnapshotTable {
     }
   }
 
+  /** Compare two sidecar-rendered stat strings on the `kind` axis (all
+    * `c:` decimals of one column share a scale, so unscaled order is value
+    * order). */
+  private[warehouse] def cmpStat(kind: String, a: String, b: String): Int =
+    if (kind == "s") a.compareTo(b)
+    else BigDecimal(a).compare(BigDecimal(b))
+
   /** A hive partition-dir value is an EXACT value: in range or pruned.
-    * `__HIVE_DEFAULT_PARTITION__` is the NULL partition — no range matches. */
+    * `__HIVE_DEFAULT_PARTITION__` is the NULL partition — no range (and no
+    * IS NOT NULL scan) matches it. */
   private[warehouse] def partValueInRange(v: String, r: ColRange): Boolean = {
-    if (v == "__HIVE_DEFAULT_PARTITION__") return r.lower.isEmpty && r.upper.isEmpty
+    if (v == "__HIVE_DEFAULT_PARTITION__")
+      return r.lower.isEmpty && r.upper.isEmpty && !r.notNull
     def axis(bound: Any): Option[(BigDecimal, BigDecimal)] = bound match {
       case d: java.sql.Date =>
         scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption

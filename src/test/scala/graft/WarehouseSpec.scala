@@ -423,4 +423,41 @@ class WarehouseSpec extends SparkSpec {
     assert(t.planFiles(Seq(ColRange("price", Some(BigDecimal("50")), None))).filesKept == 1)
     assert(t.planFiles(Seq(ColRange("price", Some(15L), Some(30L)))).filesKept == 1)
   }
+
+  test("stats sidecar: counts + NDV bound; IS NOT NULL prunes; residual auto-applied") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("stats4"))
+    // file a: tag entirely NULL; file b: 5 tag values; word has 3 values in both
+    val a = spark.range(0, 100).toDF("id")
+      .withColumn("tag", lit(null).cast("string"))
+      .withColumn("word", concat(lit("w"), (col("id") % 3).cast("string")))
+    val b = spark.range(100, 200).toDF("id")
+      .withColumn("tag", concat(lit("t"), (col("id") % 5).cast("string")))
+      .withColumn("word", concat(lit("w"), (col("id") % 3).cast("string")))
+    t.createOrReplace(a.coalesce(1))
+    t.append(b.coalesce(1))
+
+    // IS NOT NULL with no bounds prunes the all-null file from metadata alone
+    val plan = t.planFiles(Seq(ColRange("tag", notNull = true)))
+    assert(plan.filesTotal == 2 && plan.filesKept == 1, s"kept ${plan.filesKept}/2")
+
+    // residuals are auto-applied: dropping the manual re-filter can no longer
+    // return extra rows. Both files straddle [50, 150], so file-granularity
+    // pruning alone would return all 200 rows — the contract now forbids that.
+    val (ranged, rplan) = t.readPruned(Seq(ColRange("id", Some(50L), Some(150L))))
+    assert(rplan.filesKept == 2, "range straddles both files")
+    assert(ranged.count() == 101, s"auto-residual trims file overshoot, got ${ranged.count()}")
+    val (notNullRows, _) = t.readPruned(Seq(ColRange("tag", notNull = true)))
+    assert(notNullRows.count() == 100)
+
+    // column profile: exact null counts; NDV upper bounds are TRUE bounds
+    val prof = t.columnStats()
+    assert(prof("tag").valueCount.contains(200L) && prof("tag").nullCount.contains(100L))
+    assert(prof("tag").ndvUpper.exists(n => n >= 5 && n <= 100),
+      s"tag has 5 distinct non-null values, bound ${prof("tag").ndvUpper}")
+    assert(prof("word").ndvUpper.exists(n => n >= 3 && n <= 6),
+      s"word: 3 values per file x 2 files, bound ${prof("word").ndvUpper}")
+    assert(prof("id").min.contains("0") && prof("id").max.contains("199"))
+    assert(prof("id").nullCount.contains(0L))
+  }
 }
