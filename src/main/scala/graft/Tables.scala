@@ -20,16 +20,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects by default. Read nanos as long and rebuild a microsecond
-    * timestamp (integer `div`, not `/` — a double round-trip loses precision
-    * above 2^53 ns). Truncation toward zero matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` µs truncation for post-epoch data, so oracle SQL
-    * that casts `ts` compares bit-identical. */
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects by default — read nanos as long, rebuild micros with integer
+    * `div`, not `/`: a double round-trip loses precision above 2^53 ns) and
+    * native timestamp[us] (read as TIMESTAMP_NTZ). Branch on the OBSERVED
+    * type so either generation loads to the same microsecond TimestampType
+    * — the session TZ is UTC everywhere, so the NTZ→LTZ cast is
+    * value-preserving and truncation toward zero matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` µs truncation for post-epoch data; oracle SQL
+    * that casts `ts` compares bit-identical either way. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case LongType => // legacy: epoch nanos as int64
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // current: native timestamp[us], no TZ
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` queries resolve the

@@ -34,18 +34,24 @@ object EventStream {
 
   /** File-based streaming read of the events table: the micro-batch append
     * feed. Schema comes from one batch-metadata read (file streams require a
-    * declared schema); the TIMESTAMP(NANOS) normalization matches
+    * declared schema); the `ts` normalization (legacy int64-nanos vs native
+    * timestamp[us]) branches on the observed type, matching
     * `Tables.loadEvents`. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source only accepts directories; stream the table dir
     // and glob-filter to the events file (a real deployment's events table
     // IS a directory of appended part files — this is the same shape)
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Streaming q22: hourly tumbling-window counts per event type. The

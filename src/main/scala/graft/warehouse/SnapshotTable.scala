@@ -32,6 +32,7 @@ final class SnapshotTable(
   private def snapDir(id: Long): Path = new Path(root, f"snap-$id%05d")
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
   private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
+  private def stagedFile(id: Long): Path = new Path(root, f"snap-$id%05d.staged")
 
   /** One parsed `.meta` marker. Line format
     * `kind|p1,p2|rowCount|s1,s2|note|commitMillis` (partition cols, footer
@@ -43,6 +44,18 @@ final class SnapshotTable(
                                     rows: Option[Long], sort: Seq[String],
                                     note: Option[String], ts: Option[Long])
 
+  private def parseMarker(id: Long, file: Path): SnapMeta = {
+    val in = fs.open(file)
+    val line = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    val f = line.split('|')
+    SnapMeta(id, f(0),
+      if (f.length > 1 && f(1).nonEmpty) f(1).split(',').toSeq else Seq.empty,
+      if (f.length > 2) Some(f(2).toLong) else None,
+      if (f.length > 3 && f(3).nonEmpty) f(3).split(',').toSeq else Seq.empty,
+      if (f.length > 4 && f(4).nonEmpty) Some(unesc(f(4))) else None,
+      if (f.length > 5 && f(5).nonEmpty) Some(f(5).toLong) else None)
+  }
+
   private def metas(): Seq[SnapMeta] = {
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
@@ -51,15 +64,7 @@ final class SnapshotTable(
       .filter(_.endsWith(".meta"))
       .map { n =>
         val id = n.stripPrefix("snap-").stripSuffix(".meta").toLong
-        val in = fs.open(metaFile(id))
-        val line = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        val f = line.split('|')
-        SnapMeta(id, f(0),
-          if (f.length > 1 && f(1).nonEmpty) f(1).split(',').toSeq else Seq.empty,
-          if (f.length > 2) Some(f(2).toLong) else None,
-          if (f.length > 3 && f(3).nonEmpty) f(3).split(',').toSeq else Seq.empty,
-          if (f.length > 4 && f(4).nonEmpty) Some(unesc(f(4))) else None,
-          if (f.length > 5 && f(5).nonEmpty) Some(f(5).toLong) else None)
+        parseMarker(id, metaFile(id))
       }
       .sortBy(_.id)
   }
@@ -273,16 +278,37 @@ final class SnapshotTable(
     out.toString
   }
 
-  private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
-                     sort: Seq[String] = Seq.empty,
-                     note: Option[String] = None): Long = {
-    writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
-    val isNew = currentSnapshotId.isEmpty
-    val id = currentSnapshotId.getOrElse(0L) + 1
-    // crash recovery: a snapshot dir without its marker is an uncommitted
-    // orphan from a writer that died mid-commit — clear it so the retry's
-    // ErrorIfExists write can proceed (readers never saw the orphan)
-    if (fs.exists(snapDir(id)) && !fs.exists(metaFile(id)))
+  /** Ids of staged (write-audit-publish) snapshots: data + stats are on
+    * disk under a `.staged` marker, INVISIBLE to every read path until
+    * [[publishStaged]] swaps the marker for a `.meta`. A staged id whose
+    * `.meta` also exists is a publish that crashed between marker write
+    * and staged-marker cleanup — already committed, not staged. */
+  private def stagedIds(): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".staged"))
+      .map(_.stripPrefix("snap-").stripSuffix(".staged").toLong)
+      .filterNot(id => fs.exists(metaFile(id)))
+      .sorted
+  }
+
+  /** Next unclaimed snapshot id: past every COMMITTED id and every STAGED
+    * id — a regular commit must never treat a staged writer's dir as its
+    * own orphan. */
+  private def nextId(): Long =
+    (currentSnapshotId.toSeq ++ stagedIds()).foldLeft(0L)(math.max) + 1
+
+  /** Write `df` as the data dir + stats sidecar for snapshot `id` (the
+    * heavy half of a commit — shared by the normal commit path and WAP
+    * staging, which differ only in which marker makes the data visible). */
+  private def writeSnapshotData(df: DataFrame, id: Long, parts: Seq[String],
+                                sort: Seq[String]): Long = {
+    // crash recovery: a snapshot dir without its marker (committed OR
+    // staged) is an uncommitted orphan from a writer that died mid-commit —
+    // clear it so the retry's ErrorIfExists write can proceed (readers
+    // never saw the orphan)
+    if (fs.exists(snapDir(id)) && !fs.exists(metaFile(id)) && !fs.exists(stagedFile(id)))
       fs.delete(snapDir(id), true)
     // clustering: sort INSIDE each task's output file only — a global sort
     // would add an exchange per commit; within-file order is what parquet
@@ -302,10 +328,20 @@ final class SnapshotTable(
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(snapDir(id).toString)
     val (rows, statLines) = footerWalk(snapDir(id))
-    // stats sidecar first, .meta marker last = commit point: a crash
+    // stats sidecar first, visibility marker last = commit point: a crash
     // between the two leaves an invisible snapshot, never a stats-less one
     val sout = fs.create(statsFile(id))
     try sout.write((statLines.mkString("\n") + "\n").getBytes("UTF-8")) finally sout.close()
+    rows
+  }
+
+  private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
+                     sort: Seq[String] = Seq.empty,
+                     note: Option[String] = None): Long = {
+    writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
+    val isNew = currentSnapshotId.isEmpty
+    val id = nextId()
+    val rows = writeSnapshotData(df, id, parts, sort)
     writeMarker(id, kind, parts, rows, sort, note)
     if (isNew) onCreate() // object springs into existence → future grants fire
     id
@@ -370,6 +406,96 @@ final class SnapshotTable(
   def append(df: DataFrame, note: Option[String] = None): Long = {
     require(exists, s"append to non-existent table at $root")
     commit(df, "append", partitionSpec(), sortSpec(), note)
+  }
+
+  // ---- WRITE-AUDIT-PUBLISH staging (the Iceberg `spark.wap.id` pattern) ----
+  //
+  // The reference's BCDR discipline validates data BEFORE consumers see it
+  // (`scripts/90_validation_queries.sql` gates every cutover on count/
+  // consistency checks). WAP is the ingestion-side version of that stance:
+  // a staged append writes its data files and stats ONCE, under a `.staged`
+  // marker no read path looks at; auditors query table-plus-stage; publish
+  // swaps the marker for a `.meta` — METADATA-ONLY, no data rewrite. At
+  // 100 TB that ordering is the whole point: the expensive write happens
+  // exactly once whether the batch passes audit or not, and a failed audit
+  // costs a marker delete, not a table rollback.
+
+  private def stagedMetas(): Seq[SnapMeta] =
+    // a staged marker whose data dir is gone is debris from a crashed
+    // publish-rename (the commit already happened under the new id, or the
+    // orphan sweep will reclaim the target dir) — never offer it again
+    stagedIds().filter(id => fs.exists(snapDir(id)))
+      .map(id => parseMarker(id, stagedFile(id)))
+
+  /** Stage an append under audit id `wapId`: full data + stats write, no
+    * visibility. Returns the provisional snapshot id (may be renumbered at
+    * publish if other commits land first — Iceberg's cherry-pick does the
+    * same re-application onto the current head). */
+  def stageAppend(df: DataFrame, wapId: String): Long = {
+    writeGuard()
+    require(exists, s"stage on non-existent table at $root")
+    require(wapId.nonEmpty && !wapId.contains('|') && !wapId.contains(','),
+      s"invalid wap id '$wapId'")
+    val id = nextId()
+    val rows = writeSnapshotData(df, id, partitionSpec(), sortSpec())
+    val line = s"append|${partitionSpec().mkString(",")}|$rows|" +
+      s"${sortSpec().mkString(",")}|${esc(s"wap=$wapId")}|${System.currentTimeMillis()}"
+    val out = fs.create(stagedFile(id)) // staged marker last = staging point
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+    id
+  }
+
+  /** (provisionalId, wapId) for every staged-but-unpublished snapshot. */
+  def stagedSnapshots(): Seq[(Long, String)] =
+    stagedMetas().map(m => (m.id, m.note.getOrElse("").stripPrefix("wap=")))
+
+  /** The AUDIT view: current table state plus the staged batch(es) for
+    * `wapId` — what the table WOULD be after publish. Validation queries
+    * run here; the live table is untouched. */
+  def readStaged(wapId: String): DataFrame = {
+    val mine = stagedMetas().filter(_.note.contains(s"wap=$wapId"))
+    require(mine.nonEmpty, s"no staged snapshot for wap id '$wapId' at $root")
+    mine.map(m => spark.read.parquet(snapDir(m.id).toString))
+      .foldLeft(read())(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Publish the staged batch(es) for `wapId`, in staging order: each
+    * becomes a normal `append` snapshot on the CURRENT head (renamed to a
+    * fresh id when commits interleaved since staging — metadata + dir
+    * rename only, the data bytes are never rewritten). The `.meta` write
+    * is the commit point; the staged marker is cleaned after. Returns the
+    * published snapshot ids. */
+  def publishStaged(wapId: String): Seq[Long] = {
+    writeGuard()
+    val mine = stagedMetas().filter(_.note.contains(s"wap=$wapId"))
+    require(mine.nonEmpty, s"no staged snapshot for wap id '$wapId' at $root")
+    mine.sortBy(_.id).map { m =>
+      // staged id still ahead of the committed head → publish in place
+      // (the common no-interleave case: pure marker swap, zero renames);
+      // otherwise commits landed since staging and the snapshot re-applies
+      // under a fresh id past every committed AND staged one
+      val target =
+        if (m.id > currentSnapshotId.getOrElse(0L)) m.id else nextId()
+      if (target != m.id) {
+        fs.rename(snapDir(m.id), snapDir(target))
+        fs.rename(statsFile(m.id), statsFile(target))
+      }
+      writeMarker(target, "append", m.parts, m.rows.getOrElse(0L), m.sort,
+        Some(s"wap=$wapId"))
+      fs.delete(stagedFile(m.id), false)
+      target
+    }
+  }
+
+  /** Drop the staged batch(es) for `wapId` — the failed-audit exit: data
+    * dir, stats, and marker deleted; the table never saw them. */
+  def discardStaged(wapId: String): Unit = {
+    writeGuard()
+    stagedMetas().filter(_.note.contains(s"wap=$wapId")).foreach { m =>
+      fs.delete(snapDir(m.id), true)
+      fs.delete(statsFile(m.id), false)
+      fs.delete(stagedFile(m.id), false)
+    }
   }
 
   /** Table state at a snapshot: nearest base ≤ id, unioned with appends.
