@@ -286,11 +286,17 @@ final class SnapshotTable(
   private def stagedIds(): Seq[Long] = {
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val (published, staged) = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".staged"))
       .map(_.stripPrefix("snap-").stripSuffix(".staged").toLong)
-      .filterNot(id => fs.exists(metaFile(id)))
-      .sorted
+      .partition(id => fs.exists(metaFile(id)))
+    // a staged marker alongside its .meta is debris from a publish that
+    // crashed between marker write and cleanup — the commit happened;
+    // finish the crashed publish's last step so the id doesn't re-enter
+    // stagedIds() forever (best-effort: read-only filesystems just keep
+    // tolerating the debris, as before)
+    published.foreach(id => try fs.delete(stagedFile(id), false) catch { case _: Exception => () })
+    staged.sorted
   }
 
   /** Next unclaimed snapshot id: past every COMMITTED id and every STAGED
@@ -367,7 +373,10 @@ final class SnapshotTable(
                           sortBy: Option[Seq[String]] = None): Long = {
     writeGuard()
     require(exists, s"evolve of non-existent table at $root")
-    val id = currentSnapshotId.get + 1
+    // nextId(), not head+1: a marker-only commit must also skip past staged
+    // (WAP) ids — claiming a staged writer's id would make stagedIds() treat
+    // the staged batch as already committed and silently lose it at publish
+    val id = nextId()
     writeMarker(id, "spec", partitionBy, 0L, sortBy.getOrElse(sortSpec()), None)
     id
   }
@@ -477,8 +486,18 @@ final class SnapshotTable(
       val target =
         if (m.id > currentSnapshotId.getOrElse(0L)) m.id else nextId()
       if (target != m.id) {
-        fs.rename(snapDir(m.id), snapDir(target))
-        fs.rename(statsFile(m.id), statsFile(target))
+        // a snap-<target> dir with neither .meta nor .staged is an orphan
+        // from a crashed regular commit (same sweep as writeSnapshotData) —
+        // clear it, or the rename below fails / nests the staged dir inside
+        if (fs.exists(snapDir(target)) && !fs.exists(metaFile(target)) &&
+            !fs.exists(stagedFile(target)))
+          fs.delete(snapDir(target), true)
+        // only the .meta write commits; a failed rename must abort loudly,
+        // never mark a snapshot whose data dir is missing or nested
+        require(fs.rename(snapDir(m.id), snapDir(target)),
+          s"publish of wap '$wapId': rename ${snapDir(m.id)} -> ${snapDir(target)} failed")
+        require(fs.rename(statsFile(m.id), statsFile(target)),
+          s"publish of wap '$wapId': rename ${statsFile(m.id)} -> ${statsFile(target)} failed")
       }
       writeMarker(target, "append", m.parts, m.rows.getOrElse(0L), m.sort,
         Some(s"wap=$wapId"))
@@ -801,6 +820,9 @@ final class SnapshotTable(
       fs.delete(snapDir(m.id), true)
       fs.delete(metaFile(m.id), false)
       fs.delete(statsFile(m.id), false)
+      // a crashed publish can leave .meta + .staged both present; dropping
+      // only the .meta would re-enter the id into stagedIds() permanently
+      fs.delete(stagedFile(m.id), false)
     }
     expired.map(_.id)
   }

@@ -460,4 +460,118 @@ class WarehouseSpec extends SparkSpec {
     assert(prof("id").min.contains("0") && prof("id").max.contains("199"))
     assert(prof("id").nullCount.contains(0L))
   }
+
+  // --- WAP (write-audit-publish) surface -----------------------------------
+
+  test("WAP: stage is invisible, audit view sees it, publish is a marker swap") {
+    val t = new SnapshotTable(spark, freshRoot("wap1"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val staged = t.stageAppend(Seq((3, "c")).toDF("id", "v"), "etl-42")
+    assert(t.read().count() == 2, "staged batch must be invisible to reads")
+    assert(t.snapshots().size == 1, "staged batch must be invisible to history")
+    assert(t.readStaged("etl-42").count() == 3, "audit view = table + staged")
+    assert(t.stagedSnapshots() == Seq((staged, "etl-42")))
+    val published = t.publishStaged("etl-42")
+    assert(published == Seq(staged), "no interleave -> publish in place")
+    assert(t.read().count() == 3)
+    assert(t.stagedSnapshots().isEmpty, "staged marker cleaned after publish")
+    assert(t.snapshots().map(_._2) == Seq("base", "append"))
+  }
+
+  test("WAP: publish after interleaved commits renumbers past the new head") {
+    val t = new SnapshotTable(spark, freshRoot("wap2"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    val staged = t.stageAppend(Seq((2, "b")).toDF("id", "v"), "w1")
+    t.append(Seq((3, "c")).toDF("id", "v")) // interleaved commit claims an id past the staged one
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    val head = t.currentSnapshotId.get
+    val published = t.publishStaged("w1")
+    assert(published.forall(_ > head), s"renumbered past head $head, got $published")
+    assert(published != Seq(staged), "staged id was overtaken; publish must renumber")
+    assert(t.read().as[(Int, String)].collect().sorted ===
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    assert(t.asOf(head).count() == 3, "pre-publish history unchanged")
+  }
+
+  test("WAP: failed audit discards cleanly; other wap ids stage independently") {
+    val t = new SnapshotTable(spark, freshRoot("wap3"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    t.stageAppend(Seq((2, "BAD")).toDF("id", "v"), "bad-run")
+    t.stageAppend(Seq((3, "c")).toDF("id", "v"), "good-run")
+    assert(t.stagedSnapshots().map(_._2).sorted == Seq("bad-run", "good-run"))
+    t.discardStaged("bad-run")
+    assert(t.stagedSnapshots().map(_._2) == Seq("good-run"), "discard hits only its wap id")
+    t.publishStaged("good-run")
+    assert(t.read().as[(Int, String)].collect().sorted === Seq((1, "a"), (3, "c")))
+    assert(!t.read().as[(Int, String)].collect().exists(_._2 == "BAD"))
+    intercept[IllegalArgumentException](t.publishStaged("bad-run"))
+  }
+
+  test("WAP: marker-only spec evolution skips staged ids (no id collision)") {
+    val t = new SnapshotTable(spark, freshRoot("wap4"))
+    t.createOrReplace(Seq((1, "a", "d1")).toDF("id", "v", "day"))
+    val staged = t.stageAppend(Seq((2, "b", "d1")).toDF("id", "v", "day"), "w1")
+    // ADVICE r7 #1: spec commit at head+1 would claim the staged id and
+    // silently swallow the staged batch
+    val specId = t.evolvePartitionSpec(Seq("day"))
+    assert(specId != staged, "spec evolution must not claim a staged id")
+    assert(t.stagedSnapshots().map(_._1) == Seq(staged), "staged batch still pending")
+    val published = t.publishStaged("w1")
+    assert(t.read().count() == 2, "staged batch survives the spec commit")
+    assert(published.forall(_ > specId))
+  }
+
+  test("WAP: crashed-publish debris (meta + staged both present) is reclaimed") {
+    val t = new SnapshotTable(spark, freshRoot("wap5"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val head = t.currentSnapshotId.get
+    // simulate a publish that crashed between .meta write and staged-marker
+    // cleanup: the committed snapshot still carries its .staged marker
+    val debris = new java.io.File(t.root, f"snap-$head%05d.staged")
+    val w = new java.io.PrintWriter(debris)
+    try w.write(s"append|||2||wap=crashed|0") finally w.close()
+    assert(t.stagedSnapshots().isEmpty, "already-committed id is not staged")
+    assert(!debris.exists(), "stagedIds() finishes the crashed publish's cleanup")
+    // a fresh commit must claim a NEW id, not collide with anything
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.read().count() == 3)
+  }
+
+  test("WAP: renumbering publish sweeps an orphaned target dir from a crashed commit") {
+    val t = new SnapshotTable(spark, freshRoot("wap6"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    val staged = t.stageAppend(Seq((2, "b")).toDF("id", "v"), "w1")
+    t.append(Seq((3, "c")).toDF("id", "v")) // overtakes the staged id
+    // simulate a regular commit that crashed after writing data but before
+    // its marker: an unmarked snap dir squatting on the publish target id
+    val target = t.currentSnapshotId.get + 1
+    val orphan = new java.io.File(t.root, f"snap-$target%05d/part-orphan")
+    orphan.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(orphan)
+    try w.write("junk") finally w.close()
+    val published = t.publishStaged("w1")
+    assert(published == Seq(target), s"publish lands on swept target $target")
+    assert(t.read().as[(Int, String)].collect().sorted ===
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(t.stagedSnapshots().isEmpty)
+    assert(!new java.io.File(t.root, f"snap-$staged%05d").exists(),
+      "staged dir was renamed away, not copied")
+  }
+
+  test("WAP: expire removes staged debris alongside meta and stats") {
+    val t = new SnapshotTable(spark, freshRoot("wap7"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.compact() // new base -> earlier chain becomes expirable
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    // leave crashed-publish debris on an expirable snapshot
+    val debris = new java.io.File(t.root, "snap-00001.staged")
+    val w = new java.io.PrintWriter(debris)
+    try w.write("append|||1||wap=crashed|0") finally w.close()
+    val expired = t.expireSnapshots(keepLast = 2)
+    assert(expired.contains(1L))
+    assert(!debris.exists(), "expire cleans the staged marker too")
+    assert(t.read().count() == 3)
+  }
 }
