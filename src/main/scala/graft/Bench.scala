@@ -94,6 +94,13 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), line + "\n")
     catch { case _: Exception => () } // sidecar is best-effort
     println(line)
+    // the full line above has been tail-truncated in two driver rounds
+    // (VERDICT r6/r7: BENCH_r{N}.json `parsed: null`, cut mid-queries-map);
+    // emit a SHORT self-sufficient summary as the FINAL stdout line — no
+    // per-query map, so it fits any tail buffer and parses standalone
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","cpus":$cpus,"load1m_start":${fmt(loadStart)},"load1m_end":${fmt(load1m())},"summary":true,"full_line":"BENCH_LATEST.json"}"""
+    println(summary)
     spark.stop()
   }
 }

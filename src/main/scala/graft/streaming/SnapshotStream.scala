@@ -42,7 +42,9 @@ import graft.warehouse.SnapshotTable
   */
 class SnapshotStreamSource(spark: SparkSession, root: String,
                            declaredSchema: Option[StructType],
-                           ignoreReplaces: Boolean)
+                           ignoreReplaces: Boolean,
+                           maxAppendsPerTrigger: Option[Int] = None,
+                           maxRowsPerTrigger: Option[Long] = None)
     extends Source {
 
   private def table = new SnapshotTable(spark, root)
@@ -50,9 +52,27 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
   override val schema: StructType =
     declaredSchema.getOrElse(table.read().schema)
 
-  /** Latest committed snapshot id — marker listing only, no data I/O. */
+  // End id of the newest batch this source has handed out — the base the
+  // admission caps advance from. Restart-safe WITHOUT checkpointing it
+  // here: on recovery the engine re-calls getBatch with the offsets of the
+  // last logged batch before asking for a new offset (the documented V1
+  // contract FileStreamSource relies on), which restores this var.
+  @volatile private var lastBatchEnd: Option[Long] = None
+
+  /** Next batch end — marker listing only, no data I/O. Uncapped this is
+    * the latest committed snapshot id; with `maxAppendsPerTrigger` /
+    * `maxRowsPerTrigger` set, a backlog (months of history at stream
+    * start, or downtime catch-up) is offered in bounded increments so no
+    * single micro-batch unions an unbounded snapshot range (VERDICT r7
+    * #1: the Iceberg/Delta `maxFilesPerTrigger` stance). */
   override def getOffset: Option[Offset] =
-    table.currentSnapshotId.map(LongOffset(_))
+    table.currentSnapshotId.map { latest =>
+      val capped =
+        if (maxAppendsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
+        else table.boundedTailEnd(lastBatchEnd, latest,
+          maxAppendsPerTrigger, maxRowsPerTrigger)
+      LongOffset(capped)
+    }
 
   // offsets recovered from the checkpoint log arrive as SerializedOffset;
   // LongOffset's json IS the id, so parsing the json covers both forms
@@ -60,6 +80,7 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = idOf(end)
+    lastBatchEnd = Some(math.max(lastBatchEnd.getOrElse(0L), endId))
     val t = table
     val batch = start match {
       // stream start: the full table as of the first observed snapshot —
@@ -97,18 +118,28 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new SnapshotStreamSource(ctx.sparkSession, rootOf(parameters), schema,
-      ignoreReplaces = parameters.get("ignoreReplaces").exists(_.toBoolean))
+      ignoreReplaces = parameters.get("ignoreReplaces").exists(_.toBoolean),
+      maxAppendsPerTrigger = parameters.get("maxAppendsPerTrigger").map(_.toInt),
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
 }
 
 object SnapshotStream {
 
   /** Tail `root` as a streaming DataFrame: full table first, then one
-    * micro-batch per committed append. */
+    * micro-batch per committed append. `maxAppendsPerTrigger` /
+    * `maxRowsPerTrigger` bound each micro-batch during catch-up (admission
+    * control — see [[SnapshotStreamSource.getOffset]]); unset = unbounded,
+    * the pre-r8 behavior. */
   def read(spark: SparkSession, root: String,
-           ignoreReplaces: Boolean = false): DataFrame =
-    spark.readStream
+           ignoreReplaces: Boolean = false,
+           maxAppendsPerTrigger: Option[Int] = None,
+           maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format("graft-snapshots")
       .option("path", root)
       .option("ignoreReplaces", ignoreReplaces.toString)
-      .load()
+    val r1 = maxAppendsPerTrigger.fold(r)(n => r.option("maxAppendsPerTrigger", n.toString))
+    val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
+    r2.load()
+  }
 }

@@ -430,4 +430,77 @@ class StreamingSpec extends SparkSpec {
     assert(mv.columns.toSet ==
       Set("hour", "event_type", "n", "total_value", "approx_users"))
   }
+
+  /** Drain a snapshot tail to exhaustion under admission caps; returns the
+    * per-micro-batch row counts (non-empty batches only) plus every row
+    * delivered. Continuous trigger + processAllAvailable, not AvailableNow:
+    * draining a backlog across SEVERAL capped batches in one run is the
+    * behavior under test. */
+  private def drainTail(root: String, ckpt: String,
+                        maxAppends: Option[Int] = None,
+                        maxRows: Option[Long] = None): (Seq[Long], Seq[(Long, String)]) = {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.streaming.SnapshotStream.read(spark, root,
+        maxAppendsPerTrigger = maxAppends, maxRowsPerTrigger = maxRows)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+        batches.synchronized {
+          if (got.nonEmpty) batches += got.length.toLong
+          rows ++= got
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    batches.synchronized((batches.toSeq, rows.toSeq))
+  }
+
+  test("snapshot tail admission control: a backlog drains in bounded micro-batches") {
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snapadmit").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((0L, "base0"), (100L, "base1")).toDF("id", "v"))
+    for (i <- 1 to 10) // 10-append backlog before the tail ever starts
+      t.append((1 to 3).map(j => (i * 10L + j, s"a$i-$j")).toDF("id", "v"))
+    val all = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all.size == 32)
+
+    // uncapped (pre-r8 behavior): the whole backlog arrives as ONE batch
+    val (unBatches, unRows) = drainTail(s"$tmp/tbl", s"$tmp/ckpt-un")
+    assert(unBatches == Seq(32L), s"uncapped backlog = one giant batch, got $unBatches")
+    assert(unRows.toSet === all)
+
+    // appends-capped: same rows, no batch folds more than 3 appends; even
+    // the first batch is bounded (base chain + at most 3 appends)
+    val (capBatches, capRows) = drainTail(s"$tmp/tbl", s"$tmp/ckpt-cap",
+      maxAppends = Some(3))
+    assert(capRows.toSet === all, "admission control must not change WHAT is delivered")
+    assert(capRows.size == all.size, "no row delivered twice across capped batches")
+    assert(capBatches.size > 1, s"backlog must drain across several batches, got $capBatches")
+    assert(capBatches == Seq(11L, 9L, 9L, 3L),
+      s"base+3, then 3/3/1 appends per trigger, got $capBatches")
+
+    // rows-capped: marker row counts bound each batch; an oversized single
+    // append still flows (at-least-one admission), so the tail never wedges
+    val (rowBatches, rowRows) = drainTail(s"$tmp/tbl", s"$tmp/ckpt-rows",
+      maxRows = Some(5L))
+    assert(rowRows.toSet === all)
+    assert(rowBatches.size == 10 && rowBatches.forall(_ <= 5 + 3),
+      s"rows cap admits one 3-row append per trigger after the first, got $rowBatches")
+
+    // caps interact correctly with checkpoint restart: new commits after a
+    // drained run arrive capped, nothing re-delivered
+    t.append(Seq((900L, "z1")).toDF("id", "v"))
+    t.append(Seq((901L, "z2")).toDF("id", "v"))
+    val (moreBatches, moreRows) = drainTail(s"$tmp/tbl", s"$tmp/ckpt-cap",
+      maxAppends = Some(1))
+    assert(moreRows.toSet === Set((900L, "z1"), (901L, "z2")), s"got $moreRows")
+    assert(moreBatches == Seq(1L, 1L), s"one append per trigger on restart, got $moreBatches")
+  }
 }
