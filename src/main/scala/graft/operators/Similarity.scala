@@ -92,22 +92,23 @@ object Similarity {
     * centroid (ties → lowest k), recompute per-dim DECIMAL-EXACT means
     * (a double mean would be partition-order-dependent in Spark), and
     * keep the previous centroid for any cluster that emptied. */
-  private def lloydCtes(d: PqDialect, it: Int, prev: String): String =
-    s"""asg$it AS (
+  private def lloydCtes(d: PqDialect, it: Int, prev: String,
+                        pfx: String = ""): String =
+    s"""${pfx}asg$it AS (
        |  SELECT vec_id, m, sub, k FROM (
        |    SELECT p.vec_id, p.m, p.sub, c.k,
        |           row_number() OVER (PARTITION BY p.vec_id, p.m
        |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
-       |    FROM parts p JOIN $prev c ON p.m = c.m) x
+       |    FROM ${pfx}parts p JOIN $prev c ON p.m = c.m) x
        |  WHERE rn = 1),
-       |mean$it AS (
+       |${pfx}mean$it AS (
        |  SELECT m, k, pos,
        |         CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
-       |  FROM (${d.dims(s"asg$it")}) dv$it GROUP BY m, k, pos),
-       |new$it AS (SELECT m, k, ${d.ordArr} AS cvec FROM mean$it GROUP BY m, k),
-       |cents$it AS (
+       |  FROM (${d.dims(s"${pfx}asg$it")}) dv$it GROUP BY m, k, pos),
+       |${pfx}new$it AS (SELECT m, k, ${d.ordArr} AS cvec FROM ${pfx}mean$it GROUP BY m, k),
+       |${pfx}cents$it AS (
        |  SELECT c.m, c.k, COALESCE(n.cvec, c.cvec) AS cvec
-       |  FROM $prev c LEFT JOIN new$it n ON c.m = n.m AND c.k = n.k)""".stripMargin
+       |  FROM $prev c LEFT JOIN ${pfx}new$it n ON c.m = n.m AND c.k = n.k)""".stripMargin
 
   // ── trained IVF cells: the SAME k-means template, one 64-dim space ──
   //
@@ -277,13 +278,15 @@ object Similarity {
   }
 
   /** Training chain: parts → init (vec_id 0..7 subvectors) → 2 Lloyd
-    * iterations → `cents2`, the trained codebook. */
-  private def pqTrainCtes(d: PqDialect): String =
-    s"""parts AS (${d.parts}),
-       |cents0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cvec
-       |           FROM parts WHERE vec_id < 8),
-       |${lloydCtes(d, 1, "cents0")},
-       |${lloydCtes(d, 2, "cents1")}""".stripMargin
+    * iterations → `cents2`, the trained codebook. `pfx` namespaces the CTE
+    * chain so two independent trainings (q114's IVF coarse quantizer + PQ
+    * codebooks) can coexist in one query. */
+  private def pqTrainCtes(d: PqDialect, pfx: String = ""): String =
+    s"""${pfx}parts AS (${d.parts}),
+       |${pfx}cents0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cvec
+       |           FROM ${pfx}parts WHERE vec_id < 8),
+       |${lloydCtes(d, 1, s"${pfx}cents0", pfx)},
+       |${lloydCtes(d, 2, s"${pfx}cents1", pfx)}""".stripMargin
 
   /** The full q88: train, encode the corpus against `cents2`, build the
     * per-query LUT, ADC-rank. Rendered for Spark AND DuckDB. */
@@ -315,6 +318,73 @@ object Similarity {
        |           ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
        |  FROM adc)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** The full q114 — IVF-PQ, the FAISS-standard production composition
+    * (IVFADC, Jégou et al. 2011): a TRAINED coarse quantizer (the q106
+    * full-width k-means, prefix `i_`) prunes the corpus to the query's
+    * nprobe=2 nearest cells, then TRAINED PQ codebooks (the q88 subspace
+    * k-means, prefix `p_`) rank only those survivors by asymmetric
+    * distance — candidate vectors are never touched, only their 4-byte
+    * codes. Raw-vector PQ (FAISS `by_residual=false`): codes quantize the
+    * vector itself, not the cell residual, so the q88 codebooks are reused
+    * unchanged and the oracle re-derives BOTH trainings from scratch.
+    *
+    * Scale shape at 100 TB: the corpus is hash-partitioned by cell id and
+    * stored as codes (64 floats → 4 bytes); a probe reads nprobe/k of the
+    * partitions and its ADC scan is a broadcast-LUT lookup join, so
+    * per-query cost is (nprobe/k) × N × 4 bytes — the standard IVFADC
+    * budget — while IVF-flat (q55) reads raw vectors and flat PQ (q88)
+    * scans every code. */
+  private def ivfPqQuerySql(iv: PqDialect, pq: PqDialect): String =
+    s"""WITH ${pqTrainCtes(iv, "i_")},
+       |${pqTrainCtes(pq, "p_")},
+       |cellasg AS (
+       |  SELECT vec_id, k AS cell FROM (
+       |    SELECT p.vec_id, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, k AS cell FROM (
+       |    SELECT p.vec_id, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m
+       |    WHERE p.vec_id IN (0, 1, 2, 3)) x
+       |  WHERE rn <= 2),
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, k AS code FROM (
+       |    SELECT p.vec_id, p.m, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${pq.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM p_parts p JOIN p_cents2 c ON p.m = c.m) y
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT p.vec_id AS q_id, p.m, c.k, ${pq.l2("p.sub", "c.cvec")} AS qd
+       |  FROM p_parts p JOIN p_cents2 c ON p.m = c.m
+       |  WHERE p.vec_id IN (0, 1, 2, 3)),
+       |cand AS (
+       |  SELECT pr.q_id, ca.vec_id AS n_id, ca.cell
+       |  FROM probes pr JOIN cellasg ca ON pr.cell = ca.cell
+       |  WHERE pr.q_id <> ca.vec_id),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id, cd.cell,
+       |         MAX(CASE WHEN c.m = 0 THEN l.qd END) AS d0,
+       |         MAX(CASE WHEN c.m = 1 THEN l.qd END) AS d1,
+       |         MAX(CASE WHEN c.m = 2 THEN l.qd END) AS d2,
+       |         MAX(CASE WHEN c.m = 3 THEN l.qd END) AS d3
+       |  FROM cand cd
+       |  JOIN codes c ON cd.n_id = c.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.m = c.m AND l.k = c.code
+       |  GROUP BY cd.q_id, cd.n_id, cd.cell),
+       |r AS (
+       |  SELECT q_id, n_id, cell, d0 + d1 + d2 + d3 AS adc_dist,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cell, adc_dist
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** The trained codebook alone (spec use: distortion measurement);
@@ -551,6 +621,18 @@ object Similarity {
       s.sql(pqQuerySql(sparkPq))
     },
 
+    // IVF-PQ — the production ANN composition (FAISS IVFADC): the trained
+    // coarse quantizer prunes to nprobe=2 cells, trained PQ codebooks
+    // ADC-rank only the survivors from 4-byte codes. Both trainings run
+    // inside the query and the oracle re-derives both — a green row
+    // certifies coarse training, codebook training, pruning, and ADC
+    // ranking agree cross-engine end-to-end. See [[ivfPqQuerySql]].
+    "q114_ivfpq_ann" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(ivfPqQuerySql(sparkIvf, sparkPq))
+    },
+
     // Recall-vs-probe-cost curve on a CLUSTERED corpus — the regime real
     // embedding corpora live in (see the block comment at
     // [[clusteredRecallSql]]). One row per (nprobe, query): recall@3
@@ -608,6 +690,7 @@ object Similarity {
       val ivfmp = queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id")
       val ivftr = queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id")
       val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
+      val ivfpq = queries("q114_ivfpq_ann")(s, dir).select($"q_id", $"n_id")
       // the clustered-corpus regime (q111) alongside the uniform-random
       // one: same trained-IVF machinery, a corpus with real locality —
       // the side-by-side that shows WHY the uniform numbers sit low
@@ -619,6 +702,7 @@ object Similarity {
         .unionByName(recallOf(ivfmp, 3, "ivf_mp_top3"))
         .unionByName(recallOf(ivftr, 3, "ivf_tr_top3"))
         .unionByName(recallOf(pq, 5, "pq_top5"))
+        .unionByName(recallOf(ivfpq, 5, "ivfpq_top5"))
         .unionByName(clust)
         .orderBy($"method", $"q_id")
     },
@@ -828,6 +912,10 @@ object Similarity {
     // re-runs the cell-probed search — green row = identical training.
     "q106_ivf_trained" -> ivfQuerySql(duckIvf, duckDotD),
 
+    // IVF-PQ twin: DuckDB re-derives BOTH trainings (coarse cells + PQ
+    // codebooks), the cell pruning, and the ADC ranking from scratch.
+    "q114_ivfpq_ann" -> ivfPqQuerySql(duckIvf, duckPq),
+
     // Clustered-recall twin: DuckDB regenerates the mixture corpus from
     // the same integer arithmetic, re-trains, re-probes, re-costs.
     "q111_clustered_recall" -> clusteredRecallSql(duckClust, duckDotD))
@@ -842,6 +930,7 @@ object Similarity {
        |     ivfmp AS (SELECT q_id, n_id FROM (${oracleBase("q103_ivf_multiprobe")}) im),
        |     ivftr AS (SELECT q_id, n_id FROM (${oracleBase("q106_ivf_trained")}) it),
        |     pq AS (SELECT q_id, n_id FROM (${oracleBase("q88_pq_ann")}) p),
+       |     ivfpq AS (SELECT q_id, n_id FROM (${oracleBase("q114_ivfpq_ann")}) ip),
        |     clustq AS (
        |       SELECT 'ivf_clust_np' || CAST(nprobe AS VARCHAR) AS method,
        |              q_id, hits_in_top3
@@ -856,6 +945,8 @@ object Similarity {
        |       SELECT 'ivf_tr_top3', q_id, 3 FROM (SELECT DISTINCT q_id FROM ivftr) bt
        |       UNION ALL
        |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c
+       |       UNION ALL
+       |       SELECT 'ivfpq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM ivfpq) cp
        |       UNION ALL
        |       SELECT method, q_id, 3 FROM clustq),
        |     hits AS (
@@ -878,6 +969,10 @@ object Similarity {
        |       SELECT 'pq_top5', p.q_id, count(*)
        |       FROM pq p JOIN exact e ON p.q_id = e.q_id AND p.n_id = e.n_id AND e.rank <= 5
        |       GROUP BY p.q_id
+       |       UNION ALL
+       |       SELECT 'ivfpq_top5', ip.q_id, count(*)
+       |       FROM ivfpq ip JOIN exact e ON ip.q_id = e.q_id AND ip.n_id = e.n_id AND e.rank <= 5
+       |       GROUP BY ip.q_id
        |       UNION ALL
        |       SELECT method, q_id, hits_in_top3 FROM clustq)
        |SELECT s.method, s.q_id, CAST(s.k AS INT) AS k,
