@@ -377,9 +377,90 @@ object Views {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }
+    },
+
+    // CONTINUOUS MV maintenance through the correctness gate (VERDICT r7
+    // #5): q101 proves the ROUTER; this proves the stream-driven FOLD.
+    // The MV partials are built over a seed third of `orders`, the other
+    // two thirds land as appends AFTER the build, and the only thing that
+    // folds them in is a [[graft.streaming.MvMaintenance]] tail firing
+    // `refreshIncremental` — the query `require`s the observed refresh
+    // mode was "incremental" (never "full": a rebuild would hide a broken
+    // delta fold) AND that the routed plan scans ONLY `_mv` partials.
+    // The DuckDB oracle aggregates ALL of orders from the base parquet,
+    // so a row lost or doubled anywhere in append → tail → fold → route
+    // turns the hash red.
+    "q115_stream_mv_fold" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/mvstreamgate"
+      val prevFlag = s.conf.getOption(graft.mv.MvRewrite.FlagKey)
+      try {
+        val cat = new graft.catalog.Catalog(s, wh, "MVSTREAM")
+        val mvm = new graft.mv.MaterializedViewManager(cat)
+        val orders = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
+        val base = cat.table("gate", "orders_s")
+        base.createOrReplace(orders.filter(pmod($"o_orderkey", lit(3)) === 0).drop("o_orderkey"))
+        mvm.createAggMv("orders_by_prio_stream", ("gate", "orders_s"),
+          Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"),
+          minMaxCols = Seq("o_totalprice"))
+        // two appends AFTER the build — the partials are now stale and
+        // only the maintenance tail may fold the deltas in
+        base.append(orders.filter(pmod($"o_orderkey", lit(3)) === 1).drop("o_orderkey"))
+        base.append(orders.filter(pmod($"o_orderkey", lit(3)) === 2).drop("o_orderkey"))
+        val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+        val q = graft.streaming.MvMaintenance.continuousRefresh(
+          mvm, "orders_by_prio_stream", base, s"$wh/ckpt",
+          onRefresh = m => modes.synchronized { modes += m; () })
+        q.awaitTermination()
+        val seen = modes.synchronized(modes.toList)
+        require(seen.contains("incremental") && !seen.contains("full"),
+          s"q115 requires a stream-driven INCREMENTAL fold, observed: $seen")
+        mvm.enableRewrite("orders_by_prio_stream")
+        val routed = base.read()
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"),
+            avg($"o_totalprice").as("avg_price"))
+          .select($"o_orderpriority", $"n_orders",
+            ($"total".cast("decimal(18,2)") * 100).cast("long").as("total_cents"),
+            $"min_price", $"max_price", $"avg_price")
+          .orderBy($"o_orderpriority")
+        val scans = routed.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        require(scans.nonEmpty && scans.forall(_.contains("/_mv/")),
+          s"q115 must read ONLY the tail-freshened MV partials, scanned: $scans")
+        val rows = routed.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
+      } finally {
+        graft.mv.MvRewrite.unregister("orders_by_prio_stream")
+        prevFlag match {
+          case Some(v) => s.conf.set(graft.mv.MvRewrite.FlagKey, v)
+          case None => s.conf.unset(graft.mv.MvRewrite.FlagKey)
+        }
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     })
 
   val oracle: Map[String, String] = Map(
+    "q115_stream_mv_fold" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_totalprice) AS min_price,
+                MAX(o_totalprice) AS max_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q112_stream_tail_gate" ->
       """SELECT 1 AS phase, n_nationkey, n_name FROM nation WHERE n_nationkey < 20
          UNION ALL

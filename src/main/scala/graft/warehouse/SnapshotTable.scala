@@ -341,9 +341,14 @@ final class SnapshotTable(
     rows
   }
 
+  /** Serialize commits to THIS table within the JVM (reentrant — compact's
+    * validate-and-commit step calls [[commit]] under the same monitor). */
+  private def withCommitLock[T](f: => T): T =
+    SnapshotTable.lockFor(root).synchronized(f)
+
   private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
                      sort: Seq[String] = Seq.empty,
-                     note: Option[String] = None): Long = {
+                     note: Option[String] = None): Long = withCommitLock {
     writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
     val isNew = currentSnapshotId.isEmpty
     val id = nextId()
@@ -357,8 +362,16 @@ final class SnapshotTable(
                           sort: Seq[String], note: Option[String]): Unit = {
     val line = s"$kind|${parts.mkString(",")}|$rows|${sort.mkString(",")}|" +
       s"${note.map(esc).getOrElse("")}|${System.currentTimeMillis()}"
-    val out = fs.create(metaFile(id)) // marker written last = commit point
+    // write-then-rename so the commit point is ATOMIC: a live tail lists
+    // markers without the commit lock, and a create-then-write marker is
+    // briefly visible EMPTY — the tail would parse a kindless snapshot,
+    // advance its offset past it, and skip those rows forever. The .tmp
+    // name fails the ".meta" suffix filter, so readers never see it.
+    val tmp = new Path(root, f"snap-$id%05d.meta.tmp")
+    val out = fs.create(tmp, true)
     try out.write(line.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, metaFile(id))) // marker rename = commit point
+      throw new IllegalStateException(s"marker commit failed for snapshot $id at $root")
   }
 
   /** Iceberg-style PARTITION SPEC EVOLUTION: change the layout (and
@@ -370,7 +383,7 @@ final class SnapshotTable(
     * 100 TB this is the difference between re-laying-out a table (a full
     * rewrite) and a one-line commit when the query pattern shifts. */
   def evolvePartitionSpec(partitionBy: Seq[String],
-                          sortBy: Option[Seq[String]] = None): Long = {
+                          sortBy: Option[Seq[String]] = None): Long = withCommitLock {
     writeGuard()
     require(exists, s"evolve of non-existent table at $root")
     // nextId(), not head+1: a marker-only commit must also skip past staged
@@ -440,7 +453,7 @@ final class SnapshotTable(
     * visibility. Returns the provisional snapshot id (may be renumbered at
     * publish if other commits land first — Iceberg's cherry-pick does the
     * same re-application onto the current head). */
-  def stageAppend(df: DataFrame, wapId: String): Long = {
+  def stageAppend(df: DataFrame, wapId: String): Long = withCommitLock {
     writeGuard()
     require(exists, s"stage on non-existent table at $root")
     require(wapId.nonEmpty && !wapId.contains('|') && !wapId.contains(','),
@@ -474,7 +487,7 @@ final class SnapshotTable(
     * rename only, the data bytes are never rewritten). The `.meta` write
     * is the commit point; the staged marker is cleaned after. Returns the
     * published snapshot ids. */
-  def publishStaged(wapId: String): Seq[Long] = {
+  def publishStaged(wapId: String): Seq[Long] = withCommitLock {
     writeGuard()
     val mine = stagedMetas().filter(_.note.contains(s"wap=$wapId"))
     require(mine.nonEmpty, s"no staged snapshot for wap id '$wapId' at $root")
@@ -553,11 +566,65 @@ final class SnapshotTable(
     * delta dirs for every scan to union. Old snapshots remain time-
     * travelable until `expireSnapshots`. */
   def compact(): Long = {
+    writeGuard()
     require(exists, s"compact of non-existent table at $root")
-    // the note distinguishes this base from a REPLACE rewrite: compaction
+    // Optimistic concurrency (Iceberg's RewriteFiles validation): the
+    // heavy rewrite runs OUTSIDE the commit lock — an hours-long 100 TB
+    // compaction must not block ingest — under a claimed id + placeholder
+    // staged marker (invisible to every reader, un-claimable by every
+    // writer). The commit step then validates under the lock that the
+    // head hasn't moved: an append that landed mid-rewrite is NOT in the
+    // rewritten base, so committing anyway would silently swallow it —
+    // instead the rewrite is discarded and retried on the longer chain.
+    // The note distinguishes this base from a REPLACE rewrite: compaction
     // adds no logical rows, so a streaming tail ([[appendsBetween]]) can
-    // skip it where a true rewrite must fail the stream
-    commit(read(), "base", partitionSpec(), sortSpec(), note = Some("compact"))
+    // skip it where a true rewrite must fail the stream.
+    var result = -1L
+    var attempts = 0
+    while (result < 0) {
+      attempts += 1
+      if (attempts > 50) throw new IllegalStateException(
+        s"compact of $root lost the commit race $attempts times — writer storm?")
+      val head = currentSnapshotId.get
+      val chain = asOf(head) // exactly head's chain, even if writers race
+      val id = withCommitLock {
+        val i = nextId()
+        // claim-time orphan sweep: a crashed commit may have left an
+        // unmarked data dir at this id; clear it NOW, because
+        // writeSnapshotData's own sweep (correctly) skips ids carrying a
+        // staged marker — which this one is about to
+        if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
+          fs.delete(snapDir(i), true)
+        val line = s"base|${partitionSpec().mkString(",")}|0|" +
+          s"${sortSpec().mkString(",")}|${esc("compacting")}|${System.currentTimeMillis()}"
+        val out = fs.create(stagedFile(i))
+        try out.write(line.getBytes("UTF-8")) finally out.close()
+        i
+      }
+      try {
+        val rows = writeSnapshotData(chain, id, partitionSpec(), sortSpec())
+        withCommitLock {
+          if (currentSnapshotId.get == head) {
+            writeMarker(id, "base", partitionSpec(), rows, sortSpec(), Some("compact"))
+            fs.delete(stagedFile(id), false)
+            result = id
+          } else {
+            // validation failed: a commit landed during the rewrite and
+            // its rows are missing from this base — discard, retry
+            fs.delete(snapDir(id), true)
+            fs.delete(statsFile(id), false)
+            fs.delete(stagedFile(id), false)
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          fs.delete(snapDir(id), true)
+          fs.delete(statsFile(id), false)
+          fs.delete(stagedFile(id), false)
+          throw e
+      }
+    }
+    result
   }
 
   /** Current table state. */
@@ -851,7 +918,7 @@ final class SnapshotTable(
     * commits every 5 minutes otherwise keeps every rewrite forever. Time
     * travel remains valid within the retained window only. Returns the
     * expired snapshot ids. */
-  def expireSnapshots(keepLast: Int = 2): Seq[Long] = {
+  def expireSnapshots(keepLast: Int = 2): Seq[Long] = withCommitLock {
     writeGuard()
     val ms = metas()
     if (ms.size <= keepLast) return Seq.empty
@@ -922,6 +989,20 @@ final case class ColumnProfile(kind: String, min: Option[String], max: Option[St
 final case class ScanPlan(files: Seq[(String, Seq[String])], filesKept: Int, filesTotal: Int)
 
 object SnapshotTable {
+
+  /** Per-root commit serialization WITHIN this JVM: id claims and marker
+    * writes are short metadata steps guarded by this lock, so concurrent
+    * writers in one process (ingest + maintenance + DDL on local[n])
+    * can never claim the same snapshot id or commit over each other. A
+    * multi-PROCESS writer fleet would need what real Iceberg gets from
+    * its catalog — an atomic metadata swap (metastore lock / CAS) — which
+    * plain directories cannot provide; single-process is exactly the
+    * reference's warehouse-side execution model. Data I/O (the heavy
+    * rewrite in [[SnapshotTable.compact]]) deliberately runs OUTSIDE the
+    * lock — see the optimistic validate-and-retry there. */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[warehouse] def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 
   /** Coerce a filter bound to the numeric axis of a stat kind. None =
     * not comparable on this axis → the caller must keep the file. */
