@@ -449,9 +449,60 @@ object Views {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }
+    },
+
+    // STATS-DRIVEN BROADCAST through the correctness gate (VERDICT r7 #7,
+    // the first CBO step): Spark's own auto-broadcast is DISABLED for the
+    // duration, so the only thing that can turn this join into a
+    // BroadcastHashJoin is [[graft.warehouse.CostJoin]] deciding from the
+    // tables' snapshot metadata (marker row counts + live-chain byte
+    // listing — no data I/O, no hint in query code). The query `require`s
+    // the broadcast actually planned, then the oracle hash-checks the
+    // joined aggregate against the base parquet.
+    "q116_stats_broadcast_join" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/statsjoin"
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val cat = new graft.catalog.Catalog(s, wh, "STATSJOIN")
+        val nat = cat.table("gate", "nation_s")
+        nat.createOrReplace(t(s, dir, "nation")
+          .select($"n_nationkey".as("nk"), $"n_name"))
+        val cust = cat.table("gate", "cust_s")
+        val c = t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey".as("nk"), $"c_acctbal")
+        // a multi-snapshot chain, so the byte estimate must walk the live
+        // chain, not a single dir
+        cust.createOrReplace(c.filter($"c_custkey" % 2 === 0))
+        cust.append(c.filter($"c_custkey" % 2 =!= 0))
+        val joined = graft.warehouse.CostJoin.join(cust, nat, Seq("nk"))
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_custs"),
+            (sum($"c_acctbal".cast("decimal(18,2)")) * 100).cast("long").as("bal_cents"))
+          .orderBy($"n_name")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"q116: with auto-broadcast off, only the metadata-stats decision can " +
+            s"broadcast — it didn't:\n$plan")
+        val rows = joined.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     })
 
   val oracle: Map[String, String] = Map(
+    "q116_stats_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_custs,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS bal_cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY n_name""",
+
     "q115_stream_mv_fold" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,

@@ -410,6 +410,16 @@ final class SnapshotTable(
   /** COUNT(*): metadata when available, else one scan (legacy snapshots). */
   def count(): Long = rowCountFromMetadata.getOrElse(read().count())
 
+  /** On-disk bytes of the live chain from a directory listing alone — no
+    * data I/O, no Spark job. The size statistic [[graft.warehouse.CostJoin]]
+    * plans broadcasts from (an Iceberg `total-files-size` summary; Spark's
+    * own auto-broadcast uses the same on-disk-bytes basis for file
+    * relations, so thresholds are directly comparable). None when the
+    * table doesn't exist. */
+  def sizeInBytesFromMetadata: Option[Long] = currentSnapshotId.map { id =>
+    dataChainAt(id).map(m => fs.getContentSummary(snapDir(m.id)).getLength).sum
+  }
+
   /** CREATE OR REPLACE TABLE AS (D7): new `base` snapshot; history is kept.
     * `partitionBy` (S4) lays the snapshot out hive-style so partition-key
     * filters prune directories at scan time — the 100 TB table layout. */
