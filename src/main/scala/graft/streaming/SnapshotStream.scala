@@ -44,7 +44,8 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
                            declaredSchema: Option[StructType],
                            ignoreReplaces: Boolean,
                            maxAppendsPerTrigger: Option[Int] = None,
-                           maxRowsPerTrigger: Option[Long] = None)
+                           maxRowsPerTrigger: Option[Long] = None,
+                           maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private def table = new SnapshotTable(spark, root)
@@ -67,10 +68,12 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
     * #1: the Iceberg/Delta `maxFilesPerTrigger` stance). */
   override def getOffset: Option[Offset] =
     table.currentSnapshotId.map { latest =>
+      val uncapped = maxAppendsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty &&
+        maxBytesPerTrigger.isEmpty
       val capped =
-        if (maxAppendsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
+        if (uncapped) latest
         else table.boundedTailEnd(lastBatchEnd, latest,
-          maxAppendsPerTrigger, maxRowsPerTrigger)
+          maxAppendsPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger)
       LongOffset(capped)
     }
 
@@ -120,7 +123,8 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new SnapshotStreamSource(ctx.sparkSession, rootOf(parameters), schema,
       ignoreReplaces = parameters.get("ignoreReplaces").exists(_.toBoolean),
       maxAppendsPerTrigger = parameters.get("maxAppendsPerTrigger").map(_.toInt),
-      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
 }
 
 object SnapshotStream {
@@ -133,13 +137,15 @@ object SnapshotStream {
   def read(spark: SparkSession, root: String,
            ignoreReplaces: Boolean = false,
            maxAppendsPerTrigger: Option[Int] = None,
-           maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+           maxRowsPerTrigger: Option[Long] = None,
+           maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format("graft-snapshots")
       .option("path", root)
       .option("ignoreReplaces", ignoreReplaces.toString)
     val r1 = maxAppendsPerTrigger.fold(r)(n => r.option("maxAppendsPerTrigger", n.toString))
     val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
-    r2.load()
+    val r3 = maxBytesPerTrigger.fold(r2)(n => r2.option("maxBytesPerTrigger", n.toString))
+    r3.load()
   }
 }

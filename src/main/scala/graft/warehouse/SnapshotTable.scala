@@ -575,7 +575,7 @@ final class SnapshotTable(
     * taking 5-minute micro-appends otherwise accretes hundreds of small
     * delta dirs for every scan to union. Old snapshots remain time-
     * travelable until `expireSnapshots`. */
-  def compact(): Long = {
+  def compact(targetFileBytes: Long = SnapshotTable.DefaultTargetFileBytes): Long = {
     writeGuard()
     require(exists, s"compact of non-existent table at $root")
     // Optimistic concurrency (Iceberg's RewriteFiles validation): the
@@ -612,7 +612,27 @@ final class SnapshotTable(
         i
       }
       try {
-        val rows = writeSnapshotData(chain, id, partitionSpec(), sortSpec())
+        // Bin-pack the rewrite (Iceberg rewrite_data_files `target-file-
+        // size-bytes`): without an explicit shape, the output inherits one
+        // file per input task — a 50-deep chain of micro-batches compacts
+        // into 50 small files, keeping most of the read amplification the
+        // compaction exists to remove. Output task count = live-chain
+        // bytes / target (metadata-only estimate). Shuffle choice restores
+        // locality rather than just merging: range-partition by the sort
+        // spec when one exists (disjoint min/max per file — BETTER stat
+        // pruning than the incremental appends had), else co-partition by
+        // the partition spec, else round-robin.
+        val nParts = math.max(1, math.ceil(
+          sizeInBytesFromMetadata.getOrElse(0L).toDouble / targetFileBytes).toInt)
+        val sortCols = sortSpec().filter(chain.columns.contains)
+        val partCols = partitionSpec().filter(chain.columns.contains)
+        val sized =
+          if (sortCols.nonEmpty)
+            chain.repartitionByRange(nParts, sortCols.map(chain.col): _*)
+          else if (partCols.nonEmpty)
+            chain.repartition(nParts, partCols.map(chain.col): _*)
+          else chain.repartition(nParts)
+        val rows = writeSnapshotData(sized, id, partitionSpec(), sortSpec())
         withCommitLock {
           if (currentSnapshotId.get == head) {
             writeMarker(id, "base", partitionSpec(), rows, sortSpec(), Some("compact"))
@@ -714,15 +734,21 @@ final class SnapshotTable(
     * so even a from-scratch tail over a long append chain starts bounded.
     */
   def boundedTailEnd(sinceId: Option[Long], latest: Long,
-                     maxAppends: Option[Int], maxRows: Option[Long]): Long = {
+                     maxAppends: Option[Int], maxRows: Option[Long],
+                     maxBytes: Option[Long] = None): Long = {
     val ms = metas().filter(_.id <= latest)
     val candidates = sinceId match {
       case Some(s) => ms.filter(_.id > s)
       case None    => ms.drop(math.max(ms.lastIndexWhere(_.kind == "base"), 0))
     }
+    // bytes are a dir listing per CANDIDATE append (∝ backlog, never table
+    // size), and only consulted when the caller set a byte cap
+    def bytesOf(id: Long): Long =
+      try fs.getContentSummary(snapDir(id)).getLength catch { case _: Exception => 0L }
     var end = -1L
     var appends = 0
     var rows = 0L
+    var bytes = 0L
     var admitted = false // at least one data-bearing snapshot in the batch
     var done = false
     val it = candidates.iterator
@@ -730,11 +756,14 @@ final class SnapshotTable(
       val m = it.next()
       if (m.kind != "append") end = m.id // free rider: no rows for this batch
       else {
+        val b = if (maxBytes.isDefined) bytesOf(m.id) else 0L
         val overAppends = maxAppends.exists(n => appends + 1 > n)
         val overRows = maxRows.exists(r => rows + m.rows.getOrElse(0L) > r)
-        if ((overAppends || overRows) && admitted) done = true
+        val overBytes = maxBytes.exists(x => bytes + b > x)
+        if ((overAppends || overRows || overBytes) && admitted) done = true
         else {
-          appends += 1; rows += m.rows.getOrElse(0L); admitted = true; end = m.id
+          appends += 1; rows += m.rows.getOrElse(0L); bytes += b
+          admitted = true; end = m.id
         }
       }
     }
@@ -1013,6 +1042,10 @@ object SnapshotTable {
   private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[warehouse] def lockFor(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Default compaction target file size — Iceberg's
+    * `write.target-file-size-bytes` default (512 MB). */
+  val DefaultTargetFileBytes: Long = 512L * 1024 * 1024
 
   /** Coerce a filter bound to the numeric axis of a stat kind. None =
     * not comparable on this axis → the caller must keep the file. */

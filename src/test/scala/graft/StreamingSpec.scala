@@ -438,11 +438,13 @@ class StreamingSpec extends SparkSpec {
     * behavior under test. */
   private def drainTail(root: String, ckpt: String,
                         maxAppends: Option[Int] = None,
-                        maxRows: Option[Long] = None): (Seq[Long], Seq[(Long, String)]) = {
+                        maxRows: Option[Long] = None,
+                        maxBytes: Option[Long] = None): (Seq[Long], Seq[(Long, String)]) = {
     val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val q = graft.streaming.SnapshotStream.read(spark, root,
-        maxAppendsPerTrigger = maxAppends, maxRowsPerTrigger = maxRows)
+        maxAppendsPerTrigger = maxAppends, maxRowsPerTrigger = maxRows,
+        maxBytesPerTrigger = maxBytes)
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -493,6 +495,16 @@ class StreamingSpec extends SparkSpec {
     assert(rowRows.toSet === all)
     assert(rowBatches.size == 10 && rowBatches.forall(_ <= 5 + 3),
       s"rows cap admits one 3-row append per trigger after the first, got $rowBatches")
+
+    // bytes-capped: per-append dir sizes (a listing ∝ backlog) bound each
+    // batch; 1 byte fits nothing, so at-least-one admission paces the
+    // drain to exactly one append per trigger — same rows, never wedged
+    val (byteBatches, byteRows) = drainTail(s"$tmp/tbl", s"$tmp/ckpt-bytes",
+      maxBytes = Some(1L))
+    assert(byteRows.toSet === all)
+    assert(byteBatches.size == 10 && byteBatches.head == 5L &&
+      byteBatches.tail.forall(_ == 3L),
+      s"1-byte cap -> one append per trigger after the first batch, got $byteBatches")
 
     // caps interact correctly with checkpoint restart: new commits after a
     // drained run arrive capped, nothing re-delivered
