@@ -90,4 +90,42 @@ object TailPropertiesSpec extends Properties("snapshotTail") {
         }
       }
     }
+
+  /** Admission control (`boundedTailEnd`) over generated histories: a tail
+    * that repeatedly asks for the next capped end and reads each `(prev,
+    * end]` delta must (a) terminate, (b) respect the append cap in every
+    * step, and (c) deliver exactly the full backlog's rows across the
+    * concatenated steps — bounding batches must never change WHAT a tail
+    * delivers, only how it is sliced. */
+  property("capped tail steps partition the backlog exactly; every step respects the cap") =
+    Prop.forAll(historyGen, Gen.chooseNum(1, 3)) { (ops, cap) =>
+      // replaces excluded: the slicing property is about append backlogs
+      // (a replace fails the stream regardless of admission control)
+      val appendOnly = ops.filterNot(_.isInstanceOf[Replace])
+      val (t, appended) = build(appendOnly)
+      val latest = t.currentSnapshotId.get
+      val kinds = t.snapshots().toMap
+      var prev = 0L // tail from before history: the whole table is backlog
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var guard = 0
+      while (prev < latest && guard < 1000) {
+        guard += 1
+        val end = t.boundedTailEnd(Some(prev), latest, Some(cap), None)
+        steps += ((prev, end))
+        prev = end
+      }
+      val terminates = guard < 1000 && prev == latest
+      val capRespected = steps.forall { case (s, e) =>
+        t.snapshots().count(x => x._1 > s && x._1 <= e && x._2 == "append") <= cap
+      }
+      val delivered = steps.flatMap { case (s, e) =>
+        t.snapshots().map(_._1).filter(id => id > s && id <= e && kinds(id) == "append")
+          .flatMap(appended.getOrElse(_, Seq.empty))
+      }.sorted.toSeq
+      val allRows = appended.values.flatten.toSeq.sorted
+      (s"terminates (steps: $steps)" |: terminates) &&
+        (s"every step ≤ $cap appends: $steps" |: capRespected) &&
+        (s"concatenated steps = backlog: got $delivered want $allRows" |:
+          (delivered == allRows))
+    }
 }
