@@ -387,6 +387,95 @@ object Similarity {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cell, adc_dist
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Per-engine helpers for the RESIDUAL variant (q117). */
+  private final case class ResDialect(
+      zipSub: (String, String) => String, // elementwise a − b (both DOUBLE[])
+      sliceParts: (String, String) => String) // (src, idCols) → (idCols, m, sub)
+
+  private val sparkRes = ResDialect(
+    zipSub = (a, b) => s"zip_with($a, $b, (x, y) -> x - y)",
+    sliceParts = (src, cols) =>
+      s"""SELECT $cols, m, slice(res, m * 16 + 1, 16) AS sub
+         |FROM (SELECT $cols, res, explode(sequence(0, 3)) AS m FROM $src)""".stripMargin)
+
+  private val duckRes = ResDialect(
+    zipSub = (a, b) => s"list_transform(range(1, 65), i -> $a[i] - $b[i])",
+    sliceParts = (src, cols) =>
+      s"""SELECT $cols, m, res[(m*16+1):(m*16+16)] AS sub
+         |FROM $src, (SELECT unnest([0, 1, 2, 3]) AS m) ms""".stripMargin)
+
+  /** The full q117 — RESIDUAL IVF-PQ, FAISS's default (`by_residual=
+    * true`) and the accuracy-critical refinement over q114: PQ codebooks
+    * are trained on, and codes quantize, each vector's residual from its
+    * coarse cell centroid rather than the raw vector. Residual norms are a
+    * fraction of vector norms (the coarse quantizer has already explained
+    * most of the energy), so the same 4-byte code budget quantizes a much
+    * smaller space — lower ADC error at identical storage and probe cost.
+    * The price is per-(query, probed-cell) lookup tables (the query's
+    * residual differs per probed centroid) — exactly FAISS's IVFADC LUT
+    * shape — instead of q114's single per-query LUT.
+    *
+    * Both trainings and the residual algebra run in-query in BOTH
+    * engines: the coarse chain (`i_`), the residual computation, the
+    * residual-space PQ chain (`p_`), the per-cell LUTs and the ADC
+    * ranking are one SQL template, so a green row certifies the full
+    * residual pipeline cross-engine. */
+  private def ivfPqResidualQuerySql(iv: PqDialect, pq: PqDialect,
+                                    res: ResDialect): String =
+    s"""WITH ${pqTrainCtes(iv, "i_")},
+       |rasg AS (
+       |  SELECT vec_id, sub, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
+       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, k AS code FROM (
+       |    SELECT p.vec_id, p.m, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${pq.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM p_parts p JOIN p_cents2 c ON p.m = c.m) y
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m
+       |    WHERE p.vec_id IN (0, 1, 2, 3)) x
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT pr.q_id, pr.cell, ${res.zipSub("p.sub", "pr.cvec")} AS res
+       |  FROM probes pr JOIN i_parts p ON p.vec_id = pr.q_id),
+       |qparts AS (${res.sliceParts("qres", "q_id, cell")}),
+       |lut AS (
+       |  SELECT qp.q_id, qp.cell, qp.m, c.k, ${pq.l2("qp.sub", "c.cvec")} AS qd
+       |  FROM qparts qp JOIN p_cents2 c ON qp.m = c.m),
+       |cand AS (
+       |  SELECT pr.q_id, ca.vec_id AS n_id, ca.cell
+       |  FROM probes pr JOIN rres ca ON pr.cell = ca.cell
+       |  WHERE pr.q_id <> ca.vec_id),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id, cd.cell,
+       |         MAX(CASE WHEN c.m = 0 THEN l.qd END) AS d0,
+       |         MAX(CASE WHEN c.m = 1 THEN l.qd END) AS d1,
+       |         MAX(CASE WHEN c.m = 2 THEN l.qd END) AS d2,
+       |         MAX(CASE WHEN c.m = 3 THEN l.qd END) AS d3
+       |  FROM cand cd
+       |  JOIN codes c ON cd.n_id = c.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell AND l.m = c.m AND l.k = c.code
+       |  GROUP BY cd.q_id, cd.n_id, cd.cell),
+       |r AS (
+       |  SELECT q_id, n_id, cell, d0 + d1 + d2 + d3 AS adc_dist,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cell, adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** The trained codebook alone (spec use: distortion measurement);
     * `cents` is "cents0" (init) or "cents2" (trained). */
   private[graft] def pqCodebookSql(cents: String): String =
@@ -633,6 +722,17 @@ object Similarity {
       s.sql(ivfPqQuerySql(sparkIvf, sparkPq))
     },
 
+    // RESIDUAL IVF-PQ — FAISS's by_residual=true default: PQ trained on
+    // and encoding cell RESIDUALS, per-(query, probed-cell) LUTs, same
+    // 4-byte codes and probe budget as q114 with strictly finer
+    // quantization. Recall head-to-head with q114 in q102
+    // ("ivfpq_res_top5" vs "ivfpq_top5"). See [[ivfPqResidualQuerySql]].
+    "q117_ivfpq_residual" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(ivfPqResidualQuerySql(sparkIvf, sparkPq, sparkRes))
+    },
+
     // Recall-vs-probe-cost curve on a CLUSTERED corpus — the regime real
     // embedding corpora live in (see the block comment at
     // [[clusteredRecallSql]]). One row per (nprobe, query): recall@3
@@ -691,6 +791,7 @@ object Similarity {
       val ivftr = queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id")
       val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
       val ivfpq = queries("q114_ivfpq_ann")(s, dir).select($"q_id", $"n_id")
+      val ivfpqr = queries("q117_ivfpq_residual")(s, dir).select($"q_id", $"n_id")
       // the clustered-corpus regime (q111) alongside the uniform-random
       // one: same trained-IVF machinery, a corpus with real locality —
       // the side-by-side that shows WHY the uniform numbers sit low
@@ -703,6 +804,7 @@ object Similarity {
         .unionByName(recallOf(ivftr, 3, "ivf_tr_top3"))
         .unionByName(recallOf(pq, 5, "pq_top5"))
         .unionByName(recallOf(ivfpq, 5, "ivfpq_top5"))
+        .unionByName(recallOf(ivfpqr, 5, "ivfpq_res_top5"))
         .unionByName(clust)
         .orderBy($"method", $"q_id")
     },
@@ -916,6 +1018,11 @@ object Similarity {
     // codebooks), the cell pruning, and the ADC ranking from scratch.
     "q114_ivfpq_ann" -> ivfPqQuerySql(duckIvf, duckPq),
 
+    // Residual twin: DuckDB re-derives the coarse training, the residual
+    // algebra, the residual-space PQ training, the per-cell LUTs, and the
+    // ADC ranking — the full by_residual pipeline, from scratch.
+    "q117_ivfpq_residual" -> ivfPqResidualQuerySql(duckIvf, duckPq, duckRes),
+
     // Clustered-recall twin: DuckDB regenerates the mixture corpus from
     // the same integer arithmetic, re-trains, re-probes, re-costs.
     "q111_clustered_recall" -> clusteredRecallSql(duckClust, duckDotD))
@@ -931,6 +1038,7 @@ object Similarity {
        |     ivftr AS (SELECT q_id, n_id FROM (${oracleBase("q106_ivf_trained")}) it),
        |     pq AS (SELECT q_id, n_id FROM (${oracleBase("q88_pq_ann")}) p),
        |     ivfpq AS (SELECT q_id, n_id FROM (${oracleBase("q114_ivfpq_ann")}) ip),
+       |     ivfpqr AS (SELECT q_id, n_id FROM (${oracleBase("q117_ivfpq_residual")}) ipr),
        |     clustq AS (
        |       SELECT 'ivf_clust_np' || CAST(nprobe AS VARCHAR) AS method,
        |              q_id, hits_in_top3
@@ -947,6 +1055,8 @@ object Similarity {
        |       SELECT 'pq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM pq) c
        |       UNION ALL
        |       SELECT 'ivfpq_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM ivfpq) cp
+       |       UNION ALL
+       |       SELECT 'ivfpq_res_top5', q_id, 5 FROM (SELECT DISTINCT q_id FROM ivfpqr) cr
        |       UNION ALL
        |       SELECT method, q_id, 3 FROM clustq),
        |     hits AS (
@@ -973,6 +1083,10 @@ object Similarity {
        |       SELECT 'ivfpq_top5', ip.q_id, count(*)
        |       FROM ivfpq ip JOIN exact e ON ip.q_id = e.q_id AND ip.n_id = e.n_id AND e.rank <= 5
        |       GROUP BY ip.q_id
+       |       UNION ALL
+       |       SELECT 'ivfpq_res_top5', ipr.q_id, count(*)
+       |       FROM ivfpqr ipr JOIN exact e ON ipr.q_id = e.q_id AND ipr.n_id = e.n_id AND e.rank <= 5
+       |       GROUP BY ipr.q_id
        |       UNION ALL
        |       SELECT method, q_id, hits_in_top3 FROM clustq)
        |SELECT s.method, s.q_id, CAST(s.k AS INT) AS k,
