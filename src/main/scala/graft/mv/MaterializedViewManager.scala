@@ -167,24 +167,39 @@ final class MaterializedViewManager(cat: Catalog) {
     aggBuiltAt(name) = t.currentSnapshotId.getOrElse(0L)
   }
 
-  /** Returns the refresh mode taken: "noop", "incremental", or "full". */
-  def refreshIncremental(name: String): String = withRewriteOff {
+  /** Returns the refresh mode taken: "noop", "incremental", or "full".
+    * `synchronized`: refreshes are read-fold-replace against the MV's own
+    * watermark (`aggBuiltAt`), so two concurrent refreshes that both read
+    * the same watermark would fold the same delta TWICE — with multiple
+    * maintenance tails live (one per base, [[graft.streaming
+    * .MvMaintenance.continuousMultiRefresh]]) the serialization is what
+    * keeps the fold exactly-once. */
+  def refreshIncremental(name: String): String = synchronized { withRewriteOff {
     val d = aggDefs(name)
     val t = cat.table(d.base._1, d.base._2)
     val cur = t.currentSnapshotId.getOrElse(0L)
     if (cur == aggBuiltAt(name)) return "noop"
-    val mode = t.appendsSince(aggBuiltAt(name)) match {
-      case Some(delta) =>
-        val merged = remerge(read(name).unionByName(aggregate(delta, d)), d)
+    // fold EXACTLY (built, cur] — never "everything since built": a live
+    // writer can commit between this read of `cur` and the delta scan, and
+    // an unbounded fold would include that commit while the watermark
+    // below records only `cur` — the next refresh would fold it AGAIN.
+    // The bounded window + the watermark set to the same `cur` is what
+    // makes the fold exactly-once under concurrent ingest.
+    val delta =
+      try Some(t.appendsBetween(aggBuiltAt(name), cur))
+      catch { case _: IllegalStateException => None } // rewrite in range
+    val mode = delta match {
+      case Some(df) =>
+        val merged = remerge(read(name).unionByName(aggregate(df, d)), d)
         cat.table("_mv", name).createOrReplace(merged)
         "incremental"
-      case None => // base was rewritten: deltas invalid, rebuild
-        cat.table("_mv", name).createOrReplace(aggregate(t.read(), d))
+      case None => // base was rewritten: deltas invalid, rebuild AS OF cur
+        cat.table("_mv", name).createOrReplace(aggregate(t.asOf(cur), d))
         "full"
     }
     aggBuiltAt(name) = cur
     mode
-  }
+  } }
 
   // ── incremental multi-base / composite-key aggregate MVs ──────────────
   //
@@ -243,31 +258,44 @@ final class MaterializedViewManager(cat: Catalog) {
   }
 
   /** Per-base refresh modes taken, e.g. Map("imp" -> "noop", "clk" ->
-    * "incremental"); the final join rebuild runs only when something moved. */
-  def refreshMultiAggMv(name: String): Map[String, String] = withRewriteOff {
+    * "incremental"); the final join rebuild runs only when something moved.
+    * `synchronized` for the same exactly-once reason as
+    * [[refreshIncremental]]: with one maintenance tail PER base, two
+    * firings that both read the same per-base watermarks would fold the
+    * same delta twice. */
+  def refreshMultiAggMv(name: String): Map[String, String] = synchronized { withRewriteOff {
     val bases = multiDefs(name)
     val built = multiBuiltAt(name)
+    // per-base: fold EXACTLY (built, cur] and remember THAT cur as the new
+    // watermark — see refreshIncremental for why an unbounded fold plus a
+    // re-read watermark double-counts under concurrent ingest
+    val folded = scala.collection.mutable.Map.empty[(String, String), Long]
     val modes = bases.map { b =>
       val t = cat.table(b.base._1, b.base._2)
       val cur = t.currentSnapshotId.getOrElse(0L)
+      folded(b.base) = cur
       val mode =
         if (cur == built(b.base)) "noop"
-        else t.appendsSince(built(b.base)) match {
-          case Some(delta) =>
-            cat.table("_mv", partialName(name, b)).createOrReplace(
-              remergeBase(read(partialName(name, b)).unionByName(aggBase(delta, b)), b))
-            "incremental"
-          case None =>
-            cat.table("_mv", partialName(name, b)).createOrReplace(aggBase(t.read(), b))
-            "full"
+        else {
+          val delta =
+            try Some(t.appendsBetween(built(b.base), cur))
+            catch { case _: IllegalStateException => None } // rewrite in range
+          delta match {
+            case Some(df) =>
+              cat.table("_mv", partialName(name, b)).createOrReplace(
+                remergeBase(read(partialName(name, b)).unionByName(aggBase(df, b)), b))
+              "incremental"
+            case None =>
+              cat.table("_mv", partialName(name, b)).createOrReplace(aggBase(t.asOf(cur), b))
+              "full"
+          }
         }
       b.prefix -> mode
     }.toMap
     if (modes.values.exists(_ != "noop")) {
       cat.table("_mv", name).createOrReplace(joinPartials(name, bases))
-      multiBuiltAt(name) = bases.map(b =>
-        b.base -> cat.table(b.base._1, b.base._2).currentSnapshotId.getOrElse(0L)).toMap
+      multiBuiltAt(name) = built ++ folded
     }
     modes
-  }
+  } }
 }

@@ -48,4 +48,31 @@ object MvMaintenance {
       }
       .trigger(trigger)
       .start()
+
+  /** Continuous maintenance of a MULTI-BASE aggregate MV (the reference's
+    * flagship funnel shape: three fact tables full-outer-joined on a
+    * composite key): one tail PER base table, each firing
+    * `refreshMultiAggMv` — which folds ONLY the bases that actually moved
+    * into their own partials and rebuilds the final join from the (tiny,
+    * |keys|-sized) partials. Appending to one base therefore costs that
+    * base's delta scan plus the partials join; the other bases are never
+    * read. The manager serializes refreshes, so the per-base tails can
+    * fire concurrently without double-folding a delta. Returns one query
+    * per base; stop them all to stop maintenance. */
+  def continuousMultiRefresh(mvm: MaterializedViewManager, mvName: String,
+                             bases: Seq[SnapshotTable], checkpointRoot: String,
+                             trigger: Trigger = Trigger.AvailableNow(),
+                             onRefresh: Map[String, String] => Unit = _ => ())
+      : Seq[StreamingQuery] =
+    bases.zipWithIndex.map { case (b, i) =>
+      SnapshotStream.read(b.spark, b.root, ignoreReplaces = true)
+        .writeStream
+        .option("checkpointLocation", s"$checkpointRoot/base$i")
+        .foreachBatch { (_: Dataset[Row], _: Long) =>
+          onRefresh(mvm.refreshMultiAggMv(mvName))
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
 }

@@ -431,6 +431,48 @@ class StreamingSpec extends SparkSpec {
       Set("hour", "event_type", "n", "total_value", "approx_users"))
   }
 
+  test("continuous MULTI-base MV maintenance: per-base tails fold exactly once; compaction stays incremental") {
+    import spark.implicits._
+    import graft.mv.MaterializedViewManager
+    val tmp = java.nio.file.Files.createTempDirectory("multimv").toString
+    val cat = new graft.catalog.Catalog(spark, s"$tmp/wh", "MMV")
+    cat.table("adv", "imps").createOrReplace(
+      Seq(("c1", "d1", 1.0), ("c2", "d1", 2.0)).toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "clks").createOrReplace(
+      Seq(("c1", "d1", 0.5)).toDF("campaign", "date_key", "cost"))
+    val mvm = new MaterializedViewManager(cat)
+    val keys = Seq("campaign", "date_key")
+    mvm.createMultiAggMv("funnel", Seq(
+      mvm.BaseAgg(("adv", "imps"), keys, Seq("cost"), "imp"),
+      mvm.BaseAgg(("adv", "clks"), keys, Seq("cost"), "clk")))
+    // post-build commits: two appends to imps with a COMPACTION between
+    // them (must stay incremental — compact adds no logical rows), one to clks
+    cat.table("adv", "imps").append(Seq(("c1", "d1", 3.0)).toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "imps").compact()
+    cat.table("adv", "imps").append(Seq(("c3", "d2", 4.0)).toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "clks").append(Seq(("c1", "d1", 0.25)).toDF("campaign", "date_key", "cost"))
+    val allModes = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val qs = graft.streaming.MvMaintenance.continuousMultiRefresh(
+      mvm, "funnel", Seq(cat.table("adv", "imps"), cat.table("adv", "clks")),
+      s"$tmp/ckpt", onRefresh = m => allModes.synchronized { allModes += m; () })
+    qs.foreach(_.awaitTermination())
+    val seen = allModes.synchronized(allModes.toList)
+    assert(seen.nonEmpty && seen.flatMap(_.values).contains("incremental"))
+    assert(!seen.exists(_.values.exists(_ == "full")),
+      s"compaction must not force a full partial rebuild, got $seen")
+    // caught up: a further refresh folds nothing
+    assert(mvm.refreshMultiAggMv("funnel").values.forall(_ == "noop"))
+    // the tail-maintained MV equals a from-scratch build over the same bases
+    mvm.createMultiAggMv("funnel_scratch", Seq(
+      mvm.BaseAgg(("adv", "imps"), keys, Seq("cost"), "imp"),
+      mvm.BaseAgg(("adv", "clks"), keys, Seq("cost"), "clk")))
+    val got = mvm.read("funnel").collect().toSet
+    val want = mvm.read("funnel_scratch").collect().toSet
+    assert(got == want, s"stream-maintained MV diverged:\n got $got\nwant $want")
+    assert(got.exists(r => r.getAs[String]("campaign") == "c3" &&
+      r.getAs[Long]("imp_rows") == 1L && r.getAs[Long]("clk_rows") == 0L))
+  }
+
   /** Drain a snapshot tail to exhaustion under admission caps; returns the
     * per-micro-batch row counts (non-empty batches only) plus every row
     * delivered. Continuous trigger + processAllAvailable, not AvailableNow:
