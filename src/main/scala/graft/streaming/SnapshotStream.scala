@@ -131,9 +131,17 @@ object SnapshotStream {
 
   /** Tail `root` as a streaming DataFrame: full table first, then one
     * micro-batch per committed append. `maxAppendsPerTrigger` /
-    * `maxRowsPerTrigger` bound each micro-batch during catch-up (admission
-    * control — see [[SnapshotStreamSource.getOffset]]); unset = unbounded,
-    * the pre-r8 behavior. */
+    * `maxRowsPerTrigger` / `maxBytesPerTrigger` bound each micro-batch
+    * during catch-up (admission control — see
+    * [[SnapshotStreamSource.getOffset]]); unset = unbounded, the pre-r8
+    * behavior.
+    *
+    * CAVEAT — `Trigger.AvailableNow` + caps: Spark falls back to
+    * SINGLE-batch execution for V1 sources under AvailableNow, so with a
+    * cap set one run processes only the FIRST capped batch of a backlog.
+    * For run-to-caught-up batch jobs over a capped tail, use
+    * [[drainBounded]] (continuous trigger + stop at the high-water mark)
+    * instead of an AvailableNow query. */
   def read(spark: SparkSession, root: String,
            ignoreReplaces: Boolean = false,
            maxAppendsPerTrigger: Option[Int] = None,
@@ -147,5 +155,32 @@ object SnapshotStream {
     val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
     val r3 = maxBytesPerTrigger.fold(r2)(n => r2.option("maxBytesPerTrigger", n.toString))
     r3.load()
+  }
+
+  /** Drain the table's CURRENT backlog through `forBatch` in bounded
+    * micro-batches and return once caught up — the batch-job entry point
+    * that composes correctly with admission control (see the
+    * AvailableNow caveat on [[read]]). Runs a continuous-trigger
+    * checkpointed query, blocks until no data remains, then stops it; a
+    * later call with the same checkpoint resumes from the recorded
+    * offset, delivering only what committed since. */
+  def drainBounded(spark: SparkSession, root: String, checkpoint: String,
+                   ignoreReplaces: Boolean = false,
+                   maxAppendsPerTrigger: Option[Int] = None,
+                   maxRowsPerTrigger: Option[Long] = None,
+                   maxBytesPerTrigger: Option[Long] = None)
+                  (forBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
+    val q = read(spark, root, ignoreReplaces,
+        maxAppendsPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(forBatch)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
   }
 }

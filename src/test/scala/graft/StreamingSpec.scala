@@ -484,23 +484,16 @@ class StreamingSpec extends SparkSpec {
                         maxBytes: Option[Long] = None): (Seq[Long], Seq[(Long, String)]) = {
     val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    val q = graft.streaming.SnapshotStream.read(spark, root,
-        maxAppendsPerTrigger = maxAppends, maxRowsPerTrigger = maxRows,
-        maxBytesPerTrigger = maxBytes)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val got = batch.collect().map(r => (r.getLong(0), r.getString(1)))
-        batches.synchronized {
-          if (got.nonEmpty) batches += got.length.toLong
-          rows ++= got
-        }
-        ()
+    graft.streaming.SnapshotStream.drainBounded(spark, root, ckpt,
+      maxAppendsPerTrigger = maxAppends, maxRowsPerTrigger = maxRows,
+      maxBytesPerTrigger = maxBytes) { (batch, _) =>
+      val got = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+      batches.synchronized {
+        if (got.nonEmpty) batches += got.length.toLong
+        rows ++= got
       }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+      ()
+    }
     batches.synchronized((batches.toSeq, rows.toSeq))
   }
 
