@@ -476,6 +476,87 @@ object Similarity {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cell, adc_dist
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** The full q118 — residual IVF-PQ on the CLUSTERED corpus (q111's
+    * deterministic mixture), recall-graded IN-QUERY against the exact L2
+    * top-3 over the same corpus: the full production configuration (real
+    * locality + by_residual codes) measured at its own operating point.
+    * Metric-consistent grading: IVFPQ is an L2 index, so the exact
+    * baseline ranks by L2, not cosine. One hash-gated row per query
+    * carries recall AND candidates scanned, q111-style. */
+  private def ivfPqResidualRecallSql(iv: PqDialect, pq: PqDialect,
+                                     res: ResDialect): String =
+    s"""WITH ${pqTrainCtes(iv, "i_")},
+       |rasg AS (
+       |  SELECT vec_id, sub, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
+       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, k AS code FROM (
+       |    SELECT p.vec_id, p.m, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${pq.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM p_parts p JOIN p_cents2 c ON p.m = c.m) y
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m
+       |    WHERE p.vec_id IN (0, 1, 2, 3)) x
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT pr.q_id, pr.cell, ${res.zipSub("p.sub", "pr.cvec")} AS res
+       |  FROM probes pr JOIN i_parts p ON p.vec_id = pr.q_id),
+       |qparts AS (${res.sliceParts("qres", "q_id, cell")}),
+       |lut AS (
+       |  SELECT qp.q_id, qp.cell, qp.m, c.k, ${pq.l2("qp.sub", "c.cvec")} AS qd
+       |  FROM qparts qp JOIN p_cents2 c ON qp.m = c.m),
+       |cand AS (
+       |  SELECT pr.q_id, ca.vec_id AS n_id, ca.cell
+       |  FROM probes pr JOIN rres ca ON pr.cell = ca.cell
+       |  WHERE pr.q_id <> ca.vec_id),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |         MAX(CASE WHEN c.m = 0 THEN l.qd END) AS d0,
+       |         MAX(CASE WHEN c.m = 1 THEN l.qd END) AS d1,
+       |         MAX(CASE WHEN c.m = 2 THEN l.qd END) AS d2,
+       |         MAX(CASE WHEN c.m = 3 THEN l.qd END) AS d3
+       |  FROM cand cd
+       |  JOIN codes c ON cd.n_id = c.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell AND l.m = c.m AND l.k = c.code
+       |  GROUP BY cd.q_id, cd.n_id),
+       |appr AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+       |    FROM adc) r
+       |  WHERE rank <= 3),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${iv.l2("q.sub", "a.sub")}, a.vec_id) AS rank
+       |    FROM (SELECT vec_id, sub FROM i_parts WHERE vec_id IN (0, 1, 2, 3)) q
+       |    JOIN i_parts a ON q.vec_id <> a.vec_id) e
+       |  WHERE rank <= 3),
+       |cost AS (SELECT q_id, count(*) AS candidates FROM cand GROUP BY q_id),
+       |hits AS (
+       |  SELECT a.q_id, count(*) AS h
+       |  FROM appr a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY a.q_id)
+       |SELECT c.q_id, CAST(3 AS INT) AS k,
+       |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits_in_top3,
+       |       CAST(c.candidates AS BIGINT) AS candidates
+       |FROM cost c LEFT JOIN hits h ON c.q_id = h.q_id
+       |ORDER BY c.q_id""".stripMargin
+
   /** The trained codebook alone (spec use: distortion measurement);
     * `cents` is "cents0" (init) or "cents2" (trained). */
   private[graft] def pqCodebookSql(cents: String): String =
@@ -733,6 +814,18 @@ object Similarity {
       s.sql(ivfPqResidualQuerySql(sparkIvf, sparkPq, sparkRes))
     },
 
+    // Residual IVF-PQ measured at the PRODUCTION operating point: the
+    // clustered corpus (q111's regime — real locality) searched with
+    // 4-byte residual codes, recall graded in-query against the exact L2
+    // top-3 over the same corpus (metric-consistent: IVFPQ is an L2
+    // index). The row a capacity planner reads: hits AND candidates
+    // scanned per query, both hash-gated. See [[ivfPqResidualRecallSql]].
+    "q118_ivfpq_clustered" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(ivfPqResidualRecallSql(sparkClust, sparkPq, sparkRes))
+    },
+
     // Recall-vs-probe-cost curve on a CLUSTERED corpus — the regime real
     // embedding corpora live in (see the block comment at
     // [[clusteredRecallSql]]). One row per (nprobe, query): recall@3
@@ -798,6 +891,9 @@ object Similarity {
       val clust = queries("q111_clustered_recall")(s, dir)
         .select(concat(lit("ivf_clust_np"), $"nprobe".cast("string")).as("method"),
           $"q_id", $"k", $"hits_in_top3".as("hits_in_topk"))
+      val clustRes = queries("q118_ivfpq_clustered")(s, dir)
+        .select(lit("ivfpq_res_clust").as("method"),
+          $"q_id", $"k", $"hits_in_top3".as("hits_in_topk"))
       recallOf(lsh, 1, "lsh_top1")
         .unionByName(recallOf(ivf, 3, "ivf_top3"))
         .unionByName(recallOf(ivfmp, 3, "ivf_mp_top3"))
@@ -806,6 +902,7 @@ object Similarity {
         .unionByName(recallOf(ivfpq, 5, "ivfpq_top5"))
         .unionByName(recallOf(ivfpqr, 5, "ivfpq_res_top5"))
         .unionByName(clust)
+        .unionByName(clustRes)
         .orderBy($"method", $"q_id")
     },
 
@@ -1023,6 +1120,10 @@ object Similarity {
     // ADC ranking — the full by_residual pipeline, from scratch.
     "q117_ivfpq_residual" -> ivfPqResidualQuerySql(duckIvf, duckPq, duckRes),
 
+    // Clustered-residual twin: DuckDB regenerates the mixture corpus and
+    // re-runs the entire residual IVF-PQ recall grading from scratch.
+    "q118_ivfpq_clustered" -> ivfPqResidualRecallSql(duckClust, duckPq, duckRes),
+
     // Clustered-recall twin: DuckDB regenerates the mixture corpus from
     // the same integer arithmetic, re-trains, re-probes, re-costs.
     "q111_clustered_recall" -> clusteredRecallSql(duckClust, duckDotD))
@@ -1042,7 +1143,10 @@ object Similarity {
        |     clustq AS (
        |       SELECT 'ivf_clust_np' || CAST(nprobe AS VARCHAR) AS method,
        |              q_id, hits_in_top3
-       |       FROM (${oracleBase("q111_clustered_recall")}) cq),
+       |       FROM (${oracleBase("q111_clustered_recall")}) cq
+       |       UNION ALL
+       |       SELECT 'ivfpq_res_clust', q_id, hits_in_top3
+       |       FROM (${oracleBase("q118_ivfpq_clustered")}) cr),
        |     spine AS (
        |       SELECT 'lsh_top1' AS method, q_id, 1 AS k FROM (SELECT DISTINCT q_id FROM lsh) a
        |       UNION ALL

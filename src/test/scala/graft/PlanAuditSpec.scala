@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
       "q106_ivf_trained", // q106: 8-row trained-centroid broadcast (m≡0 join folds)
       "q114_ivfpq_ann", // q114: q106's 8-row coarse-centroid broadcast (m≡0 fold); PQ side joins on real keys
       "q117_ivfpq_residual", // q117: same coarse-centroid fold as q114, plus residual algebra on broadcast-sized frames
+      "q118_ivfpq_clustered", // q118: q117's folds over the generated clustered corpus; exact baseline is a 4-query broadcast
       "q111_clustered_recall") // q111: 3-row nprobe spine × ≤16 probes + the same centroid folds; exact top-3 is a 4-query broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
