@@ -557,6 +557,104 @@ object Similarity {
        |FROM cost c LEFT JOIN hits h ON c.q_id = h.q_id
        |ORDER BY c.q_id""".stripMargin
 
+  /** The full q119 — q118's residual IVF-PQ search plus the standard
+    * REFINEMENT step (FAISS `IndexRefineFlat`): the 4-byte ADC scan
+    * produces a shortlist (depth 16), and only those 16 rows' RAW vectors
+    * are fetched and exactly re-ranked by L2. Per-query cost is the ADC
+    * scan plus a k-row vector fetch — at 100 TB the fetch is a point
+    * lookup per shortlist row against the cell-partitioned corpus, not a
+    * scan — and the output row carries BOTH recalls (ADC-only vs
+    * re-ranked) so the panel shows exactly what the refinement buys. */
+  private def ivfPqRefineRecallSql(iv: PqDialect, pq: PqDialect,
+                                   res: ResDialect): String =
+    s"""WITH ${pqTrainCtes(iv, "i_")},
+       |rasg AS (
+       |  SELECT vec_id, sub, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
+       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, k AS code FROM (
+       |    SELECT p.vec_id, p.m, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${pq.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM p_parts p JOIN p_cents2 c ON p.m = c.m) y
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m
+       |    WHERE p.vec_id IN (0, 1, 2, 3)) x
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT pr.q_id, pr.cell, ${res.zipSub("p.sub", "pr.cvec")} AS res
+       |  FROM probes pr JOIN i_parts p ON p.vec_id = pr.q_id),
+       |qparts AS (${res.sliceParts("qres", "q_id, cell")}),
+       |lut AS (
+       |  SELECT qp.q_id, qp.cell, qp.m, c.k, ${pq.l2("qp.sub", "c.cvec")} AS qd
+       |  FROM qparts qp JOIN p_cents2 c ON qp.m = c.m),
+       |cand AS (
+       |  SELECT pr.q_id, ca.vec_id AS n_id, ca.cell
+       |  FROM probes pr JOIN rres ca ON pr.cell = ca.cell
+       |  WHERE pr.q_id <> ca.vec_id),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |         MAX(CASE WHEN c.m = 0 THEN l.qd END) AS d0,
+       |         MAX(CASE WHEN c.m = 1 THEN l.qd END) AS d1,
+       |         MAX(CASE WHEN c.m = 2 THEN l.qd END) AS d2,
+       |         MAX(CASE WHEN c.m = 3 THEN l.qd END) AS d3
+       |  FROM cand cd
+       |  JOIN codes c ON cd.n_id = c.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell AND l.m = c.m AND l.k = c.code
+       |  GROUP BY cd.q_id, cd.n_id),
+       |shortlist AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+       |    FROM adc) r
+       |  WHERE rank <= 16),
+       |reranked AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT sl.q_id, sl.n_id,
+       |           row_number() OVER (PARTITION BY sl.q_id
+       |             ORDER BY ${iv.l2("qv.sub", "av.sub")}, sl.n_id) AS rank
+       |    FROM shortlist sl
+       |    JOIN i_parts qv ON qv.vec_id = sl.q_id
+       |    JOIN i_parts av ON av.vec_id = sl.n_id) rr
+       |  WHERE rank <= 3),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${iv.l2("q.sub", "a.sub")}, a.vec_id) AS rank
+       |    FROM (SELECT vec_id, sub FROM i_parts WHERE vec_id IN (0, 1, 2, 3)) q
+       |    JOIN i_parts a ON q.vec_id <> a.vec_id) e
+       |  WHERE rank <= 3),
+       |adc_hits AS (
+       |  SELECT s.q_id, count(*) AS h
+       |  FROM (SELECT q_id, n_id FROM shortlist WHERE rank <= 3) s
+       |  JOIN exact e ON s.q_id = e.q_id AND s.n_id = e.n_id
+       |  GROUP BY s.q_id),
+       |rr_hits AS (
+       |  SELECT r.q_id, count(*) AS h
+       |  FROM reranked r JOIN exact e ON r.q_id = e.q_id AND r.n_id = e.n_id
+       |  GROUP BY r.q_id),
+       |qs AS (SELECT DISTINCT q_id FROM probes)
+       |SELECT qs.q_id, CAST(3 AS INT) AS k, CAST(16 AS INT) AS rerank_depth,
+       |       CAST(COALESCE(ah.h, 0) AS BIGINT) AS hits_adc,
+       |       CAST(COALESCE(rh.h, 0) AS BIGINT) AS hits_reranked
+       |FROM qs
+       |LEFT JOIN adc_hits ah ON qs.q_id = ah.q_id
+       |LEFT JOIN rr_hits rh ON qs.q_id = rh.q_id
+       |ORDER BY qs.q_id""".stripMargin
+
   /** The trained codebook alone (spec use: distortion measurement);
     * `cents` is "cents0" (init) or "cents2" (trained). */
   private[graft] def pqCodebookSql(cents: String): String =
@@ -824,6 +922,16 @@ object Similarity {
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
       s.sql(ivfPqResidualRecallSql(sparkClust, sparkPq, sparkRes))
+    },
+
+    // q118 + FAISS IndexRefineFlat: exact re-rank of the 16-deep ADC
+    // shortlist recovers the recall the 4-byte codes give up, at a k-row
+    // vector fetch per query. Both recalls in one hash-gated row per
+    // query. See [[ivfPqRefineRecallSql]].
+    "q119_ivfpq_refine" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(ivfPqRefineRecallSql(sparkClust, sparkPq, sparkRes))
     },
 
     // Recall-vs-probe-cost curve on a CLUSTERED corpus — the regime real
@@ -1123,6 +1231,10 @@ object Similarity {
     // Clustered-residual twin: DuckDB regenerates the mixture corpus and
     // re-runs the entire residual IVF-PQ recall grading from scratch.
     "q118_ivfpq_clustered" -> ivfPqResidualRecallSql(duckClust, duckPq, duckRes),
+
+    // Refinement twin: the same pipeline plus the exact re-rank of the
+    // ADC shortlist, both recall columns re-derived from scratch.
+    "q119_ivfpq_refine" -> ivfPqRefineRecallSql(duckClust, duckPq, duckRes),
 
     // Clustered-recall twin: DuckDB regenerates the mixture corpus from
     // the same integer arithmetic, re-trains, re-probes, re-costs.

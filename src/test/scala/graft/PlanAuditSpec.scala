@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
       "q114_ivfpq_ann", // q114: q106's 8-row coarse-centroid broadcast (m≡0 fold); PQ side joins on real keys
       "q117_ivfpq_residual", // q117: same coarse-centroid fold as q114, plus residual algebra on broadcast-sized frames
       "q118_ivfpq_clustered", // q118: q117's folds over the generated clustered corpus; exact baseline is a 4-query broadcast
+      "q119_ivfpq_refine", // q119: q118's folds plus a ≤16-row-per-query shortlist re-rank join
       "q111_clustered_recall") // q111: 3-row nprobe spine × ≤16 probes + the same centroid folds; exact top-3 is a 4-query broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
