@@ -559,6 +559,33 @@ class WarehouseSpec extends SparkSpec {
       "staged dir was renamed away, not copied")
   }
 
+  test("bin-packed compaction: sized output files, range-disjoint, stat-prunable") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("binpack"))
+    t.createOrReplace(spark.range(0, 4000).toDF("id"), sortBy = Seq("id"))
+    // fragment: interleaved ranges so pre-compaction files OVERLAP on id
+    for (i <- 0 until 8)
+      t.append(spark.range(4000 + i, 12000, 8).toDF("id").coalesce(1))
+    val before = t.read().count()
+    val bytes = t.sizeInBytesFromMetadata.get
+    // target ~1/4 of the table -> the rewrite must emit SEVERAL files,
+    // range-partitioned by the sort spec
+    t.compact(targetFileBytes = math.max(1L, bytes / 4))
+    assert(t.read().count() == before, "compaction preserves rows")
+    val files = new java.io.File(t.root).listFiles()
+      .filter(f => f.isDirectory && f.getName == f"snap-${t.currentSnapshotId.get}%05d")
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3, s"sized rewrite must emit several files, got ${files.length}")
+    // range clustering makes per-file id ranges disjoint: a narrow range
+    // filter keeps ~one file, where the fragmented chain kept all of them
+    val plan = t.planFiles(Seq(ColRange("id", Some(100L), Some(200L))))
+    assert(plan.filesTotal == files.length)
+    assert(plan.filesKept <= 2,
+      s"disjoint ranges must prune a narrow scan to ~1 file, kept ${plan.filesKept}/${plan.filesTotal}")
+    val (pruned, _) = t.readPruned(Seq(ColRange("id", Some(100L), Some(200L))))
+    assert(pruned.count() == 101, "pruned read stays exact")
+  }
+
   test("WAP: expire removes staged debris alongside meta and stats") {
     val t = new SnapshotTable(spark, freshRoot("wap7"))
     t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
