@@ -220,6 +220,11 @@ final class MaterializedViewManager(cat: Catalog) {
 
   private val multiDefs = mutable.LinkedHashMap.empty[String, Seq[BaseAgg]]
   private val multiBuiltAt = mutable.Map.empty[String, Map[(String, String), Long]]
+  /** MVs whose partials advanced past the last final-join rebuild. Set
+    * BEFORE the first partial fold, cleared AFTER the join rebuild commits:
+    * a crash between the two leaves the name here, so the next refresh
+    * rebuilds the join even when every base reports "noop". */
+  private val multiJoinDirty = mutable.Set.empty[String]
 
   private def partialName(name: String, b: BaseAgg): String = s"${name}__${b.prefix}"
 
@@ -265,22 +270,25 @@ final class MaterializedViewManager(cat: Catalog) {
     * same delta twice. */
   def refreshMultiAggMv(name: String): Map[String, String] = synchronized { withRewriteOff {
     val bases = multiDefs(name)
-    val built = multiBuiltAt(name)
-    // per-base: fold EXACTLY (built, cur] and remember THAT cur as the new
-    // watermark — see refreshIncremental for why an unbounded fold plus a
-    // re-read watermark double-counts under concurrent ingest
-    val folded = scala.collection.mutable.Map.empty[(String, String), Long]
+    // per-base: fold EXACTLY (built, cur] and advance THAT base's watermark
+    // IMMEDIATELY after its partial commits — failure atomicity: if folding
+    // base B (or the final join rebuild) throws after base A's partial
+    // committed, A's watermark is already advanced, so a retry folds A as
+    // "noop" instead of re-folding a delta the partial already contains
+    // (silent double-count). See refreshIncremental for why the window must
+    // also be bounded to the pre-read `cur` under concurrent ingest.
     val modes = bases.map { b =>
       val t = cat.table(b.base._1, b.base._2)
       val cur = t.currentSnapshotId.getOrElse(0L)
-      folded(b.base) = cur
+      val built = multiBuiltAt(name)
       val mode =
         if (cur == built(b.base)) "noop"
         else {
           val delta =
             try Some(t.appendsBetween(built(b.base), cur))
             catch { case _: IllegalStateException => None } // rewrite in range
-          delta match {
+          multiJoinDirty += name
+          val m = delta match {
             case Some(df) =>
               cat.table("_mv", partialName(name, b)).createOrReplace(
                 remergeBase(read(partialName(name, b)).unionByName(aggBase(df, b)), b))
@@ -289,12 +297,16 @@ final class MaterializedViewManager(cat: Catalog) {
               cat.table("_mv", partialName(name, b)).createOrReplace(aggBase(t.asOf(cur), b))
               "full"
           }
+          multiBuiltAt(name) = built + (b.base -> cur) // partial committed: advance NOW
+          m
         }
       b.prefix -> mode
     }.toMap
-    if (modes.values.exists(_ != "noop")) {
+    // rebuild the final join when anything moved THIS call, or when a prior
+    // call crashed between a partial commit and the join rebuild (dirty flag)
+    if (modes.values.exists(_ != "noop") || multiJoinDirty(name)) {
       cat.table("_mv", name).createOrReplace(joinPartials(name, bases))
-      multiBuiltAt(name) = built ++ folded
+      multiJoinDirty -= name
     }
     modes
   } }

@@ -477,9 +477,14 @@ final class SnapshotTable(
     id
   }
 
-  /** (provisionalId, wapId) for every staged-but-unpublished snapshot. */
+  /** (provisionalId, wapId) for every staged-but-unpublished snapshot.
+    * Only true WAP stages (note `wap=<id>`) surface here: compact()'s
+    * claimed-id placeholder also lives as a `.staged` marker (note
+    * "compacting") to stay visible to `nextId`, but it is not auditable /
+    * publishable / discardable, so the WAP enumeration must not offer it. */
   def stagedSnapshots(): Seq[(Long, String)] =
-    stagedMetas().map(m => (m.id, m.note.getOrElse("").stripPrefix("wap=")))
+    stagedMetas().filter(_.note.exists(_.startsWith("wap=")))
+      .map(m => (m.id, m.note.get.stripPrefix("wap=")))
 
   /** The AUDIT view: current table state plus the staged batch(es) for
     * `wapId` — what the table WOULD be after publish. Validation queries
@@ -757,12 +762,20 @@ final class SnapshotTable(
       if (m.kind != "append") end = m.id // free rider: no rows for this batch
       else {
         val b = if (maxBytes.isDefined) bytesOf(m.id) else 0L
+        // rows=None (pre-upgrade marker, no row count) is CAP-SATURATING
+        // under a row cap, never free: counting it as 0 would let a tail
+        // catching up over legacy history admit an unbounded union — the
+        // exact case admission control exists to prevent. It is admitted
+        // alone (at-least-one rule) and exhausts the row budget.
+        val unknownRows = maxRows.isDefined && m.rows.isEmpty
         val overAppends = maxAppends.exists(n => appends + 1 > n)
-        val overRows = maxRows.exists(r => rows + m.rows.getOrElse(0L) > r)
+        val overRows = unknownRows ||
+          maxRows.exists(r => rows + m.rows.getOrElse(0L) > r)
         val overBytes = maxBytes.exists(x => bytes + b > x)
         if ((overAppends || overRows || overBytes) && admitted) done = true
         else {
-          appends += 1; rows += m.rows.getOrElse(0L); bytes += b
+          appends += 1; bytes += b
+          rows = if (unknownRows) maxRows.get else rows + m.rows.getOrElse(0L)
           admitted = true; end = m.id
         }
       }

@@ -117,6 +117,48 @@ class ServicesSpec extends SparkSpec {
       "c2 still present via its click partial, imps zero-filled")
   }
 
+  test("multi-base MV refresh is failure-atomic per base: a crash mid-fold never double-counts") {
+    // ADVICE r8 #1: each base's watermark must advance IMMEDIATELY after
+    // that base's partial commits — if folding a LATER base throws, a retry
+    // must see the earlier base as "noop", not re-fold a delta its partial
+    // already contains (silent double-count).
+    val cat = newCatalog("mmvatomic")
+    cat.createSchema("adv")
+    val keys = Seq("campaign", "date_key")
+    cat.table("adv", "imps").createOrReplace(Seq(("c1", "d1", 1.00), ("c1", "d1", 2.00))
+      .toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "convs").createOrReplace(Seq(("c1", "d1", 100.00))
+      .toDF("campaign", "date_key", "revenue"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createMultiAggMv("funnel", Seq(
+      mvm.BaseAgg(("adv", "imps"), keys, Seq("cost"), "imp"),
+      mvm.BaseAgg(("adv", "convs"), keys, Seq("revenue"), "cnv")))
+    // advance BOTH bases, then break convs' delta dir so the refresh folds
+    // imps' partial and THEN crashes on convs (AnalysisException from the
+    // missing parquet path — not the caught rewrite-in-range case)
+    cat.table("adv", "imps").append(Seq(("c1", "d1", 4.00)).toDF("campaign", "date_key", "cost"))
+    cat.table("adv", "convs").append(Seq(("c1", "d1", 50.00)).toDF("campaign", "date_key", "revenue"))
+    val convs = cat.table("adv", "convs")
+    val deltaId = convs.currentSnapshotId.get
+    val deltaDir = new java.io.File(convs.root, f"snap-$deltaId%05d")
+    val hidden = new java.io.File(convs.root, f"hidden-$deltaId%05d")
+    assert(deltaDir.renameTo(hidden), "test setup: hide the convs delta dir")
+    intercept[Exception](mvm.refreshMultiAggMv("funnel"))
+    assert(hidden.renameTo(deltaDir), "test setup: restore the convs delta dir")
+    // retry: imps must report noop (its watermark advanced with its partial);
+    // convs folds; and the values carry NO double count
+    val modes = mvm.refreshMultiAggMv("funnel")
+    assert(modes === Map("imp" -> "noop", "cnv" -> "incremental"),
+      s"retry must not re-fold the already-committed imp partial: $modes")
+    val row = mvm.read("funnel").where($"campaign" === "c1" && $"date_key" === "d1").head()
+    assert(row.getAs[Long]("imp_rows") === 3L, "2 initial + 1 appended, folded exactly once")
+    assert(row.getAs[java.math.BigDecimal]("imp_sum_cost").doubleValue() === 7.00)
+    assert(row.getAs[Long]("cnv_rows") === 2L)
+    assert(row.getAs[java.math.BigDecimal]("cnv_sum_revenue").doubleValue() === 150.00)
+    // and a further refresh is a clean all-noop
+    assert(mvm.refreshMultiAggMv("funnel").values.forall(_ == "noop"))
+  }
+
   test("future grants: a table created after the grant is readable by the role") {
     val cat = newCatalog("fg1")
     val gs = new GrantService(spark, freshDir("fg-audit"))

@@ -559,6 +559,57 @@ class WarehouseSpec extends SparkSpec {
       "staged dir was renamed away, not copied")
   }
 
+  test("WAP: compact's claimed-id placeholder is invisible to the WAP surface") {
+    // ADVICE r8 #2: the placeholder compact() stages under a claimed id
+    // (note "compacting") must stay visible to nextId but must NOT surface
+    // in stagedSnapshots() — an orchestrator enumerating staged batches
+    // would see a phantom entry none of readStaged/publishStaged/
+    // discardStaged can act on.
+    val t = new SnapshotTable(spark, freshRoot("wap7"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    val real = t.stageAppend(Seq((2, "b")).toDF("id", "v"), "etl-1")
+    // simulate a mid-flight compaction: placeholder marker + claimed dir
+    val phantomId = real + 1
+    val dir = new java.io.File(t.root, f"snap-$phantomId%05d")
+    dir.mkdirs()
+    val marker = new java.io.File(t.root, f"snap-$phantomId%05d.staged")
+    val w = new java.io.PrintWriter(marker)
+    try w.write(s"base||0||compacting|${System.currentTimeMillis()}") finally w.close()
+    assert(t.stagedSnapshots() == Seq((real, "etl-1")),
+      "only true wap= stages surface; the compacting placeholder is filtered")
+    // the placeholder still reserves its id: a concurrent append skips past it
+    val appended = t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(appended > phantomId, s"append $appended must not claim placeholder id $phantomId")
+    marker.delete(); dir.delete()
+    t.publishStaged("etl-1")
+    assert(t.read().count() == 3)
+  }
+
+  test("admission control: a legacy rows=None marker saturates the row cap, never rides free") {
+    // ADVICE r8 #3: pre-upgrade markers parse with rows=None; counting them
+    // as 0 rows would let a rows-capped tail catching up over legacy
+    // history admit an unbounded union. They must be admitted ALONE.
+    val t = new SnapshotTable(spark, freshRoot("legacyrows"))
+    t.createOrReplace(Seq(1, 2).toDF("id"))
+    val base = t.currentSnapshotId.get
+    val id1 = t.append(Seq(3, 4, 5).toDF("id"))
+    val id2 = t.append(Seq(6, 7, 8).toDF("id"))
+    val id3 = t.append(Seq(9, 10).toDF("id"))
+    // rewrite id2's marker to the pre-upgrade 1-field format (no row count);
+    // drop the Hadoop local-FS checksum sidecar the rewrite invalidates
+    val legacy = new java.io.File(t.root, f"snap-$id2%05d.meta")
+    new java.io.File(t.root, f".snap-$id2%05d.meta.crc").delete()
+    val w = new java.io.PrintWriter(legacy)
+    try w.write("append") finally w.close()
+    // generous cap: all three would fit if the legacy marker counted as 0
+    val e1 = t.boundedTailEnd(Some(base), id3, None, Some(100L))
+    assert(e1 == id1, s"batch must stop BEFORE the unknown-rows append, got $e1")
+    val e2 = t.boundedTailEnd(Some(e1), id3, None, Some(100L))
+    assert(e2 == id2, s"unknown-rows append admitted alone, got $e2")
+    val e3 = t.boundedTailEnd(Some(e2), id3, None, Some(100L))
+    assert(e3 == id3, "tail still drains the full backlog")
+  }
+
   test("bin-packed compaction: sized output files, range-disjoint, stat-prunable") {
     import graft.warehouse.ColRange
     val t = new SnapshotTable(spark, freshRoot("binpack"))
