@@ -30,7 +30,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
+  // a def, not a val: AnnIndex renders its oracle's read_parquet paths
+  // from the root its queries actually built at (set at query run time),
+  // so the oracle map must be materialized AFTER the queries ran
+  private def modules: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
+    (AnnIndex.queries, AnnIndex.oracle),
     (Aggregates.queries, Aggregates.oracle),
     (Joins.queries, Joins.oracle),
     (Relational.queries, Relational.oracle),

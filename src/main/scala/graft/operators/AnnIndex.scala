@@ -1,0 +1,381 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.warehouse.{ColRange, SnapshotTable}
+import Q._
+
+/** Persisted ANN index — the FAISS build/serve split (VERDICT r8 #1).
+  *
+  * Every in-query ANN path (q114/q117/q118/q119) trains its index inside
+  * the timed query: correct for the correctness gate, but not how vector
+  * search is operated. Production splits the work exactly like FAISS does:
+  * `index.train()` + `index.add()` run ONCE (an index-build job), the
+  * artifacts are persisted, and every query afterwards touches only the
+  * persisted index plus a shortlist of raw vectors. This module is that
+  * split over [[graft.warehouse.SnapshotTable]]s:
+  *
+  *  - `ivf_cents`  — the trained coarse quantizer (8 cells, full-width
+  *    centroids), q118's k-means chain verbatim.
+  *  - `vectors`    — the corpus, CELL-PARTITIONED (hive layout): the
+  *    re-rank fetch and any cell-scoped scan prune to probed partitions
+  *    from metadata alone (VERDICT r8 #2).
+  *  - `pq_cents`   — residual-space PQ codebooks (`by_residual=true`, the
+  *    FAISS default), trained from the PERSISTED vectors + centroids.
+  *  - `codes`      — 4-byte ADC codes, cell-partitioned: the IVFADC
+  *    inverted lists. A probe reads only its cells' code partitions.
+  *
+  * Each artifact derives from the previously PERSISTED one (not from
+  * in-memory state), so the build is restartable mid-chain and the lineage
+  * matches how a 100 TB index job would actually checkpoint. Training and
+  * corpus are q118/q119's exact clustered-corpus operating point, so
+  * q121's serve cost reads directly against q119's train-in-query cost —
+  * that delta is the entire point of the split (BENCH_NOTES).
+  *
+  * Correctness: q120 gates the BUILD — Spark reads the persisted artifacts
+  * while the DuckDB oracle re-derives the full training from the raw
+  * corpus from scratch; a green row proves persisted == re-trained,
+  * cross-engine. q121 gates the SERVE — both engines run the identical
+  * probe → LUT → ADC → refine pipeline over the SAME persisted tables
+  * (DuckDB via `read_parquet` on the snapshot dirs), with recall graded
+  * against the exact top-3; the Spark side additionally `require`s that
+  * every per-cell candidate/re-rank fetch was partition-PRUNED
+  * (planFiles-style, like q104).
+  */
+object AnnIndex {
+
+  /** Bump when any build-template change invalidates persisted artifacts. */
+  private val BuildVersion = "v1"
+
+  /** Per-sf default index root (under the scratch area, never testdata). */
+  def defaultRoot(dir: String): String =
+    s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}" +
+      s"/ann-index/${new java.io.File(dir).getName}"
+
+  /** The root q121's oracle renders `read_parquet` paths against. Set by
+    * the query fns at run time (Verify evaluates `oracleSql` AFTER the
+    * queries ran, so the rendered paths always match the dumped results);
+    * the default matches the driver's sf0.01 gate. */
+  @volatile private var lastRoot: String = defaultRoot("/root/testdata/sf0.01")
+
+  private def tbl(s: SparkSession, root: String, name: String) =
+    new SnapshotTable(s, s"$root/$name")
+
+  /** The coarse-quantizer training exactly as the gated in-query pipeline
+    * (q118/q119) runs it — exposed so the spec can assert the PERSISTED
+    * centroids are that training verbatim, not a lookalike. */
+  private[graft] def inQueryCoarseCentsSql: String =
+    s"WITH ${Similarity.pqTrainCtes(Similarity.sparkClust, "i_")}\n" +
+      "SELECT CAST(k AS INT) AS cell, cvec FROM i_cents2"
+
+  /** Build (or rebuild) the index at `root` from the clustered corpus of
+    * `dir`'s embeddings table. Deterministic: same corpus → bit-identical
+    * artifacts. Registers `pidx_*` temp views over the persisted tables. */
+  def build(s: SparkSession, dir: String, root: String): Unit = synchronized {
+    graft.functions.GraftFunctions.register(s)
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    // 1. coarse quantizer: k-means cells trained from the corpus alone
+    //    (q118's exact chain — init = vectors 0..7, 2 decimal-exact Lloyd
+    //    iterations)
+    val cents = tbl(s, root, "ivf_cents")
+    cents.createOrReplace(s.sql(inQueryCoarseCentsSql))
+    cents.read().createOrReplaceTempView("pidx_cents")
+    // 2. the corpus, assigned against the PERSISTED centroids and laid out
+    //    hive-partitioned by cell — the layout that makes probe-scoped
+    //    scans and the re-rank fetch partition-pruned point lookups
+    val vecs = tbl(s, root, "vectors")
+    vecs.createOrReplace(s.sql(
+      s"""WITH corpus AS (${Similarity.sparkClust.parts}),
+         |asg AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT p.vec_id, p.sub, c.cell,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${Similarity.sparkClust.l2("p.sub", "c.cvec")}, c.cell) AS rn
+         |    FROM corpus p CROSS JOIN pidx_cents c) x
+         |  WHERE rn = 1)
+         |SELECT cell, vec_id, sub AS vec FROM asg""".stripMargin),
+      partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
+    vecs.read().createOrReplaceTempView("pidx_vectors")
+    // residuals re-derived from the persisted vectors + centroids — the
+    // build chain never reaches back to pre-persistence state
+    val rresSql =
+      s"""rres AS (
+         |  SELECT v.vec_id, v.cell,
+         |         ${Similarity.sparkRes.zipSub("v.vec", "c.cvec")} AS res
+         |  FROM pidx_vectors v JOIN pidx_cents c ON v.cell = c.cell)""".stripMargin
+    // 3. residual-space PQ codebooks (by_residual=true)
+    val pq = tbl(s, root, "pq_cents")
+    pq.createOrReplace(s.sql(
+      s"""WITH $rresSql,
+         |${Similarity.pqTrainCtes(
+        Similarity.sparkPq.copy(parts = Similarity.sparkRes.sliceParts("rres", "vec_id")),
+        "p_")}
+         |SELECT m, CAST(k AS INT) AS k, cvec FROM p_cents2""".stripMargin))
+    pq.read().createOrReplaceTempView("pidx_pq")
+    // 4. 4-byte codes, cell-partitioned: the IVFADC inverted lists
+    val codes = tbl(s, root, "codes")
+    codes.createOrReplace(s.sql(
+      s"""WITH $rresSql,
+         |rparts AS (${Similarity.sparkRes.sliceParts("rres", "vec_id, cell")})
+         |SELECT cell, vec_id AS n_id, m, CAST(k AS INT) AS code FROM (
+         |  SELECT p.vec_id, p.cell, p.m, c.k,
+         |         row_number() OVER (PARTITION BY p.vec_id, p.m
+         |           ORDER BY ${Similarity.sparkPq.l2("p.sub", "c.cvec")}, c.k) AS rn
+         |  FROM rparts p JOIN pidx_pq c ON p.m = c.m) y
+         |WHERE rn = 1""".stripMargin),
+      partitionBy = Seq("cell"), sortBy = Seq("n_id"))
+    codes.read().createOrReplaceTempView("pidx_codes")
+    val out = fs.create(new Path(root, "_built"))
+    try out.write(s"$BuildVersion|$dir".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build only if the persisted index at `root` is absent or was built
+    * for a different corpus/template version; always (re)registers the
+    * `pidx_*` views. */
+  def ensureBuilt(s: SparkSession, dir: String, root: String): Unit = synchronized {
+    val marker = new Path(root, "_built")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt == s"$BuildVersion|$dir"
+    }
+    if (!fresh) build(s, dir, root)
+    else {
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, root, "ivf_cents").read().createOrReplaceTempView("pidx_cents")
+      tbl(s, root, "vectors").read().createOrReplaceTempView("pidx_vectors")
+      tbl(s, root, "pq_cents").read().createOrReplaceTempView("pidx_pq")
+      tbl(s, root, "codes").read().createOrReplaceTempView("pidx_codes")
+    }
+  }
+
+  // ── the serve pipeline, one template rendered per engine ──────────────
+
+  /** Table references + dialect hooks for [[serveSql]]. `vectorsFetch` /
+    * `codesFetch` are the PRUNED reads on the Spark side (per-probed-cell
+    * partition pruning); DuckDB reuses the full reads — the oracle checks
+    * answers, the Spark `require`s check the scan shape. */
+  private final case class ServeRefs(
+      cents: String, pq: String, codesFetch: String,
+      vectors: String, vectorsFetch: String,
+      l264: (String, String) => String, l216: (String, String) => String,
+      zipSub: (String, String) => String,
+      sliceParts: (String, String) => String)
+
+  /** Query vectors + their nprobe=2 nearest persisted cells (cells is an
+    * 8-row table — the CROSS JOIN is a broadcast of the quantizer). */
+  private def qvProbesCtes(r: ServeRefs): String =
+    s"""qv AS (
+       |  SELECT v.vec_id AS q_id, v.vec FROM ${r.vectors} v
+       |  WHERE v.vec_id IN (0, 1, 2, 3)),
+       |probes AS (
+       |  SELECT q_id, cell, cvec FROM (
+       |    SELECT q.q_id, c.cell, c.cvec,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r.l264("q.vec", "c.cvec")}, c.cell) AS rn
+       |    FROM qv q CROSS JOIN ${r.cents} c) x
+       |  WHERE rn <= 2)""".stripMargin
+
+  /** q121 — search over the PERSISTED index only: per-(query, probed-cell)
+    * residual LUTs against the persisted codebooks, ADC over the persisted
+    * inverted lists, 16-deep shortlist, exact re-rank from a
+    * partition-pruned vector fetch; both recalls graded against the exact
+    * top-3 (the ground-truth full scan — the one deliberate corpus read,
+    * it IS the recall definition). Same output shape as q119 so the two
+    * rows diff directly. */
+  private def serveSql(r: ServeRefs): String =
+    s"""WITH ${qvProbesCtes(r)},
+       |qres AS (
+       |  SELECT pr.q_id, pr.cell, ${r.zipSub("q.vec", "pr.cvec")} AS res
+       |  FROM probes pr JOIN qv q ON q.q_id = pr.q_id),
+       |qparts AS (${r.sliceParts("qres", "q_id, cell")}),
+       |lut AS (
+       |  SELECT qp.q_id, qp.cell, qp.m, c.k, ${r.l216("qp.sub", "c.cvec")} AS qd
+       |  FROM qparts qp JOIN ${r.pq} c ON qp.m = c.m),
+       |cand AS (
+       |  SELECT pr.q_id, co.n_id, co.cell
+       |  FROM probes pr JOIN ${r.codesFetch} co ON pr.cell = co.cell
+       |  WHERE co.m = 0 AND co.n_id <> pr.q_id),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |         MAX(CASE WHEN c.m = 0 THEN l.qd END) AS d0,
+       |         MAX(CASE WHEN c.m = 1 THEN l.qd END) AS d1,
+       |         MAX(CASE WHEN c.m = 2 THEN l.qd END) AS d2,
+       |         MAX(CASE WHEN c.m = 3 THEN l.qd END) AS d3
+       |  FROM cand cd
+       |  JOIN ${r.codesFetch} c ON cd.n_id = c.n_id AND cd.cell = c.cell
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell AND l.m = c.m AND l.k = c.code
+       |  GROUP BY cd.q_id, cd.n_id),
+       |shortlist AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY d0 + d1 + d2 + d3, n_id) AS rank
+       |    FROM adc) sr
+       |  WHERE rank <= 16),
+       |reranked AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT sl.q_id, sl.n_id,
+       |           row_number() OVER (PARTITION BY sl.q_id
+       |             ORDER BY ${r.l264("q.vec", "av.vec")}, sl.n_id) AS rank
+       |    FROM shortlist sl
+       |    JOIN qv q ON q.q_id = sl.q_id
+       |    JOIN ${r.vectorsFetch} av ON av.vec_id = sl.n_id) rr
+       |  WHERE rank <= 3),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, a.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r.l264("q.vec", "a.vec")}, a.vec_id) AS rank
+       |    FROM qv q JOIN ${r.vectors} a ON a.vec_id <> q.q_id) e
+       |  WHERE rank <= 3),
+       |adc_hits AS (
+       |  SELECT sh.q_id, count(*) AS h
+       |  FROM (SELECT q_id, n_id FROM shortlist WHERE rank <= 3) sh
+       |  JOIN exact e ON sh.q_id = e.q_id AND sh.n_id = e.n_id
+       |  GROUP BY sh.q_id),
+       |rr_hits AS (
+       |  SELECT rr2.q_id, count(*) AS h
+       |  FROM reranked rr2 JOIN exact e ON rr2.q_id = e.q_id AND rr2.n_id = e.n_id
+       |  GROUP BY rr2.q_id),
+       |qs AS (SELECT DISTINCT q_id FROM qv)
+       |SELECT qs.q_id, CAST(3 AS INT) AS k, CAST(16 AS INT) AS rerank_depth,
+       |       CAST(COALESCE(ah.h, 0) AS BIGINT) AS hits_adc,
+       |       CAST(COALESCE(rh.h, 0) AS BIGINT) AS hits_reranked
+       |FROM qs
+       |LEFT JOIN adc_hits ah ON qs.q_id = ah.q_id
+       |LEFT JOIN rr_hits rh ON qs.q_id = rh.q_id
+       |ORDER BY qs.q_id""".stripMargin
+
+  private val sparkRefs = ServeRefs(
+    cents = "pidx_cents", pq = "pidx_pq",
+    codesFetch = "pidx_codes_probed",
+    vectors = "pidx_vectors", vectorsFetch = "pidx_vectors_probed",
+    l264 = Similarity.sparkClust.l2, l216 = Similarity.sparkPq.l2,
+    zipSub = Similarity.sparkRes.zipSub,
+    sliceParts = Similarity.sparkRes.sliceParts)
+
+  /** DuckDB reads the SAME persisted snapshot dirs (`hive_partitioning`
+    * restores the cell column from the dir layout). */
+  private def duckRefs(root: String): ServeRefs = {
+    def flat(name: String) = s"read_parquet('$root/$name/snap-*/*.parquet')"
+    def part(name: String) =
+      s"(SELECT * REPLACE (CAST(cell AS INT) AS cell) FROM " +
+        s"read_parquet('$root/$name/snap-*/*/*.parquet', hive_partitioning = true))"
+    ServeRefs(
+      cents = flat("ivf_cents"), pq = flat("pq_cents"),
+      codesFetch = part("codes"),
+      vectors = part("vectors"), vectorsFetch = part("vectors"),
+      l264 = Similarity.duckClust.l2, l216 = Similarity.duckPq.l2,
+      zipSub = Similarity.duckRes.zipSub,
+      sliceParts = Similarity.duckRes.sliceParts)
+  }
+
+  /** q120's oracle: re-derive the ENTIRE index — coarse training, cell
+    * assignment, residuals, PQ training, codes — from the raw corpus from
+    * scratch, and summarize it exactly as the Spark side summarizes the
+    * PERSISTED artifacts. Green row = what is on disk is what from-scratch
+    * training produces, cross-engine. */
+  private def buildOracle: String = {
+    val iv = Similarity.duckClust
+    val pq = Similarity.duckPq
+    val res = Similarity.duckRes
+    s"""WITH ${Similarity.pqTrainCtes(iv, "i_")},
+       |rasg AS (
+       |  SELECT vec_id, sub, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
+       |${Similarity.pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, k AS code FROM (
+       |    SELECT p.vec_id, p.m, c.k,
+       |           row_number() OVER (PARTITION BY p.vec_id, p.m
+       |             ORDER BY ${pq.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM p_parts p JOIN p_cents2 c ON p.m = c.m) y
+       |  WHERE rn = 1)
+       |SELECT 'ivf_cent' AS artifact, CAST(0 AS INT) AS m, CAST(k AS INT) AS k,
+       |       ROUND(list_reduce(cvec, (x, y) -> x + y), 6) AS val
+       |FROM i_cents2
+       |UNION ALL
+       |SELECT 'pq_cent', CAST(m AS INT), CAST(k AS INT),
+       |       ROUND(list_reduce(cvec, (x, y) -> x + y), 6)
+       |FROM p_cents2
+       |UNION ALL
+       |SELECT 'code_hist', CAST(m AS INT), CAST(code AS INT), CAST(count(*) AS DOUBLE)
+       |FROM codes GROUP BY m, code
+       |UNION ALL
+       |SELECT 'vec_cell', CAST(0 AS INT), CAST(cell AS INT), CAST(count(*) AS DOUBLE)
+       |FROM rasg GROUP BY cell
+       |ORDER BY artifact, m, k""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // The index-BUILD job: always a fresh build (this is the timed "train
+    // + add" cost the serve path amortizes away), then a summary of the
+    // persisted artifacts — centroid component sums, code histograms,
+    // cell occupancies — that the oracle must reproduce by re-training
+    // from scratch.
+    "q120_index_build" -> { (s, dir) =>
+      val root = defaultRoot(dir)
+      build(s, dir, root)
+      lastRoot = root
+      s.sql(
+        s"""SELECT 'ivf_cent' AS artifact, CAST(0 AS INT) AS m, cell AS k,
+           |       ROUND(aggregate(cvec, CAST(0 AS DOUBLE), (a, x) -> a + x), 6) AS val
+           |FROM pidx_cents
+           |UNION ALL
+           |SELECT 'pq_cent', m, k,
+           |       ROUND(aggregate(cvec, CAST(0 AS DOUBLE), (a, x) -> a + x), 6)
+           |FROM pidx_pq
+           |UNION ALL
+           |SELECT 'code_hist', m, code, CAST(count(*) AS DOUBLE)
+           |FROM pidx_codes GROUP BY m, code
+           |UNION ALL
+           |SELECT 'vec_cell', CAST(0 AS INT), cell, CAST(count(*) AS DOUBLE)
+           |FROM pidx_vectors GROUP BY cell
+           |ORDER BY artifact, m, k""".stripMargin)
+    },
+
+    // The SERVE path: no training anywhere in the plan — probes, LUTs,
+    // ADC, and the refine fetch all read the persisted index, and every
+    // per-cell candidate/re-rank read is REQUIRED to be partition-pruned.
+    "q121_ivfpq_persisted" -> { (s, dir) =>
+      val root = defaultRoot(dir)
+      ensureBuilt(s, dir, root)
+      lastRoot = root
+      val codesT = tbl(s, root, "codes")
+      val vecsT = tbl(s, root, "vectors")
+      // probe set: 4 queries × nprobe=2 → ≤8 cell ids, driver-side by
+      // design (FAISS serves probes the same way); metadata-scale collect
+      val probed = s.sql(s"WITH ${qvProbesCtes(sparkRefs)}\n" +
+          "SELECT DISTINCT cell FROM probes")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      // partition-pruned per-cell fetches (VERDICT r8 #2): each read must
+      // keep strictly fewer files than the table holds — the q104-style
+      // scan-shape gate. An empty cell legitimately keeps 0 files.
+      def prunedUnion(tb: SnapshotTable, what: String): DataFrame =
+        probed.map { c =>
+          val (df, plan) = tb.readPruned(Seq(ColRange("cell", Some(c), Some(c))))
+          require(plan.filesKept < plan.filesTotal,
+            s"q121 expects cell=$c partition pruning on $what: " +
+              s"kept ${plan.filesKept}/${plan.filesTotal}")
+          df
+        }.reduce(_ unionByName _)
+      prunedUnion(codesT, "codes").createOrReplaceTempView("pidx_codes_probed")
+      prunedUnion(vecsT, "vectors").createOrReplaceTempView("pidx_vectors_probed")
+      s.sql(serveSql(sparkRefs))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q120_index_build" -> buildOracle,
+    "q121_ivfpq_persisted" -> serveSql(duckRefs(lastRoot)))
+}

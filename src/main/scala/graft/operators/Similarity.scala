@@ -59,13 +59,13 @@ object Similarity {
   // means DuckDB independently re-derived the SAME trained codebooks.
 
   /** Dialect hooks for [[pqTrainCtes]]. */
-  private final case class PqDialect(
+  private[operators] final case class PqDialect(
       parts: String, // SQL producing (vec_id, m, sub: ARRAY<DOUBLE>)
       l2: (String, String) => String, // left-to-right Σ(a_i−b_i)²
       dims: String => String, // src(m,k,sub) → (m, k, pos, v)
       ordArr: String) // aggregate: cv values ordered by pos → array
 
-  private val sparkPq = PqDialect(
+  private[operators] val sparkPq = PqDialect(
     parts = """SELECT vec_id, m,
               |       transform(slice(embedding, m * 16 + 1, 16),
               |                 x -> CAST(x AS DOUBLE)) AS sub
@@ -78,7 +78,7 @@ object Similarity {
     dims = src => s"SELECT m, k, posexplode(sub) AS (pos, v) FROM $src",
     ordArr = "transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)")
 
-  private def duckPq = PqDialect(
+  private[operators] def duckPq = PqDialect(
     parts = """SELECT vec_id, m,
               |       list_transform(embedding[(m*16+1):(m*16+16)],
               |                      x -> CAST(x AS DOUBLE)) AS sub
@@ -124,7 +124,7 @@ object Similarity {
   // variant — recall depends on the corpus and the probe agreeing on the
   // assignment function, which they do).
 
-  private val sparkIvf = PqDialect(
+  private[operators] val sparkIvf = PqDialect(
     parts = """SELECT vec_id, 0 AS m,
               |       transform(embedding, x -> CAST(x AS DOUBLE)) AS sub
               |FROM embeddings""".stripMargin,
@@ -132,7 +132,7 @@ object Similarity {
     dims = src => s"SELECT m, k, posexplode(sub) AS (pos, v) FROM $src",
     ordArr = "transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)")
 
-  private def duckIvf = PqDialect(
+  private[operators] def duckIvf = PqDialect(
     parts = """SELECT vec_id, 0 AS m,
               |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sub
               |FROM embeddings""".stripMargin,
@@ -197,9 +197,9 @@ object Similarity {
         "CAST((vec_id * 1103515245 + d * 12345) % 2001 - 1000 AS DOUBLE) / 5000.0")} AS sub
        |FROM embeddings""".stripMargin
 
-  private val sparkClust = sparkIvf.copy(
+  private[operators] val sparkClust = sparkIvf.copy(
     parts = clusteredPartsSql(body => s"transform(sequence(1, 64), d -> $body)"))
-  private def duckClust = duckIvf.copy(
+  private[operators] def duckClust = duckIvf.copy(
     parts = clusteredPartsSql(body => s"list_transform(range(1, 65), d -> $body)"))
 
   /** q111 body: train cells on the clustered corpus, then for each
@@ -281,7 +281,7 @@ object Similarity {
     * iterations → `cents2`, the trained codebook. `pfx` namespaces the CTE
     * chain so two independent trainings (q114's IVF coarse quantizer + PQ
     * codebooks) can coexist in one query. */
-  private def pqTrainCtes(d: PqDialect, pfx: String = ""): String =
+  private[operators] def pqTrainCtes(d: PqDialect, pfx: String = ""): String =
     s"""${pfx}parts AS (${d.parts}),
        |${pfx}cents0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cvec
        |           FROM ${pfx}parts WHERE vec_id < 8),
@@ -388,17 +388,17 @@ object Similarity {
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Per-engine helpers for the RESIDUAL variant (q117). */
-  private final case class ResDialect(
+  private[operators] final case class ResDialect(
       zipSub: (String, String) => String, // elementwise a − b (both DOUBLE[])
       sliceParts: (String, String) => String) // (src, idCols) → (idCols, m, sub)
 
-  private val sparkRes = ResDialect(
+  private[operators] val sparkRes = ResDialect(
     zipSub = (a, b) => s"zip_with($a, $b, (x, y) -> x - y)",
     sliceParts = (src, cols) =>
       s"""SELECT $cols, m, slice(res, m * 16 + 1, 16) AS sub
          |FROM (SELECT $cols, res, explode(sequence(0, 3)) AS m FROM $src)""".stripMargin)
 
-  private val duckRes = ResDialect(
+  private[operators] val duckRes = ResDialect(
     zipSub = (a, b) => s"list_transform(range(1, 65), i -> $a[i] - $b[i])",
     sliceParts = (src, cols) =>
       s"""SELECT $cols, m, res[(m*16+1):(m*16+16)] AS sub

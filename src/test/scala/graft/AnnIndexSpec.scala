@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.AnnIndex
+import graft.warehouse.{ColRange, SnapshotTable}
+
+/** The persisted ANN index (build/serve split). The heavy math is gated by
+  * the q120/q121 oracles; this spec pins the OPERATIONAL contract: the
+  * persisted artifacts are the gated in-query training verbatim, rebuilds
+  * are skipped when fresh and forced when stale, the cell layout actually
+  * partition-prunes, and the serve output obeys its structural invariants.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/annidx"
+
+  private def centsOf(root: String): Seq[(Int, Seq[Double])] =
+    new SnapshotTable(spark, s"$root/ivf_cents").read()
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toSeq
+      .sortBy(_._1)
+
+  test("build persists the gated in-query coarse training verbatim") {
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root)
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    val inQuery = spark.sql(AnnIndex.inQueryCoarseCentsSql)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toSeq
+      .sortBy(_._1)
+    assert(centsOf(root) === inQuery,
+      "persisted ivf_cents must be bit-identical to the q118/q119 in-query training")
+  }
+
+  test("ensureBuilt skips a fresh index and rebuilds a stale one") {
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root)
+    val cents = new SnapshotTable(spark, s"$root/ivf_cents")
+    val builtAt = cents.currentSnapshotId.get
+    AnnIndex.ensureBuilt(spark, sfDir, root)
+    assert(cents.currentSnapshotId.get === builtAt, "fresh index must not rebuild")
+    // stale marker (different corpus dir recorded) forces a rebuild
+    val marker = new java.io.File(root, "_built")
+    new java.io.File(root, "._built.crc").delete()
+    val w = new java.io.PrintWriter(marker)
+    try w.write("v0|/somewhere/else") finally w.close()
+    AnnIndex.ensureBuilt(spark, sfDir, root)
+    assert(new SnapshotTable(spark, s"$root/ivf_cents").currentSnapshotId.get === builtAt,
+      "rebuild starts from a swept root: the fresh build's first snapshot id")
+    assert(centsOf(root).nonEmpty)
+  }
+
+  test("cell-partitioned layout prunes files for a single-cell read") {
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root)
+    val vecs = new SnapshotTable(spark, s"$root/vectors")
+    // pick a cell that holds data, then require its read is pruned
+    val cells = vecs.read().select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cells.length >= 2, s"clustered corpus must occupy several cells: ${cells.toSeq}")
+    val (df, plan) = vecs.readPruned(Seq(ColRange("cell", Some(cells.head), Some(cells.head))))
+    assert(plan.filesKept < plan.filesTotal,
+      s"single-cell read must prune: kept ${plan.filesKept}/${plan.filesTotal}")
+    assert(df.select("cell").distinct().collect().map(_.getInt(0)).toSeq === Seq(cells.head))
+  }
+
+  test("serve output: 4 queries, refine never loses recall vs ADC-only") {
+    val rows = SparkEntry.queries("q121_ivfpq_persisted")(spark, sfDir)
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val adc = r.getAs[Long]("hits_adc")
+      val rr = r.getAs[Long]("hits_reranked")
+      // exact-top3 members present in the 16-deep shortlist are by
+      // definition the shortlist's exact-nearest — the re-rank keeps them
+      assert(rr >= adc, s"refinement lost recall: adc=$adc reranked=$rr")
+      assert(rr <= 3 && adc >= 0)
+    }
+  }
+}

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
       "q117_ivfpq_residual", // q117: same coarse-centroid fold as q114, plus residual algebra on broadcast-sized frames
       "q118_ivfpq_clustered", // q118: q117's folds over the generated clustered corpus; exact baseline is a 4-query broadcast
       "q119_ivfpq_refine", // q119: q118's folds plus a ≤16-row-per-query shortlist re-rank join
-      "q111_clustered_recall") // q111: 3-row nprobe spine × ≤16 probes + the same centroid folds; exact top-3 is a 4-query broadcast
+      "q111_clustered_recall", // q111: 3-row nprobe spine × ≤16 probes + the same centroid folds; exact top-3 is a 4-query broadcast
+      "q121_ivfpq_persisted") // q121: 4 query vectors × the 8-row PERSISTED quantizer (probe selection); candidates/re-rank join on real keys over pruned partitions
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no cartesian product / unlisted nested-loop join") {
