@@ -451,20 +451,25 @@ object Views {
       }
     },
 
-    // STATS-DRIVEN BROADCAST through the correctness gate (VERDICT r7 #7,
-    // the first CBO step): Spark's own auto-broadcast is DISABLED for the
-    // duration, so the only thing that can turn this join into a
-    // BroadcastHashJoin is [[graft.warehouse.CostJoin]] deciding from the
-    // tables' snapshot metadata (marker row counts + live-chain byte
-    // listing — no data I/O, no hint in query code). The query `require`s
-    // the broadcast actually planned, then the oracle hash-checks the
-    // joined aggregate against the base parquet.
+    // STATS-DRIVEN BROADCAST through the correctness gate (VERDICT r7 #7 →
+    // r8 #3, the first CBO step made AMBIENT): Spark's own auto-broadcast
+    // is DISABLED and the query calls NO join API — a plain
+    // `read().join(read(), ...)` — so the only thing that can turn this
+    // join into a BroadcastHashJoin is the injected
+    // [[graft.warehouse.CostJoinRule]] recognizing the snapshot-dir scans
+    // and planting the hint from the tables' own storage metadata (a
+    // per-scanned-dir byte listing — no data I/O, no hint in query code).
+    // The query `require`s the broadcast actually planned, then the oracle
+    // hash-checks the joined aggregate against the base parquet.
     "q116_stats_broadcast_join" -> { (s, dir) =>
       import s.implicits._
       val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/statsjoin"
       val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevFlag = s.conf.getOption(graft.warehouse.CostJoinRule.FlagKey)
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.warehouse.CostJoinRule.install(s)
+        s.conf.set(graft.warehouse.CostJoinRule.FlagKey, "true")
         val cat = new graft.catalog.Catalog(s, wh, "STATSJOIN")
         val nat = cat.table("gate", "nation_s")
         nat.createOrReplace(t(s, dir, "nation")
@@ -476,19 +481,23 @@ object Views {
         // chain, not a single dir
         cust.createOrReplace(c.filter($"c_custkey" % 2 === 0))
         cust.append(c.filter($"c_custkey" % 2 =!= 0))
-        val joined = graft.warehouse.CostJoin.join(cust, nat, Seq("nk"))
+        val joined = cust.read().join(nat.read(), Seq("nk")) // no API, no hint
           .groupBy($"n_name")
           .agg(count(lit(1)).as("n_custs"),
             (sum($"c_acctbal".cast("decimal(18,2)")) * 100).cast("long").as("bal_cents"))
           .orderBy($"n_name")
         val plan = joined.queryExecution.executedPlan.toString
         require(plan.contains("BroadcastHashJoin"),
-          s"q116: with auto-broadcast off, only the metadata-stats decision can " +
-            s"broadcast — it didn't:\n$plan")
+          s"q116: with auto-broadcast off and no hint in query code, only the " +
+            s"injected metadata-stats rule can broadcast — it didn't:\n$plan")
         val rows = joined.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        prevFlag match {
+          case Some(v) => s.conf.set(graft.warehouse.CostJoinRule.FlagKey, v)
+          case None => s.conf.unset(graft.warehouse.CostJoinRule.FlagKey)
+        }
         val p = new org.apache.hadoop.fs.Path(wh)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(p, true)

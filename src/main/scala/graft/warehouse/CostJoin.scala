@@ -1,7 +1,14 @@
 package graft.warehouse
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.internal.SQLConf
 
 /** Stats-driven join planning over [[SnapshotTable]]s — the first CBO step
   * (VERDICT r7 #7): instead of per-query `broadcast()` hints, the decision
@@ -69,5 +76,102 @@ object CostJoin {
     if (broadcastRight) l.join(broadcast(r), usingColumns, joinType)
     else if (broadcastLeft) broadcast(l).join(r, usingColumns, joinType)
     else l.join(r, usingColumns, joinType)
+  }
+}
+
+/** [[CostJoin]] promoted from API to AMBIENT planner rule (VERDICT r8 #3,
+  * the MvRewrite pattern): an injected `Rule[LogicalPlan]` that recognizes
+  * a hint-free equi-join whose sides are scans over SnapshotTable snapshot
+  * dirs and plants the broadcast hint from the tables' own storage
+  * metadata — so a plain `t.read().join(u.read(), ...)` plans a
+  * BroadcastHashJoin even with Spark's auto-broadcast disabled (the
+  * standard large-cluster posture), and the user never calls a join API.
+  *
+  * Recognition is structural, not a registry: a side qualifies when, under
+  * only column-pruning Projects and Filters, it scans a set of `snap-NNNNN`
+  * dirs sharing one parent — exactly the dir shape `SnapshotTable.read()` /
+  * `asOf()` plans (a Union of per-snapshot reads). Sizing lists exactly the
+  * SCANNED dirs (`getContentSummary` — the same metadata walk as
+  * [[SnapshotTable.sizeInBytesFromMetadata]], scoped to the scan, so a
+  * delta or time-travel read is sized by what it actually touches). A
+  * filtered side is sized at full scan bytes — conservative: filters only
+  * shrink the build side.
+  *
+  * Build-side legality mirrors Spark's own `JoinSelection`: never the
+  * preserved side of an outer join; semi/anti build right only. Spark
+  * re-checks legality when consuming the hint, so a bug here can cost
+  * performance, never correctness. Fires only when
+  * `spark.graft.costJoin=true`; threshold from
+  * `spark.graft.costJoin.threshold` (default: Spark's own 10 MB). */
+object CostJoinRule extends Rule[LogicalPlan] {
+
+  val FlagKey = "spark.graft.costJoin"
+  val ThresholdKey = "spark.graft.costJoin.threshold"
+
+  /** Idempotently install the rule into a session's extra optimizations. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(CostJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CostJoinRule
+
+  /** The snapshot dirs a side scans, walked under only column Projects and
+    * Filters; a Union of scans is one scan (the base+append chain shape). */
+  private def scanDirs(plan: LogicalPlan): Option[Seq[Path]] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => Some(fs.location.rootPaths)
+      case _ => None
+    }
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      scanDirs(child)
+    case Filter(_, child) => scanDirs(child)
+    case u: Union =>
+      val parts = u.children.map(scanDirs)
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatMap(_.get))
+    case _ => None
+  }
+
+  private val snapDirName = "snap-\\d+".r.pattern
+
+  /** Bytes of a snapshot-dir scan from storage metadata alone — None when
+    * the dirs are not one table's snapshot chain (rule declines). */
+  private def snapshotScanBytes(dirs: Seq[Path]): Option[Long] = {
+    if (dirs.isEmpty) return None
+    if (!dirs.forall(p => snapDirName.matcher(p.getName).matches())) return None
+    if (dirs.map(_.getParent).distinct.size != 1) return None
+    try {
+      val fs = dirs.head.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      Some(dirs.map(d => fs.getContentSummary(d).getLength).sum)
+    } catch { case _: Exception => None }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (SQLConf.get.getConfString(FlagKey, "false") != "true") return plan
+    val threshold = SQLConf.get
+      .getConfString(ThresholdKey, CostJoin.DefaultThreshold.toString).toLong
+    plan.transformUp {
+      case j @ Join(l, r, jt, _, hint) if hint == JoinHint.NONE =>
+        val lB = scanDirs(l).flatMap(snapshotScanBytes)
+        val rB = scanDirs(r).flatMap(snapshotScanBytes)
+        // Spark's canBuildBroadcastRight/Left join-type legality
+        val rightAllowed = jt match {
+          case Inner | Cross | LeftOuter | LeftSemi | LeftAnti => true
+          case _: ExistenceJoin => true
+          case _ => false
+        }
+        val leftAllowed = jt match {
+          case Inner | Cross | RightOuter => true
+          case _ => false
+        }
+        def fits(b: Option[Long]) = b.exists(_ <= threshold)
+        val broadcastRight = rightAllowed && fits(rB) &&
+          (!leftAllowed || !fits(lB) || rB.get <= lB.get)
+        val broadcastLeft = !broadcastRight && leftAllowed && fits(lB)
+        if (broadcastRight)
+          j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        else if (broadcastLeft)
+          j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+        else j
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.warehouse.{CostJoin, SnapshotTable}
+import graft.warehouse.{CostJoin, CostJoinRule, SnapshotTable}
 
 /** Stats-driven join planning: the broadcast decision must come from
   * snapshot metadata alone (no Spark job), respect the byte threshold,
@@ -85,6 +85,87 @@ class CostJoinSpec extends SparkSpec {
       assert(!fo.contains("BroadcastHashJoin"),
         s"full outer can broadcast neither side:\n$fo")
     }
+  }
+
+  // ── the AMBIENT rule path (VERDICT r8 #3): no API, no hint in code ──
+
+  private def withRule[T](f: => T): T = {
+    CostJoinRule.install(spark)
+    val prev = spark.conf.getOption(CostJoinRule.FlagKey)
+    spark.conf.set(CostJoinRule.FlagKey, "true")
+    try withAutoBroadcastOff(f)
+    finally prev match {
+      case Some(v) => spark.conf.set(CostJoinRule.FlagKey, v)
+      case None => spark.conf.unset(CostJoinRule.FlagKey)
+    }
+  }
+
+  test("rule: a plain read().join(read()) broadcasts the small side, no API call") {
+    val (dim, fact) = smallBig()
+    withRule {
+      val plan = fact.read().join(dim.read(), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
+        s"rule must plant a right-build broadcast from scan metadata:\n$plan")
+      val flipped = dim.read().join(fact.read(), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(flipped.contains("BroadcastHashJoin") && flipped.contains("BuildLeft"),
+        s"rule must plant a left-build broadcast of the small left side:\n$flipped")
+      // column pruning and key filters above the scan do not blind the rule
+      val pruned = fact.read().select($"k", $"v").filter($"v" >= 0L)
+        .join(dim.read().select($"k", $"name"), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(pruned.contains("BroadcastHashJoin"),
+        s"Project/Filter over the scan must still be recognized:\n$pruned")
+    }
+  }
+
+  test("rule: outer-join legality and threshold mirror the API; flag off = inert") {
+    val (dim, fact) = smallBig()
+    withRule {
+      // left outer with dim on the LEFT: preserved side, not buildable; the
+      // fact side exceeds the 1-byte threshold → shuffle join
+      spark.conf.set(CostJoinRule.ThresholdKey, CostJoin.stats(dim).bytes.get.toString)
+      try {
+        val lo = dim.read().join(fact.read(), Seq("k"), "left")
+          .queryExecution.executedPlan.toString
+        assert(!lo.contains("BroadcastHashJoin"),
+          s"rule must not broadcast the preserved side:\n$lo")
+        val lo2 = fact.read().join(dim.read(), Seq("k"), "left")
+          .queryExecution.executedPlan.toString
+        assert(lo2.contains("BroadcastHashJoin") && lo2.contains("BuildRight"))
+        val fo = fact.read().join(dim.read(), Seq("k"), "full")
+          .queryExecution.executedPlan.toString
+        assert(!fo.contains("BroadcastHashJoin"),
+          s"full outer can broadcast neither side:\n$fo")
+        spark.conf.set(CostJoinRule.ThresholdKey, "1")
+        val tiny = fact.read().join(dim.read(), Seq("k"))
+          .queryExecution.executedPlan.toString
+        assert(!tiny.contains("BroadcastHashJoin"), "nothing fits a 1-byte threshold")
+      } finally spark.conf.unset(CostJoinRule.ThresholdKey)
+    }
+    // flag off (restored by withRule): the installed rule must be inert
+    withAutoBroadcastOff {
+      val off = fact.read().join(dim.read(), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(!off.contains("BroadcastHashJoin"),
+        s"with the flag off the rule must not fire:\n$off")
+    }
+  }
+
+  test("rule: result is identical with and without the broadcast decision") {
+    val (dim, fact) = smallBig()
+    val expected = withAutoBroadcastOff {
+      fact.read().join(dim.read(), Seq("k"))
+        .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val ruled = withRule {
+      fact.read().join(dim.read(), Seq("k"))
+        .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(ruled == expected, "the hint must be plan-only, never result-visible")
   }
 
   test("a side over the threshold is not broadcast; result matches either way") {
