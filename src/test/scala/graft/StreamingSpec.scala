@@ -551,6 +551,119 @@ class StreamingSpec extends SparkSpec {
     assert(moreBatches == Seq(1L, 1L), s"one append per trigger on restart, got $moreBatches")
   }
 
+  test("Trigger.AvailableNow + admission caps drains the whole backlog in bounded batches") {
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snapavail").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((0L, "base")).toDF("id", "v"))
+    for (i <- 1 to 8)
+      t.append(Seq((i.toLong, s"a$i")).toDF("id", "v"))
+    val all = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all.size == 9)
+
+    // pre-r9 this was the trap: V1 fallback ran ONE capped batch and
+    // stopped, silently leaving most of the backlog behind. With
+    // SupportsTriggerAvailableNow the run must deliver EVERYTHING up to
+    // the start-time head, across several capped batches, then terminate.
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.streaming.SnapshotStream.read(spark, s"$tmp/tbl",
+        maxAppendsPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        batches.synchronized { if (got.nonEmpty) batches += got.length.toLong; rows ++= got }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow run must terminate on its own")
+    val (bs, rs) = batches.synchronized((batches.toList, rows.toList))
+    assert(rs.toSet === all, s"AvailableNow left backlog behind: missing ${all -- rs.toSet}")
+    assert(rs.size == all.size, "no row delivered twice")
+    assert(bs == List(3L, 2L, 2L, 2L),
+      s"base+2 appends, then 2/2/2 per trigger, got $bs")
+
+    // commits that land AFTER the run started are NOT part of this drain
+    // (the pinned high-water mark) — a restarted run picks them up capped
+    t.append(Seq((100L, "late1")).toDF("id", "v"))
+    t.append(Seq((101L, "late2")).toDF("id", "v"))
+    t.append(Seq((102L, "late3")).toDF("id", "v"))
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = graft.streaming.SnapshotStream.read(spark, s"$tmp/tbl",
+        maxAppendsPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count()
+        batches2.synchronized { if (n > 0) batches2 += n }
+        ()
+      }
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(batches2.synchronized(batches2.toList) == List(2L, 1L),
+      s"restart drains only the late commits, capped: got $batches2")
+  }
+
+  test("tail schema is pinned at stream start; restart picks up evolved columns") {
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snapevolve").toString
+    val root = s"$tmp/tbl"
+    val t = new SnapshotTable(spark, root)
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Set[Long])]
+    def startTail(ckpt: String) = graft.streaming.SnapshotStream.read(spark, root)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.collect().map(_.getLong(0)).toSet
+        seen.synchronized { if (ids.nonEmpty) seen += ((b.columns.toSeq, ids)) }
+        ()
+      }
+      .start()
+
+    // stream 1 starts on the (id, v) schema; the table evolves a column
+    // MID-STREAM (Iceberg-style implicit evolution — the append carries a
+    // new column) and keeps committing: rows keep flowing, but the
+    // projection stays pinned at (id, v) until the stream restarts
+    val q1 = startTail(s"$tmp/ckpt")
+    q1.processAllAvailable()
+    t.append(Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+    t.append(Seq((3L, "c", 0.7)).toDF("id", "v", "score"))
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    val run1 = seen.synchronized(seen.toList)
+    assert(run1.map(_._2).reduce(_ ++ _) == Set(1L, 2L, 3L),
+      "rows committed under the evolved schema must still reach an old-schema tail")
+    assert(run1.forall(_._1 == Seq("id", "v")),
+      s"live stream must keep its pinned (id, v) schema through evolution, got ${run1.map(_._1)}")
+
+    // a restart on the SAME checkpoint re-resolves schema from the head:
+    // it must replay/resume cleanly (old-range batches null-fill the new
+    // column rather than crash) and deliver later commits with the column
+    seen.synchronized(seen.clear())
+    t.append(Seq((4L, "d", 0.9)).toDF("id", "v", "score"))
+    val q2 = startTail(s"$tmp/ckpt")
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val run2 = seen.synchronized(seen.toList)
+    assert(run2.map(_._2).reduce(_ ++ _) == Set(4L), s"restart must deliver only new commits, got $run2")
+    assert(run2.forall(_._1 == Seq("id", "v", "score")),
+      s"restarted stream must pick up the evolved schema, got ${run2.map(_._1)}")
+
+    // a FRESH tail (new checkpoint) sees the evolved column on every row,
+    // null-filled where history predates it
+    seen.synchronized(seen.clear())
+    val q3 = startTail(s"$tmp/ckpt2")
+    q3.processAllAvailable(); q3.stop(); q3.awaitTermination()
+    val run3 = seen.synchronized(seen.toList)
+    assert(run3.map(_._2).reduce(_ ++ _) == Set(1L, 2L, 3L, 4L))
+    assert(run3.forall(_._1 == Seq("id", "v", "score")))
+  }
+
   // Concurrent-writer stress (VERDICT r7 #6): a writer thread appends, a
   // maintenance thread compacts, and a LIVE capped tail consumes — all at
   // once on one table. Invariants at the end, per seed:
