@@ -25,7 +25,12 @@ final class SnapshotTable(
     val spark: SparkSession,
     val root: String,
     writeGuard: () => Unit = () => (),
-    onCreate: () => Unit = () => ()) {
+    onCreate: () => Unit = () => (),
+    // test seam ONLY: a distinct lock object makes this instance behave as
+    // if it lived in ANOTHER PROCESS (the JVM-wide per-root lock no longer
+    // serializes it), so the cross-process claim protocol is exercisable
+    // in one test JVM. Production callers never pass it.
+    private[graft] val processLock: Option[Object] = None) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -33,6 +38,8 @@ final class SnapshotTable(
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
   private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
   private def stagedFile(id: Long): Path = new Path(root, f"snap-$id%05d.staged")
+  private def claimFile(id: Long, writer: String): Path =
+    new Path(root, f"snap-$id%05d.claim.$writer")
 
   /** One parsed `.meta` marker. Line format
     * `kind|p1,p2|rowCount|s1,s2|note|commitMillis` (partition cols, footer
@@ -299,11 +306,107 @@ final class SnapshotTable(
     staged.sorted
   }
 
-  /** Next unclaimed snapshot id: past every COMMITTED id and every STAGED
-    * id — a regular commit must never treat a staged writer's dir as its
-    * own orphan. */
+  /** Ids currently claimed by an in-flight writer (this process or any
+    * other): one `snap-<id>.claim.<writer>` file per claimant. A crashed
+    * writer's claim merely parks its id forever (ids are cheap; nothing
+    * blocks) until [[sweepStaleClaims]] reaps it. */
+  private def claimedIds(): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.contains(".claim."))
+      .map(_.stripPrefix("snap-").takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong).distinct.sorted
+  }
+
+  /** Next unclaimed snapshot id: past every COMMITTED id, every STAGED
+    * id (a regular commit must never treat a staged writer's dir as its
+    * own orphan), and every id CLAIMED by an in-flight writer in any
+    * process. */
   private def nextId(): Long =
-    (currentSnapshotId.toSeq ++ stagedIds()).foldLeft(0L)(math.max) + 1
+    (currentSnapshotId.toSeq ++ stagedIds() ++ claimedIds())
+      .foldLeft(0L)(math.max) + 1
+
+  /** CROSS-PROCESS id claim — the piece a shared-directory warehouse needs
+    * where real Iceberg leans on its catalog's atomic swap. The JVM-local
+    * commit lock serializes writers in one process; two DRIVER processes
+    * sharing a root (the BCDR replication topology) race here instead.
+    *
+    * Protocol (no atomic rename/create required — correct under plain
+    * read-after-write listing, which local FS, HDFS, and post-2020 S3 all
+    * give): write a claim file whose NAME carries (id, my writer token),
+    * then list all claims for that id; win ONLY if your claim is the
+    * sole one listed. A non-winner deletes its claim and retries one id
+    * further (a surviving rival claim makes [[nextId]] skip past). Two
+    * writers can never BOTH win: for A to list only itself, B's write
+    * must follow A's list — and B's own list (which follows B's write)
+    * then sees A's claim. Two near-simultaneous writers may both see
+    * each other and both retry (the jittered backoff breaks that
+    * symmetry); both-lose is safe, both-win is impossible.
+    *
+    * The claim is released when the id's marker commits ([[commit]],
+    * [[stageAppend]], spec evolution) or the attempt fails. */
+  private def claimId(): Long = {
+    val me = java.util.UUID.randomUUID().toString
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 64) throw new IllegalStateException(
+        s"could not claim a snapshot id at $root after $attempts attempts — writer storm?")
+      val id = nextId()
+      val mine = claimFile(id, me)
+      val out = fs.create(mine, true)
+      try out.write(me.getBytes("UTF-8")) finally out.close()
+      val rivals = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(f"snap-$id%05d.claim."))
+      // committed/staged under our feet (a racer claimed, won, and
+      // published this id before our listing) → our claim is on a spent
+      // id; withdraw and move on
+      val spent = fs.exists(metaFile(id)) || fs.exists(stagedFile(id))
+      if (!spent && rivals == Seq(mine.getName)) return id
+      fs.delete(mine, false)
+      // jittered backoff so two symmetric processes don't lockstep
+      Thread.sleep(1L + scala.util.Random.nextInt(8).toLong)
+    }
+    -1L // unreachable
+  }
+
+  /** Release `id`'s claim files (ours — and any debris left on an id that
+    * just committed; a committed marker makes every claim on it moot). */
+  private def releaseClaim(id: Long): Unit = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(f"snap-$id%05d.claim."))
+      .foreach(f => try fs.delete(f, false) catch { case _: Exception => () })
+  }
+
+  /** Maintenance sweep for claims abandoned by CRASHED writers: reap every
+    * claim file older than `ttlMs` along with its markerless data dir.
+    * Explicit (an operator/maintenance call, like [[expireSnapshots]]),
+    * never automatic: reaping a LIVE writer's claim would let two
+    * processes write one snapshot dir, so `ttlMs` must exceed the longest
+    * possible commit — default one hour. */
+  def sweepStaleClaims(ttlMs: Long = 60L * 60 * 1000): Int = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - ttlMs
+    val stale = fs.listStatus(p).toSeq
+      .filter(s => s.getPath.getName.contains(".claim.") &&
+        s.getModificationTime < cutoff)
+    stale.foreach { s =>
+      val id = s.getPath.getName.stripPrefix("snap-").takeWhile(_.isDigit).toLong
+      try {
+        fs.delete(s.getPath, false)
+        // the crashed writer's half-written dir is an orphan no reader
+        // ever saw — reclaim it unless the id (re)committed meanwhile
+        if (fs.exists(snapDir(id)) && !fs.exists(metaFile(id)) &&
+            !fs.exists(stagedFile(id)))
+          fs.delete(snapDir(id), true)
+      } catch { case _: Exception => () }
+    }
+    stale.size
+  }
 
   /** Write `df` as the data dir + stats sidecar for snapshot `id` (the
     * heavy half of a commit — shared by the normal commit path and WAP
@@ -342,18 +445,23 @@ final class SnapshotTable(
   }
 
   /** Serialize commits to THIS table within the JVM (reentrant — compact's
-    * validate-and-commit step calls [[commit]] under the same monitor). */
+    * validate-and-commit step calls [[commit]] under the same monitor).
+    * Cross-PROCESS serialization is the claim protocol ([[claimId]]); this
+    * lock just keeps same-process writers from burning claim retries
+    * against each other. */
   private def withCommitLock[T](f: => T): T =
-    SnapshotTable.lockFor(root).synchronized(f)
+    processLock.getOrElse(SnapshotTable.lockFor(root)).synchronized(f)
 
   private def commit(df: DataFrame, kind: String, parts: Seq[String] = Seq.empty,
                      sort: Seq[String] = Seq.empty,
                      note: Option[String] = None): Long = withCommitLock {
     writeGuard() // BCDR: unpromoted secondaries refuse writes (D11)
     val isNew = currentSnapshotId.isEmpty
-    val id = nextId()
-    val rows = writeSnapshotData(df, id, parts, sort)
-    writeMarker(id, kind, parts, rows, sort, note)
+    val id = claimId()
+    try {
+      val rows = writeSnapshotData(df, id, parts, sort)
+      writeMarker(id, kind, parts, rows, sort, note)
+    } finally releaseClaim(id)
     if (isNew) onCreate() // object springs into existence → future grants fire
     id
   }
@@ -386,11 +494,13 @@ final class SnapshotTable(
                           sortBy: Option[Seq[String]] = None): Long = withCommitLock {
     writeGuard()
     require(exists, s"evolve of non-existent table at $root")
-    // nextId(), not head+1: a marker-only commit must also skip past staged
-    // (WAP) ids — claiming a staged writer's id would make stagedIds() treat
-    // the staged batch as already committed and silently lose it at publish
-    val id = nextId()
-    writeMarker(id, "spec", partitionBy, 0L, sortBy.getOrElse(sortSpec()), None)
+    // claimId(), not head+1: a marker-only commit must also skip past
+    // staged (WAP) ids — claiming a staged writer's id would make
+    // stagedIds() treat the staged batch as already committed and silently
+    // lose it at publish — and past other processes' in-flight claims
+    val id = claimId()
+    try writeMarker(id, "spec", partitionBy, 0L, sortBy.getOrElse(sortSpec()), None)
+    finally releaseClaim(id)
     id
   }
 
@@ -468,12 +578,14 @@ final class SnapshotTable(
     require(exists, s"stage on non-existent table at $root")
     require(wapId.nonEmpty && !wapId.contains('|') && !wapId.contains(','),
       s"invalid wap id '$wapId'")
-    val id = nextId()
-    val rows = writeSnapshotData(df, id, partitionSpec(), sortSpec())
-    val line = s"append|${partitionSpec().mkString(",")}|$rows|" +
-      s"${sortSpec().mkString(",")}|${esc(s"wap=$wapId")}|${System.currentTimeMillis()}"
-    val out = fs.create(stagedFile(id)) // staged marker last = staging point
-    try out.write(line.getBytes("UTF-8")) finally out.close()
+    val id = claimId()
+    try {
+      val rows = writeSnapshotData(df, id, partitionSpec(), sortSpec())
+      val line = s"append|${partitionSpec().mkString(",")}|$rows|" +
+        s"${sortSpec().mkString(",")}|${esc(s"wap=$wapId")}|${System.currentTimeMillis()}"
+      val out = fs.create(stagedFile(id)) // staged marker last = staging point
+      try out.write(line.getBytes("UTF-8")) finally out.close()
+    } finally releaseClaim(id)
     id
   }
 
@@ -512,8 +624,8 @@ final class SnapshotTable(
       // otherwise commits landed since staging and the snapshot re-applies
       // under a fresh id past every committed AND staged one
       val target =
-        if (m.id > currentSnapshotId.getOrElse(0L)) m.id else nextId()
-      if (target != m.id) {
+        if (m.id > currentSnapshotId.getOrElse(0L)) m.id else claimId()
+      try { if (target != m.id) {
         // a snap-<target> dir with neither .meta nor .staged is an orphan
         // from a crashed regular commit (same sweep as writeSnapshotData) —
         // clear it, or the rename below fails / nests the staged dir inside
@@ -530,6 +642,7 @@ final class SnapshotTable(
       writeMarker(target, "append", m.parts, m.rows.getOrElse(0L), m.sort,
         Some(s"wap=$wapId"))
       fs.delete(stagedFile(m.id), false)
+      } finally { if (target != m.id) releaseClaim(target) }
       target
     }
   }
@@ -603,17 +716,21 @@ final class SnapshotTable(
       val head = currentSnapshotId.get
       val chain = asOf(head) // exactly head's chain, even if writers race
       val id = withCommitLock {
-        val i = nextId()
-        // claim-time orphan sweep: a crashed commit may have left an
-        // unmarked data dir at this id; clear it NOW, because
-        // writeSnapshotData's own sweep (correctly) skips ids carrying a
-        // staged marker — which this one is about to
-        if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
-          fs.delete(snapDir(i), true)
-        val line = s"base|${partitionSpec().mkString(",")}|0|" +
-          s"${sortSpec().mkString(",")}|${esc("compacting")}|${System.currentTimeMillis()}"
-        val out = fs.create(stagedFile(i))
-        try out.write(line.getBytes("UTF-8")) finally out.close()
+        val i = claimId()
+        try {
+          // claim-time orphan sweep: a crashed commit may have left an
+          // unmarked data dir at this id; clear it NOW, because
+          // writeSnapshotData's own sweep (correctly) skips ids carrying a
+          // staged marker — which this one is about to
+          if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
+            fs.delete(snapDir(i), true)
+          // the placeholder staged marker takes over holding the id (it is
+          // visible to nextId in every process); the claim releases after
+          val line = s"base|${partitionSpec().mkString(",")}|0|" +
+            s"${sortSpec().mkString(",")}|${esc("compacting")}|${System.currentTimeMillis()}"
+          val out = fs.create(stagedFile(i))
+          try out.write(line.getBytes("UTF-8")) finally out.close()
+        } finally releaseClaim(i)
         i
       }
       try {

@@ -652,4 +652,83 @@ class WarehouseSpec extends SparkSpec {
     assert(!debris.exists(), "expire cleans the staged marker too")
     assert(t.read().count() == 3)
   }
+
+  // Cross-process commit coordination (VERDICT r8 #4): two writers over
+  // one root that do NOT share the JVM-local commit lock — each gets a
+  // private lock object via the processLock test seam, so only the
+  // on-disk claim protocol separates them, exactly the two-driver BCDR
+  // replication topology. Pre-r9 this threw IllegalStateException on the
+  // first id collision; now both fleets of appends must land, every row
+  // exactly once, no exception.
+  test("two 'processes' sharing one root: all appends land via the claim protocol") {
+    val root = freshRoot("xproc")
+    val boot = new SnapshotTable(spark, root)
+    boot.createOrReplace(Seq((0L, "seed")).toDF("id", "v"))
+    val n = 12
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def writerThread(proc: Int): Thread = new Thread(() => try {
+      // own lock object = no JVM-level serialization against the other
+      val t = new SnapshotTable(spark, root, processLock = Some(new Object))
+      for (i <- 1 to n)
+        t.append(Seq((proc * 1000L + i, s"p$proc-$i")).toDF("id", "v"))
+    } catch { case e: Throwable => errs.compareAndSet(null, e) })
+    val ws = Seq(writerThread(1), writerThread(2))
+    ws.foreach(_.start()); ws.foreach(_.join())
+    assert(errs.get() == null,
+      s"cross-process appends must coordinate, not throw: ${errs.get()}")
+    val got = boot.read().collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "a commit overwrote another's snapshot")
+    val want = Set(0L) ++ (1 to n).flatMap(i => Seq(1000L + i, 2000L + i)).toSet
+    assert(got.toSet == want,
+      s"lost appends: missing ${want -- got.toSet}, extra ${got.toSet -- want}")
+    assert(boot.snapshots().count(_._2 == "append") == 2 * n)
+    // no claim debris after clean commits
+    val leftover = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.contains(".claim."))
+    assert(leftover.isEmpty, s"claims must release on commit: ${leftover.toSeq}")
+  }
+
+  test("two 'processes': appends under a concurrent foreign compaction coordinate too") {
+    val root = freshRoot("xproc2")
+    val boot = new SnapshotTable(spark, root)
+    boot.createOrReplace(Seq((0L, "seed")).toDF("id", "v"))
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => try {
+      val t = new SnapshotTable(spark, root, processLock = Some(new Object))
+      for (i <- 1 to 8) t.append(Seq((i.toLong, s"a$i")).toDF("id", "v"))
+    } catch { case e: Throwable => errs.compareAndSet(null, e) })
+    val compactor = new Thread(() => try {
+      val t = new SnapshotTable(spark, root, processLock = Some(new Object))
+      for (_ <- 1 to 3) { t.compact(); Thread.sleep(30) }
+    } catch { case e: Throwable => errs.compareAndSet(null, e) })
+    appender.start(); compactor.start()
+    appender.join(); compactor.join()
+    assert(errs.get() == null, s"got ${errs.get()}")
+    val got = boot.read().collect().map(_.getLong(0)).toSet
+    assert(got == (0L to 8L).toSet,
+      s"foreign compaction swallowed appends: missing ${(0L to 8L).toSet -- got}")
+  }
+
+  test("sweepStaleClaims reaps abandoned claims and their orphan dirs, spares live ones") {
+    val root = freshRoot("sweep")
+    val t = new SnapshotTable(spark, root)
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crashed writer: stale claim + half-written markerless dir
+    val claim = new java.io.File(root, "snap-00009.claim.deadbeef")
+    val w = new java.io.PrintWriter(claim); try w.write("deadbeef") finally w.close()
+    new java.io.File(root, "snap-00009/part-0.parquet").getParentFile.mkdirs()
+    claim.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // and a FRESH claim (a live writer mid-commit) that must survive
+    val live = new java.io.File(root, "snap-00010.claim.cafebabe")
+    val w2 = new java.io.PrintWriter(live); try w2.write("cafebabe") finally w2.close()
+    assert(t.sweepStaleClaims() == 1)
+    assert(!claim.exists() && !new java.io.File(root, "snap-00009").exists(),
+      "stale claim and its orphan dir must be reaped")
+    assert(live.exists(), "a claim younger than the TTL must survive the sweep")
+    // parked ids: appends go PAST the live claim, nothing collides
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.currentSnapshotId.get == 11L,
+      s"append must skip claimed ids, landed at ${t.currentSnapshotId.get}")
+    assert(t.read().count() == 2)
+  }
 }
