@@ -33,6 +33,12 @@ import Q._
   * q121's serve cost reads directly against q119's train-in-query cost —
   * that delta is the entire point of the split (BENCH_NOTES).
   *
+  * The third lifecycle stage is [[addVectors]] — FAISS `index.add()`
+  * after `train()`: ingestion batches fold into the persisted index as
+  * cell-partitioned DELTA APPENDS, assigned and PQ-encoded against the
+  * FROZEN trained artifacts (q122 gates that the incremental path lands
+  * vectors exactly where from-scratch assignment would).
+  *
   * Correctness: q120 gates the BUILD — Spark reads the persisted artifacts
   * while the DuckDB oracle re-derives the full training from the raw
   * corpus from scratch; a green row proves persisted == re-trained,
@@ -62,17 +68,31 @@ object AnnIndex {
   private def tbl(s: SparkSession, root: String, name: String) =
     new SnapshotTable(s, s"$root/$name")
 
+  /** Restrict a dialect's corpus `parts` to rows passing `pred` (over
+    * `vec_id`) — how the incremental-add gate carves an "initial corpus"
+    * out of the generated one. `TRUE` = the whole corpus. */
+  private def filteredParts(parts: String, pred: String): String =
+    if (pred == "TRUE") parts
+    else s"SELECT * FROM ($parts) fp WHERE $pred"
+
   /** The coarse-quantizer training exactly as the gated in-query pipeline
     * (q118/q119) runs it — exposed so the spec can assert the PERSISTED
     * centroids are that training verbatim, not a lookalike. */
-  private[graft] def inQueryCoarseCentsSql: String =
-    s"WITH ${Similarity.pqTrainCtes(Similarity.sparkClust, "i_")}\n" +
+  private[graft] def inQueryCoarseCentsSql: String = coarseCentsSql("TRUE")
+
+  private def coarseCentsSql(pred: String): String =
+    s"WITH ${Similarity.pqTrainCtes(
+        Similarity.sparkClust.copy(
+          parts = filteredParts(Similarity.sparkClust.parts, pred)), "i_")}\n" +
       "SELECT CAST(k AS INT) AS cell, cvec FROM i_cents2"
 
   /** Build (or rebuild) the index at `root` from the clustered corpus of
-    * `dir`'s embeddings table. Deterministic: same corpus → bit-identical
-    * artifacts. Registers `pidx_*` temp views over the persisted tables. */
-  def build(s: SparkSession, dir: String, root: String): Unit = synchronized {
+    * `dir`'s embeddings table — restricted to vectors passing `pred`
+    * ([[addVectors]] folds the rest in later without retraining).
+    * Deterministic: same corpus → bit-identical artifacts. Registers
+    * `pidx_*` temp views over the persisted tables. */
+  def build(s: SparkSession, dir: String, root: String,
+            pred: String = "TRUE"): Unit = synchronized {
     graft.functions.GraftFunctions.register(s)
     val p = new Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -82,14 +102,14 @@ object AnnIndex {
     //    (q118's exact chain — init = vectors 0..7, 2 decimal-exact Lloyd
     //    iterations)
     val cents = tbl(s, root, "ivf_cents")
-    cents.createOrReplace(s.sql(inQueryCoarseCentsSql))
+    cents.createOrReplace(s.sql(coarseCentsSql(pred)))
     cents.read().createOrReplaceTempView("pidx_cents")
     // 2. the corpus, assigned against the PERSISTED centroids and laid out
     //    hive-partitioned by cell — the layout that makes probe-scoped
     //    scans and the re-rank fetch partition-pruned point lookups
     val vecs = tbl(s, root, "vectors")
     vecs.createOrReplace(s.sql(
-      s"""WITH corpus AS (${Similarity.sparkClust.parts}),
+      s"""WITH corpus AS (${filteredParts(Similarity.sparkClust.parts, pred)}),
          |asg AS (
          |  SELECT vec_id, sub, cell FROM (
          |    SELECT p.vec_id, p.sub, c.cell,
@@ -152,6 +172,57 @@ object AnnIndex {
       tbl(s, root, "pq_cents").read().createOrReplaceTempView("pidx_pq")
       tbl(s, root, "codes").read().createOrReplaceTempView("pidx_codes")
     }
+  }
+
+  /** INCREMENTAL ADD — FAISS `index.add()` after `train()`: fold the
+    * corpus vectors passing `pred` into the persisted index WITHOUT
+    * touching the trained artifacts. New vectors are assigned to their
+    * nearest PERSISTED centroid and PQ-encoded against the PERSISTED
+    * codebooks (centroids and codebooks are frozen at train time — the
+    * defining FAISS add semantic), then APPENDED to the cell-partitioned
+    * `vectors` and `codes` tables as delta snapshots: at 100 TB an
+    * ingestion batch writes only its own rows, never rewrites the
+    * inverted lists, and the cell layout it lands in keeps probe-scoped
+    * scans partition-pruned. Returns the number of vectors added. */
+  def addVectors(s: SparkSession, dir: String, root: String,
+                 pred: String): Long = synchronized {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val vecs = tbl(s, root, "vectors")
+    val codes = tbl(s, root, "codes")
+    // assign the delta against the persisted coarse quantizer (8-row
+    // broadcast), land it in the cell layout
+    val delta = s.sql(
+      s"""WITH dparts AS (${filteredParts(Similarity.sparkClust.parts, pred)}),
+         |asg AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT p.vec_id, p.sub, c.cell,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${Similarity.sparkClust.l2("p.sub", "c.cvec")}, c.cell) AS rn
+         |    FROM dparts p CROSS JOIN pidx_cents c) x
+         |  WHERE rn = 1)
+         |SELECT cell, vec_id, sub AS vec FROM asg""".stripMargin)
+    delta.createOrReplaceTempView("pidx_delta")
+    vecs.append(delta)
+    // encode the delta's residuals against the persisted codebooks —
+    // reads ONLY the delta view + the two tiny trained tables
+    codes.append(s.sql(
+      s"""WITH rres AS (
+         |  SELECT v.vec_id, v.cell,
+         |         ${Similarity.sparkRes.zipSub("v.vec", "c.cvec")} AS res
+         |  FROM pidx_delta v JOIN pidx_cents c ON v.cell = c.cell),
+         |rparts AS (${Similarity.sparkRes.sliceParts("rres", "vec_id, cell")})
+         |SELECT cell, vec_id AS n_id, m, CAST(k AS INT) AS code FROM (
+         |  SELECT p.vec_id, p.cell, p.m, c.k,
+         |         row_number() OVER (PARTITION BY p.vec_id, p.m
+         |           ORDER BY ${Similarity.sparkPq.l2("p.sub", "c.cvec")}, c.k) AS rn
+         |  FROM rparts p JOIN pidx_pq c ON p.m = c.m) y
+         |WHERE rn = 1""".stripMargin))
+    // refresh the views: the pre-add registrations snapshot the pre-add
+    // table plans
+    vecs.read().createOrReplaceTempView("pidx_vectors")
+    codes.read().createOrReplaceTempView("pidx_codes")
+    delta.count()
   }
 
   // ── the serve pipeline, one template rendered per engine ──────────────
@@ -276,31 +347,38 @@ object AnnIndex {
       sliceParts = Similarity.duckRes.sliceParts)
   }
 
-  /** q120's oracle: re-derive the ENTIRE index — coarse training, cell
-    * assignment, residuals, PQ training, codes — from the raw corpus from
-    * scratch, and summarize it exactly as the Spark side summarizes the
-    * PERSISTED artifacts. Green row = what is on disk is what from-scratch
-    * training produces, cross-engine. */
-  private def buildOracle: String = {
+  /** q120/q122's oracle: re-derive the ENTIRE index from the raw corpus
+    * from scratch — coarse + PQ training restricted to the vectors
+    * passing `trainPred` (the "initial corpus"; `TRUE` = all of it),
+    * assignment/residuals/codes over EVERY vector against those trained
+    * artifacts — and summarize it exactly as the Spark side summarizes
+    * the PERSISTED artifacts. Green row = what is on disk (including any
+    * incrementally-added deltas) is what training-then-adding produces,
+    * cross-engine. */
+  private def buildOracleFor(trainPred: String): String = {
     val iv = Similarity.duckClust
     val pq = Similarity.duckPq
     val res = Similarity.duckRes
-    s"""WITH ${Similarity.pqTrainCtes(iv, "i_")},
+    val ivTrain = iv.copy(parts = filteredParts(iv.parts, trainPred))
+    s"""WITH ${Similarity.pqTrainCtes(ivTrain, "i_")},
+       |allparts AS (${iv.parts}),
        |rasg AS (
        |  SELECT vec_id, sub, k AS cell, cvec FROM (
        |    SELECT p.vec_id, p.sub, c.k, c.cvec,
        |           row_number() OVER (PARTITION BY p.vec_id
        |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
-       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |    FROM allparts p JOIN i_cents2 c ON p.m = c.m) x
        |  WHERE rn = 1),
        |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
-       |${Similarity.pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+       |tres AS (SELECT * FROM rres WHERE $trainPred),
+       |${Similarity.pqTrainCtes(pq.copy(parts = res.sliceParts("tres", "vec_id")), "p_")},
+       |aslices AS (${res.sliceParts("rres", "vec_id")}),
        |codes AS (
        |  SELECT vec_id AS n_id, m, k AS code FROM (
        |    SELECT p.vec_id, p.m, c.k,
        |           row_number() OVER (PARTITION BY p.vec_id, p.m
        |             ORDER BY ${pq.l2("p.sub", "c.cvec")}, c.k) AS rn
-       |    FROM p_parts p JOIN p_cents2 c ON p.m = c.m) y
+       |    FROM aslices p JOIN p_cents2 c ON p.m = c.m) y
        |  WHERE rn = 1)
        |SELECT 'ivf_cent' AS artifact, CAST(0 AS INT) AS m, CAST(k AS INT) AS k,
        |       ROUND(list_reduce(cvec, (x, y) -> x + y), 6) AS val
@@ -318,6 +396,25 @@ object AnnIndex {
        |ORDER BY artifact, m, k""".stripMargin
   }
 
+  /** The Spark-side artifact summary over the persisted `pidx_*` tables —
+    * centroid component sums, code histograms, cell occupancies — shared
+    * by q120 (post-build) and q122 (post-incremental-add). */
+  private def persistedSummarySql: String =
+    s"""SELECT 'ivf_cent' AS artifact, CAST(0 AS INT) AS m, cell AS k,
+       |       ROUND(aggregate(cvec, CAST(0 AS DOUBLE), (a, x) -> a + x), 6) AS val
+       |FROM pidx_cents
+       |UNION ALL
+       |SELECT 'pq_cent', m, k,
+       |       ROUND(aggregate(cvec, CAST(0 AS DOUBLE), (a, x) -> a + x), 6)
+       |FROM pidx_pq
+       |UNION ALL
+       |SELECT 'code_hist', m, code, CAST(count(*) AS DOUBLE)
+       |FROM pidx_codes GROUP BY m, code
+       |UNION ALL
+       |SELECT 'vec_cell', CAST(0 AS INT), cell, CAST(count(*) AS DOUBLE)
+       |FROM pidx_vectors GROUP BY cell
+       |ORDER BY artifact, m, k""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // The index-BUILD job: always a fresh build (this is the timed "train
     // + add" cost the serve path amortizes away), then a summary of the
@@ -328,21 +425,33 @@ object AnnIndex {
       val root = defaultRoot(dir)
       build(s, dir, root)
       lastRoot = root
-      s.sql(
-        s"""SELECT 'ivf_cent' AS artifact, CAST(0 AS INT) AS m, cell AS k,
-           |       ROUND(aggregate(cvec, CAST(0 AS DOUBLE), (a, x) -> a + x), 6) AS val
-           |FROM pidx_cents
-           |UNION ALL
-           |SELECT 'pq_cent', m, k,
-           |       ROUND(aggregate(cvec, CAST(0 AS DOUBLE), (a, x) -> a + x), 6)
-           |FROM pidx_pq
-           |UNION ALL
-           |SELECT 'code_hist', m, code, CAST(count(*) AS DOUBLE)
-           |FROM pidx_codes GROUP BY m, code
-           |UNION ALL
-           |SELECT 'vec_cell', CAST(0 AS INT), cell, CAST(count(*) AS DOUBLE)
-           |FROM pidx_vectors GROUP BY cell
-           |ORDER BY artifact, m, k""".stripMargin)
+      s.sql(persistedSummarySql)
+    },
+
+    // The incremental-ADD job (FAISS train-then-add): build the index on
+    // 6/7 of the corpus, fold the held-out 1/7 in via addVectors — delta
+    // appends against FROZEN artifacts, no retraining anywhere — then
+    // summarize the persisted post-add state. The oracle re-derives it as
+    // train-on-initial + assign/encode-everything; a green row proves the
+    // incremental path lands vectors EXACTLY where a from-scratch add
+    // would. Scan-shape gates require the adds were true delta appends.
+    "q122_index_incremental_add" -> { (s, dir) =>
+      val root = defaultRoot(dir) + "-incr"
+      build(s, dir, root, pred = "vec_id % 7 <> 3")
+      val added = addVectors(s, dir, root, "vec_id % 7 = 3")
+      require(added > 0, "q122 expects a non-empty delta")
+      val vecs = tbl(s, root, "vectors")
+      val codes = tbl(s, root, "codes")
+      for ((t, nRowsPerVec) <- Seq((vecs, 1L), (codes, 4L))) {
+        require(t.snapshots().map(_._2) == Seq("base", "append"),
+          s"q122 expects one delta append on ${t.root}, got ${t.snapshots()}")
+        // metadata-only: the append snapshot carries exactly the delta
+        val total = t.rowCountFromMetadata
+        val corpus = s.table("embeddings").count()
+        require(total.contains(corpus * nRowsPerVec),
+          s"q122 post-add row count: expected ${corpus * nRowsPerVec}, got $total")
+      }
+      s.sql(persistedSummarySql)
     },
 
     // The SERVE path: no training anywhere in the plan — probes, LUTs,
@@ -376,6 +485,7 @@ object AnnIndex {
     })
 
   def oracle: Map[String, String] = Map(
-    "q120_index_build" -> buildOracle,
-    "q121_ivfpq_persisted" -> serveSql(duckRefs(lastRoot)))
+    "q120_index_build" -> buildOracleFor("TRUE"),
+    "q121_ivfpq_persisted" -> serveSql(duckRefs(lastRoot)),
+    "q122_index_incremental_add" -> buildOracleFor("vec_id % 7 <> 3"))
 }

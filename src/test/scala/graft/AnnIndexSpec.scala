@@ -63,6 +63,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(df.select("cell").distinct().collect().map(_.getInt(0)).toSeq === Seq(cells.head))
   }
 
+  test("incremental add: frozen artifacts, delta appends, immediately searchable") {
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root, pred = "vec_id % 7 <> 3")
+    val trainedCents = centsOf(root)
+    val pqBefore = new SnapshotTable(spark, s"$root/pq_cents").currentSnapshotId.get
+    val added = AnnIndex.addVectors(spark, sfDir, root, "vec_id % 7 = 3")
+    assert(added > 0)
+    // FAISS add semantics: training artifacts untouched by the add
+    assert(centsOf(root) === trainedCents, "add must not retrain the coarse quantizer")
+    assert(new SnapshotTable(spark, s"$root/pq_cents").currentSnapshotId.get === pqBefore,
+      "add must not touch the PQ codebooks")
+    // delta landed cell-partitioned: a single-cell read prunes files even
+    // though it now spans the base AND the append snapshot
+    val vecs = new SnapshotTable(spark, s"$root/vectors")
+    val addedCell = vecs.read().where(s"vec_id % 7 = 3")
+      .select("cell").limit(1).collect().head.getInt(0)
+    val (df, plan) = vecs.readPruned(Seq(ColRange("cell", Some(addedCell), Some(addedCell))))
+    assert(plan.filesKept < plan.filesTotal,
+      s"post-add single-cell read must still prune: kept ${plan.filesKept}/${plan.filesTotal}")
+    assert(df.where("vec_id % 7 = 3").count() > 0,
+      "added vectors must be visible in their cell partition")
+    // codes grew by exactly 4 rows per added vector, as one append
+    val codes = new SnapshotTable(spark, s"$root/codes")
+    assert(codes.snapshots().map(_._2) === Seq("base", "append"))
+    assert(codes.read().where("n_id % 7 = 3").count() === added * 4)
+  }
+
   test("serve output: 4 queries, refine never loses recall vs ADC-only") {
     val rows = SparkEntry.queries("q121_ivfpq_persisted")(spark, sfDir)
       .collect()
