@@ -37,6 +37,7 @@ final class SnapshotTable(
   private def snapDir(id: Long): Path = new Path(root, f"snap-$id%05d")
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
   private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
+  private def exclFile(id: Long): Path = new Path(root, f"snap-$id%05d.excl")
   private def stagedFile(id: Long): Path = new Path(root, f"snap-$id%05d.staged")
   private def claimFile(id: Long, writer: String): Path =
     new Path(root, f"snap-$id%05d.claim.$writer")
@@ -46,7 +47,10 @@ final class SnapshotTable(
     * row count, sort cols, free-form commit note, commit wall time);
     * trailing fields are optional so pre-upgrade markers still parse.
     * Kinds: `base` (full rewrite), `append` (delta), `spec` (partition/
-    * sort spec evolution — a marker-only commit with NO data dir). */
+    * sort spec evolution — a marker-only commit with NO data dir), `cow`
+    * (file-pruned copy-on-write DML: its data dir REPLACES the files its
+    * `.excl` sidecar lists — Iceberg RewriteFiles granularity, so a
+    * DELETE of one key rewrites one file, not 100 TB). */
   private final case class SnapMeta(id: Long, kind: String, parts: Seq[String],
                                     rows: Option[Long], sort: Seq[String],
                                     note: Option[String], ts: Option[Long])
@@ -83,6 +87,44 @@ final class SnapshotTable(
     val snaps = metas().takeWhile(_.id <= id)
     snaps.drop(snaps.lastIndexWhere(_.kind == "base")).filterNot(_.kind == "spec")
   }
+
+  /** A `cow` snapshot's replaced-file manifest (the `.excl` sidecar):
+    * root-relative paths of the data files its dir supersedes, plus their
+    * total row/byte counts (recorded at commit from parquet footers, so
+    * metadata-only readers — [[rowCountFromMetadata]],
+    * [[sizeInBytesFromMetadata]] — never re-derive them from data). */
+  private final case class Exclusion(paths: Set[String], rows: Long, bytes: Long)
+
+  private def readExclusion(id: Long): Option[Exclusion] =
+    if (!fs.exists(exclFile(id))) None
+    else {
+      val in = fs.open(exclFile(id))
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val lines = txt.split('\n').filter(_.nonEmpty).toSeq
+      val head = lines.head.split('|')
+      Some(Exclusion(lines.tail.toSet,
+        head(0).stripPrefix("rows=").toLong, head(1).stripPrefix("bytes=").toLong))
+    }
+
+  private def writeExclusion(id: Long, rels: Seq[String], rows: Long,
+                             bytes: Long): Unit = {
+    val out = fs.create(exclFile(id), true)
+    try out.write((s"rows=$rows|bytes=$bytes\n" + rels.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Union of the files REPLACED by the chain's `cow` members, as
+    * root-relative paths — the files every read of this chain must skip. */
+  private def chainExclusions(chain: Seq[SnapMeta]): Set[String] =
+    chain.filter(_.kind == "cow")
+      .flatMap(m => readExclusion(m.id).map(_.paths).getOrElse(Set.empty)).toSet
+
+  private def qualifiedRoot: String = fs.makeQualified(new Path(root)).toString
+
+  /** Root-relative form of a fully-qualified data-file path. */
+  private def relToRoot(full: String): String =
+    full.stripPrefix(qualifiedRoot).stripPrefix("/")
 
   /** The commit note of every snapshot that carries one, ascending by id —
     * e.g. the `batch=<id>` markers [[graft.streaming.WarehouseIngest]]
@@ -514,7 +556,14 @@ final class SnapshotTable(
     if (baseIdx < 0) return None
     val contributing = ms.drop(baseIdx)
     if (contributing.exists(_.rows.isEmpty)) None
-    else Some(contributing.map(_.rows.get).sum)
+    else {
+      // a cow contributes its rewritten rows MINUS the rows of the files
+      // it replaced (recorded in its .excl sidecar at commit time)
+      val excluded = contributing.filter(_.kind == "cow").map { m =>
+        readExclusion(m.id).map(_.rows).getOrElse(return None)
+      }.sum
+      Some(contributing.map(_.rows.get).sum - excluded)
+    }
   }
 
   /** COUNT(*): metadata when available, else one scan (legacy snapshots). */
@@ -527,7 +576,9 @@ final class SnapshotTable(
     * relations, so thresholds are directly comparable). None when the
     * table doesn't exist. */
   def sizeInBytesFromMetadata: Option[Long] = currentSnapshotId.map { id =>
-    dataChainAt(id).map(m => fs.getContentSummary(snapDir(m.id)).getLength).sum
+    val chain = dataChainAt(id)
+    chain.map(m => fs.getContentSummary(snapDir(m.id)).getLength).sum -
+      chain.filter(_.kind == "cow").flatMap(m => readExclusion(m.id)).map(_.bytes).sum
   }
 
   /** CREATE OR REPLACE TABLE AS (D7): new `base` snapshot; history is kept.
@@ -664,11 +715,46 @@ final class SnapshotTable(
     * mixed snapshot-dir/partition-dir layout as conflicting structures). */
   def asOf(id: Long): DataFrame = {
     require(metas().exists(_.id <= id), s"no snapshot ≤ $id at $root")
+    val chain = dataChainAt(id)
+    val excl = chainExclusions(chain)
     // allowMissingColumns = Iceberg-style schema evolution: an append may
     // carry columns older snapshots lack (read as NULL there) and vice
     // versa — adding a column never rewrites history
-    dataChainAt(id).map(s => spark.read.parquet(snapDir(s.id).toString))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (excl.isEmpty)
+      // fast path (no cow in chain): whole-dir reads, zero file listings
+      chain.map(s => spark.read.parquet(snapDir(s.id).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // a cow replaced files inside earlier dirs: each dir reads its
+      // surviving file list (basePath keeps hive partition columns)
+      val perDir = chain.flatMap { s =>
+        val dir = fs.makeQualified(snapDir(s.id)).toString
+        val files = listParquet(snapDir(s.id)).filterNot(f => excl(relToRoot(f)))
+        if (files.isEmpty) None
+        else Some(spark.read.option("basePath", dir).parquet(files: _*))
+      }
+      if (perDir.nonEmpty) perDir.reduce(_.unionByName(_, allowMissingColumns = true))
+      else {
+        // every row rewritten away: schema from a replaced file (still on
+        // disk — exclusion never deletes, expireSnapshots does)
+        val any = excl.head
+        val dir = qualifiedRoot + "/" + any.takeWhile(_ != '/')
+        spark.read.option("basePath", dir).parquet(qualifiedRoot + "/" + any).limit(0)
+      }
+    }
+  }
+
+  /** Fully-qualified paths of every data file under a snapshot dir. */
+  private def listParquet(dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += fs.makeQualified(f.getPath).toString
+    }
+    out.result()
   }
 
   /** Time travel by WALL CLOCK (Iceberg `TIMESTAMP AS OF`): the table
@@ -827,7 +913,10 @@ final class SnapshotTable(
   def appendsBetween(sinceId: Long, endId: Long,
                      ignoreReplaces: Boolean = false): DataFrame = {
     val range = metas().filter(m => m.id > sinceId && m.id <= endId)
-    val rewrites = range.filter(m => m.kind == "base" && !m.note.contains("compact"))
+    // a cow DML (file-pruned DELETE/UPDATE/MERGE) removes or rewrites rows
+    // the tail may already have emitted — refuse exactly like a REPLACE
+    val rewrites = range.filter(m =>
+      (m.kind == "base" && !m.note.contains("compact")) || m.kind == "cow")
     if (rewrites.nonEmpty && !ignoreReplaces)
       throw new IllegalStateException(
         s"snapshot(s) ${rewrites.map(_.id).mkString(", ")} rewrote table $root " +
@@ -928,15 +1017,17 @@ final class SnapshotTable(
     val kept = Seq.newBuilder[(String, Seq[String])]
     var nKept = 0
     var nTotal = 0
-    val liveIds = currentSnapshotId.toSeq.flatMap(id => dataChainAt(id).map(_.id))
-    liveIds.foreach { id =>
+    val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
+    val excluded = chainExclusions(chain)
+    chain.map(_.id).foreach { id =>
       val dir = fs.makeQualified(snapDir(id)).toString
       val stats = readStatsSidecar(id)
       val it = fs.listFiles(snapDir(id), true)
       val files = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) {
+        if (f.getPath.getName.endsWith(".parquet") &&
+            !excluded(relToRoot(fs.makeQualified(f.getPath).toString))) {
           nTotal += 1
           val full = fs.makeQualified(f.getPath).toString
           val rel = full.stripPrefix(dir).stripPrefix("/")
@@ -1030,54 +1121,177 @@ final class SnapshotTable(
     }
   }
 
-  /** DELETE FROM ... WHERE cond (D5) — copy-on-write, returns rows deleted.
-    * ONE data scan (the rewrite itself): the before/after counts both come
-    * from snapshot metadata, not extra scans (VERDICT r2 "What's wrong" #3). */
-  def delete(cond: org.apache.spark.sql.Column): Long = {
-    val parts = partitionSpec()
-    val prev = count() // metadata; falls back to a scan only for legacy tables
-    commit(read().filter(!cond), "base", parts, sortSpec())
-    prev - count() // the new snapshot always carries its footer count
+  /** Exact row count of one data file from its parquet footer — metadata
+    * I/O only, no Spark job (the cow commit records replaced-row counts
+    * with it, so metadata COUNT(*) stays scan-free across DML). */
+  private def footerRowCount(file: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(file), spark.sparkContext.hadoopConfiguration))
+    try r.getRecordCount finally r.close()
   }
 
-  /** UPDATE ... SET col = value WHERE cond (D6) — copy-on-write. */
-  def update(cond: org.apache.spark.sql.Column,
-             sets: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.when
-    val parts = partitionSpec()
-    val cur = read()
-    val updated = sets.foldLeft(cur) { case (df, (c, v)) =>
-      df.withColumn(c, when(cond, v).otherwise(df(c)))
+  /** FILE-PRUNED copy-on-write — the engine under DELETE/UPDATE/MERGE
+    * (Iceberg RewriteFiles semantics). `filters` (from
+    * [[FilterRanges.extract]] or the MERGE key hull) select, from
+    * metadata alone, the files that CAN hold affected rows; only those
+    * are read, transformed, and rewritten into the new snapshot dir; the
+    * commit's `.excl` sidecar marks them replaced. Untouched files —
+    * at 100 TB, almost all of them — are carried by reference: a DELETE
+    * of one key rewrites one file, not the table.
+    *
+    * Concurrency follows [[compact]]'s optimistic loop: the heavy rewrite
+    * runs OUTSIDE the commit lock under a claimed id + placeholder staged
+    * marker, then validates at commit that the head hasn't moved (an
+    * append landing mid-rewrite may hold matching rows this rewrite never
+    * saw — the plan is stale, discard and retry on the longer chain).
+    *
+    * Returns (snapshotId, plan, replacedRows, rewrittenRows);
+    * snapshotId = -1 for the metadata-only no-op (no file can match and
+    * `emptyPlanIsNoop`). */
+  private def cowRewrite(filters: Seq[ColRange], note: String,
+                         emptyPlanIsNoop: Boolean)
+                        (transform: DataFrame => DataFrame): (Long, ScanPlan, Long, Long) = {
+    writeGuard()
+    require(exists, s"DML on non-existent table at $root")
+    var out: Option[(Long, ScanPlan, Long, Long)] = None
+    var attempts = 0
+    while (out.isEmpty) {
+      attempts += 1
+      if (attempts > 50) throw new IllegalStateException(
+        s"cow rewrite of $root lost the commit race $attempts times — writer storm?")
+      val head = currentSnapshotId.get
+      val plan = planFiles(filters)
+      if (plan.filesKept == 0 && emptyPlanIsNoop) return (-1L, plan, 0L, 0L)
+      val touched =
+        if (plan.filesKept == 0) read().limit(0) // MERGE into no matching file: pure insert
+        else plan.files.map { case (dir, fl) =>
+          spark.read.option("basePath", dir).parquet(fl: _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val rewritten = transform(touched)
+      val id = withCommitLock {
+        val i = claimId()
+        try {
+          if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
+            fs.delete(snapDir(i), true)
+          // placeholder staged marker holds the id across the rewrite
+          // (invisible to readers AND to the WAP surface — only wap= notes
+          // list in stagedSnapshots)
+          val line = s"cow|${partitionSpec().mkString(",")}|0|" +
+            s"${sortSpec().mkString(",")}|${esc("rewriting")}|${System.currentTimeMillis()}"
+          val o = fs.create(stagedFile(i))
+          try o.write(line.getBytes("UTF-8")) finally o.close()
+        } finally releaseClaim(i)
+        i
+      }
+      try {
+        val rows = writeSnapshotData(rewritten, id, partitionSpec(), sortSpec())
+        val replaced = plan.files.flatMap(_._2)
+        val exclRows = replaced.map(footerRowCount).sum
+        val exclBytes = replaced.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+        withCommitLock {
+          if (currentSnapshotId.get == head) {
+            // excl sidecar BEFORE the marker: the marker rename is the
+            // commit point, so no reader ever sees a cow without its
+            // replaced-file manifest
+            writeExclusion(id, replaced.map(relToRoot), exclRows, exclBytes)
+            writeMarker(id, "cow", partitionSpec(), rows, sortSpec(), Some(note))
+            fs.delete(stagedFile(id), false)
+            out = Some((id, plan, exclRows, rows))
+          } else {
+            fs.delete(snapDir(id), true)
+            fs.delete(statsFile(id), false)
+            fs.delete(stagedFile(id), false)
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          fs.delete(snapDir(id), true)
+          fs.delete(statsFile(id), false)
+          fs.delete(stagedFile(id), false)
+          fs.delete(exclFile(id), false)
+          throw e
+      }
     }
-    commit(updated, "base", parts, sortSpec())
-    currentSnapshotId.get
+    out.get
+  }
+
+  /** DELETE FROM ... WHERE cond (D5) — file-pruned copy-on-write, returns
+    * rows deleted. The predicate's extractable bounds prune the rewrite to
+    * overlapping files from metadata alone; row counts come from footers
+    * recorded at commit, never an extra table scan. */
+  def delete(cond: org.apache.spark.sql.Column): Long = deletePruned(cond)._1
+
+  /** [[delete]] plus the metadata scan plan it rewrote under — callers
+    * assert pruning with it (filesKept = files rewritten). */
+  def deletePruned(cond: org.apache.spark.sql.Column): (Long, ScanPlan) = {
+    val (_, plan, replaced, written) =
+      cowRewrite(FilterRanges.extract(cond), "delete", emptyPlanIsNoop = true)(
+        _.filter(!cond))
+    (replaced - written, plan)
+  }
+
+  /** UPDATE ... SET col = value WHERE cond (D6) — file-pruned
+    * copy-on-write: only files whose stats overlap the predicate are
+    * rewritten (rows in them that miss the predicate are carried through
+    * unchanged). Returns the committed snapshot id. */
+  def update(cond: org.apache.spark.sql.Column,
+             sets: Map[String, org.apache.spark.sql.Column]): Long =
+    updatePruned(cond, sets)._1
+
+  def updatePruned(cond: org.apache.spark.sql.Column,
+                   sets: Map[String, org.apache.spark.sql.Column]): (Long, ScanPlan) = {
+    import org.apache.spark.sql.functions.when
+    val (id, plan, _, _) =
+      cowRewrite(FilterRanges.extract(cond), "update", emptyPlanIsNoop = true) { df =>
+        sets.foldLeft(df) { case (d, (c, v)) =>
+          d.withColumn(c, when(cond, v).otherwise(d(c)))
+        }
+      }
+    (if (id >= 0) id else currentSnapshotId.get, plan)
   }
 
   /** MERGE INTO (upsert): every `source` row replaces the current row with
-    * the same key; unmatched source rows are inserted. The Iceberg/
-    * Snowflake MERGE the reference's DML surface stops short of, as one
-    * copy-on-write commit: target-side work is ONE anti-join against the
-    * (distinct) source keys — the standard COW MERGE plan, where the
-    * shuffle is keyed on the merge key and the only extra scan is of the
-    * source DELTA, never a second pass over the table. Duplicate-key
-    * sources are rejected up front (the engines' "nondeterministic MERGE"
-    * error). Returns (updatedRows, insertedRows). */
-  def merge(source: DataFrame, keys: Seq[String]): (Long, Long) = {
-    import org.apache.spark.sql.functions.col
-    // the source delta is referenced three times (count, key check, final
-    // union) — pin it so a derived source computes once, not per reference
+    * the same key; unmatched source rows are inserted. One file-pruned
+    * copy-on-write commit: the source keys' min/max hull prunes the
+    * target to files that CAN hold a match (metadata only), the kept
+    * files anti-join the (distinct) source keys — the standard COW MERGE
+    * plan, shuffle keyed on the merge key — and the rewrite carries
+    * survivors + the whole source. Files outside the hull — at 100 TB,
+    * nearly all — are never read. Duplicate-key sources are rejected up
+    * front (the engines' "nondeterministic MERGE" error). Returns
+    * (updatedRows, insertedRows). */
+  def merge(source: DataFrame, keys: Seq[String]): (Long, Long) =
+    mergePruned(source, keys)._1
+
+  def mergePruned(source: DataFrame, keys: Seq[String]): ((Long, Long), ScanPlan) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    // the source delta is referenced several times (count, key check, key
+    // hull, final union) — pin it so a derived source computes once
     val src = source.persist()
     try {
       val srcKeys = src.select(keys.map(col): _*)
       val srcTotal = srcKeys.count()
+      if (srcTotal == 0) // empty delta: nothing to match, nothing to insert
+        return ((0L, 0L), ScanPlan(Seq.empty, 0, 0))
       require(srcKeys.distinct().count() == srcTotal,
         s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
-      val parts = partitionSpec()
+      // per-key min/max hull over the source delta (one small agg job):
+      // a target file not overlapping EVERY key's hull cannot match
+      val hullRow = srcKeys.agg(
+        min(col(keys.head)), (keys.flatMap(k => Seq(min(col(k)), max(col(k)))).drop(1)): _*
+      ).head()
+      val ranges = keys.zipWithIndex.map { case (k, i) =>
+        ColRange(k, Option(hullRow.get(2 * i)), Option(hullRow.get(2 * i + 1)))
+      }
       val prev = count()
-      val kept = read().join(srcKeys, keys, "left_anti")
-      commit(kept.unionByName(src), "base", parts, sortSpec())
+      val (_, plan, _, _) =
+        cowRewrite(ranges, "merge", emptyPlanIsNoop = false) { touched =>
+          touched.join(srcKeys, keys, "left_anti").unionByName(src)
+        }
       val inserted = count() - prev
-      (srcTotal - inserted, inserted)
+      ((srcTotal - inserted, inserted), plan)
     } finally src.unpersist(blocking = false)
   }
 
@@ -1100,6 +1314,7 @@ final class SnapshotTable(
       fs.delete(snapDir(m.id), true)
       fs.delete(metaFile(m.id), false)
       fs.delete(statsFile(m.id), false)
+      fs.delete(exclFile(m.id), false)
       // a crashed publish can leave .meta + .staged both present; dropping
       // only the .meta would re-enter the id into stagedIds() permanently
       fs.delete(stagedFile(m.id), false)

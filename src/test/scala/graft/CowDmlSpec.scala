@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.warehouse.{ColRange, FilterRanges, SnapshotTable}
+
+/** File-pruned copy-on-write DML (VERDICT r8's scale follow-through on the
+  * DML surface): DELETE/UPDATE/MERGE must rewrite ONLY the files whose
+  * recorded stats overlap the predicate — Iceberg RewriteFiles
+  * granularity — and commit a `cow` snapshot whose `.excl` sidecar
+  * supersedes the replaced files, so a one-key DELETE on a 100 TB table
+  * rewrites one file, not the table. */
+class CowDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/$name"
+
+  /** An 8-file table with disjoint id ranges per file (range-partitioned,
+    * sorted, stats recorded at commit) — the pruning substrate. */
+  private def eightFiles(name: String): SnapshotTable = {
+    val t = new SnapshotTable(spark, freshRoot(name))
+    val df = spark.range(800).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id")))
+      .repartitionByRange(8, col("id"))
+    t.createOrReplace(df, sortBy = Seq("id"))
+    t
+  }
+
+  test("DELETE rewrites only stat-overlapping files; replaced rows drop from metadata") {
+    val t = eightFiles("cow-del")
+    val (removed, plan) = t.deletePruned(col("id") >= lit(100L) && col("id") < lit(200L))
+    assert(removed === 100L)
+    assert(plan.filesTotal === 8)
+    assert(plan.filesKept <= 2,
+      s"a 1/8-range DELETE must rewrite ≤2 of 8 range-disjoint files, rewrote ${plan.filesKept}")
+    assert(t.snapshots().map(_._2) === Seq("base", "cow"))
+    // metadata count: gross rows minus the .excl sidecar's replaced rows
+    assert(t.rowCountFromMetadata.contains(700L))
+    assert(t.read().count() === 700L)
+    assert(t.read().filter(col("id") >= 100 && col("id") < 200).count() === 0L)
+    // survivors of the touched file(s) carried through
+    assert(t.read().filter(col("id") < 100).count() === 100L)
+  }
+
+  test("DELETE with an unmatched range is a metadata-only no-op (no commit)") {
+    val t = eightFiles("cow-noop")
+    val (removed, plan) = t.deletePruned(col("id") > lit(10000L))
+    assert(removed === 0L)
+    assert(plan.filesKept === 0)
+    assert(t.snapshots().map(_._2) === Seq("base"), "no-op DELETE must not commit")
+  }
+
+  test("time travel reads the pre-DML state; compact clears exclusions") {
+    val t = eightFiles("cow-tt")
+    val s1 = t.currentSnapshotId.get
+    t.delete(col("id") < lit(100L))
+    assert(t.asOf(s1).count() === 800L, "excluded files still serve older snapshots")
+    assert(t.read().count() === 700L)
+    // compact folds the cow chain into one clean base; counts survive
+    t.compact()
+    assert(t.snapshots().last._2 === "base")
+    assert(t.rowCountFromMetadata.contains(700L))
+    assert(t.read().count() === 700L)
+    // post-compact planFiles sees only live files (no exclusions left)
+    val plan = t.planFiles(Seq(ColRange("id", Some(0L), Some(99L))))
+    assert(plan.files.flatMap(_._2).forall(_.contains(f"snap-${t.currentSnapshotId.get}%05d")))
+  }
+
+  test("UPDATE rewrites only overlapping files; untouched rows keep their values") {
+    val t = eightFiles("cow-upd")
+    val (_, plan) = t.updatePruned(
+      col("id") >= lit(300L) && col("id") <= lit(310L),
+      Map("v" -> lit("redacted")))
+    assert(plan.filesKept <= 2, s"narrow UPDATE rewrote ${plan.filesKept}/8 files")
+    val vs = t.read().filter(col("id").between(295, 315)).orderBy("id")
+      .select("v").as[String].collect()
+    assert(vs.count(_ == "redacted") === 11)
+    assert(t.read().filter(col("v") === "redacted").count() === 11L)
+    assert(t.read().count() === 800L, "UPDATE never changes cardinality")
+  }
+
+  test("MERGE prunes by the source key hull; all-new keys are a pure insert") {
+    val t = eightFiles("cow-merge")
+    // keys 50..59 live in file 0 only → hull [50, 59] prunes the other 7
+    val ((updated, inserted), plan) = t.mergePruned(
+      (50L to 59L).map(i => (i, s"u$i")).toDF("id", "v"), Seq("id"))
+    assert((updated, inserted) === (10L, 0L))
+    assert(plan.filesKept <= 2,
+      s"source hull [50, 59] must prune to the head file(s), rewrote ${plan.filesKept}/8")
+    val ((u1, i1), _) = t.mergePruned(
+      (9000L to 9004L).map(i => (i, s"n$i")).toDF("id", "v"), Seq("id"))
+    assert((u1, i1) === (0L, 5L))
+    assert(t.read().count() === 805L)
+    assert(t.read().filter(col("id") === 55).select("v").as[String].head() === "u55")
+    // a source entirely beyond the table's range: zero files rewritten,
+    // still one atomic cow commit carrying the inserts
+    val before = t.snapshots().size
+    val ((u2, i2), plan2) = t.mergePruned(
+      Seq((20000L, "x")).toDF("id", "v"), Seq("id"))
+    assert((u2, i2) === (0L, 1L))
+    assert(plan2.filesKept === 0)
+    assert(t.snapshots().size === before + 1)
+    assert(t.read().count() === 806L)
+  }
+
+  test("DELETE of every row leaves a readable empty table with its schema") {
+    val t = new SnapshotTable(spark, freshRoot("cow-empty"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val removed = t.delete(col("id") >= lit(0))
+    assert(removed === 2L)
+    assert(t.read().count() === 0L)
+    assert(t.read().columns.toSeq === Seq("id", "v"))
+    assert(t.rowCountFromMetadata.contains(0L))
+  }
+
+  test("a cow under a streaming tail refuses the delta read (like a REPLACE)") {
+    val t = new SnapshotTable(spark, freshRoot("cow-tail"))
+    t.createOrReplace(spark.range(100).toDF("id"))
+    val s1 = t.currentSnapshotId.get
+    t.append(spark.range(100, 110).toDF("id"))
+    t.delete(col("id") < lit(5L))
+    val e = intercept[IllegalStateException] {
+      t.appendsBetween(s1, t.currentSnapshotId.get)
+    }
+    assert(e.getMessage.contains("rewrote table"))
+    // the opt-in skips the rewrite and tails appends only — Iceberg's
+    // skip-delete-snapshots stance
+    val rows = t.appendsBetween(s1, t.currentSnapshotId.get, ignoreReplaces = true)
+    assert(rows.count() === 10L)
+  }
+
+  test("expire after cow removes the .excl sidecar with the snapshot") {
+    val t = eightFiles("cow-expire")
+    t.delete(col("id") < lit(100L))
+    val cowId = t.currentSnapshotId.get
+    t.createOrReplace(spark.range(10).toDF("id")) // new base supersedes the cow chain
+    val expired = t.expireSnapshots(keepLast = 1)
+    assert(expired.contains(cowId))
+    assert(!new java.io.File(t.root, f"snap-$cowId%05d.excl").exists(),
+      "expire must reap the exclusion sidecar")
+  }
+
+  test("optimistic concurrency: an append landing mid-rewrite forces a clean retry") {
+    val t = eightFiles("cow-race")
+    // racer: keep appending while the delete rewrites
+    val racer = new Thread(() => {
+      (0 until 3).foreach { i =>
+        t.append(Seq((10000L + i, "late")).toDF("id", "v"))
+        Thread.sleep(5)
+      }
+    })
+    racer.start()
+    val removed = t.delete(col("id") < lit(50L))
+    racer.join()
+    assert(removed === 50L)
+    assert(t.read().count() === 753L, "800 - 50 deleted + 3 raced appends")
+    assert(t.count() === 753L)
+  }
+
+  test("FilterRanges: conjunctions tighten, unsupported shapes prune nothing") {
+    def r(c: org.apache.spark.sql.Column) = FilterRanges.extract(c)
+    assert(r(col("a") === lit(5)) === Seq(ColRange("a", Some(5), Some(5))))
+    assert(r(col("a") > lit(3) && col("a") <= lit(9)) ===
+      Seq(ColRange("a", lower = Some(3)), ColRange("a", upper = Some(9))))
+    assert(r(lit(3) < col("a")) === Seq(ColRange("a", lower = Some(3))))
+    assert(r(col("a").between(1, 2)).size === 2)
+    assert(r(col("a").isin(7, 3, 5)) === Seq(ColRange("a", Some(3), Some(7))))
+    assert(r(col("s").isin("b", "a")) === Seq(ColRange("s", Some("a"), Some("b"))))
+    assert(r(col("a").isNotNull) === Seq(ColRange("a", notNull = true)))
+    // unsupported: OR, NOT, column-vs-column, expressions — sound, empty
+    assert(r(col("a") === 1 || col("b") === 2) === Seq.empty)
+    assert(r(!(col("a") === 1)) === Seq.empty)
+    assert(r(col("a") === col("b")) === Seq.empty)
+    assert(r(abs(col("a")) < 5) === Seq.empty)
+    // mixed AND keeps the understood side
+    assert(r(col("a") === lit(1) && (col("b") === 2 || col("c") === 3)) ===
+      Seq(ColRange("a", Some(1), Some(1))))
+    // date literals come back on the external axis planFiles compares on
+    val d = java.sql.Date.valueOf("2024-03-01")
+    assert(r(col("day") >= lit(d)) === Seq(ColRange("day", lower = Some(d))))
+  }
+}

@@ -73,7 +73,8 @@ class WarehouseSpec extends SparkSpec {
     val removed = t.delete(col("id") >= 7)
     assert(removed == 3)
     assert(t.read().count() == 7)
-    assert(t.snapshots().last._2 == "base", "DELETE commits a rewritten base")
+    assert(t.snapshots().last._2 == "cow",
+      "DELETE commits a file-pruned COW snapshot, not a full rewrite")
   }
 
   test("UPDATE ... SET ... WHERE") {
@@ -207,7 +208,7 @@ class WarehouseSpec extends SparkSpec {
     assert((updated, inserted) === (1L, 1L))
     val state = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(state === Map(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
-    assert(t.snapshots().map(_._2) === Seq("base", "base"), "MERGE commits one COW snapshot")
+    assert(t.snapshots().map(_._2) === Seq("base", "cow"), "MERGE commits one COW snapshot")
     intercept[IllegalArgumentException] {
       t.merge(Seq((5, "x"), (5, "y")).toDF("id", "v"), Seq("id"))
     }
@@ -254,11 +255,20 @@ class WarehouseSpec extends SparkSpec {
       assert(scan.partitionFilters.nonEmpty, "partition filter not pushed to scan")
       assert(scan.relation.partitionSchema.fieldNames.contains("day"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // COW delete keeps the layout
+    // COW delete keeps the layout — and rewrites ONLY the file holding the
+    // matching row (day=2026-01-01); untouched partitions are carried by
+    // reference, not copied into the new snapshot
     t.delete(col("id") === 3L)
     assert(t.partitionSpec() == Seq("day"))
     assert(t.read().count() == 3)
-    assert(new java.io.File(t.root, "snap-00003/day=2026-01-02").isDirectory)
+    // the pruned file held only the deleted row, so the cow snapshot
+    // carries no day=2026-01-02 (or any untouched) partition data at all
+    assert(!new java.io.File(t.root, "snap-00003/day=2026-01-02").exists(),
+      "file-pruned COW must not rewrite untouched partitions")
+    assert(new java.io.File(t.root, "snap-00003.excl").isFile,
+      "cow commit records its replaced files")
+    assert(t.read().filter(col("day") === "2026-01-01").count() == 1)
+    assert(t.read().filter(col("day") === "2026-01-02").count() == 1)
   }
 
   test("file stats: planFiles prunes by min/max, pruned read stays correct") {
