@@ -196,6 +196,115 @@ object Views {
       }
     },
 
+    // FILE-PRUNED COPY-ON-WRITE DML through the correctness gate: four DML
+    // commits (range DELETE, range UPDATE, key-hull MERGE upsert,
+    // beyond-range MERGE insert) against a snapshot table laid out as 8
+    // key-ranged files, each REQUIRED to rewrite only its stat-overlapping
+    // files (the Iceberg RewriteFiles granularity — at 100 TB a one-key
+    // DELETE rewrites one file, not the table). The DuckDB oracle replays
+    // the same four statements as plain SQL over the raw `orders` rows, so
+    // a rewrite that loses carried-over survivors, mis-prunes a matching
+    // file, or double-counts replaced rows all turn the row red.
+    "q123_cow_dml" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/cowdml"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        // 1. range DELETE — prunes to the head file(s)
+        val (removed, dPlan) = tbl.deletePruned($"o_orderkey" <= lit(150L))
+        require(removed > 0, "q123 delete expects matching rows")
+        require(dPlan.filesKept * 2 <= dPlan.filesTotal,
+          s"q123 delete must prune: rewrote ${dPlan.filesKept}/${dPlan.filesTotal}")
+        // 2. range UPDATE — conditional set over the touched files only
+        val (_, uPlan) = tbl.updatePruned($"o_orderkey".between(300L, 450L),
+          Map("o_orderstatus" -> lit("X")))
+        require(uPlan.filesKept * 2 <= uPlan.filesTotal,
+          s"q123 update must prune: rewrote ${uPlan.filesKept}/${uPlan.filesTotal}")
+        // 3. MERGE upsert — the source key hull [600, 700] prunes the rewrite
+        val src1 = t(s, dir, "orders").filter($"o_orderkey".between(600L, 700L))
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            ($"o_totalprice" * 2).cast("decimal(15,2)").as("o_totalprice"))
+        val ((m1u, m1i), mPlan) = tbl.mergePruned(src1, Seq("o_orderkey"))
+        require(m1u > 0 && m1i == 0, s"q123 merge-1 expects updates only, got ($m1u, $m1i)")
+        require(mPlan.filesKept * 2 <= mPlan.filesTotal,
+          s"q123 merge must prune by the key hull: rewrote ${mPlan.filesKept}/${mPlan.filesTotal}")
+        // 4. MERGE insert — keys beyond the table's range: ZERO files rewritten
+        val src2 = t(s, dir, "orders").filter($"o_orderkey".between(600L, 700L))
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+            lit("N").as("o_orderstatus"), $"o_totalprice")
+        val ((m2u, m2i), iPlan) = tbl.mergePruned(src2, Seq("o_orderkey"))
+        require(m2u == 0 && m2i > 0, s"q123 merge-2 expects inserts only, got ($m2u, $m2i)")
+        require(iPlan.filesKept == 0,
+          s"q123 beyond-range merge must rewrite nothing, rewrote ${iPlan.filesKept}")
+        require(tbl.snapshots().map(_._2) == Seq("base", "cow", "cow", "cow", "cow"),
+          s"q123 expects four cow commits, got ${tbl.snapshots()}")
+        val res = tbl.read()
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            decCents($"o_totalprice").as("total_cents"),
+            countDistinct($"o_custkey").as("n_custs"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderstatus")
+        // materialize before the scratch warehouse is deleted below
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
+    // ROW-LEVEL CDC through the correctness gate: an append, a file-pruned
+    // DELETE, and a file-pruned UPDATE land on a snapshot table; then
+    // `rowChangesBetween` reconstructs the NET row changes from the delta
+    // dirs + the cow commits' replaced files alone (REQUIRED to open fewer
+    // files than a full scan — the ∝-change CDC cost). The DuckDB oracle
+    // derives the same change set semantically: before/after states as SQL,
+    // inserts = after EXCEPT ALL before, deletes = before EXCEPT ALL after.
+    // Carried-over survivors a cow rewrite copies forward must cancel
+    // exactly (Iceberg changelog carryover elimination) or counts diverge.
+    "q124_cdc_changes" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/cdc"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(16, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val s0 = tbl.currentSnapshotId.get
+        tbl.append(t(s, dir, "orders").filter($"o_orderkey".between(500L, 600L))
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+            lit("A").as("o_orderstatus"), $"o_totalprice"))
+        tbl.delete($"o_orderkey" <= lit(150L))
+        tbl.update($"o_orderkey".between(300L, 450L),
+          Map("o_orderstatus" -> lit("X")))
+        val cs = tbl.rowChangesBetween(s0, tbl.currentSnapshotId.get).get
+        require(cs.filesRead < cs.liveFilesTotal,
+          s"q124 CDC must read less than a full scan: ${cs.filesRead}/${cs.liveFilesTotal}")
+        val res = cs.df
+          .groupBy($"_change", $"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            decCents($"o_totalprice").as("total_cents"),
+            countDistinct($"o_orderkey").as("n_keys"))
+          .orderBy($"_change", $"o_orderstatus")
+        // materialize before the scratch warehouse is deleted below
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // Iceberg-style METADATA PRUNING through the correctness gate: build a
     // snapshot table from `orders` laid out as 8 date-ranged files, plan a
     // one-year scan from the footer-stat sidecar alone, and REQUIRE that
@@ -545,6 +654,59 @@ object Views {
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
          GROUP BY 1
          ORDER BY 1""",
+
+    "q123_cow_dml" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         t1 AS (SELECT * FROM t0 WHERE NOT (o_orderkey <= 150)),
+         t2 AS (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey BETWEEN 300 AND 450 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM t1),
+         src1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                         CAST(o_totalprice * 2 AS DECIMAL(15,2)) AS o_totalprice
+                  FROM orders WHERE o_orderkey BETWEEN 600 AND 700),
+         t3 AS (SELECT * FROM t2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src1)
+                UNION ALL SELECT * FROM src1),
+         src2 AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                         'N' AS o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey BETWEEN 600 AND 700),
+         t4 AS (SELECT * FROM t3 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src2)
+                UNION ALL SELECT * FROM src2)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MAX(o_orderkey) AS max_key
+         FROM t4
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q124_cdc_changes" ->
+      """WITH before AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         app AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                        'A' AS o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey BETWEEN 500 AND 600),
+         a1 AS (SELECT * FROM before UNION ALL SELECT * FROM app),
+         a2 AS (SELECT * FROM a1 WHERE NOT (o_orderkey <= 150)),
+         aft AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey BETWEEN 300 AND 450 THEN 'X'
+                             ELSE o_orderstatus END AS o_orderstatus,
+                        o_totalprice
+                 FROM a2),
+         chg AS (
+           SELECT 'insert' AS _change, * FROM
+             (SELECT * FROM aft EXCEPT ALL SELECT * FROM before)
+           UNION ALL
+           SELECT 'delete' AS _change, * FROM
+             (SELECT * FROM before EXCEPT ALL SELECT * FROM aft))
+         SELECT _change, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+         FROM chg
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     "q104_pruned_scan" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -884,6 +884,74 @@ final class SnapshotTable(
     * a `base` snapshot (replace/DELETE/UPDATE rewrite) intervened: deltas
     * are no longer sufficient and the caller must fall back to a full
     * read. Reading N append dirs scans ONLY the delta bytes. */
+  /** ROW-LEVEL CHANGE DATA CAPTURE over `(sinceId, endId]` — the Iceberg
+    * changelog / Delta CDF read, net-changes semantics: one row per
+    * logical insert (`_change = "insert"`) or delete (`"delete"`); an
+    * UPDATE surfaces as delete(old) + insert(new). Cost is ∝ the CHANGE,
+    * never the table: only the range's append/cow data dirs and the files
+    * its cow commits replaced are read — a 100 TB table with a 1 GB delta
+    * reads ~2 GB. The algebra that makes that work:
+    *
+    *  - added   = rows in the range's `append` + `cow` dirs (multiset)
+    *  - removed = rows of the files the range's cow commits replaced
+    *  - inserts = added EXCEPT ALL removed; deletes = removed EXCEPT ALL
+    *    added. Carried-over rows (a cow rewrites a file to delete ONE row:
+    *    the survivors appear in both multisets) cancel, exactly Iceberg's
+    *    changelog carryover elimination.
+    *
+    * `compact` rewrites are SKIPPED on the added side (no logical rows) —
+    * and the cancellation stays correct even when a later cow replaces a
+    * compacted file, because the pre-compaction copies of its surviving
+    * rows still sit in the added multiset. A true REPLACE (CREATE OR
+    * REPLACE) in the range returns None: the delta is not reconstructible
+    * from files, fall back to a full diff.
+    *
+    * The two EXCEPT ALLs shuffle on all columns — but only over the
+    * changed bytes; the pure-append fast path (no cow in range) skips
+    * them entirely and reads just the delta dirs, zero shuffle. */
+  def rowChangesBetween(sinceId: Long, endId: Long): Option[ChangeScan] = {
+    import org.apache.spark.sql.functions.lit
+    val range = metas().filter(m => m.id > sinceId && m.id <= endId)
+    if (range.exists(m => m.kind == "base" && !m.note.contains("compact"))) return None
+    val addedFiles: Seq[(String, Seq[String])] = range
+      .filter(m => m.kind == "append" || m.kind == "cow")
+      .flatMap { m =>
+        val fl = listParquet(snapDir(m.id))
+        if (fl.isEmpty) None
+        else Some(fs.makeQualified(snapDir(m.id)).toString -> fl)
+      }
+    // the files the range's cow commits replaced, grouped by owning dir
+    // (they may live in PRE-since snapshots — that's the point: those are
+    // the deletes) — read with basePath so partition columns survive
+    val removedFiles: Seq[(String, Seq[String])] = range.filter(_.kind == "cow")
+      .flatMap(m => readExclusion(m.id).map(_.paths.toSeq).getOrElse(Seq.empty))
+      .groupBy(rel => rel.takeWhile(_ != '/'))
+      .toSeq.sortBy(_._1)
+      .map { case (dirName, rels) =>
+        (qualifiedRoot + "/" + dirName, rels.map(qualifiedRoot + "/" + _))
+      }
+    def union(groups: Seq[(String, Seq[String])]): Option[DataFrame] =
+      if (groups.isEmpty) None
+      else Some(groups.map { case (dir, fl) =>
+        spark.read.option("basePath", dir).parquet(fl: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    val nFiles = (addedFiles ++ removedFiles).map(_._2.size).sum
+    val change = (union(addedFiles), union(removedFiles)) match {
+      case (None, None) => read().limit(0).withColumn("_change", lit("insert"))
+      case (Some(a), None) => a.withColumn("_change", lit("insert")) // pure appends: zero shuffle
+      case (None, Some(r)) => r.withColumn("_change", lit("delete"))
+      case (Some(a0), Some(r0)) =>
+        // conform both sides to the union schema (schema evolution may
+        // have added columns between the replaced files and the rewrite)
+        val a = a0.unionByName(r0.limit(0), allowMissingColumns = true)
+        val r = r0.unionByName(a0.limit(0), allowMissingColumns = true)
+          .select(a.columns.map(org.apache.spark.sql.functions.col): _*)
+        a.exceptAll(r).withColumn("_change", lit("insert"))
+          .unionByName(r.exceptAll(a).withColumn("_change", lit("delete")))
+    }
+    Some(ChangeScan(change, nFiles, planFiles(Seq.empty).filesTotal))
+  }
+
   def appendsSince(id: Long): Option[DataFrame] = {
     // a `spec` marker between appends is layout-only: deltas stay valid
     val later = metas().dropWhile(_.id <= id)
@@ -1371,6 +1439,13 @@ final case class ColumnProfile(kind: String, min: Option[String], max: Option[St
   * snapshot dir (the grouping readPruned needs for hive basePath reads),
   * plus the counts callers assert pruning effectiveness with. */
 final case class ScanPlan(files: Seq[(String, Seq[String])], filesKept: Int, filesTotal: Int)
+
+/** A [[SnapshotTable.rowChangesBetween]] result: the `_change`-tagged
+  * net-change rows, the data files the CDC read actually opened (delta
+  * dirs + replaced files — the ∝-change cost), and the table's current
+  * live file count (the full-scan cost it avoided). */
+final case class ChangeScan(df: org.apache.spark.sql.DataFrame,
+                            filesRead: Int, liveFilesTotal: Int)
 
 object SnapshotTable {
 

@@ -158,6 +158,74 @@ class CowDmlSpec extends SparkSpec {
     assert(t.count() === 753L)
   }
 
+  test("CDC: pure appends surface as inserts, reading only the delta dirs") {
+    val t = eightFiles("cdc-app")
+    val s0 = t.currentSnapshotId.get
+    t.append(Seq((900L, "a900"), (901L, "a901")).toDF("id", "v"))
+    t.append(Seq((902L, "a902")).toDF("id", "v"))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val rows = cs.df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq === Seq((900L, "insert"), (901L, "insert"), (902L, "insert")))
+    assert(cs.filesRead < cs.liveFilesTotal, "CDC must not read table history")
+  }
+
+  test("CDC: a cow delete surfaces only the deleted rows; survivors cancel") {
+    val t = eightFiles("cdc-del")
+    val s0 = t.currentSnapshotId.get
+    // the touched file holds ids 0..99; only 5 of them are deleted — the
+    // ~95 carried-over survivors must NOT appear as changes
+    t.delete(col("id").between(10, 14))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val rows = cs.df.collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.forall(_._2 == "delete"))
+    assert(rows.map(_._1).sorted.toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+    assert(cs.filesRead < cs.liveFilesTotal)
+  }
+
+  test("CDC: an update surfaces as delete(old) + insert(new)") {
+    val t = eightFiles("cdc-upd")
+    val s0 = t.currentSnapshotId.get
+    t.update(col("id") === lit(42L), Map("v" -> lit("changed")))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val rows = cs.df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set((42L, "v42", "delete"), (42L, "changed", "insert")))
+  }
+
+  test("CDC: append-then-delete inside the window nets to zero") {
+    val t = eightFiles("cdc-net")
+    val s0 = t.currentSnapshotId.get
+    t.append(Seq((5000L, "ephemeral")).toDF("id", "v"))
+    t.delete(col("id") === lit(5000L))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    assert(cs.df.count() === 0L, "a row added and removed in-window is no net change")
+  }
+
+  test("CDC: compact in range is invisible; REPLACE in range returns None") {
+    val t = eightFiles("cdc-cmp")
+    val s0 = t.currentSnapshotId.get
+    t.append(Seq((900L, "a900")).toDF("id", "v"))
+    t.compact()
+    t.append(Seq((901L, "a901")).toDF("id", "v"))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    assert(cs.df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(900L, 901L))
+    t.createOrReplace(spark.range(5).toDF("id").withColumn("v", lit("x")))
+    assert(t.rowChangesBetween(s0, t.currentSnapshotId.get).isEmpty,
+      "a true REPLACE breaks file-level CDC")
+  }
+
+  test("CDC: a cow replacing a compacted file still cancels carried-over rows") {
+    val t = eightFiles("cdc-cow-cmp")
+    val s0 = t.currentSnapshotId.get
+    t.append(Seq((900L, "a900"), (901L, "a901")).toDF("id", "v"))
+    t.compact() // folds base + append into one new base (note=compact)
+    t.delete(col("id") === lit(900L)) // cow over the COMPACTED file
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val rows = cs.df.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // 900 was added then deleted in-window (net zero); 901 stays an insert;
+    // the compacted file's pre-window rows cancel against their originals
+    assert(rows === Set((901L, "insert")))
+  }
+
   test("FilterRanges: conjunctions tighten, unsupported shapes prune nothing") {
     def r(c: org.apache.spark.sql.Column) = FilterRanges.extract(c)
     assert(r(col("a") === lit(5)) === Seq(ColRange("a", Some(5), Some(5))))
