@@ -305,6 +305,71 @@ object Views {
       }
     },
 
+    // Z-ORDER CLUSTERING through the correctness gate (Iceberg/Delta
+    // `OPTIMIZE ZORDER BY`): the same orders rows written twice into 16
+    // files — linearly range-sorted by o_orderkey, and range-partitioned
+    // on the native `zorder2` Morton interleave of (custkey, orderkey).
+    // REQUIREd: the linear layout prunes nothing on the second dimension
+    // while the z-order layout prunes BOTH (z custkey-kept must be at most
+    // half the linear layout's), and the answer comes from the z-layout's
+    // PRUNED reads — so a curve bug that strands matching rows in skipped
+    // files turns the row red against DuckDB's full-table answer. Query
+    // bounds derive from each engine's own max-key metadata (domains scale
+    // with sf; Spark reads them from the stats sidecar, no scan). At
+    // 100 TB one z-ordered layout serves range queries on every encoded
+    // dimension — the alternative is a full copy of the table per sort key.
+    "q125_zorder_scan" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/zorder"
+      try {
+        val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val lt = new graft.warehouse.SnapshotTable(s, s"$wh/lin")
+        lt.createOrReplace(t(s, dir, "orders").select(cols: _*)
+          .repartitionByRange(16, $"o_orderkey"), sortBy = Seq("o_orderkey"))
+        // key domains from the linear copy's sidecar metadata (no scan)
+        val cMax = lt.columnStats()("o_custkey").max.get.toLong
+        val oMax = lt.columnStats()("o_orderkey").max.get.toLong
+        // dimensions NORMALIZED to a shared 16-bit axis before interleaving
+        // (the Delta OPTIMIZE range-ID step): raw interleave of a 14-bit
+        // custkey with an 18-bit orderkey degenerates into orderkey bands —
+        // the wider dimension owns every high bit of the curve
+        val zt = new graft.warehouse.SnapshotTable(s, s"$wh/z")
+        zt.createOrReplace(t(s, dir, "orders").select(cols: _*)
+          .repartitionByRange(16, expr(
+            s"zorder2(cast(o_custkey * 65536 div ${cMax + 1} as int), " +
+              s"cast(o_orderkey * 65536 div ${oMax + 1} as int))")))
+        // query bounds: 1/10 of each key domain
+        val cLim = cMax / 10
+        val oLim = oMax / 10
+        val cRange = Seq(graft.warehouse.ColRange("o_custkey", Some(0L), Some(cLim)))
+        val oRange = Seq(graft.warehouse.ColRange("o_orderkey", Some(0L), Some(oLim)))
+        val linC = lt.planFiles(cRange).filesKept
+        require(linC >= 12,
+          s"linear layout must NOT prune its second dimension, kept $linC/16")
+        val (zcDf, zcPlan) = zt.readPruned(cRange)
+        val (zoDf, zoPlan) = zt.readPruned(oRange)
+        require(zcPlan.filesKept * 2 <= linC,
+          s"z-order custkey pruning (${zcPlan.filesKept}) must halve the linear layout's ($linC)")
+        require(zoPlan.filesKept < zoPlan.filesTotal,
+          s"z-order orderkey pruning: kept ${zoPlan.filesKept}/${zoPlan.filesTotal}")
+        def summarize(df: org.apache.spark.sql.DataFrame, dim: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              decCents($"o_totalprice").as("total_cents"))
+            .select(lit(dim).as("dim"), $"n_rows", $"total_cents")
+        val res = summarize(zcDf, "custkey")
+          .unionAll(summarize(zoDf, "orderkey"))
+          .orderBy($"dim")
+        // materialize before the scratch warehouse is deleted below
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // Iceberg-style METADATA PRUNING through the correctness gate: build a
     // snapshot table from `orders` laid out as 8 date-ranged files, plan a
     // one-year scan from the footer-stat sidecar alone, and REQUIRE that
@@ -654,6 +719,21 @@ object Views {
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
          GROUP BY 1
          ORDER BY 1""",
+
+    "q125_zorder_scan" ->
+      """WITH lims AS (SELECT MAX(o_custkey) // 10 AS c_lim,
+                              MAX(o_orderkey) // 10 AS o_lim
+                       FROM orders)
+         SELECT 'custkey' AS dim,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+         FROM orders, lims WHERE o_custkey BETWEEN 0 AND c_lim
+         UNION ALL
+         SELECT 'orderkey',
+                CAST(count(*) AS BIGINT),
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         FROM orders, lims WHERE o_orderkey BETWEEN 0 AND o_lim
+         ORDER BY dim""",
 
     "q123_cow_dml" ->
       """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
