@@ -305,6 +305,70 @@ object Views {
       }
     },
 
+    // STREAMING CHANGE FEED through the correctness gate: a REAL
+    // checkpointed `readChangeFeed` stream (Trigger.AvailableNow) consumes
+    // the table's initial state, then DML lands (append + file-pruned
+    // DELETE + UPDATE), and a SECOND pass on the SAME checkpoint must
+    // deliver exactly the net row changes — no initial-load re-delivery
+    // (checkpoint resume), deletes/updates as tagged pairs, carried-over
+    // survivors cancelled. The DuckDB oracle derives the same change set
+    // semantically (after-vs-before EXCEPT ALLs). This is the tail that
+    // stays alive THROUGH row-level DML — the plain rows tail must refuse
+    // and restart there (StreamingSpec gates that refusal).
+    "q126_stream_cdc" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/streamcdc"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh + "/tbl")
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val initialRows = new java.util.concurrent.atomic.AtomicLong(0)
+        val deltas = new java.util.concurrent.CopyOnWriteArrayList[org.apache.spark.sql.Row]()
+        val chgSchema = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.types.StructType]()
+        def pass(collect: Boolean): Unit = {
+          val q = graft.streaming.SnapshotStream.readChanges(s, tbl.root)
+            .writeStream
+            .option("checkpointLocation", wh + "/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              chgSchema.set(b.schema)
+              if (collect) deltas.addAll(java.util.Arrays.asList(b.collect(): _*))
+              else initialRows.addAndGet(b.count())
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        pass(collect = false) // initial load consumed against the checkpoint
+        require(initialRows.get() == tbl.count(),
+          s"q126 initial CDC load must equal the table: ${initialRows.get()} vs ${tbl.count()}")
+        tbl.append(t(s, dir, "orders").filter($"o_orderkey".between(400L, 450L))
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+            lit("S").as("o_orderstatus"), $"o_totalprice"))
+        tbl.delete($"o_orderkey" <= lit(100L))
+        tbl.update($"o_orderkey".between(200L, 300L),
+          Map("o_orderstatus" -> lit("X")))
+        pass(collect = true) // checkpoint resume: deltas ONLY
+        require(!deltas.isEmpty, "q126 expects the resumed feed to carry the DML deltas")
+        import scala.jdk.CollectionConverters._
+        val chg = s.createDataFrame(deltas.asScala.toList.asJava, chgSchema.get())
+        val res = chg
+          .groupBy($"_change", $"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            decCents($"o_totalprice").as("total_cents"),
+            countDistinct($"o_orderkey").as("n_keys"))
+          .orderBy($"_change", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // Z-ORDER CLUSTERING through the correctness gate (Iceberg/Delta
     // `OPTIMIZE ZORDER BY`): the same orders rows written twice into 16
     // files — linearly range-sorted by o_orderkey, and range-partitioned
@@ -719,6 +783,32 @@ object Views {
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
          GROUP BY 1
          ORDER BY 1""",
+
+    "q126_stream_cdc" ->
+      """WITH before AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         app AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                        'S' AS o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey BETWEEN 400 AND 450),
+         a1 AS (SELECT * FROM before UNION ALL SELECT * FROM app),
+         a2 AS (SELECT * FROM a1 WHERE NOT (o_orderkey <= 100)),
+         aft AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey BETWEEN 200 AND 300 THEN 'X'
+                             ELSE o_orderstatus END AS o_orderstatus,
+                        o_totalprice
+                 FROM a2),
+         chg AS (
+           SELECT 'insert' AS _change, * FROM
+             (SELECT * FROM aft EXCEPT ALL SELECT * FROM before)
+           UNION ALL
+           SELECT 'delete' AS _change, * FROM
+             (SELECT * FROM before EXCEPT ALL SELECT * FROM aft))
+         SELECT _change, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+         FROM chg
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     "q125_zorder_scan" ->
       """WITH lims AS (SELECT MAX(o_custkey) // 10 AS c_lim,

@@ -54,7 +54,8 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
                            ignoreReplaces: Boolean,
                            maxAppendsPerTrigger: Option[Int] = None,
                            maxRowsPerTrigger: Option[Long] = None,
-                           maxBytesPerTrigger: Option[Long] = None)
+                           maxBytesPerTrigger: Option[Long] = None,
+                           cdc: Boolean = false)
     extends SupportsAdmissionControl with SupportsTriggerAvailableNow
     with Source {
 
@@ -65,9 +66,14 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
     * Spark source cannot change schema mid-query); a restarted stream
     * re-resolves from the table head and picks the new columns up. Rows
     * committed under the OLD schema keep flowing while evolution happens
-    * underneath — only the projection is pinned, not the data. */
-  override val schema: StructType =
-    declaredSchema.getOrElse(table.read().schema)
+    * underneath — only the projection is pinned, not the data. In CDC
+    * mode every batch additionally carries the `_change` tag column. */
+  override val schema: StructType = {
+    val base = declaredSchema.getOrElse(table.read().schema)
+    if (cdc && !base.fieldNames.contains("_change"))
+      base.add("_change", org.apache.spark.sql.types.StringType, nullable = false)
+    else base
+  }
 
   // High-water mark fixed by prepareForTriggerAvailableNow: under
   // Trigger.AvailableNow no batch reads past the head observed at query
@@ -132,14 +138,32 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
   private def idOf(o: OffsetV2): Long = o.json.trim.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endId = idOf(end)
     lastBatchEnd = Some(math.max(lastBatchEnd.getOrElse(0L), endId))
     val t = table
-    val batch = start match {
+    val batch = (start, cdc) match {
       // stream start: the full table as of the first observed snapshot —
       // a tail that catches up has seen exactly the table's live rows
-      case None => t.asOf(endId)
-      case Some(s) => t.appendsBetween(idOf(s), endId, ignoreReplaces)
+      // (in CDC mode, tagged as the initial insert load — Delta CDF's
+      // startingVersion=0 stance)
+      case (None, false) => t.asOf(endId)
+      case (None, true) => t.asOf(endId).withColumn("_change", lit("insert"))
+      case (Some(s), false) => t.appendsBetween(idOf(s), endId, ignoreReplaces)
+      // CDC tail: net row changes in the range — appends as inserts, cow
+      // DML as insert/delete pairs, reading only delta dirs + replaced
+      // files (rowChangesBetween). A true REPLACE still fails the stream
+      // (None) unless the caller opted into append-only tailing.
+      case (Some(s), true) => t.rowChangesBetween(idOf(s), endId) match {
+        case Some(cs) => cs.df
+        case None if ignoreReplaces =>
+          t.appendsBetween(idOf(s), endId, ignoreReplaces = true)
+            .withColumn("_change", lit("insert"))
+        case None => throw new IllegalStateException(
+          s"a REPLACE rewrote table $root under a CDC tail; restart from a " +
+            "fresh checkpoint (or read with ignoreReplaces=true to tail " +
+            "appends only)")
+      }
     }
     // align to the declared schema: order (partitioned appends list
     // partition columns last) AND presence — a batch whose snapshot range
@@ -170,9 +194,15 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      new SnapshotTable(ctx.sparkSession, rootOf(parameters)).read().schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      new SnapshotTable(ctx.sparkSession, rootOf(parameters)).read().schema)
+    val cdc = parameters.get("readChangeFeed").exists(_.toBoolean)
+    (shortName(),
+      if (cdc && !base.fieldNames.contains("_change"))
+        base.add("_change", org.apache.spark.sql.types.StringType, nullable = false)
+      else base)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -181,7 +211,8 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       ignoreReplaces = parameters.get("ignoreReplaces").exists(_.toBoolean),
       maxAppendsPerTrigger = parameters.get("maxAppendsPerTrigger").map(_.toInt),
       maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong),
-      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
+      cdc = parameters.get("readChangeFeed").exists(_.toBoolean))
 }
 
 object SnapshotStream {
@@ -212,6 +243,31 @@ object SnapshotStream {
     val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
     val r3 = maxBytesPerTrigger.fold(r2)(n => r2.option("maxBytesPerTrigger", n.toString))
     r3.load()
+  }
+
+  /** Tail `root` as a CHANGE FEED (Delta CDF `readChangeFeed` /
+    * Iceberg changelog streaming): the first batch is the table's current
+    * state tagged `_change = "insert"`, and every later micro-batch emits
+    * the NET row changes of its snapshot range — appends as inserts,
+    * file-pruned cow DML (DELETE/UPDATE/MERGE) as insert/delete pairs
+    * with carried-over survivors cancelled — reading only the delta dirs
+    * and the files the DML replaced ([[SnapshotTable.rowChangesBetween]]).
+    * This is the tail that stays alive THROUGH row-level DML, where the
+    * plain rows tail must refuse and restart; a true REPLACE still fails
+    * it. Admission caps bound the appends per batch; cow deltas ride with
+    * the batch that reaches them. */
+  def readChanges(spark: SparkSession, root: String,
+                  ignoreReplaces: Boolean = false,
+                  maxAppendsPerTrigger: Option[Int] = None,
+                  maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
+      .format("graft-snapshots")
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .option("ignoreReplaces", ignoreReplaces.toString)
+    val r1 = maxAppendsPerTrigger.fold(r)(n => r.option("maxAppendsPerTrigger", n.toString))
+    val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
+    r2.load()
   }
 
   /** Drain the table's CURRENT backlog through `forBatch` in bounded

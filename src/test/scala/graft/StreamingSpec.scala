@@ -734,4 +734,86 @@ class StreamingSpec extends SparkSpec {
       assert(t.snapshots().count(_._2 == "base") >= 2,
         "compactions must actually have committed during the interleaving")
     }
+
+  /** One checkpointed AvailableNow pass of a CDC tail; returns the
+    * `_change`-tagged rows delivered by THIS run. */
+  private def cdcOnce(root: String, ckpt: String,
+                      ignoreReplaces: Boolean = false): Set[(Long, String, String)] = {
+    val buf = scala.collection.mutable.Set.empty[(Long, String, String)]
+    val q = graft.streaming.SnapshotStream.readChanges(spark, root, ignoreReplaces)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized {
+          buf ++= batch.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    buf.synchronized(buf.toSet)
+  }
+
+  test("CDC tail: initial load as inserts, then DML as insert/delete pairs") {
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("cdctail").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+
+    // first pass: the current state, tagged as the initial insert load
+    val first = cdcOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    assert(first === Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+
+    // appends surface as inserts; a cow delete as a delete; a cow update
+    // as a delete(old)+insert(new) pair — all in ONE resumed pass, and the
+    // carried-over survivors of each rewrite must not reappear
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.delete(col("id") === 2L)
+    t.update(col("id") === 3L, Map("v" -> lit("C")))
+    val second = cdcOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    assert(second === Set(
+      (4L, "d", "insert"),
+      (2L, "b", "delete"),
+      (3L, "c", "delete"), (3L, "C", "insert")))
+
+    // caught up: a third pass delivers nothing
+    assert(cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") === Set.empty)
+
+    // the plain rows tail over the same history REFUSES the cow range —
+    // CDC is the mode that survives row-level DML
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val t2ckpt = s"$tmp/ckpt-rows"
+      tailOnce(s"$tmp/tbl", t2ckpt) // full load (ok)
+      t.delete(col("id") === 4L)
+      tailOnce(s"$tmp/tbl", t2ckpt) // resumes over the cow → refuses
+    }
+    assert(e.getMessage.contains("rewrote table") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrote table")))
+  }
+
+  test("CDC tail: MERGE upsert emits its update pair and insert; REPLACE fails the feed") {
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("cdcmerge").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") // consume the initial load
+
+    t.merge(Seq((2L, "B2"), (9L, "i")).toDF("id", "v"), Seq("id"))
+    val got = cdcOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    assert(got === Set((2L, "b", "delete"), (2L, "B2", "insert"), (9L, "i", "insert")))
+
+    // a true REPLACE breaks the feed (history not reconstructible) ...
+    t.createOrReplace(Seq((1L, "z")).toDF("id", "v"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      cdcOnce(s"$tmp/tbl", s"$tmp/ckpt")
+    }
+    // ... unless the caller opts into append-only tailing across it
+    t.append(Seq((10L, "j")).toDF("id", "v"))
+    val after = cdcOnce(s"$tmp/tbl", s"$tmp/ckpt-ir", ignoreReplaces = true)
+    assert(after.nonEmpty) // fresh checkpoint: initial load + append, all inserts
+    assert(after.forall(_._3 == "insert"))
+  }
 }
