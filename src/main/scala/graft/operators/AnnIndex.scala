@@ -65,6 +65,9 @@ object AnnIndex {
     * the default matches the driver's sf0.01 gate. */
   @volatile private var lastRoot: String = defaultRoot("/root/testdata/sf0.01")
 
+  /** q127's index root (same late-binding contract as [[lastRoot]]). */
+  @volatile private var delRoot: String = defaultRoot("/root/testdata/sf0.01") + "-del"
+
   private def tbl(s: SparkSession, root: String, name: String) =
     new SnapshotTable(s, s"$root/$name")
 
@@ -225,6 +228,73 @@ object AnnIndex {
     delta.count()
   }
 
+  /** VECTOR DELETION — FAISS `remove_ids`, split the way a served index
+    * actually does it: [[removeVectors]] is the cheap SOFT delete (append
+    * the ids + their cells to a `tombstones` SnapshotTable and re-register
+    * the `pidx_*` views with an anti-join, so every serve immediately
+    * excludes them — no index rewrite on the query path), and [[vacuum]]
+    * is the physical reclaim: one file-pruned COW DELETE per affected
+    * CELL on the cell-partitioned `vectors` and `codes` tables (the
+    * partition dir prunes the rewrite to that cell's files — at 100 TB a
+    * vacuum touching 3 of 1024 cells rewrites 3 cells, not the index),
+    * then compact + expire so the dirs hold only live data, and the
+    * tombstone table drops. Trained artifacts (centroids, codebooks) are
+    * untouched — deletion never retrains, the FAISS contract. Returns the
+    * number of ids tombstoned. */
+  def removeVectors(s: SparkSession, root: String,
+                    pred: org.apache.spark.sql.Column): Long = synchronized {
+    val vecs = tbl(s, root, "vectors")
+    val tomb = tbl(s, root, "tombstones")
+    val doomed = vecs.read().filter(pred).select("vec_id", "cell")
+    tomb.createOrReplace(doomed)
+    registerViews(s, root)
+    tomb.count()
+  }
+
+  /** (Re)register the `pidx_vectors` / `pidx_codes` temp views, wrapping
+    * them in a tombstone anti-join when undeleted tombstones exist. */
+  def registerViews(s: SparkSession, root: String): Unit = {
+    val vecs = tbl(s, root, "vectors").read()
+    val codes = tbl(s, root, "codes").read()
+    val tomb = tbl(s, root, "tombstones")
+    if (tomb.exists && tomb.count() > 0) {
+      val ids = tomb.read().select("vec_id")
+      vecs.join(ids, Seq("vec_id"), "left_anti").createOrReplaceTempView("pidx_vectors")
+      codes.join(ids, codes("n_id") === ids("vec_id"), "left_anti")
+        .createOrReplaceTempView("pidx_codes")
+    } else {
+      vecs.createOrReplaceTempView("pidx_vectors")
+      codes.createOrReplaceTempView("pidx_codes")
+    }
+  }
+
+  /** Physically reclaim tombstoned vectors: per-cell COW deletes (each
+    * REQUIRED by the caller to have pruned — the plans are returned),
+    * compact + expire both tables, drop the tombstones, re-register raw
+    * views. Deterministic given the tombstone set. */
+  def vacuum(s: SparkSession, root: String): Seq[graft.warehouse.ScanPlan] = synchronized {
+    import org.apache.spark.sql.functions.col
+    val tomb = tbl(s, root, "tombstones")
+    if (!tomb.exists) return Seq.empty
+    // metadata-scale collect: a delete batch is ids, not data (the FAISS
+    // remove_ids shape); cells group the deletes into partition-pruned
+    // rewrites
+    val byCell: Map[Int, Seq[Long]] = tomb.read().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).sorted }
+    val vecs = tbl(s, root, "vectors")
+    val codes = tbl(s, root, "codes")
+    val plans = byCell.toSeq.sortBy(_._1).flatMap { case (cell, ids) =>
+      val (_, vp) = vecs.deletePruned(col("cell") === cell && col("vec_id").isin(ids: _*))
+      val (_, cp) = codes.deletePruned(col("cell") === cell && col("n_id").isin(ids: _*))
+      Seq(vp, cp)
+    }
+    Seq(vecs, codes).foreach { t => t.compact(); t.expireSnapshots(keepLast = 1); () }
+    tomb.drop()
+    registerViews(s, root)
+    plans
+  }
+
   // ── the serve pipeline, one template rendered per engine ──────────────
 
   /** Table references + dialect hooks for [[serveSql]]. `vectorsFetch` /
@@ -330,6 +400,12 @@ object AnnIndex {
     l264 = Similarity.sparkClust.l2, l216 = Similarity.sparkPq.l2,
     zipSub = Similarity.sparkRes.zipSub,
     sliceParts = Similarity.sparkRes.sliceParts)
+
+  /** Serve refs over the (tombstone-aware) `pidx_*` views directly —
+    * q127's deletion gate, where the view wrapping IS the surface under
+    * test (q121 already gates the per-cell pruned fetches). */
+  private val sparkRefsUnprobed = sparkRefs.copy(
+    codesFetch = "pidx_codes", vectorsFetch = "pidx_vectors")
 
   /** DuckDB reads the SAME persisted snapshot dirs (`hive_partitioning`
     * restores the cell column from the dir layout). */
@@ -454,6 +530,43 @@ object AnnIndex {
       s.sql(persistedSummarySql)
     },
 
+    // VECTOR DELETION (FAISS remove_ids) through the correctness gate:
+    // build fresh, soft-delete every vec_id ≡ 5 (mod 7) (tombstones +
+    // anti-joined views — no index rewrite), serve; then VACUUM (one
+    // partition-pruned COW DELETE per affected cell on vectors AND codes,
+    // compact + expire, tombstones dropped), serve again. REQUIREd: every
+    // vacuum rewrite pruned to its cell, post-vacuum metadata counts are
+    // exactly corpus-minus-deleted (×4 for codes), and the tombstoned and
+    // vacuumed serves agree row-for-row. The oracle re-runs the serve over
+    // the post-vacuum tables — trained artifacts must be untouched
+    // (deletion never retrains) and no deleted vector may surface.
+    "q127_index_delete" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.expr
+      val root = defaultRoot(dir) + "-del"
+      build(s, dir, root) // fresh build each run: deterministic end state
+      delRoot = root
+      val corpus = s.table("embeddings").count()
+      val removed = removeVectors(s, root, expr("vec_id % 7 = 5"))
+      require(removed > 0 && removed < corpus, s"q127 expects a partial delete, got $removed/$corpus")
+      val r1 = s.sql(serveSql(sparkRefsUnprobed)).collect()
+      val plans = vacuum(s, root)
+      require(plans.nonEmpty && plans.forall(p => p.filesKept < p.filesTotal),
+        s"q127 vacuum must prune each rewrite to its cell: " +
+          plans.map(p => s"${p.filesKept}/${p.filesTotal}").mkString(", "))
+      val vecs = tbl(s, root, "vectors")
+      val codes = tbl(s, root, "codes")
+      require(vecs.rowCountFromMetadata.contains(corpus - removed),
+        s"q127 post-vacuum vectors: ${vecs.rowCountFromMetadata} vs ${corpus - removed}")
+      require(codes.rowCountFromMetadata.contains((corpus - removed) * 4),
+        s"q127 post-vacuum codes: ${codes.rowCountFromMetadata}")
+      require(!tbl(s, root, "tombstones").exists, "q127 vacuum must clear tombstones")
+      val r2df = s.sql(serveSql(sparkRefsUnprobed))
+      val r2 = r2df.collect()
+      require(r1.toSeq == r2.toSeq,
+        "q127 tombstoned and vacuumed serves must agree row-for-row")
+      s.createDataFrame(java.util.Arrays.asList(r2: _*), r2df.schema)
+    },
+
     // The SERVE path: no training anywhere in the plan — probes, LUTs,
     // ADC, and the refine fetch all read the persisted index, and every
     // per-cell candidate/re-rank read is REQUIRED to be partition-pruned.
@@ -487,5 +600,10 @@ object AnnIndex {
   def oracle: Map[String, String] = Map(
     "q120_index_build" -> buildOracleFor("TRUE"),
     "q121_ivfpq_persisted" -> serveSql(duckRefs(lastRoot)),
-    "q122_index_incremental_add" -> buildOracleFor("vec_id % 7 <> 3"))
+    "q122_index_incremental_add" -> buildOracleFor("vec_id % 7 <> 3"),
+    // DuckDB re-runs the identical serve over the POST-VACUUM persisted
+    // tables (expire left only live files under the glob) — a vacuum that
+    // strands a deleted vector, loses a survivor, or perturbs the trained
+    // artifacts diverges here
+    "q127_index_delete" -> serveSql(duckRefs(delRoot)))
 }
