@@ -148,6 +148,23 @@ final class MaterializedViewManager(cat: Catalog) {
          d.minMaxCols.flatMap(c =>
            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
 
+  /** Signed partial aggregate of a `_change`-tagged CDC frame: an insert
+    * counts +1 and adds its metrics, a delete counts −1 and subtracts —
+    * the abelian-group view of count + decimal-sum partials that makes an
+    * aggregate MV maintainable THROUGH row-level DML (the Materialize /
+    * Flink retraction model; an UPDATE arrives as its delete+insert pair
+    * and nets to the metric difference). NULL metrics contribute nothing
+    * in either direction, so insert/delete stay symmetric. */
+  private def aggregateChanges(chg: DataFrame, keyCols: Seq[String],
+      countName: String, sums: Seq[(String, String)]): DataFrame = {
+    val sgn = when(col("_change") === "insert", lit(1)).otherwise(lit(-1))
+    chg.groupBy(keyCols.map(col): _*)
+      .agg(sum(sgn).as(countName),
+        sums.map { case (src, out) =>
+          sum(col(src).cast(DecimalType(18, 2)) * sgn).cast(DecimalType(18, 2)).as(out)
+        }: _*)
+  }
+
   /** Merge partial aggregates (old MV rows ∪ delta rows) — associative. */
   private def remerge(partials: DataFrame, d: AggMvDef): DataFrame =
     partials.groupBy(d.keyCols.map(col): _*)
@@ -193,9 +210,28 @@ final class MaterializedViewManager(cat: Catalog) {
         val merged = remerge(read(name).unionByName(aggregate(df, d)), d)
         cat.table("_mv", name).createOrReplace(merged)
         "incremental"
-      case None => // base was rewritten: deltas invalid, rebuild AS OF cur
-        cat.table("_mv", name).createOrReplace(aggregate(t.asOf(cur), d))
-        "full"
+      case None =>
+        // a file-pruned DML landed in the window: before surrendering to a
+        // full rebuild, try the RETRACTION fold — CDC net changes applied
+        // as signed partials, reading only the changed files. min/max
+        // partials are NOT retractable (a deleted row may have held the
+        // min; no subtraction recovers the runner-up), so those MVs — and
+        // true REPLACEs (CDC = None) — still rebuild.
+        val cdc = if (d.minMaxCols.isEmpty)
+          t.rowChangesBetween(aggBuiltAt(name), cur) else None
+        cdc match {
+          case Some(cs) =>
+            val signed = aggregateChanges(cs.df, d.keyCols, "n_rows",
+              d.sumCols.map(c => c -> s"sum_$c"))
+            // groups whose rows all vanished net to n_rows = 0 — drop them
+            val merged = remerge(read(name).unionByName(signed), d)
+              .filter(col("n_rows") > 0)
+            cat.table("_mv", name).createOrReplace(merged)
+            "retraction"
+          case None => // replace (or min/max partials): rebuild AS OF cur
+            cat.table("_mv", name).createOrReplace(aggregate(t.asOf(cur), d))
+            "full"
+        }
     }
     aggBuiltAt(name) = cur
     mode
@@ -294,8 +330,22 @@ final class MaterializedViewManager(cat: Catalog) {
                 remergeBase(read(partialName(name, b)).unionByName(aggBase(df, b)), b))
               "incremental"
             case None =>
-              cat.table("_mv", partialName(name, b)).createOrReplace(aggBase(t.asOf(cur), b))
-              "full"
+              // DML in the window: retraction fold over this base's CDC
+              // (BaseAgg partials are count + decimal sums only — always
+              // retractable); a true REPLACE rebuilds the partials
+              t.rowChangesBetween(built(b.base), cur) match {
+                case Some(cs) =>
+                  val signed = aggregateChanges(cs.df, b.keyCols,
+                    s"${b.prefix}_rows",
+                    b.sumCols.map(c => c -> s"${b.prefix}_sum_$c"))
+                  cat.table("_mv", partialName(name, b)).createOrReplace(
+                    remergeBase(read(partialName(name, b)).unionByName(signed), b)
+                      .filter(col(s"${b.prefix}_rows") > 0))
+                  "retraction"
+                case None =>
+                  cat.table("_mv", partialName(name, b)).createOrReplace(aggBase(t.asOf(cur), b))
+                  "full"
+              }
           }
           multiBuiltAt(name) = built + (b.base -> cur) // partial committed: advance NOW
           m

@@ -241,13 +241,20 @@ class MvRewriteSpec extends SparkSpec {
         "routing must survive the base's append-chain Union plan")
       val rows = routed.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       assert(rows.toSeq === Seq(("alpha", 3L, 13.75), ("beta", 2L, 100.75), ("gamma", 1L, 9.99)))
-      // a full rebuild recomputes from the BASE (guard keeps the rule off);
-      // if the rebuild had routed to the stale MV, a base rewrite would be
-      // invisible — prove it is visible
+      // a file-pruned DELETE folds as a RETRACTION; the routed answer must
+      // reflect it (a stale self-route would keep beta visible)
       cat.table("sales", "orders").delete($"seg" === "beta")
-      assert(mvm.refreshIncremental("orders_by_seg") === "full")
+      assert(mvm.refreshIncremental("orders_by_seg") === "retraction")
       val after = baseAgg(cat).collect().map(_.getString(0))
       assert(after.toSeq === Seq("alpha", "gamma"))
+      // a true REPLACE still takes the full rebuild, which recomputes from
+      // the BASE (guard keeps the rule off); if the rebuild had routed to
+      // the stale MV, the replace would be invisible — prove it is visible
+      cat.table("sales", "orders").createOrReplace(
+        Seq(("delta", "x", 1.0)).toDF("seg", "sub", "amt"))
+      assert(mvm.refreshIncremental("orders_by_seg") === "full")
+      val after2 = baseAgg(cat).collect().map(_.getString(0))
+      assert(after2.toSeq === Seq("delta"))
     } finally MvRewrite.unregister("orders_by_seg")
   }
 }

@@ -109,10 +109,11 @@ class ServicesSpec extends SparkSpec {
     // the new (c3, d9) key appears via the full-outer join, zero-filled
     val c3 = mvm.read("funnel").where($"campaign" === "c3" && $"date_key" === "d9").head()
     assert(c3.getAs[Long]("imp_rows") === 0L && c3.getAs[Long]("clk_rows") === 1L)
-    // a rewrite (DELETE) of one base falls back to rebuilding that partial only
+    // a file-pruned DELETE of one base folds as a RETRACTION (CDC signed
+    // partials) — no rebuild, no touch of the other bases
     cat.table("adv", "imps").delete($"campaign" === "c2")
     val modes2 = mvm.refreshMultiAggMv("funnel")
-    assert(modes2("imp") === "full" && modes2("clk") === "noop")
+    assert(modes2("imp") === "retraction" && modes2("clk") === "noop")
     assert(mvm.read("funnel").where($"campaign" === "c2").count() === 1,
       "c2 still present via its click partial, imps zero-filled")
   }
@@ -338,10 +339,57 @@ class ServicesSpec extends SparkSpec {
     // idempotent when nothing changed
     assert(mvm.refreshIncremental("mv_sales") == "noop")
 
-    // a rewrite (DELETE) invalidates deltas → full rebuild
+    // a file-pruned DELETE folds as a RETRACTION: the deleted group's
+    // signed partial nets its count to zero and the group vanishes
     sales.delete($"k" === "b")
-    assert(mvm.refreshIncremental("mv_sales") == "full")
+    assert(mvm.refreshIncremental("mv_sales") == "retraction")
     assert(mvm.read("mv_sales").select($"k").as[String].collect().toSet == Set("a", "c"))
+  }
+
+  test("retraction fold: UPDATE nets the metric diff; partial deletes keep survivors; REPLACE and min/max MVs rebuild") {
+    val cat = newCatalog("mvretr")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(
+      Seq(("a", 10.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)).toDF("k", "amt"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createAggMv("mv_r", ("adv", "sales"), Seq("k"), Seq("amt"))
+
+    // an UPDATE arrives as its CDC delete+insert pair: count unchanged,
+    // sum moves by exactly the diff
+    sales.update($"amt" === 10.0, Map("amt" -> lit(25.0)))
+    assert(mvm.refreshIncremental("mv_r") == "retraction")
+    def state() = mvm.read("mv_r")
+      .select($"k", $"n_rows", $"sum_amt".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state() == Set(("a", 2L, 30.0), ("b", 2L, 3.0)))
+
+    // a PARTIAL delete of a group retracts only the deleted rows
+    sales.delete($"amt" === 2.0)
+    assert(mvm.refreshIncremental("mv_r") == "retraction")
+    assert(state() == Set(("a", 2L, 30.0), ("b", 1L, 1.0)))
+
+    // the fold must agree with a from-scratch recompute
+    val want = sales.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"amt".cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state() == want)
+
+    // a true REPLACE is not CDC-reconstructible → full rebuild
+    sales.createOrReplace(Seq(("z", 9.0)).toDF("k", "amt"))
+    assert(mvm.refreshIncremental("mv_r") == "full")
+    assert(state() == Set(("z", 1L, 9.0)))
+
+    // min/max partials are NOT retractable (the deleted row may have held
+    // the min) → DML forces the rebuild path
+    val sales2 = cat.table("adv", "sales2")
+    sales2.createOrReplace(Seq(("a", 10.0), ("a", 5.0)).toDF("k", "amt"))
+    mvm.createAggMv("mv_mm", ("adv", "sales2"), Seq("k"), Seq("amt"),
+      minMaxCols = Seq("amt"))
+    sales2.delete($"amt" === 5.0)
+    assert(mvm.refreshIncremental("mv_mm") == "full")
+    val mm = mvm.read("mv_mm").where($"k" === "a").head()
+    assert(mm.getAs[Double]("min_amt") == 10.0 && mm.getAs[Double]("max_amt") == 10.0)
   }
 
   test("maintenance sweep: fragmented tables compact, history expires, rows survive") {

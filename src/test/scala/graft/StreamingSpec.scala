@@ -405,13 +405,15 @@ class StreamingSpec extends SparkSpec {
     assert(modes.synchronized(modes.toSeq).forall(_ == "noop"),
       s"caught-up maintenance must fold nothing, got ${modes.toSeq}")
 
-    // a rewrite under maintenance must not crash the stream: the manager
-    // detects invalid deltas and falls back to a full rebuild
+    // DML under maintenance must not crash the stream: the manager folds
+    // the delete + append window as a CDC RETRACTION (signed partials) —
+    // a full rebuild would also be correct, but reads the whole base
     sales.delete($"k" === "b")
     sales.append(Seq(("d", 4.0)).toDF("k", "amt"))
     modes.synchronized(modes.clear())
     sweep()
-    assert(modes.synchronized(modes.toSeq).contains("full"))
+    assert(modes.synchronized(modes.toSeq).contains("retraction"),
+      s"expected a retraction fold, got ${modes.toSeq}")
     val want = sales.read().groupBy($"k")
       .agg(count(lit(1)).as("n"), sum($"amt".cast("decimal(18,9)")).cast("double").as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
