@@ -68,9 +68,10 @@ final class MaterializedViewManager(cat: Catalog) {
     MvRewrite.install(cat.spark)
     MvRewrite.register(MvRewrite.Entry(
       name,
-      // matched by EQUALITY against a query's scanned dir set: only the
-      // current full-table read routes; asOf/appendsSince scans decline
-      () => cat.table(d.base._1, d.base._2).liveSnapshotDirs().toSet,
+      // matched by EQUALITY against a query's scanned path set (dirs, or
+      // surviving files after a cow): only the current full-table read
+      // routes; asOf/appendsSince scans decline
+      () => cat.table(d.base._1, d.base._2).liveScanPaths(),
       d.keyCols, d.sumCols,
       () => read(name).queryExecution.analyzed,
       // stale MV ⇒ no routing: the base committed past the last refresh
@@ -89,7 +90,7 @@ final class MaterializedViewManager(cat: Catalog) {
     bases.foreach { b =>
       MvRewrite.register(MvRewrite.Entry(
         partialName(name, b),
-        () => cat.table(b.base._1, b.base._2).liveSnapshotDirs().toSet,
+        () => cat.table(b.base._1, b.base._2).liveScanPaths(),
         b.keyCols, b.sumCols,
         () => read(partialName(name, b)).queryExecution.analyzed,
         () => cat.table(b.base._1, b.base._2).currentSnapshotId.getOrElse(0L) ==

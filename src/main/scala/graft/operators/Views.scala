@@ -305,6 +305,73 @@ object Views {
       }
     },
 
+    // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
+    // built, then file-pruned DML lands on the base — a DELETE plus an
+    // UPDATE that MOVES rows between the MV's groups (status → 'X': the
+    // CDC delete+insert pair hits two groups). The refresh is REQUIRED to
+    // take the "retraction" path (signed CDC partials folded into the
+    // existing partials — never a base rescan), the routed query is
+    // REQUIRED to read only the `_mv` partials, and the DuckDB oracle
+    // recomputes the post-DML aggregate from raw orders — a fold that
+    // drops a survivor, double-counts a carryover, or misses a group move
+    // turns the row red.
+    "q128_mv_retraction" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/mvretr"
+      val prevFlag = s.conf.getOption(graft.mv.MvRewrite.FlagKey)
+      try {
+        val cat = new graft.catalog.Catalog(s, wh, "MVRETR")
+        val mvm = new graft.mv.MaterializedViewManager(cat)
+        val base = cat.table("gate", "orders_r")
+        base.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        mvm.createAggMv("orders_by_status_r", ("gate", "orders_r"),
+          Seq("o_orderstatus"), Seq("o_totalprice"))
+        // file-pruned DML AFTER the build — the deltas that must fold as
+        // signed partials
+        val (_, dPlan) = base.deletePruned($"o_orderkey" <= lit(150L))
+        require(dPlan.filesKept * 2 <= dPlan.filesTotal,
+          s"q128 delete must prune: ${dPlan.filesKept}/${dPlan.filesTotal}")
+        base.update($"o_orderkey".between(300L, 450L),
+          Map("o_orderstatus" -> lit("X")))
+        val mode = mvm.refreshIncremental("orders_by_status_r")
+        require(mode == "retraction",
+          s"q128 requires the signed-CDC retraction fold, got '$mode'")
+        mvm.enableRewrite("orders_by_status_r")
+        val routed = base.read()
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
+          .select($"o_orderstatus", $"n_orders",
+            ($"total" * 100).cast("long").as("total_cents"))
+          .orderBy($"o_orderstatus")
+        val scans = routed.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        require(scans.nonEmpty && scans.forall(_.contains("/_mv/")),
+          s"q128 must read ONLY the retraction-freshened MV partials, scanned: $scans")
+        val rows = routed.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
+      } finally {
+        graft.mv.MvRewrite.unregister("orders_by_status_r")
+        prevFlag match {
+          case Some(v) => s.conf.set(graft.mv.MvRewrite.FlagKey, v)
+          case None => s.conf.unset(graft.mv.MvRewrite.FlagKey)
+        }
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // STREAMING CHANGE FEED through the correctness gate: a REAL
     // checkpointed `readChangeFeed` stream (Trigger.AvailableNow) consumes
     // the table's initial state, then DML lands (append + file-pruned
@@ -781,6 +848,19 @@ object Views {
                 TRUE AS pruned
          FROM orders
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q128_mv_retraction" ->
+      """WITH t1 AS (SELECT * FROM orders WHERE NOT (o_orderkey <= 150)),
+         t2 AS (SELECT CASE WHEN o_orderkey BETWEEN 300 AND 450 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM t1)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+         FROM t2
          GROUP BY 1
          ORDER BY 1""",
 

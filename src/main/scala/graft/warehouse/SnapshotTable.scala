@@ -879,6 +879,19 @@ final class SnapshotTable(
     dataChainAt(id).map(s => snapDir(s.id).toString)
   }
 
+  /** The root paths the CURRENT `read()` plan reports for its scans —
+    * whole snapshot dirs on the exclusion-free fast path, the surviving
+    * FILES when a cow replaced files inside the chain (asOf then plans
+    * per-file reads). MV routing matches a query's scanned path set
+    * against this by EQUALITY, so it keeps firing across file-pruned DML
+    * while time-travel/delta scans (different sets) still decline. */
+  def liveScanPaths(): Set[String] = currentSnapshotId.toSeq.flatMap { id =>
+    val chain = dataChainAt(id)
+    val excl = chainExclusions(chain)
+    if (excl.isEmpty) chain.map(s => snapDir(s.id).toString)
+    else chain.flatMap(s => listParquet(snapDir(s.id)).filterNot(f => excl(relToRoot(f))))
+  }.toSet
+
   /** The rows appended strictly after snapshot `id` — the incremental-read
     * path (an Iceberg incremental scan between snapshots). Returns None if
     * a `base` snapshot (replace/DELETE/UPDATE rewrite) intervened: deltas
