@@ -1094,7 +1094,14 @@ final class SnapshotTable(
     * carries no bounds (the IS NOT NULL scan shape). Reads one small
     * `.stats` sidecar per live snapshot — no data I/O, no Spark job.
     * Returns (per-snapshot-dir kept files, kept count, total count). */
-  def planFiles(filters: Seq[ColRange]): ScanPlan = {
+  def planFiles(filters: Seq[ColRange]): ScanPlan = planFilesAny(Seq(filters))
+
+  /** [[planFiles]] generalized to a DISJUNCTION of conjunctive range
+    * sets: a file is kept when ANY alternative's ranges all overlap it —
+    * the plan shape behind multi-hull MERGE pruning, where a source
+    * mixing low-key updates with high-key inserts would otherwise hull to
+    * the whole table. One file listing regardless of alternative count. */
+  def planFilesAny(alternatives: Seq[Seq[ColRange]]): ScanPlan = {
     val kept = Seq.newBuilder[(String, Seq[String])]
     var nKept = 0
     var nTotal = 0
@@ -1120,7 +1127,7 @@ final class SnapshotTable(
               seg.take(i) -> java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8")
             }.toMap
           val colStats = stats.getOrElse(rel, Map.empty)
-          val keep = filters.forall { r =>
+          val keep = alternatives.exists(_.forall { r =>
             partVals.get(r.col) match {
               case Some(v) => SnapshotTable.partValueInRange(v, r)
               case None => colStats.get(r.col) match {
@@ -1134,7 +1141,7 @@ final class SnapshotTable(
                 case None => true // no stats recorded → cannot prune
               }
             }
-          }
+          })
           if (keep) { files += full; nKept += 1 }
         }
       }
@@ -1231,7 +1238,7 @@ final class SnapshotTable(
     * Returns (snapshotId, plan, replacedRows, rewrittenRows);
     * snapshotId = -1 for the metadata-only no-op (no file can match and
     * `emptyPlanIsNoop`). */
-  private def cowRewrite(filters: Seq[ColRange], note: String,
+  private def cowRewrite(alternatives: Seq[Seq[ColRange]], note: String,
                          emptyPlanIsNoop: Boolean)
                         (transform: DataFrame => DataFrame): (Long, ScanPlan, Long, Long) = {
     writeGuard()
@@ -1243,7 +1250,7 @@ final class SnapshotTable(
       if (attempts > 50) throw new IllegalStateException(
         s"cow rewrite of $root lost the commit race $attempts times — writer storm?")
       val head = currentSnapshotId.get
-      val plan = planFiles(filters)
+      val plan = planFilesAny(alternatives)
       if (plan.filesKept == 0 && emptyPlanIsNoop) return (-1L, plan, 0L, 0L)
       val touched =
         if (plan.filesKept == 0) read().limit(0) // MERGE into no matching file: pure insert
@@ -1308,7 +1315,7 @@ final class SnapshotTable(
     * assert pruning with it (filesKept = files rewritten). */
   def deletePruned(cond: org.apache.spark.sql.Column): (Long, ScanPlan) = {
     val (_, plan, replaced, written) =
-      cowRewrite(FilterRanges.extract(cond), "delete", emptyPlanIsNoop = true)(
+      cowRewrite(Seq(FilterRanges.extract(cond)), "delete", emptyPlanIsNoop = true)(
         _.filter(!cond))
     (replaced - written, plan)
   }
@@ -1325,7 +1332,7 @@ final class SnapshotTable(
                    sets: Map[String, org.apache.spark.sql.Column]): (Long, ScanPlan) = {
     import org.apache.spark.sql.functions.when
     val (id, plan, _, _) =
-      cowRewrite(FilterRanges.extract(cond), "update", emptyPlanIsNoop = true) { df =>
+      cowRewrite(Seq(FilterRanges.extract(cond)), "update", emptyPlanIsNoop = true) { df =>
         sets.foldLeft(df) { case (d, (c, v)) =>
           d.withColumn(c, when(cond, v).otherwise(d(c)))
         }
@@ -1366,9 +1373,39 @@ final class SnapshotTable(
       val ranges = keys.zipWithIndex.map { case (k, i) =>
         ColRange(k, Option(hullRow.get(2 * i)), Option(hullRow.get(2 * i + 1)))
       }
+      // MULTI-HULL on the leading key: a single hull degenerates when the
+      // source mixes far-apart key clusters (low-key updates + fresh
+      // high-key inserts hull to the whole table). Quantile-split the
+      // leading key into segments and take each segment's EXACT min/max
+      // (one approxQuantile + one small agg — distributed, never a key
+      // collect); each alternative = that segment's leading-key range AND
+      // the other keys' global hulls. Non-numeric leading keys keep the
+      // single hull.
+      val alternatives: Seq[Seq[ColRange]] = {
+        val lead = keys.head
+        val numeric = srcKeys.schema(lead).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        }
+        val multi = if (!numeric || srcTotal < 2) Seq.empty
+        else {
+          val nH = 16
+          val probs = (1 until nH).map(_.toDouble / nH).toArray
+          val qs = src.stat.approxQuantile(lead, probs, 0.001)
+          val bucket = qs.foldLeft(org.apache.spark.sql.functions.lit(0)) {
+            (acc, q) => acc + org.apache.spark.sql.functions
+              .when(col(lead) > org.apache.spark.sql.functions.lit(q), 1).otherwise(0)
+          }
+          srcKeys.groupBy(bucket.as("__h"))
+            .agg(min(col(lead)).as("lo"), max(col(lead)).as("hi"))
+            .collect().toSeq
+            .map(r => ColRange(lead, Option(r.get(1)), Option(r.get(2))) +: ranges.tail)
+        }
+        if (multi.nonEmpty) multi else Seq(ranges)
+      }
       val prev = count()
       val (_, plan, _, _) =
-        cowRewrite(ranges, "merge", emptyPlanIsNoop = false) { touched =>
+        cowRewrite(alternatives, "merge", emptyPlanIsNoop = false) { touched =>
           touched.join(srcKeys, keys, "left_anti").unionByName(src)
         }
       val inserted = count() - prev

@@ -104,6 +104,23 @@ class CowDmlSpec extends SparkSpec {
     assert(t.read().count() === 806L)
   }
 
+  test("MERGE multi-hull: a mixed low-update/high-insert source still prunes") {
+    val t = eightFiles("cow-merge-mh")
+    // single-hull would span [100, 50004] and keep all 8 files; the
+    // quantile multi-hull isolates the two key clusters
+    val src = (100L to 109L).map(i => (i, s"u$i")) ++
+      (50000L to 50004L).map(i => (i, s"n$i"))
+    val ((updated, inserted), plan) = t.mergePruned(src.toDF("id", "v"), Seq("id"))
+    assert((updated, inserted) === (10L, 5L))
+    assert(plan.filesKept <= 3,
+      s"multi-hull must isolate the update cluster, rewrote ${plan.filesKept}/8")
+    assert(t.read().count() === 805L)
+    assert(t.read().filter(col("id") === 105).select("v").as[String].head() === "u105")
+    assert(t.read().filter(col("id") >= 50000).count() === 5L)
+    // untouched rows of untouched files carried by reference
+    assert(t.read().filter(col("id").between(200, 799)).count() === 600L)
+  }
+
   test("DELETE of every row leaves a readable empty table with its schema") {
     val t = new SnapshotTable(spark, freshRoot("cow-empty"))
     t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
