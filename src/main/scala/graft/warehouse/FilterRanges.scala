@@ -32,4 +32,16 @@ object FilterRanges {
 
   def extract(cond: Column): Seq[ColRange] =
     PredicateBounds.of(cond).map { case (c, lo, hi, nn) => ColRange(c, lo, hi, nn) }
+
+  /** Disjunctive extraction for [[SnapshotTable.planFilesAny]]: one range
+    * set per OR-alternative (`a <= 10 OR a >= 5000` prunes the middle
+    * files — a retention DELETE's natural shape). An un-analyzable
+    * disjunct widens the WHOLE disjunction to unconstrained (sound); the
+    * no-constraint case returns the single keep-everything alternative. */
+  def extractAlternatives(cond: Column): Seq[Seq[ColRange]] =
+    PredicateBounds.alternativesOf(cond)
+      .map(_.map { case (c, lo, hi, nn) => ColRange(c, lo, hi, nn) }) match {
+      case Seq() => Seq(Seq.empty)
+      case alts => alts
+    }
 }

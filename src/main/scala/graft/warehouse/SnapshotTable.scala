@@ -1315,7 +1315,7 @@ final class SnapshotTable(
     * assert pruning with it (filesKept = files rewritten). */
   def deletePruned(cond: org.apache.spark.sql.Column): (Long, ScanPlan) = {
     val (_, plan, replaced, written) =
-      cowRewrite(Seq(FilterRanges.extract(cond)), "delete", emptyPlanIsNoop = true)(
+      cowRewrite(FilterRanges.extractAlternatives(cond), "delete", emptyPlanIsNoop = true)(
         _.filter(!cond))
     (replaced - written, plan)
   }
@@ -1332,7 +1332,7 @@ final class SnapshotTable(
                    sets: Map[String, org.apache.spark.sql.Column]): (Long, ScanPlan) = {
     import org.apache.spark.sql.functions.when
     val (id, plan, _, _) =
-      cowRewrite(Seq(FilterRanges.extract(cond)), "update", emptyPlanIsNoop = true) { df =>
+      cowRewrite(FilterRanges.extractAlternatives(cond), "update", emptyPlanIsNoop = true) { df =>
         sets.foldLeft(df) { case (d, (c, v)) =>
           d.withColumn(c, when(cond, v).otherwise(d(c)))
         }

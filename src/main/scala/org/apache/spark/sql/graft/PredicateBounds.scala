@@ -14,6 +14,34 @@ object PredicateBounds {
   def of(cond: Column): Seq[(String, Option[Any], Option[Any], Boolean)] =
     walk(cond.node)
 
+  /** Disjunctive form: a list of ALTERNATIVES, each a conjunctive range
+    * set — rows satisfying the predicate lie in files overlapping at
+    * least one alternative. `OR` forks alternatives (both sides must be
+    * analyzable, else the whole disjunct is unconstrained); `AND`
+    * distributes (capped — past 64 combinations the smaller side alone is
+    * kept, sound because a conjunction implies each conjunct). Empty
+    * result = cannot constrain at all. */
+  def alternativesOf(cond: Column): Seq[Seq[(String, Option[Any], Option[Any], Boolean)]] =
+    alts(cond.node)
+
+  private def alts(n: ColumnNode): Seq[Seq[(String, Option[Any], Option[Any], Boolean)]] =
+    n match {
+      case F("or", Seq(l, r)) =>
+        val (la, ra) = (alts(l), alts(r))
+        if (la.isEmpty || ra.isEmpty) Seq.empty // one side unconstrained → OR is
+        else la ++ ra
+      case F("and", Seq(l, r)) =>
+        val (la, ra) = (alts(l), alts(r))
+        if (la.isEmpty) ra
+        else if (ra.isEmpty) la
+        else if (la.size * ra.size > 64) (if (la.size <= ra.size) la else ra)
+        else for { a <- la; b <- ra } yield a ++ b
+      case leaf => walk(leaf) match {
+        case Seq() => Seq.empty
+        case rs => Seq(rs)
+      }
+    }
+
   private def walk(n: ColumnNode): Seq[(String, Option[Any], Option[Any], Boolean)] =
     n match {
       case F("and", Seq(l, r)) => walk(l) ++ walk(r)

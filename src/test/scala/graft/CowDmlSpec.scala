@@ -243,6 +243,24 @@ class CowDmlSpec extends SparkSpec {
     assert(rows === Set((901L, "insert")))
   }
 
+  test("OR predicates prune per-disjunct: a two-tail retention DELETE skips the middle") {
+    val t = eightFiles("cow-or")
+    // a <= 20 OR a >= 780: head and tail files only — the single-conjunct
+    // extractor saw OR as opaque and rewrote all 8
+    val (removed, plan) = t.deletePruned(col("id") <= lit(20L) || col("id") >= lit(780L))
+    assert(removed === 41L)
+    assert(plan.filesKept <= 2,
+      s"disjunctive pruning must keep head+tail only, rewrote ${plan.filesKept}/8")
+    assert(t.read().count() === 759L)
+    // an un-analyzable disjunct widens the whole OR (sound): all files
+    // rewritten, result still exact
+    val t2 = eightFiles("cow-or2")
+    val (removed2, plan2) = t2.deletePruned(col("id") <= lit(5L) || abs(col("id")) === lit(700L))
+    assert(removed2 === 7L)
+    assert(plan2.filesKept === plan2.filesTotal)
+    assert(t2.read().count() === 793L)
+  }
+
   test("FilterRanges: conjunctions tighten, unsupported shapes prune nothing") {
     def r(c: org.apache.spark.sql.Column) = FilterRanges.extract(c)
     assert(r(col("a") === lit(5)) === Seq(ColRange("a", Some(5), Some(5))))
@@ -264,5 +282,19 @@ class CowDmlSpec extends SparkSpec {
     // date literals come back on the external axis planFiles compares on
     val d = java.sql.Date.valueOf("2024-03-01")
     assert(r(col("day") >= lit(d)) === Seq(ColRange("day", lower = Some(d))))
+
+    // disjunctive form
+    def alts(c: org.apache.spark.sql.Column) = FilterRanges.extractAlternatives(c)
+    assert(alts(col("a") <= 10 || col("a") >= 50) ===
+      Seq(Seq(ColRange("a", upper = Some(10))), Seq(ColRange("a", lower = Some(50)))))
+    // AND distributes over OR
+    assert(alts((col("a") <= 10 || col("a") >= 50) && col("b") === 7) ===
+      Seq(Seq(ColRange("a", upper = Some(10)), ColRange("b", Some(7), Some(7))),
+        Seq(ColRange("a", lower = Some(50)), ColRange("b", Some(7), Some(7)))))
+    // an opaque disjunct widens the whole OR to keep-everything
+    assert(alts(col("a") <= 10 || abs(col("b")) === 1) === Seq(Seq.empty))
+    // a plain conjunction stays one alternative
+    assert(alts(col("a") > 1 && col("a") < 9) ===
+      Seq(Seq(ColRange("a", lower = Some(1)), ColRange("a", upper = Some(9)))))
   }
 }
