@@ -141,7 +141,7 @@ class WarehouseSpec extends SparkSpec {
     t.createOrReplace(Seq.empty[(Int, String)].toDF("id", "v"))
     var (snapshots, compactions) = (1, 0)
     for (step <- 1 to 60) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append
           val r = rows(1 + rnd.nextInt(4))
           t.append(r.toDF("id", "v")); model ++= r; snapshots += 1
@@ -164,6 +164,21 @@ class WarehouseSpec extends SparkSpec {
         case 5 => // compact (occasionally expire too)
           t.compact(); snapshots += 1; compactions += 1
           if (rnd.nextBoolean()) t.expireSnapshots(keepLast = 2)
+        case 6 if model.nonEmpty => // two-tail OR delete (disjunctive pruning path)
+          val keys = model.keys.toSeq.sorted
+          val lo = keys(rnd.nextInt(keys.size))
+          val hi = keys(rnd.nextInt(keys.size))
+          val removed = t.delete(($"id" <= lo) || ($"id" >= hi))
+          val expect = model.count { case (k, _) => k <= lo || k >= hi }
+          assert(removed === expect, s"step $step or-delete($lo, $hi)")
+          model = model.filter { case (k, _) => k > lo && k < hi }
+          snapshots += 1
+        case 7 if model.nonEmpty => // mixed merge: near updates + far inserts (multi-hull)
+          val existing = model.keys.toSeq.sorted.take(2).map(k => (k, "mmix"))
+          val far = Seq((1000000 + step, "far"))
+          t.merge((existing ++ far).toDF("id", "v"), Seq("id"))
+          model ++= existing ++ far; snapshots += 1
+        case _ => () // 6/7 on an empty table: skip
       }
       assert(t.count() === model.size, s"step $step count")
       val got = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
