@@ -305,6 +305,49 @@ object Views {
       }
     },
 
+    // DISJUNCTIVE (two-tail) RETENTION DELETE through the correctness
+    // gate: `DELETE WHERE key <= lo OR key >= hi` is the natural
+    // retention shape (drop the oldest and the quarantined-newest), and a
+    // single-hull extractor sees OR as opaque — the whole table rewrites.
+    // The disjunctive planner must prune to the HEAD and TAIL files only
+    // (REQUIREd: ≤ half the files rewritten, middle untouched), and the
+    // DuckDB oracle replays the same delete over raw orders; the upper
+    // bound derives from each engine's own max-key metadata so the gate
+    // holds across scale factors.
+    "q129_retention_delete" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/retdel"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val maxKey = tbl.columnStats()("o_orderkey").max.get.toLong
+        val (removed, plan) = tbl.deletePruned(
+          $"o_orderkey" <= lit(150L) || $"o_orderkey" >= lit(maxKey - 150L))
+        require(removed > 0, "q129 expects matching rows in both tails")
+        require(plan.filesKept * 2 <= plan.filesTotal,
+          s"q129 two-tail delete must keep the middle files untouched: " +
+            s"rewrote ${plan.filesKept}/${plan.filesTotal}")
+        val res = tbl.read()
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            decCents($"o_totalprice").as("total_cents"),
+            min($"o_orderkey").as("min_key"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderstatus")
+        // materialize before the scratch warehouse is deleted below
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -848,6 +891,19 @@ object Views {
                 TRUE AS pruned
          FROM orders
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q129_retention_delete" ->
+      """WITH lim AS (SELECT MAX(o_orderkey) - 150 AS hi FROM orders),
+         t1 AS (SELECT o.* FROM orders o, lim
+                WHERE NOT (o.o_orderkey <= 150 OR o.o_orderkey >= lim.hi))
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_orderkey) AS min_key,
+                MAX(o_orderkey) AS max_key
+         FROM t1
          GROUP BY 1
          ORDER BY 1""",
 
