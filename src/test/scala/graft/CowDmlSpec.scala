@@ -243,6 +243,26 @@ class CowDmlSpec extends SparkSpec {
     assert(rows === Set((901L, "insert")))
   }
 
+  test("two concurrent COW deletes both land (optimistic validate-and-retry)") {
+    val t = eightFiles("cow-race2")
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val ths = Seq(
+      (0L, 49L), (700L, 749L), (400L, 409L)
+    ).map { case (lo, hi) =>
+      new Thread(() =>
+        try { t.delete(col("id").between(lo, hi)); () }
+        catch { case e: Throwable => errs.add(e); () })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent deletes failed: $errs")
+    assert(t.read().count() === 800L - 50 - 50 - 10)
+    assert(t.count() === 690L, "metadata count agrees after racing cows")
+    Seq((0L, 49L), (700L, 749L), (400L, 409L)).foreach { case (lo, hi) =>
+      assert(t.read().filter(col("id").between(lo, hi)).count() === 0L)
+    }
+    assert(t.snapshots().count(_._2 == "cow") === 3)
+  }
+
   test("OR predicates prune per-disjunct: a two-tail retention DELETE skips the middle") {
     val t = eightFiles("cow-or")
     // a <= 20 OR a >= 780: head and tail files only — the single-conjunct
