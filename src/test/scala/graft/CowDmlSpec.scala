@@ -243,6 +243,30 @@ class CowDmlSpec extends SparkSpec {
     assert(rows === Set((901L, "insert")))
   }
 
+  test("UPDATE that changes the partition column moves rows between hive dirs") {
+    val t = new SnapshotTable(spark, freshRoot("cow-pmove"))
+    t.createOrReplace(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)).toDF("id", "reg", "amt"),
+      partitionBy = Seq("reg"))
+    // id=2 moves reg a→c: the cow dir carries BOTH the surviving a-rows
+    // and the moved row under its new partition dir
+    t.update(col("id") === 2L, Map("reg" -> lit("c")))
+    assert(t.read().count() === 3L)
+    assert(t.read().filter(col("reg") === "c").select("id").as[Long].collect().toSeq === Seq(2L))
+    assert(t.read().filter(col("reg") === "a").count() === 1L)
+    // partition pruning stays exact across the move (old file excluded,
+    // new dirs carry the current truth)
+    val pc = t.planFiles(Seq(ColRange("reg", Some("c"), Some("c"))))
+    assert(pc.filesKept < pc.filesTotal)
+    val (df, _) = t.readPruned(Seq(ColRange("reg", Some("c"), Some("c"))))
+    assert(df.select("id").as[Long].collect().toSeq === Seq(2L))
+    // the untouched b-partition file was not rewritten
+    assert(t.snapshots().map(_._2) === Seq("base", "cow"))
+    val cowDir = new java.io.File(t.root, f"snap-${t.currentSnapshotId.get}%05d")
+    assert(!new java.io.File(cowDir, "reg=b").exists(),
+      "file-pruned UPDATE must not rewrite the untouched partition")
+  }
+
   test("two concurrent COW deletes both land (optimistic validate-and-retry)") {
     val t = eightFiles("cow-race2")
     val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
