@@ -132,16 +132,33 @@ object CostJoinRule extends Rule[LogicalPlan] {
 
   private val snapDirName = "snap-\\d+".r.pattern
 
-  /** Bytes of a snapshot-dir scan from storage metadata alone — None when
-    * the dirs are not one table's snapshot chain (rule declines). */
-  private def snapshotScanBytes(dirs: Seq[Path]): Option[Long] = {
-    if (dirs.isEmpty) return None
-    if (!dirs.forall(p => snapDirName.matcher(p.getName).matches())) return None
-    if (dirs.map(_.getParent).distinct.size != 1) return None
+  /** The `snap-NNNNN` ancestor of a scanned root path — the path itself
+    * (whole-dir scan, the exclusion-free fast path) or a data file /
+    * partition dir inside one (the per-file scan a post-cow `read()`
+    * plans). None when the path is not under a snapshot dir. */
+  private def snapAncestor(p: Path): Option[Path] = {
+    var cur = p
+    while (cur != null && !snapDirName.matcher(cur.getName).matches())
+      cur = cur.getParent
+    Option(cur)
+  }
+
+  /** Bytes of a snapshot scan from storage metadata alone — None when the
+    * paths are not one table's snapshot chain (rule declines). Dir paths
+    * size by content summary; file paths (post-cow scans) by file length,
+    * which automatically EXCLUDES the replaced files the scan skips. */
+  private def snapshotScanBytes(paths: Seq[Path]): Option[Long] = {
+    if (paths.isEmpty) return None
+    val ancestors = paths.map(snapAncestor)
+    if (ancestors.exists(_.isEmpty)) return None
+    if (ancestors.flatten.map(_.getParent).distinct.size != 1) return None
     try {
-      val fs = dirs.head.getFileSystem(
+      val fs = paths.head.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      Some(dirs.map(d => fs.getContentSummary(d).getLength).sum)
+      Some(paths.map { p =>
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+      }.sum)
     } catch { case _: Exception => None }
   }
 

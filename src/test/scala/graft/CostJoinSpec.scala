@@ -120,6 +120,22 @@ class CostJoinSpec extends SparkSpec {
     }
   }
 
+  test("rule: still fires after a cow DML (per-file scans recognized and sized)") {
+    val (dim, fact) = smallBig()
+    // a file-pruned DML on BOTH sides: their read() plans now scan explicit
+    // surviving files, not whole snap dirs — recognition and sizing must
+    // follow (the same representation shift MV routing handles)
+    dim.delete($"k" === 3L)
+    fact.delete($"v" === 9999L)
+    assert(dim.snapshots().last._2 == "cow" && fact.snapshots().last._2 == "cow")
+    withRule {
+      val plan = fact.read().join(dim.read(), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
+        s"rule must keep broadcasting across cow DML:\n$plan")
+    }
+  }
+
   test("rule: outer-join legality and threshold mirror the API; flag off = inert") {
     val (dim, fact) = smallBig()
     withRule {
