@@ -104,7 +104,10 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
       val capped =
         if (uncapped) latest
         else table.boundedTailEnd(base, latest,
-          maxAppendsPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger)
+          maxAppendsPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
+          // CDC accounting: a cow's change rows/bytes count toward the
+          // caps (admitted alone) instead of riding along free
+          cdc = cdc)
       LongOffset(capped): OffsetV2
     }.orNull
   }

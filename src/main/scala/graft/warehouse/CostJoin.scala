@@ -145,8 +145,12 @@ object CostJoinRule extends Rule[LogicalPlan] {
 
   /** Bytes of a snapshot scan from storage metadata alone — None when the
     * paths are not one table's snapshot chain (rule declines). Dir paths
-    * size by content summary; file paths (post-cow scans) by file length,
-    * which automatically EXCLUDES the replaced files the scan skips. */
+    * size by content summary; file paths (post-cow per-file scans) by file
+    * length, which automatically EXCLUDES the replaced files the scan
+    * skips. File sizing batches ONE `listStatus` per parent dir (ADVICE
+    * r9 #3) instead of a `getFileStatus` RPC per file — this runs inside
+    * an optimizer rule on every planning pass, so per-file round trips
+    * would be O(live files) metadata RPCs per plan on a large table. */
   private def snapshotScanBytes(paths: Seq[Path]): Option[Long] = {
     if (paths.isEmpty) return None
     val ancestors = paths.map(snapAncestor)
@@ -155,10 +159,16 @@ object CostJoinRule extends Rule[LogicalPlan] {
     try {
       val fs = paths.head.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      Some(paths.map { p =>
-        val st = fs.getFileStatus(p)
-        if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
-      }.sum)
+      // data files carry the .parquet suffix; everything else a snapshot
+      // scan roots at is a directory (snap dir or partition dir)
+      val (files, dirs) = paths.partition(_.getName.endsWith(".parquet"))
+      val dirBytes = dirs.map(p => fs.getContentSummary(p).getLength).sum
+      val fileBytes = files.groupBy(_.getParent).iterator.map { case (parent, fl) =>
+        val want = fl.map(_.getName).toSet
+        fs.listStatus(parent).iterator
+          .filter(s => want(s.getPath.getName)).map(_.getLen).sum
+      }.sum
+      Some(dirBytes + fileBytes)
     } catch { case _: Exception => None }
   }
 

@@ -1024,10 +1024,19 @@ final class SnapshotTable(
     * `asOf(end)` = the current base chain: the base is admitted
     * unconditionally (it cannot be split), then appends up to the caps —
     * so even a from-scratch tail over a long append chain starts bounded.
-    */
+    *
+    * `cdc = true` is the CHANGE-FEED accounting (ADVICE r9 #2): for a CDC
+    * tail a `cow` snapshot is not a free rider — it carries real change
+    * rows (replaced-file deletes + rewrite inserts), so its rows/bytes
+    * (marker rows + `.excl` rows, dir bytes + replaced bytes — an upper
+    * bound on the net changes) count toward the caps, admitted alone
+    * under the at-least-one rule. Without the flag a large cow in the
+    * backlog could exceed `maxRowsPerTrigger` arbitrarily — the exact
+    * unbounded-union case admission control exists to prevent. */
   def boundedTailEnd(sinceId: Option[Long], latest: Long,
                      maxAppends: Option[Int], maxRows: Option[Long],
-                     maxBytes: Option[Long] = None): Long = {
+                     maxBytes: Option[Long] = None,
+                     cdc: Boolean = false): Long = {
     val ms = metas().filter(_.id <= latest)
     val candidates = sinceId match {
       case Some(s) => ms.filter(_.id > s)
@@ -1037,6 +1046,19 @@ final class SnapshotTable(
     // size), and only consulted when the caller set a byte cap
     def bytesOf(id: Long): Long =
       try fs.getContentSummary(snapDir(id)).getLength catch { case _: Exception => 0L }
+    // does this snapshot contribute rows to the batch being sized?
+    def carriesRows(m: SnapMeta): Boolean =
+      m.kind == "append" || (cdc && m.kind == "cow")
+    // (rows, extraBytes) a row-carrying snapshot contributes: appends are
+    // their marker count; a cow's CDC payload is bounded by rewrite rows +
+    // replaced rows (the two EXCEPT ALL inputs), replaced bytes from its
+    // .excl sidecar. None = unknown → cap-saturating, never free.
+    def rowsOf(m: SnapMeta): (Option[Long], Long) =
+      if (m.kind == "append") (m.rows, 0L)
+      else readExclusion(m.id) match {
+        case Some(e) => (m.rows.map(_ + e.rows), e.bytes)
+        case None => (None, 0L)
+      }
     var end = -1L
     var appends = 0
     var rows = 0L
@@ -1046,23 +1068,24 @@ final class SnapshotTable(
     val it = candidates.iterator
     while (it.hasNext && !done) {
       val m = it.next()
-      if (m.kind != "append") end = m.id // free rider: no rows for this batch
+      if (!carriesRows(m)) end = m.id // free rider: no rows for this batch
       else {
-        val b = if (maxBytes.isDefined) bytesOf(m.id) else 0L
+        val (mRows, exclBytes) = rowsOf(m)
+        val b = if (maxBytes.isDefined) bytesOf(m.id) + exclBytes else 0L
         // rows=None (pre-upgrade marker, no row count) is CAP-SATURATING
         // under a row cap, never free: counting it as 0 would let a tail
         // catching up over legacy history admit an unbounded union — the
         // exact case admission control exists to prevent. It is admitted
         // alone (at-least-one rule) and exhausts the row budget.
-        val unknownRows = maxRows.isDefined && m.rows.isEmpty
+        val unknownRows = maxRows.isDefined && mRows.isEmpty
         val overAppends = maxAppends.exists(n => appends + 1 > n)
         val overRows = unknownRows ||
-          maxRows.exists(r => rows + m.rows.getOrElse(0L) > r)
+          maxRows.exists(r => rows + mRows.getOrElse(0L) > r)
         val overBytes = maxBytes.exists(x => bytes + b > x)
         if ((overAppends || overRows || overBytes) && admitted) done = true
         else {
           appends += 1; bytes += b
-          rows = if (unknownRows) maxRows.get else rows + m.rows.getOrElse(0L)
+          rows = if (unknownRows) maxRows.get else rows + mRows.getOrElse(0L)
           admitted = true; end = m.id
         }
       }
@@ -1317,6 +1340,25 @@ final class SnapshotTable(
     val (_, plan, replaced, written) =
       cowRewrite(FilterRanges.extractAlternatives(cond), "delete", emptyPlanIsNoop = true)(
         _.filter(!cond))
+    (replaced - written, plan)
+  }
+
+  /** DELETE by KEY SET — file-pruned copy-on-write where the doomed rows
+    * are named by a DataFrame of keys instead of a predicate: every file
+    * overlapping `prune` is rewritten WITHOUT the rows whose `keys`
+    * columns match a `keyRows` row (a distributed anti-join — the key set
+    * never materializes on the driver, so a multi-million-key delete
+    * batch is as safe as a one-key one; contrast a collected `isin`
+    * IN-list, which is a driver OOM and a codegen-buster at that scale).
+    * `keyRows` columns must be (a superset of) `keys`. The caller owns
+    * the soundness of `prune`: every row matching a key must live in a
+    * file the alternatives keep. Returns (rowsDeleted, plan). */
+  def deleteKeysPruned(prune: Seq[Seq[ColRange]], keys: Seq[String],
+                       keyRows: DataFrame): (Long, ScanPlan) = {
+    val keyDf = keyRows.select(keys.map(keyRows.col): _*)
+    val (_, plan, replaced, written) =
+      cowRewrite(prune, "delete", emptyPlanIsNoop = true)(
+        _.join(keyDf, keys, "left_anti"))
     (replaced - written, plan)
   }
 

@@ -90,6 +90,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(codes.read().where("n_id % 7 = 3").count() === added * 4)
   }
 
+  test("a second removeVectors batch APPENDS to the tombstones (never replaces)") {
+    // ADVICE r9 #1: tombstones must accumulate across delete batches —
+    // a second removeVectors with a different predicate discarding the
+    // first would silently resurface soft-deleted vectors in serves.
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root)
+    val corpus = new SnapshotTable(spark, s"$root/vectors").count()
+    val r1 = AnnIndex.removeVectors(spark, root, org.apache.spark.sql.functions.expr("vec_id % 11 = 1"))
+    val r2 = AnnIndex.removeVectors(spark, root, org.apache.spark.sql.functions.expr("vec_id % 11 = 2"))
+    assert(r1 > 0 && r2 > r1, s"second batch must ADD tombstones: $r1 -> $r2")
+    // both batches excluded from the serve views
+    val served = spark.table("pidx_vectors")
+    assert(served.where("vec_id % 11 IN (1, 2)").count() === 0,
+      "soft-deleted vectors from BOTH batches must be invisible to serves")
+    assert(served.count() === corpus - r2)
+    // vacuum reclaims the union: distributed anti-join per cell, each
+    // rewrite pruned to its cell partition
+    val plans = AnnIndex.vacuum(spark, root)
+    assert(plans.nonEmpty && plans.forall(p => p.filesKept < p.filesTotal),
+      s"vacuum rewrites must prune to their cells: " +
+        plans.map(p => s"${p.filesKept}/${p.filesTotal}").mkString(", "))
+    val vecs = new SnapshotTable(spark, s"$root/vectors")
+    assert(vecs.rowCountFromMetadata.contains(corpus - r2),
+      s"post-vacuum metadata count: ${vecs.rowCountFromMetadata} vs ${corpus - r2}")
+    assert(new SnapshotTable(spark, s"$root/codes").rowCountFromMetadata
+      .contains((corpus - r2) * 4))
+    assert(vecs.read().where("vec_id % 11 IN (1, 2)").count() === 0)
+  }
+
   test("serve output: 4 queries, refine never loses recall vs ADC-only") {
     val rows = SparkEntry.queries("q121_ivfpq_persisted")(spark, sfDir)
       .collect()

@@ -635,6 +635,57 @@ class WarehouseSpec extends SparkSpec {
     assert(e3 == id3, "tail still drains the full backlog")
   }
 
+  test("admission control: CDC mode counts a cow's change rows toward the caps") {
+    // ADVICE r9 #2: for a CHANGE FEED a cow snapshot carries real change
+    // rows (replaced-file deletes + rewrite inserts), so it must not ride
+    // along free under maxRowsPerTrigger — it is admitted ALONE.
+    val t = new SnapshotTable(spark, freshRoot("cdccap"))
+    t.createOrReplace(spark.range(0, 1000).toDF("id").repartitionByRange(4, $"id"),
+      sortBy = Seq("id"))
+    val base = t.currentSnapshotId.get
+    val a1 = t.append(Seq(1000L, 1001L).toDF("id"))
+    // a cow delete replacing a ~250-row file: far beyond the 50-row cap
+    t.delete($"id" < 100L)
+    val cowId = t.currentSnapshotId.get
+    val a2 = t.append(Seq(1002L, 1003L).toDF("id"))
+    // rows-only tail (cdc = false, the pre-fix accounting): cow rides free
+    assert(t.boundedTailEnd(Some(a1), a2, None, Some(50L)) === a2,
+      "non-CDC tail skips the cow's rows (appendsBetween refuses it separately)")
+    // CDC tail: the cow's change payload (replaced + rewritten rows)
+    // saturates the cap and is admitted alone
+    val e1 = t.boundedTailEnd(Some(base), a2, None, Some(50L), cdc = true)
+    assert(e1 === a1, s"CDC batch must stop BEFORE the oversized cow, got $e1")
+    val e2 = t.boundedTailEnd(Some(e1), a2, None, Some(50L), cdc = true)
+    assert(e2 === cowId, s"oversized cow admitted alone, got $e2")
+    val e3 = t.boundedTailEnd(Some(e2), a2, None, Some(50L), cdc = true)
+    assert(e3 === a2, "CDC tail still drains the full backlog")
+    // byte caps see the cow's replaced bytes too: a tiny byte cap still
+    // admits it alone, never together with the next append
+    val b1 = t.boundedTailEnd(Some(base), a2, None, None, Some(10L), cdc = true)
+    assert(b1 === a1)
+    assert(t.boundedTailEnd(Some(b1), a2, None, None, Some(10L), cdc = true) === cowId)
+  }
+
+  test("deleteKeysPruned: distributed anti-join delete, file-pruned, no driver id list") {
+    import graft.warehouse.ColRange
+    val t = new SnapshotTable(spark, freshRoot("delkeys"))
+    t.createOrReplace(spark.range(0, 20000).toDF("id").repartitionByRange(8, $"id"),
+      sortBy = Seq("id"))
+    // a LARGE key batch (5k keys, all in the head quarter of the key
+    // space) — the shape where a collected isin IN-list would be a
+    // driver hazard; here the key set stays a DataFrame end to end
+    val keys = spark.range(0, 5000).toDF("id")
+    val (deleted, plan) = t.deleteKeysPruned(
+      Seq(Seq(ColRange("id", Some(0L), Some(4999L)))), Seq("id"), keys)
+    assert(deleted === 5000L)
+    assert(plan.filesKept * 2 <= plan.filesTotal,
+      s"key-hull prune must skip the untouched files: ${plan.filesKept}/${plan.filesTotal}")
+    assert(t.read().count() === 15000L)
+    assert(t.read().where("id < 5000").count() === 0L)
+    assert(t.rowCountFromMetadata.contains(15000L),
+      "metadata COUNT(*) stays exact across the anti-join cow")
+  }
+
   test("bin-packed compaction: sized output files, range-disjoint, stat-prunable") {
     import graft.warehouse.ColRange
     val t = new SnapshotTable(spark, freshRoot("binpack"))
