@@ -50,6 +50,9 @@ object RetractionBench {
     val wh = s"/root/repo/target/retrbench-${System.currentTimeMillis()}"
     val cat = new Catalog(spark, wh, "RETRBENCH")
     val mvm = new MaterializedViewManager(cat)
+    // the bench MEASURES the retraction path (that measurement is where
+    // the production crossover default comes from) — pin the policy to it
+    mvm.retractionCrossoverRows = 0
 
     def base = spark.range(nRows)
       .select($"id", concat(lit("g"), pmod(hash($"id"), lit(20))).as("k"),

@@ -22,6 +22,20 @@ import graft.catalog.Catalog
   */
 final class MaterializedViewManager(cat: Catalog) {
 
+  /** COST-BASED refresh policy (VERDICT r9 #4): below this metadata row
+    * count, a full rebuild of the base is CHEAPER than the CDC retraction
+    * fold — RetractionBench measured rebuild at 0.28×–0.62× of retraction
+    * up to ~40M rows with the crossover near 120M (the fold's fixed cost
+    * is its EXCEPT-ALL shuffles over changed files; the rebuild's cost is
+    * linear in the base). `refreshIncremental`/`refreshMultiAggMv`
+    * consult the base's `rowCountFromMetadata` (zero-scan) and take the
+    * cheaper path; an unknown count (mid-DML ambiguity) defaults to
+    * retraction — never a surprise base rescan. Set 0 to always retract
+    * (tests of the retraction machinery pin this), or higher where
+    * rescans are pricier than the bench machine. */
+  @volatile var retractionCrossoverRows: Long =
+    MaterializedViewManager.DefaultRetractionCrossoverRows
+
   /** mv name → (definition SQL, base tables as (schema, table)). */
   private val defs = mutable.LinkedHashMap.empty[String, (String, Seq[(String, String)])]
   private val builtAt = mutable.Map.empty[String, Map[(String, String), Long]]
@@ -217,8 +231,13 @@ final class MaterializedViewManager(cat: Catalog) {
         // as signed partials, reading only the changed files. min/max
         // partials are NOT retractable (a deleted row may have held the
         // min; no subtraction recovers the runner-up), so those MVs — and
-        // true REPLACEs (CDC = None) — still rebuild.
-        val cdc = if (d.minMaxCols.isEmpty)
+        // true REPLACEs (CDC = None) — still rebuild. COST POLICY: when
+        // the base's metadata row count sits below the RetractionBench
+        // crossover, the rebuild is measurably cheaper than the fold's
+        // fixed shuffle cost — take it deliberately.
+        val rebuildCheaper =
+          t.rowCountFromMetadata.exists(_ < retractionCrossoverRows)
+        val cdc = if (d.minMaxCols.isEmpty && !rebuildCheaper)
           t.rowChangesBetween(aggBuiltAt(name), cur) else None
         cdc match {
           case Some(cs) =>
@@ -333,8 +352,13 @@ final class MaterializedViewManager(cat: Catalog) {
             case None =>
               // DML in the window: retraction fold over this base's CDC
               // (BaseAgg partials are count + decimal sums only — always
-              // retractable); a true REPLACE rebuilds the partials
-              t.rowChangesBetween(built(b.base), cur) match {
+              // retractable); a true REPLACE rebuilds the partials; a
+              // base below the cost crossover rebuilds DELIBERATELY
+              // (same policy as refreshIncremental)
+              val cdcM =
+                if (t.rowCountFromMetadata.exists(_ < retractionCrossoverRows)) None
+                else t.rowChangesBetween(built(b.base), cur)
+              cdcM match {
                 case Some(cs) =>
                   val signed = aggregateChanges(cs.df, b.keyCols,
                     s"${b.prefix}_rows",
@@ -361,4 +385,11 @@ final class MaterializedViewManager(cat: Catalog) {
     }
     modes
   } }
+}
+
+object MaterializedViewManager {
+  /** RetractionBench's measured crossover (~120M rows): below it the full
+    * rebuild beat the retraction fold on every tested size (0.28×–0.62×),
+    * above it the fold's flat cost wins against the rebuild's linear one. */
+  val DefaultRetractionCrossoverRows: Long = 120L * 1000 * 1000
 }

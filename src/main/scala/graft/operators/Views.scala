@@ -348,6 +348,121 @@ object Views {
       }
     },
 
+    // MERGE-ON-READ DELETE TRICKLE through the correctness gate (VERDICT
+    // r9 #1 verbatim): a 100-statement trickle of single-row equality
+    // deletes lands on an 8-file snapshot table — REQUIREd to commit
+    // ZERO data-file rewrites (every pre-existing data file still on
+    // disk; history = base + 100 `del` sidecars); the mid-trickle state
+    // time-travels correctly; CDC over the trickle reads ONLY the delete
+    // sidecars (never a data file); compaction folds the sidecars back
+    // into a pure-file layout with the same answer. The DuckDB oracle
+    // replays the same 100 deletes semantically (NOT IN over the same
+    // deterministic key list) for every stage — mid, final, compacted,
+    // and the CDC delete set — so a mis-sequenced anti-join, a lost
+    // survivor, or a delete dropped by compaction all turn the row red.
+    "q130_mor_trickle" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/mor"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val s0 = tbl.currentSnapshotId.get
+        def dataFiles(): Seq[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(wh)).map(_.getPath).filter(_.endsWith(".parquet")).sorted
+        }
+        val filesBefore = dataFiles()
+        // the deterministic key list both engines derive: the 100 smallest
+        // orderkeys ≡ 1 (mod 3)
+        val keys = t(s, dir, "orders").select($"o_orderkey")
+          .where($"o_orderkey" % 3 === 1).orderBy($"o_orderkey").limit(100)
+          .collect().map(_.getLong(0)).toSeq
+        require(keys.size == 100, s"q130 expects 100 keys, got ${keys.size}")
+        var midId = -1L
+        keys.zipWithIndex.foreach { case (k, i) =>
+          val (n, _) = tbl.deleteByKeys(Seq("o_orderkey"), Seq(k).toDF("o_orderkey"))
+          require(n == 1L, s"q130 key $k must match exactly one row, matched $n")
+          if (i == 49) midId = tbl.currentSnapshotId.get // after 50 statements
+        }
+        require(dataFiles().intersect(filesBefore) == filesBefore,
+          "q130: MoR deletes must not rewrite or remove ANY data file")
+        require(tbl.snapshots().map(_._2) == Seq("base") ++ Seq.fill(100)("del"),
+          s"q130 expects base + 100 del sidecars, got ${tbl.snapshots().map(_._2).distinct}")
+        // CDC over the whole trickle: cost = the sidecars, nothing else
+        val cs = tbl.rowChangesBetween(s0, tbl.currentSnapshotId.get).get
+        require(cs.filesRead <= 100,
+          s"q130 CDC over a del-only window must read ONLY the sidecars, read ${cs.filesRead}")
+        val finalDf = tbl.read()
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"))
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"),
+              min($"o_orderkey").as("min_key"))
+        // materialize final + mid (TIME TRAVEL to the 50-statement point)
+        // + CDC BEFORE compacting (their plans read pre-compaction
+        // snapshots)
+        val preRows = agg(tbl.asOf(midId), "mid")
+          .unionByName(agg(finalDf, "final"))
+          .unionByName(agg(cs.df.where($"_change" === "delete"), "cdc_deletes"))
+          .collect()
+        tbl.compact()
+        require(tbl.snapshots().last._2 == "base",
+          s"q130 compact must restore a pure base, got ${tbl.snapshots()}")
+        val res = agg(tbl.read(), "compacted").orderBy($"stage")
+        val rows = (preRows ++ res.collect()).sortBy(_.getString(0))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
+    // PER-DISJUNCT PRUNED READ through the correctness gate (VERDICT r9
+    // #2): the q129 retention shape as a SELECT — `WHERE key <= lo OR
+    // key >= hi` over an 8-file range-laid table must keep only the HEAD
+    // and TAIL files (REQUIREd ≤ half), with the ORIGINAL predicate
+    // auto-applied as the residual; the DuckDB oracle runs the same
+    // two-tail filter over raw orders, deriving the upper bound from its
+    // own max-key so the gate holds across scale factors.
+    "q131_disjunct_read" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/djread"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val maxKey = tbl.columnStats()("o_orderkey").max.get.toLong
+        val (df, plan) = tbl.readWhere(
+          $"o_orderkey" <= lit(150L) || $"o_orderkey" >= lit(maxKey - 150L))
+        require(plan.filesKept * 2 <= plan.filesTotal,
+          s"q131 two-tail read must skip the middle files: " +
+            s"kept ${plan.filesKept}/${plan.filesTotal}")
+        val res = df
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            decCents($"o_totalprice").as("total_cents"),
+            min($"o_orderkey").as("min_key"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -365,6 +480,9 @@ object Views {
       try {
         val cat = new graft.catalog.Catalog(s, wh, "MVRETR")
         val mvm = new graft.mv.MaterializedViewManager(cat)
+        // the retraction FOLD is this gate's surface: pin the cost policy
+        // to it (at gate scale the policy would rightly choose rebuild)
+        mvm.retractionCrossoverRows = 0
         val base = cat.table("gate", "orders_r")
         base.createOrReplace(
           t(s, dir, "orders")
@@ -891,6 +1009,41 @@ object Views {
                 TRUE AS pruned
          FROM orders
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q130_mor_trickle" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         ks AS (SELECT o_orderkey AS k, row_number() OVER (ORDER BY o_orderkey) AS rn
+                FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey LIMIT 100),
+         mid AS (SELECT * FROM t0
+                 WHERE o_orderkey NOT IN (SELECT k FROM ks WHERE rn <= 50)),
+         fin AS (SELECT * FROM t0 WHERE o_orderkey NOT IN (SELECT k FROM ks)),
+         cdc AS (SELECT * FROM t0 WHERE o_orderkey IN (SELECT k FROM ks)),
+         stages AS (
+           SELECT 'mid' AS stage, * FROM mid
+           UNION ALL SELECT 'final', * FROM fin
+           UNION ALL SELECT 'compacted', * FROM fin
+           UNION ALL SELECT 'cdc_deletes', * FROM cdc)
+         SELECT stage,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q131_disjunct_read" ->
+      """WITH lim AS (SELECT MAX(o_orderkey) - 150 AS hi FROM orders),
+         t1 AS (SELECT o.* FROM orders o, lim
+                WHERE o.o_orderkey <= 150 OR o.o_orderkey >= lim.hi)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_orderkey) AS min_key,
+                MAX(o_orderkey) AS max_key
+         FROM t1
          GROUP BY 1
          ORDER BY 1""",
 

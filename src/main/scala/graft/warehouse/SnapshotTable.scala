@@ -50,7 +50,13 @@ final class SnapshotTable(
     * sort spec evolution — a marker-only commit with NO data dir), `cow`
     * (file-pruned copy-on-write DML: its data dir REPLACES the files its
     * `.excl` sidecar lists — Iceberg RewriteFiles granularity, so a
-    * DELETE of one key rewrites one file, not 100 TB). */
+    * DELETE of one key rewrites one file, not 100 TB), `del`
+    * (MERGE-ON-READ equality delete — Iceberg v2 delete-file semantics:
+    * its dir holds the DELETED rows, note `eqdel=<keyCols>`; reads
+    * anti-join the key columns against every data snapshot committed
+    * BEFORE it, so a single-row DELETE commits a one-row sidecar and
+    * rewrites NOTHING; compaction folds the deletes back into pure
+    * files). */
   private final case class SnapMeta(id: Long, kind: String, parts: Seq[String],
                                     rows: Option[Long], sort: Seq[String],
                                     note: Option[String], ts: Option[Long])
@@ -119,6 +125,59 @@ final class SnapshotTable(
   private def chainExclusions(chain: Seq[SnapMeta]): Set[String] =
     chain.filter(_.kind == "cow")
       .flatMap(m => readExclusion(m.id).map(_.paths).getOrElse(Set.empty)).toSet
+
+  // ---- merge-on-read equality deletes (`del` snapshots) ----------------
+
+  /** The equality-key columns of a `del` snapshot (from its marker note). */
+  private def delKeyCols(m: SnapMeta): Seq[String] =
+    m.note.filter(_.startsWith("eqdel="))
+      .map(_.stripPrefix("eqdel=").split(',').toSeq).getOrElse(Seq.empty)
+
+  /** The `del` members of the CURRENT live chain — the delete sidecars
+    * every read of current state must anti-join. */
+  private def liveDels(): Seq[SnapMeta] =
+    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(_.kind == "del")
+
+  /** The `snap-NNNNN` id encoded in a qualified snapshot-dir path. */
+  private def idOfSnapDirPath(dir: String): Long =
+    dir.substring(dir.lastIndexOf("snap-") + 5).takeWhile(_.isDigit).toLong
+
+  /** SEQUENCE-AWARE application of equality deletes: anti-join `df` (rows
+    * whose data snapshot is `dataId`) against every `del` batch committed
+    * AFTER it — a delete never touches rows appended later (a re-inserted
+    * key survives), the Iceberg v2 sequence-number rule. Batches sharing a
+    * key-column set union into ONE anti-join; each key frame is a tiny
+    * projection of its delete sidecar, so at scale this plans as a
+    * broadcast anti-join per key set — scan cost unchanged. */
+  private def applyEqDeletes(df: DataFrame, dataId: Long,
+                             dels: Seq[SnapMeta]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val applicable = dels.filter(_.id > dataId)
+    if (applicable.isEmpty) df
+    else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(_.id).min)
+      .foldLeft(df) { case (d, (keys, batches)) =>
+        val keyDf = batches.map(b => spark.read.parquet(snapDir(b.id).toString))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .select(keys.map(col): _*).distinct()
+        d.join(keyDf, keys, "left_anti")
+      }
+  }
+
+  /** Union `members`' DataFrames with the chain's equality deletes
+    * applied: members sharing the same applicable-delete frontier (no del
+    * commit between them) union FIRST, then anti-join once — one join per
+    * (segment × key set), not per member. */
+  private def unionWithDels(members: Seq[SnapMeta], dels: Seq[SnapMeta],
+                            mkDf: SnapMeta => Option[DataFrame]): Option[DataFrame] = {
+    val segments = members.groupBy(m => dels.count(_.id > m.id))
+    segments.toSeq.sortBy(-_._1).flatMap { case (_, ms) =>
+      val dfs = ms.flatMap(mkDf(_))
+      if (dfs.isEmpty) None
+      else Some(applyEqDeletes(
+        dfs.reduce(_.unionByName(_, allowMissingColumns = true)),
+        ms.map(_.id).max, dels))
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
 
   private def qualifiedRoot: String = fs.makeQualified(new Path(root)).toString
 
@@ -557,12 +616,23 @@ final class SnapshotTable(
     val contributing = ms.drop(baseIdx)
     if (contributing.exists(_.rows.isEmpty)) None
     else {
+      // a `del` contributes NEGATIVE rows: its marker count is the rows it
+      // matched (deleted) — but a cow committed AFTER a del may have
+      // physically folded some of that del's rows into its rewrite, so its
+      // .excl row count would double-subtract them; no metadata-only
+      // answer exists for that interleaving → scan (compaction restores
+      // the metadata path)
+      val delIds = contributing.filter(_.kind == "del").map(_.id)
+      if (delIds.nonEmpty &&
+          contributing.exists(m => m.kind == "cow" && m.id > delIds.min)) return None
       // a cow contributes its rewritten rows MINUS the rows of the files
       // it replaced (recorded in its .excl sidecar at commit time)
       val excluded = contributing.filter(_.kind == "cow").map { m =>
         readExclusion(m.id).map(_.rows).getOrElse(return None)
       }.sum
-      Some(contributing.map(_.rows.get).sum - excluded)
+      val delMatched = contributing.filter(_.kind == "del").map(_.rows.get).sum
+      Some(contributing.filterNot(_.kind == "del").map(_.rows.get).sum
+        - excluded - delMatched)
     }
   }
 
@@ -577,7 +647,11 @@ final class SnapshotTable(
     * table doesn't exist. */
   def sizeInBytesFromMetadata: Option[Long] = currentSnapshotId.map { id =>
     val chain = dataChainAt(id)
-    chain.map(m => fs.getContentSummary(snapDir(m.id)).getLength).sum -
+    // `del` sidecars are not scannable table bytes (their rows are the
+    // DELETED ones); the bytes those rows still occupy in data files stay
+    // counted until vacuum/compact — conservative for broadcast sizing
+    chain.filterNot(_.kind == "del")
+      .map(m => fs.getContentSummary(snapDir(m.id)).getLength).sum -
       chain.filter(_.kind == "cow").flatMap(m => readExclusion(m.id)).map(_.bytes).sum
   }
 
@@ -716,31 +790,30 @@ final class SnapshotTable(
   def asOf(id: Long): DataFrame = {
     require(metas().exists(_.id <= id), s"no snapshot ≤ $id at $root")
     val chain = dataChainAt(id)
+    val dels = chain.filter(_.kind == "del")
+    val data = chain.filterNot(_.kind == "del")
     val excl = chainExclusions(chain)
     // allowMissingColumns = Iceberg-style schema evolution: an append may
     // carry columns older snapshots lack (read as NULL there) and vice
     // versa — adding a column never rewrites history
-    if (excl.isEmpty)
-      // fast path (no cow in chain): whole-dir reads, zero file listings
-      chain.map(s => spark.read.parquet(snapDir(s.id).toString))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
-    else {
-      // a cow replaced files inside earlier dirs: each dir reads its
-      // surviving file list (basePath keeps hive partition columns)
-      val perDir = chain.flatMap { s =>
+    val mkDf: SnapMeta => Option[DataFrame] =
+      if (excl.isEmpty)
+        // fast path (no cow in chain): whole-dir reads, zero file listings
+        s => Some(spark.read.parquet(snapDir(s.id).toString))
+      else { s =>
+        // a cow replaced files inside earlier dirs: each dir reads its
+        // surviving file list (basePath keeps hive partition columns)
         val dir = fs.makeQualified(snapDir(s.id)).toString
         val files = listParquet(snapDir(s.id)).filterNot(f => excl(relToRoot(f)))
         if (files.isEmpty) None
         else Some(spark.read.option("basePath", dir).parquet(files: _*))
       }
-      if (perDir.nonEmpty) perDir.reduce(_.unionByName(_, allowMissingColumns = true))
-      else {
-        // every row rewritten away: schema from a replaced file (still on
-        // disk — exclusion never deletes, expireSnapshots does)
-        val any = excl.head
-        val dir = qualifiedRoot + "/" + any.takeWhile(_ != '/')
-        spark.read.option("basePath", dir).parquet(qualifiedRoot + "/" + any).limit(0)
-      }
+    unionWithDels(data, dels, mkDf).getOrElse {
+      // every row rewritten away: schema from a replaced file (still on
+      // disk — exclusion never deletes, expireSnapshots does)
+      val any = excl.head
+      val dir = qualifiedRoot + "/" + any.takeWhile(_ != '/')
+      spark.read.option("basePath", dir).parquet(qualifiedRoot + "/" + any).limit(0)
     }
   }
 
@@ -876,7 +949,7 @@ final class SnapshotTable(
     * over the same root — a different dir set — can never be misrouted to
     * the full-table MV answer. */
   def liveSnapshotDirs(): Seq[String] = currentSnapshotId.toSeq.flatMap { id =>
-    dataChainAt(id).map(s => snapDir(s.id).toString)
+    dataChainAt(id).filterNot(_.kind == "del").map(s => snapDir(s.id).toString)
   }
 
   /** The root paths the CURRENT `read()` plan reports for its scans —
@@ -886,8 +959,8 @@ final class SnapshotTable(
     * against this by EQUALITY, so it keeps firing across file-pruned DML
     * while time-travel/delta scans (different sets) still decline. */
   def liveScanPaths(): Set[String] = currentSnapshotId.toSeq.flatMap { id =>
-    val chain = dataChainAt(id)
-    val excl = chainExclusions(chain)
+    val chain = dataChainAt(id).filterNot(_.kind == "del")
+    val excl = chainExclusions(dataChainAt(id))
     if (excl.isEmpty) chain.map(s => snapDir(s.id).toString)
     else chain.flatMap(s => listParquet(snapDir(s.id)).filterNot(f => excl(relToRoot(f))))
   }.toSet
@@ -919,13 +992,22 @@ final class SnapshotTable(
     * REPLACE) in the range returns None: the delta is not reconstructible
     * from files, fall back to a full diff.
     *
+    * MERGE-ON-READ deletes (`del` snapshots) cost even less: the matched
+    * rows were materialized into the delete sidecar at commit, so the CDC
+    * read adds them to the removed multiset directly — no table scan at
+    * all for a del-only window. Replaced-file reads are delete-adjusted
+    * (rows an earlier del already removed don't re-emit), keeping every
+    * interleaving of cow and del single-counted.
+    *
     * The two EXCEPT ALLs shuffle on all columns — but only over the
     * changed bytes; the pure-append fast path (no cow in range) skips
     * them entirely and reads just the delta dirs, zero shuffle. */
   def rowChangesBetween(sinceId: Long, endId: Long): Option[ChangeScan] = {
     import org.apache.spark.sql.functions.lit
-    val range = metas().filter(m => m.id > sinceId && m.id <= endId)
+    val all = metas()
+    val range = all.filter(m => m.id > sinceId && m.id <= endId)
     if (range.exists(m => m.kind == "base" && !m.note.contains("compact"))) return None
+    val allDels = all.filter(_.kind == "del")
     val addedFiles: Seq[(String, Seq[String])] = range
       .filter(m => m.kind == "append" || m.kind == "cow")
       .flatMap { m =>
@@ -933,23 +1015,40 @@ final class SnapshotTable(
         if (fl.isEmpty) None
         else Some(fs.makeQualified(snapDir(m.id)).toString -> fl)
       }
-    // the files the range's cow commits replaced, grouped by owning dir
-    // (they may live in PRE-since snapshots — that's the point: those are
-    // the deletes) — read with basePath so partition columns survive
-    val removedFiles: Seq[(String, Seq[String])] = range.filter(_.kind == "cow")
-      .flatMap(m => readExclusion(m.id).map(_.paths.toSeq).getOrElse(Seq.empty))
-      .groupBy(rel => rel.takeWhile(_ != '/'))
-      .toSeq.sortBy(_._1)
-      .map { case (dirName, rels) =>
-        (qualifiedRoot + "/" + dirName, rels.map(qualifiedRoot + "/" + _))
+    // The REMOVED multiset, already delete-adjusted:
+    //  - per cow: the files it replaced (they may live in PRE-since
+    //    snapshots — that's the point: those are the deletes), read with
+    //    basePath so partition columns survive, MINUS the rows equality
+    //    deletes had already removed from them before the cow (those were
+    //    emitted as deletes in their own del's window — counting them
+    //    again here would double-delete);
+    //  - per del in range: its sidecar rows verbatim — the matched rows
+    //    were materialized at commit, so a MoR delete's CDC cost is
+    //    reading its own sidecar, nothing else.
+    val removedParts: Seq[(DataFrame, Int)] =
+      range.filter(_.kind == "cow").flatMap { m =>
+        readExclusion(m.id).map(_.paths.toSeq).getOrElse(Seq.empty)
+          .groupBy(rel => rel.takeWhile(_ != '/'))
+          .toSeq.sortBy(_._1)
+          .map { case (dirName, rels) =>
+            val ownerId = dirName.stripPrefix("snap-").takeWhile(_.isDigit).toLong
+            val df = spark.read.option("basePath", qualifiedRoot + "/" + dirName)
+              .parquet(rels.map(qualifiedRoot + "/" + _): _*)
+            (applyEqDeletes(df, ownerId, allDels.filter(_.id < m.id)), rels.size)
+          }
+      } ++
+      range.filter(_.kind == "del").map { m =>
+        (spark.read.parquet(snapDir(m.id).toString), listParquet(snapDir(m.id)).size)
       }
     def union(groups: Seq[(String, Seq[String])]): Option[DataFrame] =
       if (groups.isEmpty) None
       else Some(groups.map { case (dir, fl) =>
         spark.read.option("basePath", dir).parquet(fl: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
-    val nFiles = (addedFiles ++ removedFiles).map(_._2.size).sum
-    val change = (union(addedFiles), union(removedFiles)) match {
+    val removed: Option[DataFrame] =
+      removedParts.map(_._1).reduceOption(_.unionByName(_, allowMissingColumns = true))
+    val nFiles = addedFiles.map(_._2.size).sum + removedParts.map(_._2).sum
+    val change = (union(addedFiles), removed) match {
       case (None, None) => read().limit(0).withColumn("_change", lit("insert"))
       case (Some(a), None) => a.withColumn("_change", lit("insert")) // pure appends: zero shuffle
       case (None, Some(r)) => r.withColumn("_change", lit("delete"))
@@ -994,10 +1093,12 @@ final class SnapshotTable(
   def appendsBetween(sinceId: Long, endId: Long,
                      ignoreReplaces: Boolean = false): DataFrame = {
     val range = metas().filter(m => m.id > sinceId && m.id <= endId)
-    // a cow DML (file-pruned DELETE/UPDATE/MERGE) removes or rewrites rows
-    // the tail may already have emitted — refuse exactly like a REPLACE
+    // a cow DML (file-pruned DELETE/UPDATE/MERGE) or a merge-on-read
+    // equality delete removes or rewrites rows the tail may already have
+    // emitted — refuse exactly like a REPLACE
     val rewrites = range.filter(m =>
-      (m.kind == "base" && !m.note.contains("compact")) || m.kind == "cow")
+      (m.kind == "base" && !m.note.contains("compact")) ||
+        m.kind == "cow" || m.kind == "del")
     if (rewrites.nonEmpty && !ignoreReplaces)
       throw new IllegalStateException(
         s"snapshot(s) ${rewrites.map(_.id).mkString(", ")} rewrote table $root " +
@@ -1048,13 +1149,14 @@ final class SnapshotTable(
       try fs.getContentSummary(snapDir(id)).getLength catch { case _: Exception => 0L }
     // does this snapshot contribute rows to the batch being sized?
     def carriesRows(m: SnapMeta): Boolean =
-      m.kind == "append" || (cdc && m.kind == "cow")
+      m.kind == "append" || (cdc && (m.kind == "cow" || m.kind == "del"))
     // (rows, extraBytes) a row-carrying snapshot contributes: appends are
     // their marker count; a cow's CDC payload is bounded by rewrite rows +
     // replaced rows (the two EXCEPT ALL inputs), replaced bytes from its
-    // .excl sidecar. None = unknown → cap-saturating, never free.
+    // .excl sidecar; a del's payload is its matched-row sidecar (= its
+    // marker count). None = unknown → cap-saturating, never free.
     def rowsOf(m: SnapMeta): (Option[Long], Long) =
-      if (m.kind == "append") (m.rows, 0L)
+      if (m.kind == "append" || m.kind == "del") (m.rows, 0L)
       else readExclusion(m.id) match {
         case Some(e) => (m.rows.map(_ + e.rows), e.bytes)
         case None => (None, 0L)
@@ -1130,7 +1232,9 @@ final class SnapshotTable(
     var nTotal = 0
     val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
     val excluded = chainExclusions(chain)
-    chain.map(_.id).foreach { id =>
+    // `del` sidecar dirs hold deleted rows, not table data: never planned
+    // as scan files — readers apply them as anti-joins instead
+    chain.filterNot(_.kind == "del").map(_.id).foreach { id =>
       val dir = fs.makeQualified(snapDir(id)).toString
       val stats = readStatsSidecar(id)
       val it = fs.listFiles(snapDir(id), true)
@@ -1186,21 +1290,62 @@ final class SnapshotTable(
     * mirroring `planFiles`' conservative keep. Per-dir reads keep hive
     * partition columns (basePath). */
   def readPruned(filters: Seq[ColRange]): (DataFrame, ScanPlan) = {
-    import org.apache.spark.sql.functions.lit
     val plan = planFiles(filters)
-    val base =
-      if (plan.files.isEmpty) read().limit(0)
-      else plan.files.map { case (dir, files) =>
-        spark.read.option("basePath", dir).parquet(files: _*)
+    val base = readPlanned(plan)
+    val df = filters.flatMap(rangePreds(base, _)).foldLeft(base)(_ filter _)
+    (df, plan)
+  }
+
+  /** The surviving files of a scan plan as one DataFrame, per-dir hive
+    * reads (basePath), with the live chain's equality deletes anti-joined
+    * in — every planned read is MoR-aware, so a caller cannot forget the
+    * delete sidecars and silently resurrect deleted rows. */
+  private def readPlanned(plan: ScanPlan): DataFrame =
+    if (plan.files.isEmpty) read().limit(0)
+    else {
+      val dels = liveDels()
+      plan.files.map { case (dir, files) =>
+        applyEqDeletes(spark.read.option("basePath", dir).parquet(files: _*),
+          idOfSnapDirPath(dir), dels)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val df = filters.filter(f => base.columns.contains(f.col)).foldLeft(base) { (d, f) =>
+    }
+
+  /** One ColRange's residual predicates over `d` (absent column = none —
+    * mirrors planFiles' conservative keep). */
+  private def rangePreds(d: DataFrame, f: ColRange): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    if (!d.columns.contains(f.col)) Seq.empty
+    else {
       val c = d(f.col)
-      val preds = f.lower.map(v => c >= lit(v)).toSeq ++
+      f.lower.map(v => c >= lit(v)).toSeq ++
         f.upper.map(v => c <= lit(v)).toSeq ++
         (if (f.notNull) Seq(c.isNotNull) else Nil)
-      preds.foldLeft(d)(_ filter _)
     }
-    (df, plan)
+  }
+
+  /** [[readPruned]] generalized to a DISJUNCTION of conjunctive range
+    * sets (VERDICT r9 #2): files prune per-alternative (planFilesAny), and
+    * the auto-applied residual is the OR of each alternative's ANDed
+    * bounds — so `WHERE k ≤ a OR k ≥ b` SELECTs skip the middle files
+    * exactly like the q129 DELETE does, instead of full-scanning. */
+  def readPrunedAny(alternatives: Seq[Seq[ColRange]]): (DataFrame, ScanPlan) = {
+    import org.apache.spark.sql.functions.lit
+    val plan = planFilesAny(alternatives)
+    val base = readPlanned(plan)
+    val perAlt = alternatives.map(
+      _.flatMap(rangePreds(base, _)).reduceOption(_ && _).getOrElse(lit(true)))
+    (base.filter(perAlt.reduceOption(_ || _).getOrElse(lit(true))), plan)
+  }
+
+  /** Pruned read from an ARBITRARY predicate: the predicate's extractable
+    * range alternatives ([[FilterRanges.extractAlternatives]] — sound,
+    * possibly loose) prune the files from metadata, and the ORIGINAL
+    * predicate applies as the residual, so the result is exactly
+    * `read().filter(cond)` at a fraction of the scan. The SELECT-side
+    * twin of [[deletePruned]]'s planning. */
+  def readWhere(cond: org.apache.spark.sql.Column): (DataFrame, ScanPlan) = {
+    val plan = planFilesAny(FilterRanges.extractAlternatives(cond))
+    (readPlanned(plan).filter(cond), plan)
   }
 
   /** Fold every live file's sidecar line into one profile per column —
@@ -1208,7 +1353,11 @@ final class SnapshotTable(
     * Columns a live file omits entirely (schema evolution) profile only
     * the files that carry them. */
   def columnStats(): Map[String, ColumnProfile] = {
-    val liveIds = currentSnapshotId.toSeq.flatMap(id => dataChainAt(id).map(_.id))
+    // `del` sidecars describe DELETED rows — folding their stats in would
+    // inflate counts; pending-delete rows still counted in data-file stats
+    // are a conservative overcount until vacuum/compact
+    val liveIds = currentSnapshotId.toSeq
+      .flatMap(id => dataChainAt(id).filterNot(_.kind == "del").map(_.id))
     val all: Seq[(String, FileColStat)] =
       liveIds.flatMap(id => readStatsSidecar(id).valuesIterator.flatMap(_.iterator).toSeq)
     all.groupBy(_._1).map { case (col, pairs) =>
@@ -1230,6 +1379,37 @@ final class SnapshotTable(
         sumOpt(_.valueCount), sumOpt(_.nullCount),
         sumOpt(s => if (s.allNull) Some(0L) else s.ndvUpper))
     }
+  }
+
+  /** Per-PARTITION-value row counts of the live chain from stats sidecars
+    * + hive dir names alone — zero data I/O, zero Spark job (the probe an
+    * index-maintenance skew check reads every cycle; at 100 TB a groupBy
+    * count for it would rescan the table). A file's row count is the max
+    * recorded column valueCount (top-level counts include nulls, so any
+    * column's count IS the row count). None when a live file lacks
+    * recorded counts, sits outside a `<partCol>=` dir, or equality
+    * deletes are pending (their matched rows aren't attributed to
+    * partitions in metadata). */
+  def partitionRowCountsFromMetadata(partCol: String): Option[Map[String, Long]] = {
+    val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
+    if (chain.exists(_.kind == "del")) return None
+    val excluded = chainExclusions(chain)
+    val out = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    chain.foreach { m =>
+      readStatsSidecar(m.id).foreach { case (rel, cols) =>
+        val rootRel = f"snap-${m.id}%05d/$rel"
+        if (!excluded(rootRel)) {
+          val pv = rel.split('/').dropRight(1)
+            .find(_.startsWith(partCol + "="))
+            .map(seg => java.net.URLDecoder.decode(seg.drop(partCol.length + 1), "UTF-8"))
+            .getOrElse(return None)
+          val rows = cols.valuesIterator.flatMap(_.valueCount).toSeq
+          if (rows.isEmpty) return None
+          out(pv) += rows.max
+        }
+      }
+    }
+    Some(out.toMap)
   }
 
   /** Exact row count of one data file from its parquet footer — metadata
@@ -1275,11 +1455,21 @@ final class SnapshotTable(
       val head = currentSnapshotId.get
       val plan = planFilesAny(alternatives)
       if (plan.filesKept == 0 && emptyPlanIsNoop) return (-1L, plan, 0L, 0L)
+      // pending equality deletes fold into the rewrite (readPlanned
+      // anti-joins them): the rewritten files physically materialize those
+      // deletes — without this a cow landing after a MoR delete would
+      // resurrect its rows (the rewrite's id orders after the del, so the
+      // read-path anti-join no longer covers them)
+      val hasDels = liveDels().nonEmpty && plan.filesKept > 0
       val touched =
         if (plan.filesKept == 0) read().limit(0) // MERGE into no matching file: pure insert
-        else plan.files.map { case (dir, fl) =>
-          spark.read.option("basePath", dir).parquet(fl: _*)
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        else readPlanned(plan)
+      // replaced-rows accounting must be LOGICAL: with folded MoR deletes
+      // the replaced files physically hold rows that were already deleted,
+      // so callers' "rows removed" math needs the LIVE count of the
+      // touched set (one extra pass over only the touched files; skipped
+      // entirely on the no-del fast path)
+      val touchedLive = if (hasDels) touched.count() else -1L
       val rewritten = transform(touched)
       val id = withCommitLock {
         val i = claimId()
@@ -1306,10 +1496,13 @@ final class SnapshotTable(
             // excl sidecar BEFORE the marker: the marker rename is the
             // commit point, so no reader ever sees a cow without its
             // replaced-file manifest
+            // the sidecar records PHYSICAL file contents (what a reader of
+            // those files would see); the returned replaced count is the
+            // LIVE rows when MoR deletes were folded into this rewrite
             writeExclusion(id, replaced.map(relToRoot), exclRows, exclBytes)
             writeMarker(id, "cow", partitionSpec(), rows, sortSpec(), Some(note))
             fs.delete(stagedFile(id), false)
-            out = Some((id, plan, exclRows, rows))
+            out = Some((id, plan, if (hasDels) touchedLive else exclRows, rows))
           } else {
             fs.delete(snapDir(id), true)
             fs.delete(statsFile(id), false)
@@ -1362,6 +1555,81 @@ final class SnapshotTable(
     (replaced - written, plan)
   }
 
+  /** MERGE-ON-READ equality DELETE — the Iceberg-v2 delete-file stance
+    * (VERDICT r9 #1): where copy-on-write rewrites every file a one-row
+    * DELETE touches (~file-size × statement-count write amplification for
+    * a high-frequency trickle), this commits a `del` snapshot whose dir
+    * holds only the MATCHED rows and whose marker records the equality
+    * key columns — ZERO data files rewritten. Reads anti-join the keys
+    * against every data snapshot committed before the del (sequence-aware:
+    * a key re-inserted later survives); CDC emits the sidecar rows as
+    * deletes with no extra scan; [[compact]] folds the sidecars back into
+    * pure data files. The commit's one scan is a key-hull-PRUNED read to
+    * materialize the matched rows (the same planning a COW delete does —
+    * but it only reads, never rewrites), which is also what keeps
+    * metadata COUNT(*) exact across MoR deletes. Optimistic like
+    * [[compact]]/cowRewrite: the scan runs outside the commit lock under
+    * a claimed id; a commit landing meanwhile invalidates the matched set
+    * (its rows would be mis-sequenced), so the attempt retries on the new
+    * head. Returns (rowsDeleted, the pruned scan plan the match ran
+    * under). */
+  def deleteByKeys(keys: Seq[String], keyRows: DataFrame): (Long, ScanPlan) = {
+    writeGuard()
+    require(exists, s"DML on non-existent table at $root")
+    require(keys.nonEmpty, "deleteByKeys needs at least one key column")
+    require(keys.forall(k => !k.contains(',') && !k.contains('|')),
+      s"key column names must not contain ',' or '|': $keys")
+    val src = keyRows.select(keys.map(keyRows.col): _*).distinct().persist()
+    try {
+      val total = src.count()
+      if (total == 0) return (0L, ScanPlan(Seq.empty, 0, 0))
+      var out: Option[(Long, ScanPlan)] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        attempts += 1
+        if (attempts > 50) throw new IllegalStateException(
+          s"MoR delete on $root lost the commit race $attempts times — writer storm?")
+        val head = currentSnapshotId.get
+        val (pre, plan) = readPrunedAny(keyHullAlternatives(src, keys, total))
+        val matched = pre.join(src, keys, "left_semi")
+        val id = withCommitLock {
+          val i = claimId()
+          try {
+            if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
+              fs.delete(snapDir(i), true)
+            val line = s"del||0||${esc("deleting")}|${System.currentTimeMillis()}"
+            val o = fs.create(stagedFile(i))
+            try o.write(line.getBytes("UTF-8")) finally o.close()
+          } finally releaseClaim(i)
+          i
+        }
+        def cleanup(): Unit = {
+          fs.delete(snapDir(id), true)
+          fs.delete(statsFile(id), false)
+          fs.delete(stagedFile(id), false)
+        }
+        try {
+          // the delete sidecar carries no partition layout of its own:
+          // its rows are consumed via key-column anti-joins, never merged
+          // into the table's hive dirs
+          val rows = writeSnapshotData(matched, id, Seq.empty, Seq.empty)
+          withCommitLock {
+            if (currentSnapshotId.get == head) {
+              if (rows == 0L) { cleanup(); out = Some((0L, plan)) } // nothing matched: no-op
+              else {
+                writeMarker(id, "del", Seq.empty, rows, Seq.empty,
+                  Some(s"eqdel=${keys.mkString(",")}"))
+                fs.delete(stagedFile(id), false)
+                out = Some((rows, plan))
+              }
+            } else cleanup() // head moved: matched set is stale, retry
+          }
+        } catch { case e: Throwable => cleanup(); throw e }
+      }
+      out.get
+    } finally src.unpersist(blocking = false)
+  }
+
   /** UPDATE ... SET col = value WHERE cond (D6) — file-pruned
     * copy-on-write: only files whose stats overlap the predicate are
     * rewritten (rows in them that miss the predicate are carried through
@@ -1395,6 +1663,47 @@ final class SnapshotTable(
   def merge(source: DataFrame, keys: Seq[String]): (Long, Long) =
     mergePruned(source, keys)._1
 
+  /** File-pruning alternatives for a key frame: per-key min/max hull (one
+    * small agg job) — a target file not overlapping EVERY key's hull
+    * cannot match. MULTI-HULL on the leading key: a single hull
+    * degenerates when the source mixes far-apart key clusters (low-key
+    * updates + fresh high-key inserts hull to the whole table).
+    * Quantile-split the leading key into segments and take each segment's
+    * EXACT min/max (one approxQuantile + one small agg — distributed,
+    * never a key collect); each alternative = that segment's leading-key
+    * range AND the other keys' global hulls. Non-numeric leading keys
+    * keep the single hull. */
+  private def keyHullAlternatives(srcKeys: DataFrame, keys: Seq[String],
+                                  srcTotal: Long): Seq[Seq[ColRange]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val hullRow = srcKeys.agg(
+      min(col(keys.head)), (keys.flatMap(k => Seq(min(col(k)), max(col(k)))).drop(1)): _*
+    ).head()
+    val ranges = keys.zipWithIndex.map { case (k, i) =>
+      ColRange(k, Option(hullRow.get(2 * i)), Option(hullRow.get(2 * i + 1)))
+    }
+    val lead = keys.head
+    val numeric = srcKeys.schema(lead).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    val multi = if (!numeric || srcTotal < 2) Seq.empty
+    else {
+      val nH = 16
+      val probs = (1 until nH).map(_.toDouble / nH).toArray
+      val qs = srcKeys.stat.approxQuantile(lead, probs, 0.001)
+      val bucket = qs.foldLeft(org.apache.spark.sql.functions.lit(0)) {
+        (acc, q) => acc + org.apache.spark.sql.functions
+          .when(col(lead) > org.apache.spark.sql.functions.lit(q), 1).otherwise(0)
+      }
+      srcKeys.groupBy(bucket.as("__h"))
+        .agg(min(col(lead)).as("lo"), max(col(lead)).as("hi"))
+        .collect().toSeq
+        .map(r => ColRange(lead, Option(r.get(1)), Option(r.get(2))) +: ranges.tail)
+    }
+    if (multi.nonEmpty) multi else Seq(ranges)
+  }
+
   def mergePruned(source: DataFrame, keys: Seq[String]): ((Long, Long), ScanPlan) = {
     import org.apache.spark.sql.functions.{col, max, min}
     // the source delta is referenced several times (count, key check, key
@@ -1407,44 +1716,7 @@ final class SnapshotTable(
         return ((0L, 0L), ScanPlan(Seq.empty, 0, 0))
       require(srcKeys.distinct().count() == srcTotal,
         s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
-      // per-key min/max hull over the source delta (one small agg job):
-      // a target file not overlapping EVERY key's hull cannot match
-      val hullRow = srcKeys.agg(
-        min(col(keys.head)), (keys.flatMap(k => Seq(min(col(k)), max(col(k)))).drop(1)): _*
-      ).head()
-      val ranges = keys.zipWithIndex.map { case (k, i) =>
-        ColRange(k, Option(hullRow.get(2 * i)), Option(hullRow.get(2 * i + 1)))
-      }
-      // MULTI-HULL on the leading key: a single hull degenerates when the
-      // source mixes far-apart key clusters (low-key updates + fresh
-      // high-key inserts hull to the whole table). Quantile-split the
-      // leading key into segments and take each segment's EXACT min/max
-      // (one approxQuantile + one small agg — distributed, never a key
-      // collect); each alternative = that segment's leading-key range AND
-      // the other keys' global hulls. Non-numeric leading keys keep the
-      // single hull.
-      val alternatives: Seq[Seq[ColRange]] = {
-        val lead = keys.head
-        val numeric = srcKeys.schema(lead).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => true
-          case _ => false
-        }
-        val multi = if (!numeric || srcTotal < 2) Seq.empty
-        else {
-          val nH = 16
-          val probs = (1 until nH).map(_.toDouble / nH).toArray
-          val qs = src.stat.approxQuantile(lead, probs, 0.001)
-          val bucket = qs.foldLeft(org.apache.spark.sql.functions.lit(0)) {
-            (acc, q) => acc + org.apache.spark.sql.functions
-              .when(col(lead) > org.apache.spark.sql.functions.lit(q), 1).otherwise(0)
-          }
-          srcKeys.groupBy(bucket.as("__h"))
-            .agg(min(col(lead)).as("lo"), max(col(lead)).as("hi"))
-            .collect().toSeq
-            .map(r => ColRange(lead, Option(r.get(1)), Option(r.get(2))) +: ranges.tail)
-        }
-        if (multi.nonEmpty) multi else Seq(ranges)
-      }
+      val alternatives = keyHullAlternatives(srcKeys, keys, srcTotal)
       val prev = count()
       val (_, plan, _, _) =
         cowRewrite(alternatives, "merge", emptyPlanIsNoop = false) { touched =>

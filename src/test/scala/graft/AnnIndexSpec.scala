@@ -119,6 +119,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(vecs.read().where("vec_id % 11 IN (1, 2)").count() === 0)
   }
 
+  test("retrain trigger: skewed growth flags the probe; retrain restores balance") {
+    // VERDICT r9 #5: add-after-train is correct until the corpus drifts
+    // past the frozen centroids — grow the index with vectors from a
+    // cluster the training never saw (cluster = vec_id % 5 in the
+    // clustered corpus), so every delta lands in one nearest cell.
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root, pred = "vec_id % 5 <> 0")
+    val balanced = AnnIndex.cellSkew(spark, root)
+    // the whole unseen cluster (20% of the corpus) folds into ~one cell
+    AnnIndex.addVectors(spark, sfDir, root, "vec_id % 5 = 0")
+    val skewed = AnnIndex.cellSkew(spark, root)
+    assert(skewed > balanced,
+      s"skew must grow when an unseen cluster folds in: $balanced -> $skewed")
+    val threshold = (balanced + skewed) / 2
+    // probe + retrain: flagged, rebuilt over the grown corpus, balanced
+    val (observed, retrained) = AnnIndex.maybeRetrain(spark, sfDir, root, threshold)
+    assert(observed === skewed && retrained, s"probe must flag skew $observed > $threshold")
+    val after = AnnIndex.cellSkew(spark, root)
+    assert(after < skewed,
+      s"retrain must restore balance: $skewed -> $after")
+    // idempotent once balanced: the probe declines a second rebuild
+    val vecsBuiltAt = new SnapshotTable(spark, s"$root/vectors").currentSnapshotId.get
+    val (_, again) = AnnIndex.maybeRetrain(spark, sfDir, root, threshold max after + 0.1)
+    assert(!again, "a balanced index must not retrain")
+    assert(new SnapshotTable(spark, s"$root/vectors").currentSnapshotId.get === vecsBuiltAt)
+  }
+
+  test("cellSkew reads per-cell counts from metadata alone (no scan needed)") {
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root)
+    val vecs = new SnapshotTable(spark, s"$root/vectors")
+    val meta = vecs.partitionRowCountsFromMetadata("cell")
+    assert(meta.isDefined, "cell-partitioned vectors must answer from sidecar counts")
+    val scanned = vecs.read().groupBy("cell").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(meta.get === scanned, "metadata counts must equal the groupBy scan")
+  }
+
   test("serve output: 4 queries, refine never loses recall vs ADC-only") {
     val rows = SparkEntry.queries("q121_ivfpq_persisted")(spark, sfDir)
       .collect()

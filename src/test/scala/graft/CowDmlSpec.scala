@@ -305,6 +305,29 @@ class CowDmlSpec extends SparkSpec {
     assert(t2.read().count() === 793L)
   }
 
+  test("AND-of-ORs: (two-tail OR) AND equality prunes per distributed alternative") {
+    // (id <= 20 OR id >= 780) AND v = 'v5': AND distributes over the OR,
+    // so each alternative carries BOTH its tail range and the v equality —
+    // the tail file's string stats (v700..v799) exclude 'v5', leaving ONE
+    // file to rewrite. A capped/sound fallback that kept the whole table
+    // (or lost a surviving row) fails the count asserts.
+    val t = eightFiles("cow-andor")
+    val (removed, plan) = t.deletePruned(
+      (col("id") <= lit(20L) || col("id") >= lit(780L)) && col("v") === lit("v5"))
+    assert(removed === 1L, "only id=5 matches both the tails and v='v5'")
+    assert(plan.filesKept <= 1,
+      s"string stats must also prune the tail alternative: ${plan.filesKept}/${plan.filesTotal}")
+    assert(t.read().count() === 799L)
+    assert(t.read().where("id = 5").count() === 0L)
+    // the un-analyzable-conjunct direction stays sound: the equality arm
+    // prunes, the opaque arm widens only its own disjunct
+    val t2 = eightFiles("cow-andor2")
+    val (removed2, _) = t2.deletePruned(
+      (col("id") <= lit(20L) || abs(col("id")) === lit(780L)) && col("v") === lit("v780"))
+    assert(removed2 === 1L)
+    assert(t2.read().count() === 799L)
+  }
+
   test("FilterRanges: conjunctions tighten, unsupported shapes prune nothing") {
     def r(c: org.apache.spark.sql.Column) = FilterRanges.extract(c)
     assert(r(col("a") === lit(5)) === Seq(ColRange("a", Some(5), Some(5))))

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.warehouse.{ColRange, SnapshotTable}
+
+/** MERGE-ON-READ equality deletes (`del` snapshots — VERDICT r9 #1, the
+  * Iceberg v2 delete-file stance): a high-frequency trickle of small
+  * deletes must commit delete SIDECARS (zero data-file rewrites), reads
+  * must anti-join them sequence-aware (later appends survive), CDC must
+  * emit them at sidecar cost, COW landing after a del must fold (never
+  * resurrect), and compaction must restore the pure-file layout. */
+class MorDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/$name"
+
+  /** An 8-file table with disjoint id ranges per file. */
+  private def eightFiles(name: String): SnapshotTable = {
+    val t = new SnapshotTable(spark, freshRoot(name))
+    val df = spark.range(800).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id")))
+      .repartitionByRange(8, col("id"))
+    t.createOrReplace(df, sortBy = Seq("id"))
+    t
+  }
+
+  private def dataFilesOf(t: SnapshotTable): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(t.root)).map(_.getPath).filter(_.endsWith(".parquet")).sorted
+  }
+
+  test("a trickle of single-key deletes rewrites ZERO data files") {
+    val t = eightFiles("mor-trickle")
+    val before = dataFilesOf(t)
+    val keys = Seq(5L, 123L, 456L, 789L)
+    keys.foreach { k =>
+      val (n, plan) = t.deleteByKeys(Seq("id"), Seq(k).toDF("id"))
+      assert(n === 1L, s"key $k must match exactly one row")
+      // the match scan itself is key-hull pruned to ~1 of 8 files
+      assert(plan.filesKept <= 2,
+        s"single-key match scan must prune: ${plan.filesKept}/${plan.filesTotal}")
+    }
+    // every pre-existing data file is still on disk, byte-identical set
+    assert(dataFilesOf(t).intersect(before) === before,
+      "MoR deletes must not rewrite or remove any data file")
+    assert(t.snapshots().map(_._2) === Seq("base") ++ Seq.fill(4)("del"))
+    assert(t.read().count() === 796L)
+    assert(t.read().where(col("id").isin(keys: _*)).count() === 0L)
+    // metadata COUNT(*) stays exact (marker-recorded matched counts)
+    assert(t.rowCountFromMetadata.contains(796L))
+  }
+
+  test("sequence-aware: a key re-inserted AFTER its delete survives") {
+    val t = eightFiles("mor-seq")
+    t.deleteByKeys(Seq("id"), Seq(100L).toDF("id"))
+    t.append(Seq((100L, "vNEW")).toDF("id", "v"))
+    val rows = t.read().where("id = 100").select("v").collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("vNEW"),
+      s"the re-inserted row must survive the earlier delete, got ${rows.toSeq}")
+    // a SECOND delete of the same key removes the re-inserted row only
+    val (n2, _) = t.deleteByKeys(Seq("id"), Seq(100L).toDF("id"))
+    assert(n2 === 1L, "second delete matches only the live re-inserted row")
+    assert(t.read().where("id = 100").count() === 0L)
+    assert(t.rowCountFromMetadata.contains(799L))
+  }
+
+  test("deleting an absent key is a committed no-op") {
+    val t = eightFiles("mor-miss")
+    val (n, _) = t.deleteByKeys(Seq("id"), Seq(10000L).toDF("id"))
+    assert(n === 0L)
+    assert(t.snapshots().map(_._2) === Seq("base"), "no del marker for an empty match")
+    assert(t.read().count() === 800L)
+  }
+
+  test("multi-row and composite-key delete batches") {
+    val t = new SnapshotTable(spark, freshRoot("mor-comp"))
+    val df = spark.range(400).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("int"))
+      .withColumn("v", concat(lit("v"), col("id")))
+      .repartitionByRange(4, col("id"))
+    t.createOrReplace(df, sortBy = Seq("id"))
+    val (n, _) = t.deleteByKeys(Seq("id", "grp"),
+      Seq((8L, 0), (9L, 1), (10L, 3)).toDF("id", "grp"))
+    assert(n === 2L, "only (8,0) and (9,1) exist; (10,3) matches nothing")
+    assert(t.read().where("id IN (8, 9)").count() === 0L)
+    assert(t.read().where("id = 10").count() === 1L)
+    assert(t.rowCountFromMetadata.contains(398L))
+  }
+
+  test("reads, pruned reads and readWhere all exclude MoR-deleted rows") {
+    val t = eightFiles("mor-read")
+    t.deleteByKeys(Seq("id"), spark.range(100, 120).toDF("id"))
+    assert(t.read().where("id BETWEEN 100 AND 119").count() === 0L)
+    val (pr, _) = t.readPruned(Seq(ColRange("id", Some(90L), Some(130L))))
+    assert(pr.count() === (130L - 90L + 1) - 20L,
+      "readPruned must anti-join the delete sidecars")
+    val (rw, plan) = t.readWhere(col("id") <= 110L || col("id") >= 750L)
+    assert(rw.where("id BETWEEN 100 AND 110").count() === 0L)
+    assert(rw.count() === (0L to 110L).size - 11L + (750L to 799L).size)
+    assert(plan.filesKept < plan.filesTotal, "two-tail readWhere still prunes")
+  }
+
+  test("a COW rewrite landing AFTER a del folds it — rows never resurrect") {
+    val t = eightFiles("mor-cowfold")
+    t.deleteByKeys(Seq("id"), Seq(150L, 155L).toDF("id")) // rows in file [100,200)
+    // a cow UPDATE touching the same file: its rewrite must carry the
+    // survivors WITHOUT the deleted rows
+    t.update(col("id").between(140L, 160L), Map("v" -> lit("upd")))
+    assert(t.read().where("id IN (150, 155)").count() === 0L,
+      "cow rewrite must not resurrect MoR-deleted rows")
+    assert(t.read().where("id = 145 AND v = 'upd'").count() === 1L)
+    assert(t.read().count() === 798L)
+    // cow-after-del: metadata count honestly declines (the cow folded del
+    // rows, so marker arithmetic would double-subtract); count() scans
+    assert(t.rowCountFromMetadata.isEmpty)
+    assert(t.count() === 798L)
+  }
+
+  test("CDC: a del window emits exactly the sidecar rows as deletes") {
+    val t = eightFiles("mor-cdc")
+    val s0 = t.currentSnapshotId.get
+    t.append(Seq((900L, "new")).toDF("id", "v"))
+    t.deleteByKeys(Seq("id"), Seq(10L, 900L).toDF("id"))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    // append(900) + delete(10, 900) nets to: insert nothing, delete id=10
+    val net = cs.df.groupBy(col("_change")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(net.getOrElse("delete", 0L) === 1L, s"net change must be one delete, got $net")
+    assert(net.getOrElse("insert", 0L) === 0L)
+    assert(cs.df.where("_change = 'delete' AND id = 10").count() === 1L)
+    // cost ∝ change: the window read the append dir + the del sidecar,
+    // never the table
+    assert(cs.filesRead < cs.liveFilesTotal,
+      s"CDC must read less than a full scan: ${cs.filesRead}/${cs.liveFilesTotal}")
+  }
+
+  test("CDC: del then cow replacing the same file single-counts the delete") {
+    val t = eightFiles("mor-cdc2")
+    val s0 = t.currentSnapshotId.get
+    t.deleteByKeys(Seq("id"), Seq(150L).toDF("id"))
+    t.deletePruned(col("id").between(160L, 170L)) // cow replacing file [100,200)
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val dels = cs.df.where("_change = 'delete'").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels === (Seq(150L) ++ (160L to 170L)),
+      s"one delete per removed row — no double-count for id=150, got $dels")
+    assert(cs.df.where("_change = 'insert'").count() === 0L)
+  }
+
+  test("streaming tail refuses a del; time travel sees around it") {
+    val t = eightFiles("mor-tt")
+    val preDel = t.currentSnapshotId.get
+    t.deleteByKeys(Seq("id"), Seq(42L).toDF("id"))
+    intercept[IllegalStateException] {
+      t.appendsBetween(preDel, t.currentSnapshotId.get)
+    }
+    assert(t.asOf(preDel).where("id = 42").count() === 1L,
+      "time travel to before the delete still sees the row")
+    assert(t.read().where("id = 42").count() === 0L)
+  }
+
+  test("compact folds delete sidecars back into pure data files") {
+    val t = eightFiles("mor-compact")
+    t.deleteByKeys(Seq("id"), spark.range(0, 50).toDF("id"))
+    t.deleteByKeys(Seq("id"), Seq(700L).toDF("id"))
+    val expect = t.read().orderBy("id").collect().toSeq
+    t.compact()
+    assert(t.snapshots().last._2 === "base")
+    assert(t.read().orderBy("id").collect().toSeq === expect,
+      "compaction must preserve the MoR-visible state exactly")
+    assert(t.rowCountFromMetadata.contains(749L),
+      "post-compact metadata count is exact again")
+    t.expireSnapshots(keepLast = 1)
+    // only the compacted base remains on disk — sidecars expired with
+    // their snapshots
+    assert(t.snapshots().map(_._2) === Seq("base"))
+    assert(t.read().count() === 749L)
+  }
+
+  test("MERGE after a MoR delete does not resurrect deleted rows") {
+    val t = eightFiles("mor-merge")
+    t.deleteByKeys(Seq("id"), Seq(300L, 301L).toDF("id"))
+    // merge upserting 301 (re-insert) and 305 (update): the touched-file
+    // rewrite must fold the 300 delete while inserting 301 anew
+    val src = Seq((301L, "merged301"), (305L, "merged305")).toDF("id", "v")
+    val ((updated, inserted), _) = t.mergePruned(src, Seq("id"))
+    assert(updated === 1L && inserted === 1L, s"got ($updated, $inserted)")
+    assert(t.read().where("id = 300").count() === 0L, "300 stays deleted")
+    assert(t.read().where("id = 301").select("v").head().getString(0) === "merged301")
+    assert(t.read().where("id = 305").select("v").head().getString(0) === "merged305")
+    assert(t.count() === 799L)
+  }
+
+  test("concurrent MoR deletes and a COW delete all land (optimistic validate-and-retry)") {
+    // the matched-rows materialization races like compact's rewrite: a
+    // commit landing mid-scan invalidates the matched set (mis-sequenced
+    // rows), so losers retry on the new head — nothing lost, nothing
+    // double-deleted
+    val t = eightFiles("mor-race")
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val counts = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val ths = Seq(
+      () => t.deleteByKeys(Seq("id"), Seq(10L, 11L, 12L).toDF("id"))._1,
+      () => t.deleteByKeys(Seq("id"), Seq(710L, 711L).toDF("id"))._1,
+      () => t.deletePruned(col("id").between(400L, 409L))._1
+    ).map { op =>
+      new Thread(() =>
+        try { counts.add(op()); () }
+        catch { case e: Throwable => errs.add(e); () })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent MoR/COW deletes failed: $errs")
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.toSeq.sorted === Seq(2L, 3L, 10L))
+    assert(t.read().count() === 800L - 15L)
+    assert(t.count() === 785L)
+    assert(t.read().where("id IN (10, 11, 12, 710, 711) OR id BETWEEN 400 AND 409")
+      .count() === 0L)
+  }
+
+  test("model check: random append/MoR-delete/COW-delete interleavings match a Map model") {
+    val rnd = new scala.util.Random(42)
+    val t = new SnapshotTable(spark, freshRoot("mor-model"))
+    var model = (0L until 200L).map(k => k -> s"v$k").toMap
+    t.createOrReplace(model.toSeq.toDF("id", "v").repartitionByRange(4, col("id")),
+      sortBy = Seq("id"))
+    var nextKey = 200L
+    for (_ <- 0 until 30) {
+      rnd.nextInt(3) match {
+        case 0 => // append a few fresh (or re-used) keys
+          val ks = Seq.fill(1 + rnd.nextInt(3)) {
+            if (rnd.nextBoolean() || nextKey >= 260) rnd.nextLong(nextKey)
+            else { nextKey += 1; nextKey - 1 }
+          }.distinct.filterNot(model.contains)
+          if (ks.nonEmpty) {
+            t.append(ks.map(k => k -> s"a$k").toDF("id", "v"))
+            model ++= ks.map(k => k -> s"a$k")
+          }
+        case 1 => // MoR delete of a random key batch (hits and misses mixed)
+          val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(nextKey)).distinct
+          val (n, _) = t.deleteByKeys(Seq("id"), ks.toDF("id"))
+          assert(n === ks.count(model.contains).toLong,
+            s"matched-count must equal live keys among $ks")
+          model --= ks
+        case 2 => // COW range delete
+          val lo = rnd.nextLong(nextKey)
+          val hi = lo + rnd.nextInt(20)
+          t.delete(col("id") >= lit(lo) && col("id") <= lit(hi))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+      }
+    }
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === model, "table state must equal the reference Map model")
+    assert(t.count() === model.size.toLong)
+    // compaction preserves the final state and restores metadata counting
+    t.compact()
+    assert(t.rowCountFromMetadata.contains(model.size.toLong))
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap === model)
+  }
+}

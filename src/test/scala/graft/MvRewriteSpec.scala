@@ -141,6 +141,7 @@ class MvRewriteSpec extends SparkSpec {
   test("multi-base MV: each base routes to its own partial table") {
     val cat = freshCat()
     val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0 // pin: the retraction fold is the surface under test
     val imps = Seq(("c1", "d1", 0.10), ("c1", "d1", 0.20), ("c2", "d1", 0.30))
       .toDF("campaign", "day", "cost")
     val clks = Seq(("c1", "d1", 1.50), ("c2", "d1", 2.50))
@@ -223,6 +224,7 @@ class MvRewriteSpec extends SparkSpec {
 
   test("routing stays correct across incremental refresh, and rebuilds don't self-route") {
     val (cat, mvm) = setup()
+    mvm.retractionCrossoverRows = 0 // pin: the retraction fold is the surface under test
     try {
       cat.table("sales", "orders").append(Seq(("alpha", "x", 1.00)).toDF("seg", "sub", "amt"))
       // base advanced past the last refresh: routing must DECLINE (a stale

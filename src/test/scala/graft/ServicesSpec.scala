@@ -90,6 +90,7 @@ class ServicesSpec extends SparkSpec {
       ("c1", "d1", 100.00))
       .toDF("campaign", "date_key", "revenue"))
     val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0 // pin: the retraction fold is the surface under test
     val keys = Seq("campaign", "date_key")
     mvm.createMultiAggMv("funnel", Seq(
       mvm.BaseAgg(("adv", "imps"), keys, Seq("cost"), "imp"),
@@ -322,6 +323,7 @@ class ServicesSpec extends SparkSpec {
       Seq(("a", 10.0), ("a", 5.0), ("b", 1.0)).toDF("k", "amt"))
 
     val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0 // pin: the retraction fold is the surface under test
     mvm.createAggMv("mv_sales", ("adv", "sales"), Seq("k"), Seq("amt"))
     val builtAtId = sales.currentSnapshotId.get
 
@@ -346,6 +348,45 @@ class ServicesSpec extends SparkSpec {
     assert(mvm.read("mv_sales").select($"k").as[String].collect().toSet == Set("a", "c"))
   }
 
+  test("cost-based refresh policy: a small base REBUILDS, a threshold-forced large one RETRACTS") {
+    // VERDICT r9 #4: RetractionBench measured the full rebuild at
+    // 0.28×–0.62× of the retraction fold below ~120M rows — the refresh
+    // must take the cheaper path from metadata alone, not always retract.
+    val cat = newCatalog("mvcost")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(
+      Seq(("a", 10.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)).toDF("k", "amt"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createAggMv("mv_c", ("adv", "sales"), Seq("k"), Seq("amt"))
+    def state() = mvm.read("mv_c")
+      .select($"k", $"n_rows", $"sum_amt".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // default crossover (120M rows): this base sits FAR below it, so a
+    // DML refresh deliberately rebuilds — and the answer is identical
+    sales.delete($"amt" === 2.0)
+    assert(mvm.refreshIncremental("mv_c") == "full",
+      "below the crossover the policy must choose the cheaper rebuild")
+    assert(state() == Set(("a", 2L, 15.0), ("b", 1L, 1.0)))
+    // forcing the threshold to 0 models the >120M-row regime: the same
+    // DML shape now takes the retraction fold, same answer
+    mvm.retractionCrossoverRows = 0
+    sales.delete($"amt" === 5.0)
+    assert(mvm.refreshIncremental("mv_c") == "retraction",
+      "above the crossover the policy must fold, never rescan the base")
+    assert(state() == Set(("a", 1L, 10.0), ("b", 1L, 1.0)))
+    // multi-base MVs run the same per-base policy
+    cat.table("adv", "imps").createOrReplace(
+      Seq(("c1", "d1", 1.0), ("c2", "d1", 2.0)).toDF("campaign", "date_key", "cost"))
+    val mvm2 = new MaterializedViewManager(cat)
+    mvm2.createMultiAggMv("fnl", Seq(
+      mvm2.BaseAgg(("adv", "imps"), Seq("campaign", "date_key"), Seq("cost"), "imp")))
+    cat.table("adv", "imps").delete($"campaign" === "c2")
+    assert(mvm2.refreshMultiAggMv("fnl")("imp") == "full",
+      "multi-agg per-base policy: small base rebuilds")
+    assert(mvm2.read("fnl").select($"campaign").as[String].collect().toSeq == Seq("c1"))
+  }
+
   test("retraction fold: UPDATE nets the metric diff; partial deletes keep survivors; REPLACE and min/max MVs rebuild") {
     val cat = newCatalog("mvretr")
     cat.createSchema("adv")
@@ -353,6 +394,7 @@ class ServicesSpec extends SparkSpec {
     sales.createOrReplace(
       Seq(("a", 10.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)).toDF("k", "amt"))
     val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0 // pin: the retraction fold is the surface under test
     mvm.createAggMv("mv_r", ("adv", "sales"), Seq("k"), Seq("amt"))
 
     // an UPDATE arrives as its CDC delete+insert pair: count unchanged,

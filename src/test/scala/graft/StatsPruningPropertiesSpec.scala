@@ -106,6 +106,51 @@ object StatsPruningPropertiesSpec extends Properties("statsPruning") {
       } finally t.drop()
     }
 
+  property("readWhere over random OR predicates ≡ full read + filter") =
+    Prop.forAll(
+      Gen.chooseNum(20, 120).flatMap(n => Gen.listOfN(n, rowGen)),
+      Gen.chooseNum(2, 5),
+      Gen.chooseNum(2, 3).flatMap(k => Gen.listOfN(k, rangeGen))) { (rows, nFiles, rs) =>
+      val t = writeTable(rows, nFiles)
+      try {
+        // the disjunction of the generated ranges as one predicate Column —
+        // the per-disjunct planner must prune per alternative and the
+        // ORIGINAL predicate applies as the residual (VERDICT r9 #2)
+        def one(r: Range1) = {
+          val c = col(r.col)
+          (r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq)
+            .reduceOption(_ && _).getOrElse(lit(true))
+        }
+        val cond = rs.map(one).reduce(_ || _)
+        val (pruned, plan) = t.readWhere(cond)
+        val got = pruned.collect().map(key).sorted.toSeq
+        val want = t.read().filter(cond).collect().map(key).sorted.toSeq
+        (got == want) :| s"filters=$rs kept=${plan.filesKept}/${plan.filesTotal} " +
+          s"got=${got.size} want=${want.size}"
+      } finally t.drop()
+    }
+
+  property("readPrunedAny residual is the OR of per-alternative ANDs") =
+    Prop.forAll(
+      Gen.chooseNum(20, 80).flatMap(n => Gen.listOfN(n, rowGen)),
+      Gen.chooseNum(2, 4),
+      Gen.chooseNum(2, 3).flatMap(k => Gen.listOfN(k, rangeGen))) { (rows, nFiles, rs) =>
+      val t = writeTable(rows, nFiles)
+      try {
+        val (pruned, plan) = t.readPrunedAny(rs.map(r => Seq(r.colRange)))
+        val got = pruned.collect().map(key).sorted.toSeq
+        val want = rs.map(residual(t.read(), _).collect().map(key).toSeq)
+          .reduce(_ ++ _).distinct.sorted
+        // per-alternative residuals may overlap: compare as SETS (the OR
+        // residual dedups rows matching several alternatives by identity —
+        // a row appears once per source row, so multiset compare via the
+        // full read)
+        val wantMs = t.read().collect().map(key).toSeq
+          .filter(want.contains).sorted
+        (got == wantMs) :| s"alts=$rs kept=${plan.filesKept}/${plan.filesTotal}"
+      } finally t.drop()
+    }
+
   property("appended files prune independently of the base's bounds") =
     Prop.forAll(
       Gen.listOfN(30, rowGen), Gen.listOfN(30, rowGen), rangeGen) { (a, b, r) =>

@@ -141,7 +141,7 @@ class WarehouseSpec extends SparkSpec {
     t.createOrReplace(Seq.empty[(Int, String)].toDF("id", "v"))
     var (snapshots, compactions) = (1, 0)
     for (step <- 1 to 60) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // append
           val r = rows(1 + rnd.nextInt(4))
           t.append(r.toDF("id", "v")); model ++= r; snapshots += 1
@@ -178,7 +178,23 @@ class WarehouseSpec extends SparkSpec {
           val far = Seq((1000000 + step, "far"))
           t.merge((existing ++ far).toDF("id", "v"), Seq("id"))
           model ++= existing ++ far; snapshots += 1
-        case _ => () // 6/7 on an empty table: skip
+        case 8 if model.nonEmpty => // AND-of-ORs: (two-tail OR) AND equality
+          val keys = model.keys.toSeq.sorted
+          val lo = keys(rnd.nextInt(keys.size))
+          val hi = keys(rnd.nextInt(keys.size))
+          val v = s"v${rnd.nextInt(5)}"
+          val removed = t.delete((($"id" <= lo) || ($"id" >= hi)) && $"v" === v)
+          val expect = model.count { case (k, x) => (k <= lo || k >= hi) && x == v }
+          assert(removed === expect, s"step $step and-or-delete($lo, $hi, $v)")
+          model = model.filterNot { case (k, x) => (k <= lo || k >= hi) && x == v }
+          snapshots += 1
+        case 9 if model.nonEmpty => // MoR equality delete interleaved with COW DML
+          val keys = model.keys.toSeq.sorted
+          val ks = Seq.fill(1 + rnd.nextInt(3))(keys(rnd.nextInt(keys.size))).distinct
+          val (n, _) = t.deleteByKeys(Seq("id"), ks.toDF("id"))
+          assert(n === ks.size.toLong, s"step $step mor-delete($ks)")
+          model --= ks; snapshots += 1
+        case _ => () // 6-9 on an empty table: skip
       }
       assert(t.count() === model.size, s"step $step count")
       val got = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
