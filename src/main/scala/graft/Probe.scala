@@ -26,6 +26,36 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // MoR-trickle breakdown: `runMain graft.Probe mor` times every Nth
+    // single-key delete statement so growth vs fixed overhead separates
+    if (args.headOption.contains("mor")) {
+      val wh = s"/root/repo/target/probe-mor-${System.currentTimeMillis()}"
+      val t = new graft.warehouse.SnapshotTable(spark, wh)
+      val orders = Tables.load(spark, sfDir, "orders")
+      t.createOrReplace(
+        orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .repartitionByRange(8, $"o_orderkey"), sortBy = Seq("o_orderkey"))
+      val keys = orders.select($"o_orderkey").where($"o_orderkey" % 3 === 1)
+        .orderBy($"o_orderkey").limit(100).collect().map(_.getLong(0)).toSeq
+      val t0 = System.nanoTime()
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val s0 = System.nanoTime()
+        t.deleteByKeys(Seq("o_orderkey"), Seq(k).toDF("o_orderkey"))
+        if (i % 10 == 0 || i == 99)
+          println(f"[probe] stmt $i%3d  ${(System.nanoTime() - s0) / 1e9}%.3f s")
+      }
+      println(f"[probe] trickle total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("final read agg") { noop(t.read().groupBy($"o_orderstatus").count()) }
+      time("CDC over trickle") {
+        noop(t.rowChangesBetween(1L, t.currentSnapshotId.get).get.df)
+      }
+      time("compact") { t.compact(); () }
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true)
+      spark.stop()
+      return
+    }
+
     val li = Tables.load(spark, sfDir, "lineitem")
     // warm
     noop(li); noop(li)

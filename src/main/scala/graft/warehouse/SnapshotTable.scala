@@ -149,6 +149,19 @@ final class SnapshotTable(
     * key-column set union into ONE anti-join; each key frame is a tiny
     * projection of its delete sidecar, so at scale this plans as a
     * broadcast anti-join per key set — scan cost unchanged. */
+  /** Run `f` with Spark's parallel-listing threshold raised: resolving a
+    * many-path read (one dir per delete sidecar) must not launch a
+    * DISTRIBUTED listing job per plan — the sidecars are one tiny file
+    * each, and the driver lists them in microseconds. Restores the
+    * previous value (conf mutation is scoped to plan construction). */
+  private def withDriverListing[T](f: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val conf = spark.sessionState.conf
+    val prev = conf.getConfString(key, "32")
+    conf.setConfString(key, "4096")
+    try f finally conf.setConfString(key, prev)
+  }
+
   private def applyEqDeletes(df: DataFrame, dataId: Long,
                              dels: Seq[SnapMeta]): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -156,10 +169,25 @@ final class SnapshotTable(
     if (applicable.isEmpty) df
     else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(_.id).min)
       .foldLeft(df) { case (d, (keys, batches)) =>
-        val keyDf = batches.map(b => spark.read.parquet(snapDir(b.id).toString))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-          .select(keys.map(col): _*).distinct()
-        d.join(keyDf, keys, "left_anti")
+        // ONE multi-path read per key-set group, not a per-batch union: a
+        // 100-statement delete trickle otherwise costs O(batches) scan
+        // plans on EVERY read — the O(n²) planning tax that made the
+        // trickle gate 100× slower than its I/O (every sidecar carries
+        // the group's key columns, so the one-schema read is safe)
+        val keyDf = withDriverListing {
+          spark.read.parquet(batches.map(b => snapDir(b.id).toString): _*)
+        }.select(keys.map(col): _*).distinct()
+        // the markers record every batch's row count: when the combined
+        // delete set is provably small, hint the broadcast instead of
+        // letting AQE discover it through an extra sizing stage — the
+        // CostJoin stance (decide from table-owned metadata); unknown or
+        // large sets keep the planner's choice
+        val rows = batches.flatMap(_.rows)
+        val hinted =
+          if (rows.length == batches.length && rows.sum <= 4000000L)
+            org.apache.spark.sql.functions.broadcast(keyDf)
+          else keyDf
+        d.join(hinted, keys, "left_anti")
       }
   }
 
@@ -1036,9 +1064,19 @@ final class SnapshotTable(
               .parquet(rels.map(qualifiedRoot + "/" + _): _*)
             (applyEqDeletes(df, ownerId, allDels.filter(_.id < m.id)), rels.size)
           }
-      } ++
-      range.filter(_.kind == "del").map { m =>
-        (spark.read.parquet(snapDir(m.id).toString), listParquet(snapDir(m.id)).size)
+      } ++ {
+        // all the range's delete sidecars in ONE merged-schema read (not a
+        // plan per del — a caught-up feed draining a 100-statement trickle
+        // would otherwise pay O(dels) planning); mergeSchema reconciles
+        // sidecars written under evolved schemas, matching the
+        // allowMissingColumns union semantics of the other branches
+        val delDirs = range.filter(_.kind == "del").map(m => snapDir(m.id))
+        if (delDirs.isEmpty) Seq.empty
+        else Seq((
+          withDriverListing {
+            spark.read.option("mergeSchema", "true").parquet(delDirs.map(_.toString): _*)
+          },
+          delDirs.map(listParquet(_).size).sum))
       }
     def union(groups: Seq[(String, Seq[String])]): Option[DataFrame] =
       if (groups.isEmpty) None
@@ -1581,8 +1619,22 @@ final class SnapshotTable(
       s"key column names must not contain ',' or '|': $keys")
     val src = keyRows.select(keys.map(keyRows.col): _*).distinct().persist()
     try {
-      val total = src.count()
+      // SMALL-BATCH fast path: a trickle of single-key (or few-key)
+      // deletes must not pay a count job + hull job + quantile job per
+      // statement. One bounded collect answers the count AND gives EXACT
+      // per-key point alternatives (better pruning than a hull when the
+      // keys are scattered); batches past the bound take the distributed
+      // hull path — the key set itself never collects at scale.
+      val bound = 64
+      val sample = src.limit(bound + 1).collect()
+      val small = sample.length <= bound
+      val total = if (small) sample.length.toLong else src.count()
       if (total == 0) return (0L, ScanPlan(Seq.empty, 0, 0))
+      val alternatives: Seq[Seq[ColRange]] =
+        if (small) sample.toSeq.map(r => keys.zipWithIndex.map { case (k, i) =>
+          ColRange(k, Option(r.get(i)), Option(r.get(i)))
+        })
+        else keyHullAlternatives(src, keys, total)
       var out: Option[(Long, ScanPlan)] = None
       var attempts = 0
       while (out.isEmpty) {
@@ -1590,8 +1642,20 @@ final class SnapshotTable(
         if (attempts > 50) throw new IllegalStateException(
           s"MoR delete on $root lost the commit race $attempts times — writer storm?")
         val head = currentSnapshotId.get
-        val (pre, plan) = readPrunedAny(keyHullAlternatives(src, keys, total))
-        val matched = pre.join(src, keys, "left_semi")
+        val (pre, plan) = readPrunedAny(alternatives)
+        // on the small path the auto-applied residual is already the OR of
+        // exact per-key point predicates — the semi-join would re-derive
+        // the same rows through an extra broadcast exchange. Only safe
+        // when every key column is present and non-floating (NaN equality
+        // differs between range predicates and join equality) and no
+        // sampled key is NULL (a NULL bound degrades to keep-everything).
+        val residualExact = small &&
+          keys.forall(pre.columns.contains) &&
+          sample.forall(r => keys.indices.forall(i => r.get(i) != null)) &&
+          !pre.schema.exists(f => keys.contains(f.name) &&
+            (f.dataType == org.apache.spark.sql.types.DoubleType ||
+              f.dataType == org.apache.spark.sql.types.FloatType))
+        val matched = if (residualExact) pre else pre.join(src, keys, "left_semi")
         val id = withCommitLock {
           val i = claimId()
           try {
