@@ -463,6 +463,93 @@ object Views {
       }
     },
 
+    // CDC MIRROR through the correctness gate — the full change-data
+    // pipeline: a SOURCE table takes five DML shapes (append, COW delete,
+    // COW update, MoR delete, atomic MoR upsert) while a MIRROR table
+    // follows it through nothing but `rowChangesBetween` windows applied
+    // with `applyChanges` (one atomic `mor`/`del` commit per window —
+    // REQUIREd: the mirror NEVER rewrites a data file). A replay of the
+    // last window against the same mirror is REQUIREd to be a no-op-
+    // equivalent (idempotent apply — the at-least-once feed guarantee).
+    // The output carries BOTH the mirror's and the source's final
+    // aggregate; the DuckDB oracle replays the five statements over raw
+    // orders and emits the same two stage rows — so a mirror that loses a
+    // delete, double-applies an insert, or mis-sequences an upsert
+    // diverges from its own source AND from the oracle.
+    "q132_cdc_mirror" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/cdcmirror"
+      try {
+        val src = new graft.warehouse.SnapshotTable(s, wh + "/src")
+        src.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val mirror = new graft.warehouse.SnapshotTable(s, wh + "/mirror")
+        mirror.createOrReplace(src.read())
+        def mirrorFiles(): Seq[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(wh + "/mirror")).map(_.getPath)
+            .filter(_.endsWith(".parquet")).sorted
+        }
+        val baseFiles = mirrorFiles()
+        var offset = src.currentSnapshotId.get
+        def sync(): Unit = {
+          val end = src.currentSnapshotId.get
+          val cs = src.rowChangesBetween(offset, end).get
+          mirror.applyChanges(cs.df, Seq("o_orderkey"))
+          offset = end
+        }
+        // window 1: append + COW delete
+        src.append(t(s, dir, "orders").filter($"o_orderkey".between(500L, 600L))
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+            lit("A").as("o_orderstatus"), $"o_totalprice"))
+        src.delete($"o_orderkey" <= lit(150L))
+        sync()
+        // window 2: COW update + MoR delete + atomic MoR upsert
+        src.update($"o_orderkey".between(300L, 450L),
+          Map("o_orderstatus" -> lit("X")))
+        val morKeys = t(s, dir, "orders").filter($"o_orderkey".between(700L, 720L))
+          .select($"o_orderkey")
+        require(src.deleteByKeys(Seq("o_orderkey"), morKeys)._1 > 0,
+          "q132 expects the MoR delete to match rows")
+        val upSrc = t(s, dir, "orders").filter($"o_orderkey".between(800L, 850L))
+          .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
+            ($"o_totalprice" * 3).cast("decimal(15,2)").as("o_totalprice"))
+        val lastWindowStart = offset
+        val (upReplaced, upInserted) = src.upsertByKeys(upSrc, Seq("o_orderkey"))
+        require(upReplaced > 0 && upInserted > 0, s"q132 upsert: ($upReplaced, $upInserted)")
+        sync()
+        // the mirror followed through atomic MoR commits ONLY — and never
+        // rewrote a single data file it started with
+        require(mirror.snapshots().map(_._2).drop(1).forall(k => k == "mor" || k == "del"),
+          s"q132 mirror must apply via MoR commits, got ${mirror.snapshots()}")
+        require(mirrorFiles().intersect(baseFiles) == baseFiles,
+          "q132 mirror apply must never rewrite a data file")
+        // idempotency: replaying the whole LAST window changes nothing
+        val preReplay = mirror.read().orderBy($"o_orderkey").collect()
+        mirror.applyChanges(
+          src.rowChangesBetween(lastWindowStart, offset).get.df, Seq("o_orderkey"))
+        require(mirror.read().orderBy($"o_orderkey").collect().toSeq == preReplay.toSeq,
+          "q132 replaying an applied window must be idempotent")
+        def agg(tbl: graft.warehouse.SnapshotTable, stage: String) =
+          tbl.read().groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"))
+        val res = agg(mirror, "mirror").unionByName(agg(src, "source"))
+          .orderBy($"stage", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1011,6 +1098,36 @@ object Views {
          WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) IS NOT NULL
          GROUP BY 1
          ORDER BY 1""",
+
+    "q132_cdc_mirror" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         app AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                        'A' AS o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey BETWEEN 500 AND 600),
+         a1 AS (SELECT * FROM t0 UNION ALL SELECT * FROM app),
+         a2 AS (SELECT * FROM a1 WHERE NOT (o_orderkey <= 150)),
+         a3 AS (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey BETWEEN 300 AND 450 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM a2),
+         a4 AS (SELECT * FROM a3 WHERE o_orderkey NOT IN
+                (SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 700 AND 720)),
+         up AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       CAST(o_totalprice * 3 AS DECIMAL(15,2)) AS o_totalprice
+                FROM orders WHERE o_orderkey BETWEEN 800 AND 850),
+         fin AS (SELECT * FROM a4 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+                 UNION ALL SELECT * FROM up),
+         stages AS (
+           SELECT 'mirror' AS stage, * FROM fin
+           UNION ALL SELECT 'source', * FROM fin)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     "q130_mor_trickle" ->
       """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

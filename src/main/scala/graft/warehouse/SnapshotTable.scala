@@ -35,6 +35,7 @@ final class SnapshotTable(
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def snapDir(id: Long): Path = new Path(root, f"snap-$id%05d")
+  private def delRowsDir(id: Long): Path = new Path(root, f"snap-$id%05d.delrows")
   private def metaFile(id: Long): Path = new Path(root, f"snap-$id%05d.meta")
   private def statsFile(id: Long): Path = new Path(root, f"snap-$id%05d.stats")
   private def exclFile(id: Long): Path = new Path(root, f"snap-$id%05d.excl")
@@ -56,7 +57,12 @@ final class SnapshotTable(
     * anti-join the key columns against every data snapshot committed
     * BEFORE it, so a single-row DELETE commits a one-row sidecar and
     * rewrites NOTHING; compaction folds the deletes back into pure
-    * files). */
+    * files), and `mor` (MERGE-ON-READ UPSERT — one ATOMIC commit whose
+    * data dir holds the INSERTED rows, exactly like an append, while a
+    * parallel `snap-NNNNN.delrows` dir holds the replaced OLD rows as an
+    * equality-delete sidecar, note `eqdel=<keyCols>`; the single marker
+    * rename makes both visible together, so a reader can never observe
+    * the delete without the insert — the Iceberg MoR MERGE shape). */
   private final case class SnapMeta(id: Long, kind: String, parts: Seq[String],
                                     rows: Option[Long], sort: Seq[String],
                                     note: Option[String], ts: Option[Long])
@@ -128,15 +134,26 @@ final class SnapshotTable(
 
   // ---- merge-on-read equality deletes (`del` snapshots) ----------------
 
-  /** The equality-key columns of a `del` snapshot (from its marker note). */
+  /** The equality-key columns of a `del`/`mor` snapshot — the first
+    * space-delimited token of the note (`eqdel=k1,k2 <caller note>`). */
   private def delKeyCols(m: SnapMeta): Seq[String] =
     m.note.filter(_.startsWith("eqdel="))
-      .map(_.stripPrefix("eqdel=").split(',').toSeq).getOrElse(Seq.empty)
+      .map(_.stripPrefix("eqdel=").takeWhile(_ != ' ').split(',').toSeq)
+      .getOrElse(Seq.empty)
 
-  /** The `del` members of the CURRENT live chain — the delete sidecars
-    * every read of current state must anti-join. */
+  /** Does this snapshot carry an equality-delete sidecar? (`del` = the
+    * whole dir; `mor` = its parallel `.delrows` dir). */
+  private def carriesEqDeletes(m: SnapMeta): Boolean =
+    m.kind == "del" || m.kind == "mor"
+
+  /** Where a snapshot's equality-delete ROWS live. */
+  private def delRowsPath(m: SnapMeta): Path =
+    if (m.kind == "mor") delRowsDir(m.id) else snapDir(m.id)
+
+  /** The delete-sidecar-carrying members of the CURRENT live chain — the
+    * batches every read of current state must anti-join. */
   private def liveDels(): Seq[SnapMeta] =
-    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(_.kind == "del")
+    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(carriesEqDeletes)
 
   /** The `snap-NNNNN` id encoded in a qualified snapshot-dir path. */
   private def idOfSnapDirPath(dir: String): Long =
@@ -165,7 +182,10 @@ final class SnapshotTable(
   private def applyEqDeletes(df: DataFrame, dataId: Long,
                              dels: Seq[SnapMeta]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // a mor upsert that matched nothing (pure insert) writes no delrows
+    // dir — it has no delete side to apply
     val applicable = dels.filter(_.id > dataId)
+      .filterNot(m => m.kind == "mor" && readExclusion(m.id).exists(_.rows == 0L))
     if (applicable.isEmpty) df
     else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(_.id).min)
       .foldLeft(df) { case (d, (keys, batches)) =>
@@ -175,14 +195,16 @@ final class SnapshotTable(
         // trickle gate 100× slower than its I/O (every sidecar carries
         // the group's key columns, so the one-schema read is safe)
         val keyDf = withDriverListing {
-          spark.read.parquet(batches.map(b => snapDir(b.id).toString): _*)
+          spark.read.parquet(batches.map(b => delRowsPath(b).toString): _*)
         }.select(keys.map(col): _*).distinct()
-        // the markers record every batch's row count: when the combined
-        // delete set is provably small, hint the broadcast instead of
-        // letting AQE discover it through an extra sizing stage — the
-        // CostJoin stance (decide from table-owned metadata); unknown or
-        // large sets keep the planner's choice
-        val rows = batches.flatMap(_.rows)
+        // metadata records every batch's delete-row count (del: the
+        // marker; mor: the .excl sidecar): when the combined delete set
+        // is provably small, hint the broadcast instead of letting AQE
+        // discover it through an extra sizing stage — the CostJoin stance
+        // (decide from table-owned metadata); unknown or large sets keep
+        // the planner's choice
+        val rows = batches.flatMap(b =>
+          if (b.kind == "mor") readExclusion(b.id).map(_.rows) else b.rows)
         val hinted =
           if (rows.length == batches.length && rows.sum <= 4000000L)
             org.apache.spark.sql.functions.broadcast(keyDf)
@@ -527,11 +549,13 @@ final class SnapshotTable(
       val id = s.getPath.getName.stripPrefix("snap-").takeWhile(_.isDigit).toLong
       try {
         fs.delete(s.getPath, false)
-        // the crashed writer's half-written dir is an orphan no reader
-        // ever saw — reclaim it unless the id (re)committed meanwhile
+        // the crashed writer's half-written dir(s) are orphans no reader
+        // ever saw — reclaim them unless the id (re)committed meanwhile
         if (fs.exists(snapDir(id)) && !fs.exists(metaFile(id)) &&
-            !fs.exists(stagedFile(id)))
+            !fs.exists(stagedFile(id))) {
           fs.delete(snapDir(id), true)
+          fs.delete(delRowsDir(id), true)
+        }
       } catch { case _: Exception => () }
     }
     stale.size
@@ -644,18 +668,20 @@ final class SnapshotTable(
     val contributing = ms.drop(baseIdx)
     if (contributing.exists(_.rows.isEmpty)) None
     else {
-      // a `del` contributes NEGATIVE rows: its marker count is the rows it
-      // matched (deleted) — but a cow committed AFTER a del may have
-      // physically folded some of that del's rows into its rewrite, so its
+      // `del`/`mor` contribute NEGATIVE rows for what they deleted (del:
+      // the marker count; mor: its .excl sidecar — its marker counts the
+      // INSERTS) — but a cow committed AFTER an equality delete may have
+      // physically folded some of its rows into the rewrite, so the
       // .excl row count would double-subtract them; no metadata-only
       // answer exists for that interleaving → scan (compaction restores
       // the metadata path)
-      val delIds = contributing.filter(_.kind == "del").map(_.id)
+      val delIds = contributing.filter(carriesEqDeletes).map(_.id)
       if (delIds.nonEmpty &&
           contributing.exists(m => m.kind == "cow" && m.id > delIds.min)) return None
       // a cow contributes its rewritten rows MINUS the rows of the files
-      // it replaced (recorded in its .excl sidecar at commit time)
-      val excluded = contributing.filter(_.kind == "cow").map { m =>
+      // it replaced; a mor subtracts its matched-delete sidecar the same
+      // way (both recorded in .excl at commit time)
+      val excluded = contributing.filter(m => m.kind == "cow" || m.kind == "mor").map { m =>
         readExclusion(m.id).map(_.rows).getOrElse(return None)
       }.sum
       val delMatched = contributing.filter(_.kind == "del").map(_.rows.get).sum
@@ -818,8 +844,8 @@ final class SnapshotTable(
   def asOf(id: Long): DataFrame = {
     require(metas().exists(_.id <= id), s"no snapshot ≤ $id at $root")
     val chain = dataChainAt(id)
-    val dels = chain.filter(_.kind == "del")
-    val data = chain.filterNot(_.kind == "del")
+    val dels = chain.filter(carriesEqDeletes)
+    val data = chain.filterNot(_.kind == "del") // mor dirs ARE insert data
     val excl = chainExclusions(chain)
     // allowMissingColumns = Iceberg-style schema evolution: an append may
     // carry columns older snapshots lack (read as NULL there) and vice
@@ -1035,9 +1061,9 @@ final class SnapshotTable(
     val all = metas()
     val range = all.filter(m => m.id > sinceId && m.id <= endId)
     if (range.exists(m => m.kind == "base" && !m.note.contains("compact"))) return None
-    val allDels = all.filter(_.kind == "del")
+    val allDels = all.filter(carriesEqDeletes)
     val addedFiles: Seq[(String, Seq[String])] = range
-      .filter(m => m.kind == "append" || m.kind == "cow")
+      .filter(m => m.kind == "append" || m.kind == "cow" || m.kind == "mor")
       .flatMap { m =>
         val fl = listParquet(snapDir(m.id))
         if (fl.isEmpty) None
@@ -1070,7 +1096,8 @@ final class SnapshotTable(
         // would otherwise pay O(dels) planning); mergeSchema reconciles
         // sidecars written under evolved schemas, matching the
         // allowMissingColumns union semantics of the other branches
-        val delDirs = range.filter(_.kind == "del").map(m => snapDir(m.id))
+        val delDirs = range.filter(carriesEqDeletes).map(delRowsPath)
+          .filter(d => listParquet(d).nonEmpty)
         if (delDirs.isEmpty) Seq.empty
         else Seq((
           withDriverListing {
@@ -1132,11 +1159,11 @@ final class SnapshotTable(
                      ignoreReplaces: Boolean = false): DataFrame = {
     val range = metas().filter(m => m.id > sinceId && m.id <= endId)
     // a cow DML (file-pruned DELETE/UPDATE/MERGE) or a merge-on-read
-    // equality delete removes or rewrites rows the tail may already have
+    // delete/upsert removes or rewrites rows the tail may already have
     // emitted — refuse exactly like a REPLACE
     val rewrites = range.filter(m =>
       (m.kind == "base" && !m.note.contains("compact")) ||
-        m.kind == "cow" || m.kind == "del")
+        m.kind == "cow" || carriesEqDeletes(m))
     if (rewrites.nonEmpty && !ignoreReplaces)
       throw new IllegalStateException(
         s"snapshot(s) ${rewrites.map(_.id).mkString(", ")} rewrote table $root " +
@@ -1187,12 +1214,14 @@ final class SnapshotTable(
       try fs.getContentSummary(snapDir(id)).getLength catch { case _: Exception => 0L }
     // does this snapshot contribute rows to the batch being sized?
     def carriesRows(m: SnapMeta): Boolean =
-      m.kind == "append" || (cdc && (m.kind == "cow" || m.kind == "del"))
+      m.kind == "append" ||
+        (cdc && (m.kind == "cow" || m.kind == "del" || m.kind == "mor"))
     // (rows, extraBytes) a row-carrying snapshot contributes: appends are
     // their marker count; a cow's CDC payload is bounded by rewrite rows +
     // replaced rows (the two EXCEPT ALL inputs), replaced bytes from its
     // .excl sidecar; a del's payload is its matched-row sidecar (= its
-    // marker count). None = unknown → cap-saturating, never free.
+    // marker count); a mor's is inserts (marker) + replaced rows (.excl).
+    // None = unknown → cap-saturating, never free.
     def rowsOf(m: SnapMeta): (Option[Long], Long) =
       if (m.kind == "append" || m.kind == "del") (m.rows, 0L)
       else readExclusion(m.id) match {
@@ -1430,7 +1459,7 @@ final class SnapshotTable(
     * partitions in metadata). */
   def partitionRowCountsFromMetadata(partCol: String): Option[Map[String, Long]] = {
     val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
-    if (chain.exists(_.kind == "del")) return None
+    if (chain.exists(carriesEqDeletes)) return None
     val excluded = chainExclusions(chain)
     val out = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     chain.foreach { m =>
@@ -1694,6 +1723,153 @@ final class SnapshotTable(
     } finally src.unpersist(blocking = false)
   }
 
+  /** MERGE-ON-READ UPSERT — one ATOMIC `mor` commit (the Iceberg MoR
+    * MERGE shape): every target row whose `keys` match a `source` row is
+    * replaced by it, unmatched source rows insert — and NO data file is
+    * rewritten. The commit writes the source rows as the snapshot's data
+    * dir (append economics) and the matched OLD rows as a `.delrows`
+    * equality-delete sidecar; ONE marker rename publishes both, so a
+    * reader can never see the delete without its insert (the gap the
+    * naive delete-then-append pair has). Duplicate-key sources are
+    * rejected like [[merge]]. Returns (replacedRows, insertedRows) with
+    * replaced + inserted... NOT summing to source rows when target keys
+    * are non-unique (ALL old rows with a matched key are replaced). */
+  def upsertByKeys(source: DataFrame, keys: Seq[String]): (Long, Long) = {
+    val srcKeys = source.select(keys.map(source.col): _*)
+    require(srcKeys.distinct().count() == srcKeys.count(),
+      s"MoR upsert source has duplicate keys on (${keys.mkString(", ")})")
+    val (replaced, inserted, _) = morCommit(source, srcKeys, keys)
+    (replaced, inserted)
+  }
+
+  /** APPLY A CHANGE-FEED BATCH — the consumer half of [[rowChangesBetween]]
+    * / `readChangeFeed`: `batch` carries `_change ∈ {insert, delete}`
+    * rows; applying it deletes every row matching ANY batch row's keys,
+    * then lands the insert-side rows — one atomic `mor` commit, zero
+    * file rewrites. Delete-before-insert over the FULL key set makes the
+    * apply IDEMPOTENT: replaying the same batch deletes the first
+    * apply's inserts and re-lands them, so an at-least-once feed
+    * (foreachBatch retry) converges — pair it with a `note`-deduped
+    * ingest for exactly-once. The mirror-apply pattern: a downstream
+    * table tracks an upstream one through its change feed at
+    * cost-∝-change. Returns (deletedRows, insertedRows). */
+  def applyChanges(batch: DataFrame, keys: Seq[String],
+                   note: Option[String] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(batch.columns.contains("_change"),
+      "applyChanges expects a _change-tagged CDC batch")
+    val inserts = batch.filter(col("_change") === "insert").drop("_change")
+    val delKeys = batch.select(keys.map(col): _*).distinct()
+    val (deleted, inserted, _) = morCommit(inserts, delKeys, keys, note)
+    (deleted, inserted)
+  }
+
+  /** The shared `mor` commit: delete every live row whose `keys` match
+    * `delKeys`, insert `insertRows`, atomically. Optimistic like
+    * [[deleteByKeys]]: the matched-row materialization runs outside the
+    * commit lock under a claimed id; a commit landing meanwhile makes
+    * the matched set mis-sequenced, so the attempt retries. Returns
+    * (replacedRows, insertedRows, snapshotId). */
+  private def morCommit(insertRows: DataFrame, delKeys: DataFrame,
+                        keys: Seq[String],
+                        note: Option[String] = None): (Long, Long, Long) = {
+    writeGuard()
+    require(exists, s"DML on non-existent table at $root")
+    require(keys.nonEmpty, "MoR upsert needs at least one key column")
+    require(keys.forall(k => !k.contains(',') && !k.contains('|')),
+      s"key column names must not contain ',' or '|': $keys")
+    require(note.forall(n => !n.contains('|')), s"invalid note '$note'")
+    val src = delKeys.select(keys.map(delKeys.col): _*).distinct().persist()
+    try {
+      // same small-batch planning as deleteByKeys: exact per-key point
+      // alternatives from one bounded collect, distributed hulls past it
+      val bound = 64
+      val sample = src.limit(bound + 1).collect()
+      val small = sample.length <= bound
+      val total = if (small) sample.length.toLong else src.count()
+      val alternatives: Seq[Seq[ColRange]] =
+        if (total == 0) Seq.empty
+        else if (small) sample.toSeq.map(r => keys.zipWithIndex.map { case (k, i) =>
+          ColRange(k, Option(r.get(i)), Option(r.get(i)))
+        })
+        else keyHullAlternatives(src, keys, total)
+      var out: Option[(Long, Long, Long)] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        attempts += 1
+        if (attempts > 50) throw new IllegalStateException(
+          s"MoR upsert on $root lost the commit race $attempts times — writer storm?")
+        val head = currentSnapshotId.get
+        val matched =
+          if (total == 0) read().limit(0)
+          else {
+            val (pre, _) = readPrunedAny(alternatives)
+            pre.join(src, keys, "left_semi")
+          }
+        val id = withCommitLock {
+          val i = claimId()
+          try {
+            if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i))) {
+              fs.delete(snapDir(i), true); fs.delete(delRowsDir(i), true)
+            }
+            val line = s"mor||0||${esc("upserting")}|${System.currentTimeMillis()}"
+            val o = fs.create(stagedFile(i))
+            try o.write(line.getBytes("UTF-8")) finally o.close()
+          } finally releaseClaim(i)
+          i
+        }
+        def cleanup(): Unit = {
+          fs.delete(snapDir(id), true)
+          fs.delete(delRowsDir(id), true)
+          fs.delete(statsFile(id), false)
+          fs.delete(exclFile(id), false)
+          fs.delete(stagedFile(id), false)
+        }
+        try {
+          // inserts land in the TABLE's layout (they are data, exactly an
+          // append); the delete sidecar carries none
+          val inserted = writeSnapshotData(insertRows, id, partitionSpec(), sortSpec())
+          val replaced =
+            if (total == 0) 0L
+            else {
+              matched.write.mode(SaveMode.Overwrite).parquet(delRowsDir(id).toString)
+              footerWalk(delRowsDir(id))._1
+            }
+          if (replaced == 0L) fs.delete(delRowsDir(id), true)
+          val noteStr = s"eqdel=${keys.mkString(",")}" + note.map(n => s" $n").getOrElse("")
+          withCommitLock {
+            if (currentSnapshotId.get == head) {
+              if (inserted == 0L && replaced == 0L) {
+                cleanup(); out = Some((0L, 0L, -1L)) // nothing to do: no-op
+              } else if (inserted == 0L) {
+                // a delete-only batch: commit as a plain `del` snapshot
+                // (its dir IS the delete sidecar) — an empty `mor` data
+                // dir would be unreadable and carries nothing
+                fs.delete(snapDir(id), true)
+                fs.delete(statsFile(id), false) // described the empty insert dir
+                require(fs.rename(delRowsDir(id), snapDir(id)),
+                  s"mor→del conversion rename failed for snapshot $id at $root")
+                writeMarker(id, "del", Seq.empty, replaced, Seq.empty, Some(noteStr))
+                fs.delete(exclFile(id), false)
+                fs.delete(stagedFile(id), false)
+                out = Some((replaced, 0L, id))
+              } else {
+                // excl sidecar (the matched-delete count metadata readers
+                // subtract) BEFORE the marker — the single commit point
+                writeExclusion(id, Seq.empty, replaced, 0L)
+                writeMarker(id, "mor", partitionSpec(), inserted, sortSpec(),
+                  Some(noteStr))
+                fs.delete(stagedFile(id), false)
+                out = Some((replaced, inserted, id))
+              }
+            } else cleanup() // head moved: matched set is stale, retry
+          }
+        } catch { case e: Throwable => cleanup(); throw e }
+      }
+      out.get
+    } finally src.unpersist(blocking = false)
+  }
+
   /** UPDATE ... SET col = value WHERE cond (D6) — file-pruned
     * copy-on-write: only files whose stats overlap the predicate are
     * rewritten (rows in them that miss the predicate are carried through
@@ -1808,6 +1984,7 @@ final class SnapshotTable(
     val expired = ms.take(cut)
     expired.foreach { m =>
       fs.delete(snapDir(m.id), true)
+      fs.delete(delRowsDir(m.id), true)
       fs.delete(metaFile(m.id), false)
       fs.delete(statsFile(m.id), false)
       fs.delete(exclFile(m.id), false)

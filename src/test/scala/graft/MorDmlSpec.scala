@@ -194,6 +194,120 @@ class MorDmlSpec extends SparkSpec {
     assert(t.count() === 799L)
   }
 
+  test("upsertByKeys: atomic MoR upsert — replaces matched, inserts the rest, zero rewrites") {
+    val t = eightFiles("mor-upsert")
+    val before = dataFilesOf(t)
+    val src = Seq((100L, "UP100"), (105L, "UP105"), (9000L, "NEW9000"))
+      .toDF("id", "v")
+    val (replaced, inserted) = t.upsertByKeys(src, Seq("id"))
+    assert(replaced === 2L && inserted === 3L, s"got ($replaced, $inserted)")
+    // ONE snapshot, both sides atomic, no data file rewritten
+    assert(t.snapshots().map(_._2) === Seq("base", "mor"))
+    assert(dataFilesOf(t).intersect(before) === before,
+      "MoR upsert must not rewrite or remove any data file")
+    assert(t.read().where("id = 100").select("v").head().getString(0) === "UP100")
+    assert(t.read().where("id = 105").select("v").head().getString(0) === "UP105")
+    assert(t.read().where("id = 9000").count() === 1L)
+    assert(t.read().count() === 801L)
+    assert(t.rowCountFromMetadata.contains(801L),
+      "metadata count: + inserts (marker) − matched (.excl)")
+    // a second upsert of the same keys replaces the FIRST upsert's rows
+    val (r2, i2) = t.upsertByKeys(Seq((100L, "UP100b")).toDF("id", "v"), Seq("id"))
+    assert(r2 === 1L && i2 === 1L)
+    assert(t.read().where("id = 100").select("v").collect().map(_.getString(0)).toSeq
+      === Seq("UP100b"))
+    assert(t.count() === 801L)
+    // duplicate-key sources are rejected like MERGE
+    intercept[IllegalArgumentException] {
+      t.upsertByKeys(Seq((1L, "a"), (1L, "b")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
+  test("upsert CDC: insert side in added, delete sidecar in removed, same-row pairs cancel") {
+    val t = eightFiles("mor-upcdc")
+    val s0 = t.currentSnapshotId.get
+    // 100 changes value (pair emits), 200 is rewritten IDENTICALLY (pair
+    // must cancel — net nothing), 9000 is new
+    val old200 = t.read().where("id = 200").select("v").head().getString(0)
+    t.upsertByKeys(Seq((100L, "X"), (200L, old200), (9000L, "n")).toDF("id", "v"), Seq("id"))
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val got = cs.df.select("id", "v", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (100L, "v100", "delete"), (100L, "X", "insert"),
+      (9000L, "n", "insert")),
+      s"identical-rewrite pair for 200 must cancel, got $got")
+    assert(cs.filesRead < cs.liveFilesTotal)
+  }
+
+  test("upsert folds under compact and survives a later COW rewrite") {
+    val t = eightFiles("mor-upfold")
+    t.upsertByKeys(Seq((150L, "U")).toDF("id", "v"), Seq("id"))
+    // a cow touching the file that held old-150: must not resurrect it
+    t.update(col("id").between(140L, 160L), Map("v" -> lit("upd")))
+    val vs = t.read().where("id = 150").select("v").collect().map(_.getString(0)).toSeq
+    assert(vs === Seq("upd"),
+      s"exactly the upserted row survives (then updated by the cow), got $vs")
+    assert(t.count() === 800L)
+    val expect = t.read().orderBy("id").collect().toSeq
+    t.compact()
+    assert(t.read().orderBy("id").collect().toSeq === expect)
+    assert(t.rowCountFromMetadata.contains(800L))
+  }
+
+  test("applyChanges mirrors a CDC feed: convergent, idempotent under replay") {
+    // source takes real DML; the mirror applies rowChangesBetween batches
+    val src = eightFiles("mor-cdc-src")
+    val mirror = new SnapshotTable(spark, freshRoot("mor-cdc-mirror"))
+    mirror.createOrReplace(src.read())
+    var offset = src.currentSnapshotId.get
+
+    def sync(): (Long, Long) = {
+      val end = src.currentSnapshotId.get
+      val cs = src.rowChangesBetween(offset, end).get
+      val r = mirror.applyChanges(cs.df, Seq("id"), note = Some(s"upTo=$end"))
+      offset = end
+      r
+    }
+    def assertConverged(): Unit = {
+      val a = src.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val b = mirror.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(a === b, "mirror must equal the source after sync")
+    }
+    // window 1: append + cow delete + cow update
+    src.append(Seq((900L, "new")).toDF("id", "v"))
+    src.delete(col("id") < 20L)
+    src.update(col("id").between(50L, 60L), Map("v" -> lit("X")))
+    val (d1, i1) = sync()
+    assert(d1 > 0 && i1 > 0)
+    assertConverged()
+    // the mirror never rewrote a file: base + one mor commit
+    assert(mirror.snapshots().map(_._2) === Seq("base", "mor"))
+    // window 2: MoR DML on the source flows through too
+    src.deleteByKeys(Seq("id"), Seq(100L).toDF("id"))
+    src.upsertByKeys(Seq((101L, "U"), (9000L, "n")).toDF("id", "v"), Seq("id"))
+    sync()
+    assertConverged()
+    // REPLAY the last window against the same mirror state: idempotent
+    val lastBatch = src.rowChangesBetween(
+      mirrorReplayBase(src, offset), offset).get.df
+    mirror.applyChanges(lastBatch, Seq("id"))
+    assertConverged()
+    // delete-only window commits as a plain `del` (no unreadable empty dir)
+    src.delete(col("id").between(200L, 210L))
+    sync()
+    assertConverged()
+    assert(mirror.snapshots().map(_._2).last === "del")
+  }
+
+  /** The start offset of the window ending at `end` (the previous window
+    * boundary) — here simply the snapshot before the last two source
+    * commits of the test above. */
+  private def mirrorReplayBase(t: SnapshotTable, end: Long): Long = {
+    val ids = t.snapshots().map(_._1).filter(_ <= end)
+    ids(ids.length - 3)
+  }
+
   test("concurrent MoR deletes and a COW delete all land (optimistic validate-and-retry)") {
     // the matched-rows materialization races like compact's rewrite: a
     // commit landing mid-scan invalidates the matched set (mis-sequenced
