@@ -884,6 +884,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC mirror: readChanges + applyChanges converges across restarts") {
+    // the PRODUCTION mirror shape: a checkpointed change feed drives
+    // applyChanges in foreachBatch — bootstrap from empty via the initial
+    // insert load, then deltas only; a restart resumes from the
+    // checkpoint (no redelivery), and every mirror commit is an atomic
+    // mor/del (never a file rewrite)
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("cdcmirrorstream").toString
+    val src = new SnapshotTable(spark, s"$tmp/src")
+    src.createOrReplace(spark.range(0, 400).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id")))
+      .repartitionByRange(4, col("id")), sortBy = Seq("id"))
+    val mirror = new SnapshotTable(spark, s"$tmp/mirror")
+    mirror.createOrReplace(src.read().limit(0)) // empty, schema only
+    def pass(): Unit = {
+      val q = graft.streaming.SnapshotStream.readChanges(spark, src.root)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mirror.applyChanges(b, Seq("id")); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def srcSet() = src.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def mirSet() = mirror.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    pass() // bootstrap: initial load arrives as inserts
+    assert(mirSet() === srcSet(), "bootstrap must land the full initial state")
+    // DML lands between passes; the resumed feed applies only the deltas
+    src.append(Seq((900L, "new")).toDF("id", "v"))
+    src.delete(col("id") < 50L)
+    src.upsertByKeys(Seq((100L, "U"), (901L, "n")).toDF("id", "v"), Seq("id"))
+    pass()
+    assert(mirSet() === srcSet(), "resumed feed must converge the mirror")
+    // caught up: another pass applies nothing new and stays converged
+    pass()
+    assert(mirSet() === srcSet())
+    // every mirror commit after the seed is an atomic MoR apply
+    assert(mirror.snapshots().map(_._2).drop(1).forall(k => k == "mor" || k == "del"),
+      s"mirror must follow via mor/del commits only, got ${mirror.snapshots()}")
+  }
+
   test("CDC tail: MERGE upsert emits its update pair and insert; REPLACE fails the feed") {
     import spark.implicits._
     import graft.warehouse.SnapshotTable
