@@ -59,6 +59,30 @@ class BcdrSpec extends SparkSpec {
     intercept[IllegalArgumentException] { primary.checkWritable() }
   }
 
+  test("replication of a table with pending merge-on-read DML copies the MoR-visible state") {
+    // refresh materializes primary.read() — the MoR anti-joins fold into
+    // the copy, so a secondary never inherits delete sidecars it cannot
+    // interpret, and validate()'s metadata counts agree on both sides
+    val primary = new Catalog(spark, freshDir("pri-mor"), "pri")
+    val secondary = new Catalog(spark, freshDir("sec-mor"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "events_t")
+    t.createOrReplace(spark.range(0, 300).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id"))))
+    t.deleteByKeys(Seq("id"), Seq(5L, 6L, 7L).toDF("id"))
+    t.upsertByKeys(Seq((10L, "U"), (900L, "n")).toDF("id", "v"), Seq("id"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "events_t")), includeViews = false)
+    repl.refresh("core")
+    assert(repl.validate("core").select($"verdict").as[String].collect().toSet
+      == Set("MATCH"))
+    val want = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = secondary.table("adv", "events_t").read()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(!got.exists(_._1 == 5L) && got.exists(_ == (10L, "U")))
+  }
+
   test("failover-group refresh runs as a scheduled task with run history (10-min cadence)") {
     val primary = new Catalog(spark, freshDir("pri"), "pri")
     val secondary = new Catalog(spark, freshDir("sec"), "sec")

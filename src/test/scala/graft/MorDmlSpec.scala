@@ -308,6 +308,20 @@ class MorDmlSpec extends SparkSpec {
     ids(ids.length - 3)
   }
 
+  test("MoR read plans BROADCAST anti-joins for small delete batches (never a shuffle)") {
+    // the scale shape: the delete side is metadata-proven small (marker /
+    // .excl row counts), so the read must plan BroadcastHashJoin LeftAnti
+    // — a sort-merge anti-join would shuffle the full table per sidecar
+    val t = eightFiles("mor-plan")
+    t.deleteByKeys(Seq("id"), Seq(10L, 20L).toDF("id"))
+    t.upsertByKeys(Seq((30L, "U")).toDF("id", "v"), Seq("id"))
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small MoR batches must apply as broadcast anti-joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "no shuffle anti-join for a metadata-proven-small delete side")
+  }
+
   test("concurrent MoR deletes and a COW delete all land (optimistic validate-and-retry)") {
     // the matched-rows materialization races like compact's rewrite: a
     // commit landing mid-scan invalidates the matched set (mis-sequenced

@@ -348,6 +348,34 @@ class ServicesSpec extends SparkSpec {
     assert(mvm.read("mv_sales").select($"k").as[String].collect().toSet == Set("a", "c"))
   }
 
+  test("MV retraction folds merge-on-read DML: del and upsert flow through the CDC path") {
+    val cat = newCatalog("mvmor")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(
+      Seq(("a", 10.0, 1L), ("a", 5.0, 2L), ("b", 1.0, 3L), ("b", 2.0, 4L))
+        .toDF("k", "amt", "id"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0 // pin: the retraction fold is the surface under test
+    mvm.createAggMv("mv_m", ("adv", "sales"), Seq("k"), Seq("amt"))
+    def state() = mvm.read("mv_m")
+      .select($"k", $"n_rows", $"sum_amt".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // a MoR equality delete: zero file rewrites, still a retraction fold
+    sales.deleteByKeys(Seq("id"), Seq(3L).toDF("id"))
+    assert(mvm.refreshIncremental("mv_m") == "retraction")
+    assert(state() == Set(("a", 2L, 15.0), ("b", 1L, 2.0)))
+    // an atomic MoR upsert: delete(old)+insert(new) pair nets the diff
+    sales.upsertByKeys(Seq(("a", 100.0, 1L)).toDF("k", "amt", "id"), Seq("id"))
+    assert(mvm.refreshIncremental("mv_m") == "retraction")
+    assert(state() == Set(("a", 2L, 105.0), ("b", 1L, 2.0)))
+    // the fold agrees with a from-scratch recompute of the MoR-aware read
+    val want = sales.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"amt".cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state() == want)
+  }
+
   test("cost-based refresh policy: a small base REBUILDS, a threshold-forced large one RETRACTS") {
     // VERDICT r9 #4: RetractionBench measured the full rebuild at
     // 0.28×–0.62× of the retraction fold below ~120M rows — the refresh
