@@ -91,6 +91,81 @@ object TailPropertiesSpec extends Properties("snapshotTail") {
       }
     }
 
+  // ── CDC over generated MoR/COW histories ──────────────────────────────
+
+  private sealed trait DmlOp
+  private case class DAppend(n: Int) extends DmlOp
+  private case class DMorDel(n: Int) extends DmlOp
+  private case class DUpsert(n: Int) extends DmlOp
+  private case class DCowDel(off: Int, len: Int) extends DmlOp
+  private case object DCompact extends DmlOp
+
+  private val dmlOpGen: Gen[DmlOp] = Gen.frequency(
+    4 -> Gen.chooseNum(1, 4).map(DAppend),
+    3 -> Gen.chooseNum(1, 3).map(DMorDel),
+    3 -> Gen.chooseNum(1, 2).map(DUpsert),
+    2 -> Gen.zip(Gen.chooseNum(0, 10), Gen.chooseNum(1, 5))
+      .map { case (o, l) => DCowDel(o, l) },
+    1 -> Gen.const(DCompact))
+
+  /** CDC net-change correctness over random interleavings of appends,
+    * MoR equality deletes, atomic MoR upserts, COW range deletes, and
+    * compactions: for EVERY committed (since, end] range,
+    * `rowChangesBetween` must emit exactly state(end) − state(since) as
+    * inserts and state(since) − state(end) as deletes — carryovers,
+    * delete sidecars, upsert pairs and compaction rewrites all
+    * single-counted. The strongest statement of the changelog algebra. */
+  property("CDC net changes over random MoR/COW histories match the state model") =
+    Prop.forAll(Gen.chooseNum(3, 7).flatMap(n => Gen.listOfN(n, dmlOpGen))) { ops =>
+      import spark.implicits._
+      val t = new SnapshotTable(spark,
+        Files.createTempDirectory("cdc-prop").toString + "/t")
+      var model = freshRows(4).map(id => id -> s"a$id").toMap
+      t.createOrReplace(model.toSeq.toDF("id", "v"))
+      // state AT each committed snapshot id
+      val states = scala.collection.mutable.ArrayBuffer(
+        t.currentSnapshotId.get -> model)
+      var step = 0
+      ops.foreach { op =>
+        step += 1
+        op match {
+          case DAppend(n) =>
+            val rows = freshRows(n).map(id => id -> s"a$id")
+            t.append(rows.toDF("id", "v")); model ++= rows
+          case DMorDel(n) if model.nonEmpty =>
+            val ks = model.keys.toSeq.sorted.take(n)
+            t.deleteByKeys(Seq("id"), ks.toDF("id")); model --= ks
+          case DUpsert(n) if model.nonEmpty =>
+            val replaced = model.keys.toSeq.sorted.takeRight(n).map(k => k -> s"u$step")
+            val fresh = freshRows(1).map(id => id -> s"a$id")
+            t.upsertByKeys((replaced ++ fresh).toDF("id", "v"), Seq("id"))
+            model ++= replaced ++ fresh
+          case DCowDel(off, len) if model.nonEmpty =>
+            val ks = model.keys.toSeq.sorted
+            val lo = ks(off % ks.size)
+            t.delete(org.apache.spark.sql.functions.col("id").between(lo, lo + len))
+            model = model.filterNot { case (k, _) => k >= lo && k <= lo + len }
+          case DCompact => t.compact()
+          case _ => () // op on an empty table: skip
+        }
+        val head = t.currentSnapshotId.get
+        if (states.last._1 != head) states += (head -> model)
+      }
+      val rangeGen = for {
+        i <- Gen.chooseNum(0, states.size - 1)
+        j <- Gen.chooseNum(i, states.size - 1)
+      } yield (states(i), states(j))
+      Prop.forAll(rangeGen) { case ((since, s0), (end, s1)) =>
+        val cs = t.rowChangesBetween(since, end)
+        val got = cs.map(_.df.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq)
+        val wantIns = (s1.toSet -- s0.toSet).map { case (k, v) => (k, v, "insert") }
+        val wantDel = (s0.toSet -- s1.toSet).map { case (k, v) => (k, v, "delete") }
+        val want = (wantIns ++ wantDel).toSeq.sorted
+        s"CDC ($since, $end]: got $got want $want" |: (got.contains(want))
+      }
+    }
+
   /** Admission control (`boundedTailEnd`) over generated histories: a tail
     * that repeatedly asks for the next capped end and reads each `(prev,
     * end]` delta must (a) terminate, (b) respect the append cap in every
