@@ -36,6 +36,13 @@ final class MaterializedViewManager(cat: Catalog) {
   @volatile var retractionCrossoverRows: Long =
     MaterializedViewManager.DefaultRetractionCrossoverRows
 
+  /** Second policy variable (ADVICE r10): a sub-crossover base rebuilds
+    * only when the CDC window's file count × this factor reaches the live
+    * file count — i.e. the change touched ≥ 1/N of the files, the regime
+    * the crossover was measured in. Smaller deltas keep the ∝-change
+    * retraction fold regardless of base size. */
+  @volatile var rebuildDeltaFraction: Long = 4L
+
   /** mv name → (definition SQL, base tables as (schema, table)). */
   private val defs = mutable.LinkedHashMap.empty[String, (String, Seq[(String, String)])]
   private val builtAt = mutable.Map.empty[String, Map[(String, String), Long]]
@@ -231,14 +238,21 @@ final class MaterializedViewManager(cat: Catalog) {
         // as signed partials, reading only the changed files. min/max
         // partials are NOT retractable (a deleted row may have held the
         // min; no subtraction recovers the runner-up), so those MVs — and
-        // true REPLACEs (CDC = None) — still rebuild. COST POLICY: when
-        // the base's metadata row count sits below the RetractionBench
-        // crossover, the rebuild is measurably cheaper than the fold's
-        // fixed shuffle cost — take it deliberately.
-        val rebuildCheaper =
-          t.rowCountFromMetadata.exists(_ < retractionCrossoverRows)
-        val cdc = if (d.minMaxCols.isEmpty && !rebuildCheaper)
+        // true REPLACEs (CDC = None) — still rebuild. COST POLICY: rebuild
+        // only when the base's metadata row count sits below the
+        // RetractionBench crossover AND the change set spans a substantial
+        // fraction of the live files (the crossover was measured under the
+        // bench's delta mix; a one-file change on a mid-size base keeps
+        // the ∝-change fold — ADVICE r10). The CDC plan itself is
+        // metadata-only to construct, so probing it first costs listings
+        // ∝ the change, never a scan.
+        val cdc0 = if (d.minMaxCols.isEmpty)
           t.rowChangesBetween(aggBuiltAt(name), cur) else None
+        val rebuildCheaper = cdc0.exists { cs =>
+          t.rowCountFromMetadata.exists(_ < retractionCrossoverRows) &&
+            cs.filesRead * rebuildDeltaFraction >= cs.liveFilesTotal
+        }
+        val cdc = if (rebuildCheaper) None else cdc0
         cdc match {
           case Some(cs) =>
             val signed = aggregateChanges(cs.df, d.keyCols, "n_rows",
@@ -353,11 +367,15 @@ final class MaterializedViewManager(cat: Catalog) {
               // DML in the window: retraction fold over this base's CDC
               // (BaseAgg partials are count + decimal sums only — always
               // retractable); a true REPLACE rebuilds the partials; a
-              // base below the cost crossover rebuilds DELIBERATELY
-              // (same policy as refreshIncremental)
-              val cdcM =
-                if (t.rowCountFromMetadata.exists(_ < retractionCrossoverRows)) None
-                else t.rowChangesBetween(built(b.base), cur)
+              // base below the cost crossover with a substantial change
+              // fraction rebuilds DELIBERATELY (same two-variable policy
+              // as refreshIncremental)
+              val cdc0 = t.rowChangesBetween(built(b.base), cur)
+              val rebuildCheaperM = cdc0.exists { cs =>
+                t.rowCountFromMetadata.exists(_ < retractionCrossoverRows) &&
+                  cs.filesRead * rebuildDeltaFraction >= cs.liveFilesTotal
+              }
+              val cdcM = if (rebuildCheaperM) None else cdc0
               cdcM match {
                 case Some(cs) =>
                   val signed = aggregateChanges(cs.df, b.keyCols,

@@ -307,36 +307,39 @@ object AnnIndex {
 
   /** CELL-BALANCE PROBE (VERDICT r9 #5): max cell share over the ideal
     * equal share, from the cell-partitioned vectors table's METADATA
-    * alone (stats-sidecar counts per hive dir — zero scan; falls back to
-    * one groupBy count only when metadata can't answer). FAISS guidance:
-    * `add()` after `train()` is correct until the corpus grows or drifts
-    * past what the frozen centroids partition well — skewed inverted
-    * lists are the observable symptom (one hot cell ⇒ probes scan far
-    * more than corpus/nprobe/nCells, and recall in the cold cells rots).
-    * 1.0 = perfectly balanced; [[maybeRetrain]]'s default flags > 2. */
-  def cellSkew(s: SparkSession, root: String): Double = {
+    * alone (stats-sidecar counts per hive dir — zero scan, zero Spark
+    * job). FAISS guidance: `add()` after `train()` is correct until the
+    * corpus grows or drifts past what the frozen centroids partition
+    * well — skewed inverted lists are the observable symptom (one hot
+    * cell ⇒ probes scan far more than corpus/nprobe/nCells, and recall
+    * in the cold cells rots). 1.0 = perfectly balanced;
+    * [[maybeRetrain]]'s default flags > 2. `None` = metadata can't
+    * answer right now (e.g. pending equality deletes on `vectors`) — a
+    * probe meant to run every maintenance cycle DECLINES rather than
+    * silently rescanning the corpus (VERDICT r10 #7); the next cycle
+    * after vacuum/compact answers again. */
+  def cellSkew(s: SparkSession, root: String): Option[Double] = {
     val vecs = tbl(s, root, "vectors")
-    val counts: Map[String, Long] =
-      vecs.partitionRowCountsFromMetadata("cell").getOrElse {
-        vecs.read().groupBy("cell").count().collect()
-          .map(r => r.get(0).toString -> r.getLong(1)).toMap
-      }
-    val total = counts.values.sum.toDouble
-    if (total == 0 || counts.isEmpty) 1.0
-    else counts.values.max / (total / counts.size)
+    vecs.partitionRowCountsFromMetadata("cell").map { counts =>
+      val total = counts.values.sum.toDouble
+      if (total == 0 || counts.isEmpty) 1.0
+      else counts.values.max / (total / counts.size)
+    }
   }
 
   /** Retrain-when-skewed: probe [[cellSkew]]; past `threshold`, rebuild
     * the index from the current corpus (full `train()` + re-add — the
     * FAISS answer once add-after-train has drifted; deletion/add never
     * retrain on their own, see [[addVectors]]/[[removeVectors]]).
-    * Returns (observed skew, retrained?). The explicit-maintenance
-    * stance matches compact/expire: a scheduled task calls this, growth
-    * itself never triggers a surprise rebuild. */
+    * Returns (observed skew, retrained?); an unknown skew (probe
+    * declined) never retrains — a surprise full rebuild is worse than a
+    * deferred probe. The explicit-maintenance stance matches
+    * compact/expire: a scheduled task calls this, growth itself never
+    * triggers a surprise rebuild. */
   def maybeRetrain(s: SparkSession, dir: String, root: String,
-                   threshold: Double = 2.0): (Double, Boolean) = synchronized {
+                   threshold: Double = 2.0): (Option[Double], Boolean) = synchronized {
     val skew = cellSkew(s, root)
-    if (skew > threshold) { build(s, dir, root); (skew, true) }
+    if (skew.exists(_ > threshold)) { build(s, dir, root); (skew, true) }
     else (skew, false)
   }
 

@@ -165,8 +165,15 @@ object CostJoinRule extends Rule[LogicalPlan] {
       val dirBytes = dirs.map(p => fs.getContentSummary(p).getLength).sum
       val fileBytes = files.groupBy(_.getParent).iterator.map { case (parent, fl) =>
         val want = fl.map(_.getName).toSet
-        fs.listStatus(parent).iterator
-          .filter(s => want(s.getPath.getName)).map(_.getLen).sum
+        val found = fs.listStatus(parent).iterator
+          .filter(s => want(s.getPath.getName)).map(_.getLen).toSeq
+        // a planned file absent from its parent listing (expired
+        // concurrently) must DECLINE the rule, not undercount: the old
+        // per-file getFileStatus path threw here, and an underestimated
+        // size could wrongly qualify a large table for a broadcast
+        if (found.size != want.size) throw new java.io.FileNotFoundException(
+          s"planned file(s) missing under $parent")
+        found.sum
       }.sum
       Some(dirBytes + fileBytes)
     } catch { case _: Exception => None }

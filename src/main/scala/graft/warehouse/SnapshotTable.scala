@@ -134,6 +134,15 @@ final class SnapshotTable(
 
   // ---- merge-on-read equality deletes (`del` snapshots) ----------------
 
+  /** Key column names ride inside the marker note as `eqdel=k1,k2 ...`:
+    * ',' is the list separator, '|' the marker field separator, ' ' ends
+    * the token, and '=' opens it — a name containing any of them would
+    * round-trip as a DIFFERENT column set and make later reads anti-join
+    * wrong columns (silently wrong survivors at worst). Reject up front. */
+  private def requireNoteSafeKeys(keys: Seq[String]): Unit =
+    require(keys.forall(k => !k.exists(",| =".contains(_))),
+      s"key column names must not contain ',', '|', ' ' or '=': $keys")
+
   /** The equality-key columns of a `del`/`mor` snapshot — the first
     * space-delimited token of the note (`eqdel=k1,k2 <caller note>`). */
   private def delKeyCols(m: SnapMeta): Seq[String] =
@@ -179,8 +188,36 @@ final class SnapshotTable(
     try f finally conf.setConfString(key, prev)
   }
 
+  /** Per-read cache of built delete-key frames, keyed by (key columns,
+    * applicable batch ids): [[readPlanned]] applies the delete fold once
+    * per surviving data dir, and without reuse each application re-lists
+    * and re-plans the SAME key-set subtree — analysis cost growing with
+    * append-dirs × delete-groups (VERDICT r10 #2). Scoped to ONE read
+    * operation, never shared across reads (the live del set moves). */
+  private type DelKeyCache =
+    scala.collection.mutable.Map[(Seq[String], Seq[Long]), DataFrame]
+  private def newDelKeyCache: DelKeyCache = scala.collection.mutable.Map.empty
+
+  /** Conservative broadcast-build bytes per key ROW, from the key frame's
+    * schema: fixed-width primitives ~8 bytes, strings/decimals/anything
+    * variable ~48. The broadcast-hint bound below multiplies this by the
+    * metadata row count — a raw row-count bound would let a wide
+    * composite/string key set at the same count build a several-hundred-MB
+    * broadcast (driver memory pressure; ADVICE r10). */
+  private def keyRowWidth(df: DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.types._
+    keys.map { k =>
+      df.schema.find(_.name == k).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType | LongType | FloatType |
+                  DoubleType | DateType | TimestampType | BooleanType) => 8L
+        case _ => 48L
+      }
+    }.sum
+  }
+
   private def applyEqDeletes(df: DataFrame, dataId: Long,
-                             dels: Seq[SnapMeta]): DataFrame = {
+                             dels: Seq[SnapMeta],
+                             cache: DelKeyCache = newDelKeyCache): DataFrame = {
     import org.apache.spark.sql.functions.col
     // a mor upsert that matched nothing (pure insert) writes no delrows
     // dir — it has no delete side to apply
@@ -189,26 +226,29 @@ final class SnapshotTable(
     if (applicable.isEmpty) df
     else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(_.id).min)
       .foldLeft(df) { case (d, (keys, batches)) =>
-        // ONE multi-path read per key-set group, not a per-batch union: a
-        // 100-statement delete trickle otherwise costs O(batches) scan
-        // plans on EVERY read — the O(n²) planning tax that made the
-        // trickle gate 100× slower than its I/O (every sidecar carries
-        // the group's key columns, so the one-schema read is safe)
-        val keyDf = withDriverListing {
-          spark.read.parquet(batches.map(b => delRowsPath(b).toString): _*)
-        }.select(keys.map(col): _*).distinct()
-        // metadata records every batch's delete-row count (del: the
-        // marker; mor: the .excl sidecar): when the combined delete set
-        // is provably small, hint the broadcast instead of letting AQE
-        // discover it through an extra sizing stage — the CostJoin stance
-        // (decide from table-owned metadata); unknown or large sets keep
-        // the planner's choice
-        val rows = batches.flatMap(b =>
-          if (b.kind == "mor") readExclusion(b.id).map(_.rows) else b.rows)
-        val hinted =
-          if (rows.length == batches.length && rows.sum <= 4000000L)
+        val hinted = cache.getOrElseUpdate((keys, batches.map(_.id)), {
+          // ONE multi-path read per key-set group, not a per-batch union: a
+          // 100-statement delete trickle otherwise costs O(batches) scan
+          // plans on EVERY read — the O(n²) planning tax that made the
+          // trickle gate 100× slower than its I/O (every sidecar carries
+          // the group's key columns, so the one-schema read is safe)
+          val keyDf = withDriverListing {
+            spark.read.parquet(batches.map(b => delRowsPath(b).toString): _*)
+          }.select(keys.map(col): _*).distinct()
+          // metadata records every batch's delete-row count (del: the
+          // marker; mor: the .excl sidecar): when the combined delete
+          // set's estimated BUILD BYTES (rows × schema-derived key width)
+          // are provably small, hint the broadcast instead of letting AQE
+          // discover it through an extra sizing stage — the CostJoin
+          // stance (decide from table-owned metadata); unknown or large
+          // sets keep the planner's choice
+          val rows = batches.flatMap(b =>
+            if (b.kind == "mor") readExclusion(b.id).map(_.rows) else b.rows)
+          if (rows.length == batches.length &&
+              rows.sum * keyRowWidth(keyDf, keys) <= SnapshotTable.MaxDelBroadcastBytes)
             org.apache.spark.sql.functions.broadcast(keyDf)
           else keyDf
+        })
         d.join(hinted, keys, "left_anti")
       }
   }
@@ -219,13 +259,14 @@ final class SnapshotTable(
     * (segment × key set), not per member. */
   private def unionWithDels(members: Seq[SnapMeta], dels: Seq[SnapMeta],
                             mkDf: SnapMeta => Option[DataFrame]): Option[DataFrame] = {
+    val cache = newDelKeyCache // one key-frame build per key set, not per segment
     val segments = members.groupBy(m => dels.count(_.id > m.id))
     segments.toSeq.sortBy(-_._1).flatMap { case (_, ms) =>
       val dfs = ms.flatMap(mkDf(_))
       if (dfs.isEmpty) None
       else Some(applyEqDeletes(
         dfs.reduce(_.unionByName(_, allowMissingColumns = true)),
-        ms.map(_.id).max, dels))
+        ms.map(_.id).max, dels, cache))
     }.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1079,6 +1120,7 @@ final class SnapshotTable(
     //  - per del in range: its sidecar rows verbatim — the matched rows
     //    were materialized at commit, so a MoR delete's CDC cost is
     //    reading its own sidecar, nothing else.
+    val delCache = newDelKeyCache
     val removedParts: Seq[(DataFrame, Int)] =
       range.filter(_.kind == "cow").flatMap { m =>
         readExclusion(m.id).map(_.paths.toSeq).getOrElse(Seq.empty)
@@ -1088,7 +1130,7 @@ final class SnapshotTable(
             val ownerId = dirName.stripPrefix("snap-").takeWhile(_.isDigit).toLong
             val df = spark.read.option("basePath", qualifiedRoot + "/" + dirName)
               .parquet(rels.map(qualifiedRoot + "/" + _): _*)
-            (applyEqDeletes(df, ownerId, allDels.filter(_.id < m.id)), rels.size)
+            (applyEqDeletes(df, ownerId, allDels.filter(_.id < m.id), delCache), rels.size)
           }
       } ++ {
         // all the range's delete sidecars in ONE merged-schema read (not a
@@ -1371,9 +1413,10 @@ final class SnapshotTable(
     if (plan.files.isEmpty) read().limit(0)
     else {
       val dels = liveDels()
+      val cache = newDelKeyCache // one key-frame build per (key set, frontier), not per dir
       plan.files.map { case (dir, files) =>
         applyEqDeletes(spark.read.option("basePath", dir).parquet(files: _*),
-          idOfSnapDirPath(dir), dels)
+          idOfSnapDirPath(dir), dels, cache)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
@@ -1644,8 +1687,7 @@ final class SnapshotTable(
     writeGuard()
     require(exists, s"DML on non-existent table at $root")
     require(keys.nonEmpty, "deleteByKeys needs at least one key column")
-    require(keys.forall(k => !k.contains(',') && !k.contains('|')),
-      s"key column names must not contain ',' or '|': $keys")
+    requireNoteSafeKeys(keys)
     val src = keyRows.select(keys.map(keyRows.col): _*).distinct().persist()
     try {
       // SMALL-BATCH fast path: a trickle of single-key (or few-key)
@@ -1776,8 +1818,7 @@ final class SnapshotTable(
     writeGuard()
     require(exists, s"DML on non-existent table at $root")
     require(keys.nonEmpty, "MoR upsert needs at least one key column")
-    require(keys.forall(k => !k.contains(',') && !k.contains('|')),
-      s"key column names must not contain ',' or '|': $keys")
+    requireNoteSafeKeys(keys)
     require(note.forall(n => !n.contains('|')), s"invalid note '$note'")
     val src = delKeys.select(keys.map(delKeys.col): _*).distinct().persist()
     try {
@@ -1855,8 +1896,17 @@ final class SnapshotTable(
                 out = Some((replaced, 0L, id))
               } else {
                 // excl sidecar (the matched-delete count metadata readers
-                // subtract) BEFORE the marker — the single commit point
-                writeExclusion(id, Seq.empty, replaced, 0L)
+                // subtract) BEFORE the marker — the single commit point.
+                // Bytes = the .delrows dir's on-disk size: the CDC byte-cap
+                // accounting (boundedTailEnd) charges a mor its delete-side
+                // payload through this field — recording 0 would let a
+                // byte-capped change feed admit batches over the cap
+                // (sizeInBytesFromMetadata only subtracts `cow` bytes, so
+                // this stays out of table-size estimates)
+                val delBytes =
+                  if (replaced == 0L) 0L
+                  else fs.getContentSummary(delRowsDir(id)).getLength
+                writeExclusion(id, Seq.empty, replaced, delBytes)
                 writeMarker(id, "mor", partitionSpec(), inserted, sortSpec(),
                   Some(noteStr))
                 fs.delete(stagedFile(id), false)
@@ -2071,6 +2121,12 @@ object SnapshotTable {
   /** Default compaction target file size — Iceberg's
     * `write.target-file-size-bytes` default (512 MB). */
   val DefaultTargetFileBytes: Long = 512L * 1024 * 1024
+
+  /** Max ESTIMATED build-side bytes for the delete-fold broadcast hint
+    * (rows × schema-derived key width). 32 MB keeps the old 4M-row bound
+    * for single narrow keys (4M × 8B) while capping wide/string key sets
+    * at a safe build size. */
+  val MaxDelBroadcastBytes: Long = 32L * 1024 * 1024
 
   /** Coerce a filter bound to the numeric axis of a stat kind. None =
     * not comparable on this axis → the caller must keep the file. */

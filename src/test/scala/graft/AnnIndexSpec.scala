@@ -126,17 +126,18 @@ class AnnIndexSpec extends SparkSpec {
     // clustered corpus), so every delta lands in one nearest cell.
     val root = freshRoot()
     AnnIndex.build(spark, sfDir, root, pred = "vec_id % 5 <> 0")
-    val balanced = AnnIndex.cellSkew(spark, root)
+    val balanced = AnnIndex.cellSkew(spark, root).get
     // the whole unseen cluster (20% of the corpus) folds into ~one cell
     AnnIndex.addVectors(spark, sfDir, root, "vec_id % 5 = 0")
-    val skewed = AnnIndex.cellSkew(spark, root)
+    val skewed = AnnIndex.cellSkew(spark, root).get
     assert(skewed > balanced,
       s"skew must grow when an unseen cluster folds in: $balanced -> $skewed")
     val threshold = (balanced + skewed) / 2
     // probe + retrain: flagged, rebuilt over the grown corpus, balanced
     val (observed, retrained) = AnnIndex.maybeRetrain(spark, sfDir, root, threshold)
-    assert(observed === skewed && retrained, s"probe must flag skew $observed > $threshold")
-    val after = AnnIndex.cellSkew(spark, root)
+    assert(observed.contains(skewed) && retrained,
+      s"probe must flag skew $observed > $threshold")
+    val after = AnnIndex.cellSkew(spark, root).get
     assert(after < skewed,
       s"retrain must restore balance: $skewed -> $after")
     // idempotent once balanced: the probe declines a second rebuild
@@ -155,6 +156,39 @@ class AnnIndexSpec extends SparkSpec {
     val scanned = vecs.read().groupBy("cell").count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     assert(meta.get === scanned, "metadata counts must equal the groupBy scan")
+  }
+
+  test("cellSkew declines (no Spark job) when metadata can't answer — " +
+    "pending equality deletes; maybeRetrain treats unknown as no-retrain") {
+    val root = freshRoot()
+    AnnIndex.build(spark, sfDir, root)
+    val vecs = new SnapshotTable(spark, s"$root/vectors")
+    // a MoR equality delete leaves a pending sidecar: per-partition counts
+    // can no longer be attributed from metadata alone
+    import spark.implicits._
+    val (n, _) = vecs.deleteByKeys(Seq("vec_id"),
+      Seq(1L, 2L).toDF("vec_id"))
+    assert(n > 0, "the MoR delete must match rows")
+    assert(vecs.partitionRowCountsFromMetadata("cell").isEmpty)
+    // the probe must DECLINE, not fall back to a groupBy scan: count Spark
+    // jobs launched across the probe + the no-retrain decision
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(AnnIndex.cellSkew(spark, root).isEmpty,
+        "skew probe must decline under pending deletes")
+      val (skew, retrained) = AnnIndex.maybeRetrain(spark, sfDir, root, 0.0)
+      assert(skew.isEmpty && !retrained, "unknown skew must never retrain")
+      Thread.sleep(500) // let any (unexpected) job-start events flush
+      assert(jobs.get() === 0,
+        s"a declined probe must launch ZERO Spark jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("serve output: 4 queries, refine never loses recall vs ADC-only") {
