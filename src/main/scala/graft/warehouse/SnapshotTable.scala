@@ -155,14 +155,44 @@ final class SnapshotTable(
   private def carriesEqDeletes(m: SnapMeta): Boolean =
     m.kind == "del" || m.kind == "mor"
 
+  /** A space-delimited `key=value` field of the commit note. */
+  private def noteField(m: SnapMeta, key: String): Option[String] =
+    m.note.flatMap(_.split(' ').find(_.startsWith(key + "="))
+      .map(_.stripPrefix(key + "=")))
+
+  /** A merged delete sidecar's EFFECTIVE SEQUENCE position (the `seq=`
+    * note field): [[compactDeletes]] commits the merge at a fresh id but
+    * the union must apply exactly where the originals did — to data
+    * committed before the merged RUN, never to rows appended between the
+    * run and the merge commit (a re-inserted key must survive, the
+    * Iceberg v2 sequence-number rule). Plain dels: their own id. */
+  private def delSeq(m: SnapMeta): Long =
+    noteField(m, "seq").map(_.toLong).getOrElse(m.id)
+
+  /** The original sidecar ids a merged delete supersedes (`merged=` note
+    * field). Current-state reads skip superseded originals (the merge
+    * carries their union); CDC keeps reading the ORIGINALS (still on disk
+    * until expire) and skips the merge — it adds no new logical change. */
+  private def mergedIds(m: SnapMeta): Seq[Long] =
+    noteField(m, "merged").toSeq.flatMap(_.split(',').map(_.toLong))
+
+  /** Ids superseded by merged delete sidecars within `chain`. */
+  private def supersededIds(chain: Seq[SnapMeta]): Set[Long] =
+    chain.flatMap(mergedIds).toSet
+
   /** Where a snapshot's equality-delete ROWS live. */
   private def delRowsPath(m: SnapMeta): Path =
     if (m.kind == "mor") delRowsDir(m.id) else snapDir(m.id)
 
   /** The delete-sidecar-carrying members of the CURRENT live chain — the
-    * batches every read of current state must anti-join. */
+    * batches every read of current state must anti-join. Superseded
+    * originals are carried by their merge and skipped. */
   private def liveDels(): Seq[SnapMeta] =
-    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(carriesEqDeletes)
+    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(carriesEqDeletes) match {
+      case dels =>
+        val sup = supersededIds(dels)
+        dels.filterNot(m => sup(m.id))
+    }
 
   /** The `snap-NNNNN` id encoded in a qualified snapshot-dir path. */
   private def idOfSnapDirPath(dir: String): Long =
@@ -220,11 +250,13 @@ final class SnapshotTable(
                              cache: DelKeyCache = newDelKeyCache): DataFrame = {
     import org.apache.spark.sql.functions.col
     // a mor upsert that matched nothing (pure insert) writes no delrows
-    // dir — it has no delete side to apply
-    val applicable = dels.filter(_.id > dataId)
+    // dir — it has no delete side to apply. Applicability and ordering go
+    // by EFFECTIVE sequence (delSeq): a merged sidecar applies where its
+    // originals did, not where its commit landed.
+    val applicable = dels.filter(delSeq(_) > dataId)
       .filterNot(m => m.kind == "mor" && readExclusion(m.id).exists(_.rows == 0L))
     if (applicable.isEmpty) df
-    else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(_.id).min)
+    else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(delSeq).min)
       .foldLeft(df) { case (d, (keys, batches)) =>
         val hinted = cache.getOrElseUpdate((keys, batches.map(_.id)), {
           // ONE multi-path read per key-set group, not a per-batch union: a
@@ -260,7 +292,7 @@ final class SnapshotTable(
   private def unionWithDels(members: Seq[SnapMeta], dels: Seq[SnapMeta],
                             mkDf: SnapMeta => Option[DataFrame]): Option[DataFrame] = {
     val cache = newDelKeyCache // one key-frame build per key set, not per segment
-    val segments = members.groupBy(m => dels.count(_.id > m.id))
+    val segments = members.groupBy(m => dels.count(delSeq(_) > m.id))
     segments.toSeq.sortBy(-_._1).flatMap { case (_, ms) =>
       val dfs = ms.flatMap(mkDf(_))
       if (dfs.isEmpty) None
@@ -716,16 +748,19 @@ final class SnapshotTable(
       // .excl row count would double-subtract them; no metadata-only
       // answer exists for that interleaving → scan (compaction restores
       // the metadata path)
-      val delIds = contributing.filter(carriesEqDeletes).map(_.id)
-      if (delIds.nonEmpty &&
-          contributing.exists(m => m.kind == "cow" && m.id > delIds.min)) return None
+      // a merged sidecar carries its originals' union: count it, skip them
+      val sup = supersededIds(contributing)
+      val effDels = contributing.filter(carriesEqDeletes).filterNot(m => sup(m.id))
+      val delSeqs = effDels.map(delSeq)
+      if (delSeqs.nonEmpty &&
+          contributing.exists(m => m.kind == "cow" && m.id > delSeqs.min)) return None
       // a cow contributes its rewritten rows MINUS the rows of the files
       // it replaced; a mor subtracts its matched-delete sidecar the same
       // way (both recorded in .excl at commit time)
       val excluded = contributing.filter(m => m.kind == "cow" || m.kind == "mor").map { m =>
         readExclusion(m.id).map(_.rows).getOrElse(return None)
       }.sum
-      val delMatched = contributing.filter(_.kind == "del").map(_.rows.get).sum
+      val delMatched = effDels.filter(_.kind == "del").map(_.rows.get).sum
       Some(contributing.filterNot(_.kind == "del").map(_.rows.get).sum
         - excluded - delMatched)
     }
@@ -885,7 +920,8 @@ final class SnapshotTable(
   def asOf(id: Long): DataFrame = {
     require(metas().exists(_.id <= id), s"no snapshot ≤ $id at $root")
     val chain = dataChainAt(id)
-    val dels = chain.filter(carriesEqDeletes)
+    val sup = supersededIds(chain)
+    val dels = chain.filter(carriesEqDeletes).filterNot(m => sup(m.id))
     val data = chain.filterNot(_.kind == "del") // mor dirs ARE insert data
     val excl = chainExclusions(chain)
     // allowMissingColumns = Iceberg-style schema evolution: an append may
@@ -1102,7 +1138,11 @@ final class SnapshotTable(
     val all = metas()
     val range = all.filter(m => m.id > sinceId && m.id <= endId)
     if (range.exists(m => m.kind == "base" && !m.note.contains("compact"))) return None
-    val allDels = all.filter(carriesEqDeletes)
+    // CDC always reads the ORIGINAL sidecars (on disk until expire) and
+    // skips merged ones entirely — a merge adds no new logical change, so
+    // a window crossing it must not re-emit deletes an earlier window
+    // already delivered through the originals
+    val allDels = all.filter(carriesEqDeletes).filter(mergedIds(_).isEmpty)
     val addedFiles: Seq[(String, Seq[String])] = range
       .filter(m => m.kind == "append" || m.kind == "cow" || m.kind == "mor")
       .flatMap { m =>
@@ -1138,7 +1178,8 @@ final class SnapshotTable(
         // would otherwise pay O(dels) planning); mergeSchema reconciles
         // sidecars written under evolved schemas, matching the
         // allowMissingColumns union semantics of the other branches
-        val delDirs = range.filter(carriesEqDeletes).map(delRowsPath)
+        val delDirs = range.filter(carriesEqDeletes)
+          .filter(mergedIds(_).isEmpty).map(delRowsPath)
           .filter(d => listParquet(d).nonEmpty)
         if (delDirs.isEmpty) Seq.empty
         else Seq((
@@ -1205,7 +1246,10 @@ final class SnapshotTable(
     // emitted — refuse exactly like a REPLACE
     val rewrites = range.filter(m =>
       (m.kind == "base" && !m.note.contains("compact")) ||
-        m.kind == "cow" || carriesEqDeletes(m))
+        m.kind == "cow" ||
+        // a MERGED sidecar rides free like a compact rewrite: its
+        // originals already refused (or were consumed) in their own window
+        (carriesEqDeletes(m) && mergedIds(m).isEmpty))
     if (rewrites.nonEmpty && !ignoreReplaces)
       throw new IllegalStateException(
         s"snapshot(s) ${rewrites.map(_.id).mkString(", ")} rewrote table $root " +
@@ -1257,7 +1301,9 @@ final class SnapshotTable(
     // does this snapshot contribute rows to the batch being sized?
     def carriesRows(m: SnapMeta): Boolean =
       m.kind == "append" ||
-        (cdc && (m.kind == "cow" || m.kind == "del" || m.kind == "mor"))
+        (cdc && (m.kind == "cow" || m.kind == "mor" ||
+          // merged sidecars emit nothing (their originals already did)
+          (m.kind == "del" && mergedIds(m).isEmpty)))
     // (rows, extraBytes) a row-carrying snapshot contributes: appends are
     // their marker count; a cow's CDC payload is bounded by rewrite rows +
     // replaced rows (the two EXCEPT ALL inputs), replaced bytes from its
