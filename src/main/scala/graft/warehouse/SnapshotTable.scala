@@ -143,6 +143,23 @@ final class SnapshotTable(
     require(keys.forall(k => !k.exists(",| =".contains(_))),
       s"key column names must not contain ',', '|', ' ' or '=': $keys")
 
+  /** Note tokens RESERVED for system-written marker fields: `eqdel=`
+    * names a delete sidecar's key columns, `seq=`/`merged=` are
+    * [[compactDeletes]]' sequencing fields. A CALLER note smuggling one
+    * (e.g. `append(df, note = Some("merged=5"))`) would silently
+    * supersede a live delete sidecar — resurrecting deleted rows — or
+    * re-sequence a delete past data it must not touch. Every externally
+    * supplied note is validated here at commit time, so the parsers below
+    * only ever see system-written values. */
+  private def requireNoteSafe(note: Option[String]): Unit = note.foreach { n =>
+    require(!n.contains('|'), s"invalid note '$n': '|' is the marker field separator")
+    val reserved = n.split(' ')
+      .filter(t => Seq("eqdel=", "seq=", "merged=").exists(t.startsWith))
+    require(reserved.isEmpty,
+      s"invalid note '$n': ${reserved.mkString(", ")} — eqdel=/seq=/merged= " +
+        "tokens are reserved for system-written marker fields")
+  }
+
   /** The equality-key columns of a `del`/`mor` snapshot — the first
     * space-delimited token of the note (`eqdel=k1,k2 <caller note>`). */
   private def delKeyCols(m: SnapMeta): Seq[String] =
@@ -165,20 +182,37 @@ final class SnapshotTable(
     * the union must apply exactly where the originals did — to data
     * committed before the merged RUN, never to rows appended between the
     * run and the merge commit (a re-inserted key must survive, the
-    * Iceberg v2 sequence-number rule). Plain dels: their own id. */
+    * Iceberg v2 sequence-number rule). Plain dels: their own id. Only
+    * `del`-kind markers are parsed (merges commit as `del`; every other
+    * kind's note is caller text), and only fully-numeric values count —
+    * [[requireNoteSafe]] keeps caller notes out of this namespace, and a
+    * non-numeric survivor (hand-edited marker) is ignored rather than
+    * throwing NumberFormatException on every subsequent read. */
   private def delSeq(m: SnapMeta): Long =
-    noteField(m, "seq").map(_.toLong).getOrElse(m.id)
+    if (m.kind != "del") m.id
+    else noteField(m, "seq").flatMap(_.toLongOption).getOrElse(m.id)
 
   /** The original sidecar ids a merged delete supersedes (`merged=` note
     * field). Current-state reads skip superseded originals (the merge
     * carries their union); CDC keeps reading the ORIGINALS (still on disk
-    * until expire) and skips the merge — it adds no new logical change. */
+    * until expire) and skips the merge — it adds no new logical change.
+    * Parsed only on `del`-kind markers, numeric values only (see
+    * [[delSeq]]). */
   private def mergedIds(m: SnapMeta): Seq[Long] =
-    noteField(m, "merged").toSeq.flatMap(_.split(',').map(_.toLong))
+    if (m.kind != "del") Seq.empty
+    else noteField(m, "merged").toSeq
+      .flatMap(_.split(',').flatMap(_.toLongOption))
 
-  /** Ids superseded by merged delete sidecars within `chain`. */
-  private def supersededIds(chain: Seq[SnapMeta]): Set[Long] =
-    chain.flatMap(mergedIds).toSet
+  /** Ids superseded by merged delete sidecars within `chain`. Only
+    * `del`-kind sidecars can be superseded — [[compactDeletes]] never
+    * merges a `mor`'s delete side (its insert data shares the commit, and
+    * [[rowCountFromMetadata]] subtracts a mor's `.excl` rows unfiltered,
+    * so superseding one would double-subtract its deletes) — enforced
+    * here so a stray reference cannot drop a live sidecar. */
+  private def supersededIds(chain: Seq[SnapMeta]): Set[Long] = {
+    val delIds = chain.filter(_.kind == "del").map(_.id).toSet
+    chain.flatMap(mergedIds).filter(delIds).toSet
+  }
 
   /** Where a snapshot's equality-delete ROWS live. */
   private def delRowsPath(m: SnapMeta): Path =
@@ -802,6 +836,7 @@ final class SnapshotTable(
     * hook streaming ingestion builds exactly-once on. */
   def append(df: DataFrame, note: Option[String] = None): Long = {
     require(exists, s"append to non-existent table at $root")
+    requireNoteSafe(note)
     commit(df, "append", partitionSpec(), sortSpec(), note)
   }
 
@@ -831,7 +866,10 @@ final class SnapshotTable(
   def stageAppend(df: DataFrame, wapId: String): Long = withCommitLock {
     writeGuard()
     require(exists, s"stage on non-existent table at $root")
-    require(wapId.nonEmpty && !wapId.contains('|') && !wapId.contains(','),
+    // ' ' also rejected: the note is `wap=<id>`, and a wap id containing
+    // a space would tokenize its tail into the note-field namespace
+    // ([[noteField]] splits on spaces — reserved seq=/merged= territory)
+    require(wapId.nonEmpty && !wapId.exists("| ,".contains(_)),
       s"invalid wap id '$wapId'")
     val id = claimId()
     try {
@@ -1067,6 +1105,133 @@ final class SnapshotTable(
       }
     }
     result
+  }
+
+  /** MINOR (delete-sidecar-only) COMPACTION — the Iceberg
+    * `rewrite_position_delete_files` analog for equality deletes. A MoR
+    * delete trickle leaves one `del` sidecar per statement; every read
+    * then folds one anti-join batch per statement until a FULL [[compact]]
+    * rewrites the whole table. At 100 TB that full rewrite is the wrong
+    * tool between major compactions: this folds each RUN of consecutive
+    * live `del` sidecars that share a key-column set and a data frontier
+    * (no data-carrying commit lands between their effective sequences —
+    * so they all applied to exactly the same data) into ONE merged
+    * sidecar, touching ZERO data files. The merge commits as a `del`
+    * snapshot at a fresh id whose system note fields carry `seq=` (the
+    * run's min effective sequence — the union applies exactly where the
+    * originals did, never to rows appended after the run) and `merged=`
+    * (the superseded ids). Current-state and time-travel reads skip the
+    * superseded originals ([[supersededIds]]); CDC keeps reading the
+    * ORIGINALS — still on disk until [[expireSnapshots]] — and skips the
+    * merge, which adds no logical change; [[rowCountFromMetadata]] counts
+    * the merge's marker rows (the originals' sum) in their place. Merges
+    * re-merge: a second trickle's fold can absorb an earlier merge whose
+    * frontier matches. Only `del`-kind sidecars participate — a `mor`'s
+    * delete side stays with its insert data (superseding it would
+    * double-subtract its `.excl` rows from metadata counts). Optimistic
+    * like [[compact]]: the tiny union write runs outside the commit lock
+    * under a claimed id + staged placeholder; a commit landing meanwhile
+    * discards and retries on the new chain. Returns the merge commit ids
+    * (empty when no run of ≥ `minRun` live sidecars exists). */
+  def compactDeletes(minRun: Int = 2): Seq[Long] = {
+    writeGuard()
+    require(exists, s"compactDeletes of non-existent table at $root")
+    require(minRun >= 2, s"minRun must be ≥ 2, got $minRun")
+    val committed = Seq.newBuilder[Long]
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      if (attempts > 50) throw new IllegalStateException(
+        s"compactDeletes of $root lost the commit race $attempts times — writer storm?")
+      val head = currentSnapshotId.get
+      val chain = dataChainAt(head)
+      val sup = supersededIds(chain)
+      val live = chain.filter(_.kind == "del").filterNot(m => sup(m.id))
+      // effective sequences of data-CARRYING commits (base/append/cow/mor):
+      // two sidecars may merge iff no such id separates their seqs — the
+      // set of data snapshots each applies to is then identical
+      val dataIds = chain.filterNot(_.kind == "del").map(_.id).sorted
+      def dataBetween(a: Long, b: Long): Boolean =
+        dataIds.exists(d => d > a && d < b)
+      val runs: Seq[(Seq[String], Seq[SnapMeta])] =
+        live.groupBy(delKeyCols).toSeq.collect {
+          case (keys, ms) if keys.nonEmpty => // keyless sidecar: never merge
+            val sorted = ms.sortBy(delSeq)
+            val groups = scala.collection.mutable.ArrayBuffer(
+              scala.collection.mutable.ArrayBuffer(sorted.head))
+            sorted.tail.foreach { m =>
+              if (dataBetween(delSeq(groups.last.last), delSeq(m)))
+                groups += scala.collection.mutable.ArrayBuffer(m)
+              else groups.last += m
+            }
+            groups.toSeq.map(g => (keys, g.toSeq))
+        }.flatten.filter(_._2.size >= minRun)
+      if (runs.isEmpty) done = true
+      else {
+        // one merge per loop turn: the commit itself moves the head, so
+        // the next turn recomputes runs on the fresh chain
+        val (keys, members) = runs.minBy(_._2.map(delSeq).min)
+        val seq = members.map(delSeq).min
+        val note = s"eqdel=${keys.mkString(",")} seq=$seq " +
+          s"merged=${members.map(_.id).mkString(",")}"
+        val id = withCommitLock {
+          val i = claimId()
+          try {
+            if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
+              fs.delete(snapDir(i), true)
+            val line = s"del||0||${esc("merging deletes")}|${System.currentTimeMillis()}"
+            val o = fs.create(stagedFile(i))
+            try o.write(line.getBytes("UTF-8")) finally o.close()
+          } finally releaseClaim(i)
+          i
+        }
+        def cleanup(): Unit = {
+          fs.delete(snapDir(id), true)
+          fs.delete(statsFile(id), false)
+          fs.delete(stagedFile(id), false)
+        }
+        try {
+          // the union is a few tiny sidecar dirs — rows within a run are
+          // DISJOINT (a re-delete of an already-deleted key matches
+          // nothing, so no sidecar ever repeats another's rows) and
+          // allowMissingColumns rides through evolved schemas
+          val union = members.map(m =>
+              spark.read.parquet(delRowsPath(m).toString))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .coalesce(1)
+          val rows = writeSnapshotData(union, id, Seq.empty, Seq.empty)
+          withCommitLock {
+            if (currentSnapshotId.get == head) {
+              writeMarker(id, "del", Seq.empty, rows, Seq.empty, Some(note))
+              fs.delete(stagedFile(id), false)
+              committed += id
+            } else cleanup() // chain moved mid-merge: recompute runs
+          }
+        } catch { case e: Throwable => cleanup(); throw e }
+      }
+    }
+    committed.result()
+  }
+
+  /** Live delete-sidecar batches every current read must anti-join —
+    * metadata only (one marker listing; a `mor`'s delete side checks its
+    * tiny `.excl` sidecar). The maintenance pressure gauge: Iceberg keys
+    * delete-file compaction on exactly this count, and
+    * [[graft.services.MaintenanceService]] sweeps on it here. */
+  def pendingDeleteBatches(): Int = liveDels().count(m =>
+    m.kind == "del" || readExclusion(m.id).forall(_.rows > 0L))
+
+  /** Rows the pending delete sidecars hold (deleted but not yet folded
+    * into data files) — metadata only. None when some batch predates
+    * count recording. */
+  def pendingDeleteRows(): Option[Long] = {
+    val batches = liveDels()
+    val counts = batches.map { m =>
+      if (m.kind == "del") m.rows
+      else readExclusion(m.id).map(_.rows)
+    }
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   /** Current table state. */
@@ -1865,7 +2030,7 @@ final class SnapshotTable(
     require(exists, s"DML on non-existent table at $root")
     require(keys.nonEmpty, "MoR upsert needs at least one key column")
     requireNoteSafeKeys(keys)
-    require(note.forall(n => !n.contains('|')), s"invalid note '$note'")
+    requireNoteSafe(note)
     val src = delKeys.select(keys.map(delKeys.col): _*).distinct().persist()
     try {
       // same small-batch planning as deleteByKeys: exact per-key point

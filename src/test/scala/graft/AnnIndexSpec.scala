@@ -185,7 +185,10 @@ class AnnIndexSpec extends SparkSpec {
         "skew probe must decline under pending deletes")
       val (skew, retrained) = AnnIndex.maybeRetrain(spark, sfDir, root, 0.0)
       assert(skew.isEmpty && !retrained, "unknown skew must never retrain")
-      Thread.sleep(500) // let any (unexpected) job-start events flush
+      // drain the listener bus deterministically (a fixed sleep is a
+      // race under load and dead latency otherwise — ADVICE r11 #4)
+      org.apache.spark.GraftSparkTestHooks
+        .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
       assert(jobs.get() === 0,
         s"a declined probe must launch ZERO Spark jobs, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -397,6 +397,124 @@ class MorDmlSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("compactDeletes folds a trickle into ONE sidecar: read/asOf/CDC/count round-trip") {
+    // ADVICE r11 #3 + VERDICT r10 #2: the minor (delete-file-only)
+    // compaction — a trickle's sidecars merge into one, zero data files
+    // touched, and every read surface answers exactly as before.
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val t = eightFiles("mor-minor")
+    val s0 = t.currentSnapshotId.get
+    val before = dataFilesOf(t)
+    val keys = (0 until 10).map(i => i * 80L + 3L)
+    var midId = -1L
+    keys.zipWithIndex.foreach { case (k, i) =>
+      val (n, _) = t.deleteByKeys(Seq("id"), Seq(k).toDF("id"))
+      assert(n === 1L)
+      if (i == 4) midId = t.currentSnapshotId.get
+    }
+    assert(t.pendingDeleteBatches() === 10)
+    assert(t.pendingDeleteRows().contains(10L))
+    val preRead = t.read().orderBy("id").collect()
+    val preMid = t.asOf(midId).orderBy("id").collect()
+
+    val merges = t.compactDeletes()
+    assert(merges.size === 1, s"one frontier-equal run must fold to ONE merge: $merges")
+    // zero data files rewritten — the entire point of the minor tool
+    assert(dataFilesOf(t).intersect(before) === before,
+      "minor compaction must not touch any data file")
+    assert(t.pendingDeleteBatches() === 1)
+    assert(t.pendingDeleteRows().contains(10L))
+    assert(t.rowCountFromMetadata.contains(790L))
+    assert(t.read().orderBy("id").collect() === preRead, "current state unchanged")
+    assert(t.asOf(midId).orderBy("id").collect() === preMid,
+      "time travel to mid-trickle unchanged (originals still apply there)")
+    // the read plan folds ONE anti-join group referencing ONE sidecar dir
+    val mergeDir = f"snap-${merges.head}%05d"
+    val delDirs = t.snapshots().collect { case (id, "del") => f"snap-$id%05d" }
+    assert(delDirs.size === 11, "ten originals plus the merge stay in history")
+    val delPaths = t.read().queryExecution.logical.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation].location.rootPaths.map(_.toString)
+          .filter(p => delDirs.exists(p.endsWith))
+    }.flatten.distinct
+    assert(delPaths.nonEmpty && delPaths.forall(_.endsWith(mergeDir)),
+      s"post-merge reads must anti-join ONLY the merged sidecar, saw $delPaths")
+    // CDC across the merge stays single-counted: the window spanning the
+    // trickle AND the merge emits exactly the 10 original deletes
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val dels = cs.df.where(col("_change") === "delete").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels === keys.sorted, s"merge must add no logical change, got $dels")
+    // a second minor compaction is a no-op (one live sidecar, no run)
+    assert(t.compactDeletes().isEmpty)
+    // and the major tool still clears everything
+    t.compact()
+    assert(t.pendingDeleteBatches() === 0)
+    assert(t.read().count() === 790L)
+  }
+
+  test("compactDeletes respects data frontiers: runs never merge across an append") {
+    val t = eightFiles("mor-frontier")
+    t.deleteByKeys(Seq("id"), Seq(100L).toDF("id"))
+    t.append(Seq((100L, "vNEW")).toDF("id", "v")) // re-insert: breaks the run
+    t.deleteByKeys(Seq("id"), Seq(200L).toDF("id"))
+    t.deleteByKeys(Seq("id"), Seq(300L).toDF("id"))
+    assert(t.pendingDeleteBatches() === 3)
+    val merges = t.compactDeletes()
+    assert(merges.size === 1,
+      s"only the post-append pair shares a frontier, got $merges")
+    // the pre-append delete must stay live UNMERGED: folding it with the
+    // later pair at the pair's frontier would delete the re-inserted row
+    assert(t.pendingDeleteBatches() === 2)
+    assert(t.read().where("id = 100").select("v").head().getString(0) === "vNEW",
+      "re-inserted key must survive the merge")
+    assert(t.read().where("id IN (200, 300)").count() === 0L)
+    assert(t.rowCountFromMetadata.contains(798L))
+  }
+
+  test("compactDeletes re-merges: a later trickle absorbs an earlier merge") {
+    val t = eightFiles("mor-remerge")
+    Seq(10L, 20L, 30L).foreach(k => t.deleteByKeys(Seq("id"), Seq(k).toDF("id")))
+    val m1 = t.compactDeletes()
+    assert(m1.size === 1)
+    Seq(40L, 50L).foreach(k => t.deleteByKeys(Seq("id"), Seq(k).toDF("id")))
+    assert(t.pendingDeleteBatches() === 3) // merge + two fresh sidecars
+    val m2 = t.compactDeletes()
+    assert(m2.size === 1, "same frontier (no data commits): ONE re-merge")
+    assert(t.pendingDeleteBatches() === 1)
+    assert(t.read().where("id IN (10, 20, 30, 40, 50)").count() === 0L)
+    assert(t.read().count() === 795L)
+    assert(t.rowCountFromMetadata.contains(795L))
+  }
+
+  test("reserved note tokens are rejected at every caller entry point") {
+    // ADVICE r11 #1 (high): a caller note carrying merged=/seq=/eqdel=
+    // would silently supersede or re-sequence delete sidecars
+    val t = eightFiles("mor-notes")
+    for (bad <- Seq("merged=2", "seq=1", "eqdel=id", "batch=7 merged=2,3")) {
+      val e1 = intercept[IllegalArgumentException] {
+        t.append(Seq((9999L, "x")).toDF("id", "v"), note = Some(bad))
+      }
+      assert(e1.getMessage.contains("reserved"), s"append note '$bad': ${e1.getMessage}")
+      val e2 = intercept[IllegalArgumentException] {
+        t.applyChanges(Seq((9998L, "y", "insert")).toDF("id", "v", "_change"),
+          Seq("id"), note = Some(bad))
+      }
+      assert(e2.getMessage.contains("reserved"), s"applyChanges note '$bad'")
+    }
+    // benign key=value caller notes (the WarehouseIngest batch=N pattern) pass
+    t.append(Seq((9999L, "x")).toDF("id", "v"), note = Some("batch=7"))
+    // a wap id with a space would tokenize into the note-field namespace
+    intercept[IllegalArgumentException] {
+      t.stageAppend(Seq((9997L, "z")).toDF("id", "v"), "aud merged=2")
+    }
+    // and a delete on a table with reserved-token appends still reads fine
+    val (n, _) = t.deleteByKeys(Seq("id"), Seq(9999L).toDF("id"))
+    assert(n === 1L)
+    assert(t.read().where("id = 9999").count() === 0L)
+  }
+
   test("model check: random append/MoR-delete/COW-delete interleavings match a Map model") {
     val rnd = new scala.util.Random(42)
     val t = new SnapshotTable(spark, freshRoot("mor-model"))
@@ -405,7 +523,7 @@ class MorDmlSpec extends SparkSpec {
       sortBy = Seq("id"))
     var nextKey = 200L
     for (_ <- 0 until 30) {
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // append a few fresh (or re-used) keys
           val ks = Seq.fill(1 + rnd.nextInt(3)) {
             if (rnd.nextBoolean() || nextKey >= 260) rnd.nextLong(nextKey)
@@ -426,6 +544,9 @@ class MorDmlSpec extends SparkSpec {
           val hi = lo + rnd.nextInt(20)
           t.delete(col("id") >= lit(lo) && col("id") <= lit(hi))
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 3 => // minor delete-sidecar compaction: pure housekeeping,
+          // must never change the observable state
+          t.compactDeletes()
       }
     }
     val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
