@@ -488,6 +488,42 @@ class MorDmlSpec extends SparkSpec {
     assert(t.rowCountFromMetadata.contains(795L))
   }
 
+  test("updateRouted picks MoR for narrow updates, COW for broad ones — same answers") {
+    // VERDICT r10 #3: the per-statement COW-vs-MoR cost route. A one-row
+    // update on an 8-file table must NOT rewrite a file (write
+    // amplification ~100×: one kept file's bytes vs one row); a predicate
+    // touching every row of the files it keeps must take the rewrite
+    // (amplification ~1×, and COW leaves no read-side debt).
+    val t = eightFiles("mor-route")
+    val before = dataFilesOf(t)
+    // narrow: one row of 800 → MoR (sidecar + one-row insert, zero rewrites)
+    val (mode1, n1) = t.updateRouted(col("id") === lit(5L),
+      Map("v" -> lit("narrow")), Seq("id"))
+    assert(mode1 === "mor" && n1 === 1L, s"narrow update must route MoR: ($mode1, $n1)")
+    assert(dataFilesOf(t).intersect(before) === before,
+      "the MoR route must not rewrite or remove any data file")
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "narrow")
+    assert(t.read().count() === 800L)
+    assert(t.rowCountFromMetadata.contains(800L), "an update never changes the count")
+    // broad: every row of the kept half → COW (rewrite amortizes)
+    val (mode2, n2) = t.updateRouted(col("id") < lit(400L),
+      Map("v" -> lit("broad")), Seq("id"))
+    assert(mode2 === "cow" && n2 === 400L, s"broad update must route COW: ($mode2, $n2)")
+    assert(t.read().where("v = 'broad'").count() === 400L)
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "broad")
+    assert(t.read().count() === 800L)
+    // out-of-hull predicate: no commit at all
+    val snaps = t.snapshots().size
+    val (mode3, n3) = t.updateRouted(col("id") === lit(10000L),
+      Map("v" -> lit("x")), Seq("id"))
+    assert(mode3 === "noop" && n3 === 0L)
+    assert(t.snapshots().size === snaps, "a no-op route must not commit")
+    // assigning a key column is rejected up front (MoR could not express it)
+    intercept[IllegalArgumentException] {
+      t.updateRouted(col("id") === lit(5L), Map("id" -> lit(6L)), Seq("id"))
+    }
+  }
+
   test("reserved note tokens are rejected at every caller entry point") {
     // ADVICE r11 #1 (high): a caller note carrying merged=/seq=/eqdel=
     // would silently supersede or re-sequence delete sidecars
@@ -523,7 +559,7 @@ class MorDmlSpec extends SparkSpec {
       sortBy = Seq("id"))
     var nextKey = 200L
     for (_ <- 0 until 30) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // append a few fresh (or re-used) keys
           val ks = Seq.fill(1 + rnd.nextInt(3)) {
             if (rnd.nextBoolean() || nextKey >= 260) rnd.nextLong(nextKey)
@@ -547,6 +583,17 @@ class MorDmlSpec extends SparkSpec {
         case 3 => // minor delete-sidecar compaction: pure housekeeping,
           // must never change the observable state
           t.compactDeletes()
+        case 4 => // cost-routed UPDATE over a random key range: whichever
+          // mode the router picks, the observable state must match
+          val lo = rnd.nextLong(nextKey)
+          val hi = lo + rnd.nextInt(15)
+          val (_, n) = t.updateRouted(
+            col("id") >= lit(lo) && col("id") <= lit(hi),
+            Map("v" -> concat(lit("u"), col("id"))), Seq("id"))
+          val hits = model.keys.filter(k => k >= lo && k <= hi)
+          assert(n === hits.size.toLong,
+            s"updated-count must equal live keys in [$lo, $hi]")
+          model ++= hits.map(k => k -> s"u$k")
       }
     }
     val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
