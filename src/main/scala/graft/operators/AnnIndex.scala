@@ -257,6 +257,119 @@ object AnnIndex {
     tomb.count()
   }
 
+  /** [[removeVectors]] with the doomed set named by an ids FRAME (the
+    * change-feed shape, [[syncFromSource]]): the ids semi-join the
+    * cell-partitioned vectors table to pick up their cells — the batch
+    * never collects to the driver. Returns the ids tombstoned. */
+  def removeVectorsByIds(s: SparkSession, root: String,
+                         ids: org.apache.spark.sql.DataFrame): Long = synchronized {
+    val vecs = tbl(s, root, "vectors")
+    val tomb = tbl(s, root, "tombstones")
+    val doomed = vecs.read()
+      .join(ids.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+      .select("vec_id", "cell")
+    val before = if (tomb.exists) tomb.count() else 0L
+    if (before > 0)
+      tomb.createOrReplace(tomb.read().unionByName(doomed).distinct())
+    else tomb.createOrReplace(doomed)
+    registerViews(s, root)
+    tomb.count() - before
+  }
+
+  /** Serve the persisted index at `root` over its tombstone-aware views —
+    * the q127 serve surface as a standalone call, re-registering every
+    * pidx_* view for THIS root first (so maintenance flows and specs can
+    * serve two roots side by side and diff the answers). */
+  def serve(s: SparkSession, root: String): DataFrame = synchronized {
+    graft.functions.GraftFunctions.register(s)
+    tbl(s, root, "ivf_cents").read().createOrReplaceTempView("pidx_cents")
+    tbl(s, root, "pq_cents").read().createOrReplaceTempView("pidx_pq")
+    registerViews(s, root)
+    s.sql(serveSql(sparkRefsUnprobed))
+  }
+
+  /** CONTINUOUS INDEX MAINTENANCE (VERDICT r10 #5) — the index as a
+    * MAINTAINED MIRROR of a membership table, the q132/MV-maintenance
+    * stance composed from the r10 pieces: tail the SOURCE table's change
+    * feed ([[graft.warehouse.SnapshotTable.rowChangesBetween]]) from
+    * `sinceId` and fold the window into the persisted index at
+    * cost-∝-change — feed deletes tombstone ([[removeVectorsByIds]]),
+    * re-inserted ids that are merely tombstoned REVIVE (un-tombstone, no
+    * second physical copy), genuinely new ids [[addVectors]] against the
+    * FROZEN trained artifacts — then the metadata-only [[cellSkew]] probe
+    * decides retraining, and a retrain rebuilds from the source's CURRENT
+    * membership (never the whole corpus: the source is the authority, a
+    * full-corpus rebuild would resurrect everything ever deleted). A
+    * `None` change feed (the source was REPLACEd) also rebuilds from
+    * membership. Returns (vectorsAdded, idsTombstoned, retrained,
+    * newOffset) — pass `newOffset` back as the next call's `sinceId`;
+    * replaying a window is idempotent for deletes (tombstones are a set)
+    * and rejected-by-construction for adds only through the source's
+    * exactly-once feed, so drive offsets from committed state like the
+    * MV maintenance tail does. */
+  def syncFromSource(s: SparkSession, dir: String, root: String,
+                     source: graft.warehouse.SnapshotTable, sinceId: Long,
+                     retrainThreshold: Double = 2.0): (Long, Long, Boolean, Long) =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      graft.functions.GraftFunctions.register(s)
+      val head = source.currentSnapshotId.getOrElse(throw new IllegalStateException(
+        s"index source table does not exist"))
+      def rebuildFromMembership(): Unit = {
+        source.read().select("vec_id").createOrReplaceTempView("pidx_members")
+        build(s, dir, root, "vec_id IN (SELECT vec_id FROM pidx_members)")
+        val tomb = tbl(s, root, "tombstones")
+        if (tomb.exists) tomb.drop() // the rebuild IS the membership
+        registerViews(s, root)
+      }
+      if (head == sinceId) return (0L, 0L, false, head)
+      source.rowChangesBetween(sinceId, head) match {
+        case None => // replaced history: the feed can't answer — rebuild
+          rebuildFromMembership()
+          (0L, 0L, true, head)
+        case Some(cs) =>
+          val delIds = cs.df.filter(col("_change") === "delete").select("vec_id")
+          val insIds = cs.df.filter(col("_change") === "insert").select("vec_id")
+          val removed =
+            if (delIds.isEmpty) 0L else removeVectorsByIds(s, root, delIds)
+          // inserts split: ids still tombstoned are PHYSICALLY present
+          // (vacuum drops tombstones) — revive them instead of adding a
+          // duplicate copy the anti-joined views would first hide and a
+          // revive would then double-serve
+          val tomb = tbl(s, root, "tombstones")
+          val hasTombs = tomb.exists && tomb.count() > 0
+          // bind BOTH splits to the PRE-revive tombstone snapshot (read()
+          // resolves the chain eagerly): deriving `fresh` after the
+          // tombstone shrink would re-include the revived ids and add
+          // duplicate physical copies
+          val tombFull = if (hasTombs) tomb.read() else null
+          val tombIds = if (hasTombs) tombFull.select("vec_id") else null
+          val fresh =
+            if (!hasTombs) insIds
+            else insIds.join(tombIds, Seq("vec_id"), "left_anti")
+          val revived =
+            if (!hasTombs) 0L
+            else {
+              val n = insIds.join(tombIds, Seq("vec_id"), "left_semi").count()
+              if (n > 0) tomb.createOrReplace(
+                tombFull.join(insIds, Seq("vec_id"), "left_anti"))
+              n
+            }
+          val added =
+            if (fresh.isEmpty) 0L
+            else {
+              fresh.distinct().createOrReplaceTempView("pidx_sync_inserts")
+              addVectors(s, dir, root,
+                "vec_id IN (SELECT vec_id FROM pidx_sync_inserts)")
+            }
+          registerViews(s, root)
+          val skew = cellSkew(s, root)
+          val retrained = skew.exists(_ > retrainThreshold)
+          if (retrained) rebuildFromMembership()
+          (added + revived, removed, retrained, head)
+      }
+    }
+
   /** (Re)register the `pidx_vectors` / `pidx_codes` temp views, wrapping
     * them in a tombstone anti-join when undeleted tombstones exist. */
   def registerViews(s: SparkSession, root: String): Unit = {

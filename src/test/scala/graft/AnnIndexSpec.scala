@@ -207,4 +207,69 @@ class AnnIndexSpec extends SparkSpec {
       assert(rr <= 3 && adc >= 0)
     }
   }
+
+  test("continuous maintenance: change-feed windows mirror the source; retrain matches a fresh build") {
+    // VERDICT r10 #5 — the index as a MAINTAINED MIRROR: a membership
+    // SnapshotTable takes DML (MoR deletes, appends, a revive of a
+    // deleted id) and syncFromSource folds each change-feed window into
+    // the persisted index at cost-∝-change; the tombstone-aware serve
+    // membership must equal the source exactly (no duplicates, no
+    // stragglers), and a skew-triggered retrain must rebuild from the
+    // source's CURRENT membership — bit-identical to a fresh build of
+    // that membership (never the full corpus, which would resurrect
+    // every deleted vector).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rootA = freshRoot()
+    val src = new SnapshotTable(spark, freshRoot() + "-src")
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    val ids = spark.table("embeddings").select("vec_id")
+    val heldOut = ids.filter("vec_id % 7 = 3").count()
+    src.createOrReplace(ids.filter("vec_id % 7 <> 3"))
+    AnnIndex.build(spark, sfDir, rootA, "vec_id % 7 <> 3")
+    var offset = src.currentSnapshotId.get
+    // window 1: three MoR deletes + part of the held-out slice appended
+    src.deleteByKeys(Seq("vec_id"), Seq(7L, 15L, 29L).toDF("vec_id"))
+    src.append(ids.filter("vec_id % 7 = 3 AND vec_id < 250"))
+    val (a1, r1, t1, off1) =
+      AnnIndex.syncFromSource(spark, sfDir, rootA, src, offset, retrainThreshold = 1e9)
+    assert(r1 === 3L && !t1, s"window 1: ($a1, $r1, $t1)")
+    offset = off1
+    // window 2: REVIVE a deleted id (un-tombstone, never a second
+    // physical copy) + the rest of the slice
+    src.append(Seq(7L).toDF("vec_id"))
+    src.append(ids.filter("vec_id % 7 = 3 AND vec_id >= 250"))
+    val (a2, r2, t2, off2) =
+      AnnIndex.syncFromSource(spark, sfDir, rootA, src, offset, retrainThreshold = 1e9)
+    assert(r2 === 0L && !t2, s"window 2: ($a2, $r2, $t2)")
+    offset = off2
+    assert(a1 + a2 === heldOut + 1, s"adds must cover the slice + the revive: ${a1 + a2}")
+    // the tombstone-aware membership equals the source exactly
+    AnnIndex.registerViews(spark, rootA)
+    val mine = spark.table("pidx_vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val theirs = src.read().select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(mine.length === mine.distinct.length, "a revive must not duplicate a vector")
+    assert(mine.toSeq === theirs.toSeq, "maintained membership must equal the source")
+    // an idle source is a no-op sync (no probe, no jobs of note)
+    assert(AnnIndex.syncFromSource(spark, sfDir, rootA, src, offset) ===
+      ((0L, 0L, false, offset)))
+    // window 3: one more delete with the retrain threshold floored — the
+    // maintenance rebuild must come out bit-identical to a fresh build
+    // from the same membership
+    src.deleteByKeys(Seq("vec_id"), Seq(100L).toDF("vec_id"))
+    val (_, r3, t3, _) =
+      AnnIndex.syncFromSource(spark, sfDir, rootA, src, offset, retrainThreshold = 0.0)
+    assert(t3 && r3 === 1L, s"window 3 must retrain: ($r3, $t3)")
+    assert(!new SnapshotTable(spark, s"$rootA/tombstones").exists,
+      "a membership rebuild clears tombstones")
+    val servedA = AnnIndex.serve(spark, rootA).collect()
+    val rootB = freshRoot()
+    src.read().select("vec_id").createOrReplaceTempView("maint_members_b")
+    AnnIndex.build(spark, sfDir, rootB, "vec_id IN (SELECT vec_id FROM maint_members_b)")
+    val servedB = AnnIndex.serve(spark, rootB).collect()
+    assert(servedA.nonEmpty && servedA.toSeq === servedB.toSeq,
+      "maintained serve must hash-match a fresh build of the current membership")
+  }
 }
