@@ -696,6 +696,73 @@ object Views {
       }
     },
 
+    // POSITIONAL DELETE through the correctness gate (VERDICT r10 #4):
+    // DELETE WHERE on a NON-KEY column (o_orderstatus — the table is laid
+    // out by o_orderkey, so no equality key and no prunable range can
+    // express it) commits a `pdel` (file, row-ordinal) sidecar — REQUIREd:
+    // ZERO data files rewritten, history = base + pdel. An append lands
+    // rows with the SAME doomed status afterwards — file identity keeps
+    // them alive (the sidecar never references later files), which the
+    // oracle mirrors by replaying the statement order. CDC across the
+    // window is REQUIREd sidecar+delta-only and nets the re-inserted
+    // identical rows (carryover elimination). A final compact folds the
+    // sidecar; both pre- and post-compact states hash against DuckDB.
+    "q135_positional_delete" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/posdel"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        val proj = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        tbl.createOrReplace(proj.repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val s0 = tbl.currentSnapshotId.get
+        def dataFiles(): Seq[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(wh)).map(_.getPath).filter(_.endsWith(".parquet")).sorted
+        }
+        val filesBefore = dataFiles()
+        val (n, _) = tbl.deleteWherePositional($"o_orderstatus" === lit("P"))
+        require(n > 0, "q135 expects matching rows for status P")
+        require(dataFiles().intersect(filesBefore) == filesBefore,
+          "q135: a positional delete must not rewrite or remove ANY data file")
+        require(tbl.snapshots().map(_._2) == Seq("base", "pdel"),
+          s"q135 expects base + pdel, got ${tbl.snapshots().map(_._2)}")
+        // re-land a key slice INCLUDING status-P rows: file identity must
+        // keep them alive
+        tbl.append(proj.filter($"o_orderkey".between(100L, 199L)))
+        require(tbl.read().where($"o_orderstatus" === "P" &&
+            $"o_orderkey".between(100L, 199L)).count() > 0,
+          "q135: re-appended doomed-status rows must survive the earlier sidecar")
+        // CDC: sidecar + delta dirs only — the 8 base files stay unread
+        // (the sidecar itself may hold one shard per matched-scan task)
+        val cs = tbl.rowChangesBetween(s0, tbl.currentSnapshotId.get).get
+        require(cs.filesRead <= 12,
+          s"q135 CDC must read only the sidecar and the delta, read ${cs.filesRead}")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"))
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"),
+              min($"o_orderkey").as("min_key"))
+        val preRows = agg(tbl.read(), "final")
+          .unionByName(agg(cs.df.where($"_change" === "delete"), "cdc_deletes"))
+          .unionByName(agg(cs.df.where($"_change" === "insert"), "cdc_inserts"))
+          .collect()
+        tbl.compact()
+        require(tbl.snapshots().last._2 == "base",
+          s"q135 compact must restore a pure base, got ${tbl.snapshots()}")
+        val res = agg(tbl.read(), "compacted").orderBy($"stage")
+        val rows = (preRows ++ res.collect()).sortBy(_.getString(0))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1306,6 +1373,28 @@ object Views {
          stages AS (
            SELECT 'final' AS stage, * FROM fin
            UNION ALL SELECT 'cdc_deletes', * FROM cdc)
+         SELECT stage,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q135_positional_delete" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         slice AS (SELECT * FROM t0 WHERE o_orderkey BETWEEN 100 AND 199),
+         fin AS (SELECT * FROM t0 WHERE o_orderstatus <> 'P'
+                 UNION ALL SELECT * FROM slice),
+         cdcd AS (SELECT * FROM t0
+                  WHERE o_orderstatus = 'P' AND o_orderkey NOT BETWEEN 100 AND 199),
+         cdci AS (SELECT * FROM slice WHERE o_orderstatus <> 'P'),
+         stages AS (
+           SELECT 'final' AS stage, * FROM fin
+           UNION ALL SELECT 'compacted', * FROM fin
+           UNION ALL SELECT 'cdc_deletes', * FROM cdcd
+           UNION ALL SELECT 'cdc_inserts', * FROM cdci)
          SELECT stage,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,

@@ -232,6 +232,57 @@ final class SnapshotTable(
   private def idOfSnapDirPath(dir: String): Long =
     dir.substring(dir.lastIndexOf("snap-") + 5).takeWhile(_.isDigit).toLong
 
+  // ---- positional deletes (`pdel` snapshots) ----------------------------
+  //
+  // The Iceberg v2 POSITION-delete-file stance, for DELETEs whose
+  // predicate equality keys can't express: a `pdel` snapshot's dir holds
+  // the matched rows PLUS their physical identity — `__file` (the
+  // root-relative data-file path) and `__pos` (the row ordinal Spark's
+  // parquet reader exposes as `_metadata.row_index`). Reads attach the
+  // same identity at each leaf scan and anti-join the sidecar ONCE per
+  // read. Unlike equality deletes there is no sequence fold: a file
+  // appended after the pdel is never referenced by it, so re-inserted
+  // rows survive by construction. Carrying the rows (not just the
+  // positions) keeps CDC sidecar-only — a change feed emits them
+  // verbatim, never re-fetching the referenced files.
+
+  private def carriesPosDeletes(m: SnapMeta): Boolean = m.kind == "pdel"
+
+  /** The positional-delete members of the CURRENT live chain. */
+  private def livePosDels(): Seq[SnapMeta] =
+    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(carriesPosDeletes)
+
+  /** Attach the position-identity columns at a LEAF scan (the hidden
+    * `_metadata` column does not survive unions). `__file` slices at the
+    * unique `snap-NNNNN` path segment, so writer- and reader-side
+    * qualification (file:/ vs file:///) can never diverge. */
+  private def withPosCols(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    df.withColumn("__file",
+        regexp_extract(col("_metadata.file_path"), "(snap-\\d+.*)$", 1))
+      .withColumn("__pos", col("_metadata.row_index"))
+  }
+
+  /** Anti-join `df` (carrying __file/__pos) against the given positional
+    * sidecars: ONE multi-path read of the tiny sidecar dirs, ONE join per
+    * read — never a join per data dir (position identity is global).
+    * Broadcast-hinted from marker-recorded counts, the eq-fold stance. */
+  private def applyPosDeletes(df: DataFrame, pdels: Seq[SnapMeta]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (pdels.isEmpty) return df
+    val pos = withDriverListing {
+      spark.read.option("mergeSchema", "true")
+        .parquet(pdels.map(m => snapDir(m.id).toString): _*)
+    }.select(col("__file"), col("__pos")).distinct()
+    val rows = pdels.map(_.rows)
+    val hinted = // ~64 B/row: one path string + one ordinal
+      if (rows.forall(_.isDefined) &&
+          rows.flatten.sum * 64L <= SnapshotTable.MaxDelBroadcastBytes)
+        org.apache.spark.sql.functions.broadcast(pos)
+      else pos
+    df.join(hinted, Seq("__file", "__pos"), "left_anti")
+  }
+
   /** SEQUENCE-AWARE application of equality deletes: anti-join `df` (rows
     * whose data snapshot is `dataId`) against every `del` batch committed
     * AFTER it — a delete never touches rows appended later (a re-inserted
@@ -785,7 +836,10 @@ final class SnapshotTable(
       // a merged sidecar carries its originals' union: count it, skip them
       val sup = supersededIds(contributing)
       val effDels = contributing.filter(carriesEqDeletes).filterNot(m => sup(m.id))
-      val delSeqs = effDels.map(delSeq)
+      val pdels = contributing.filter(carriesPosDeletes)
+      // positional sidecars fold into a later cow's rewrite exactly like
+      // equality ones — same double-subtraction hazard, same decline
+      val delSeqs = effDels.map(delSeq) ++ pdels.map(_.id)
       if (delSeqs.nonEmpty &&
           contributing.exists(m => m.kind == "cow" && m.id > delSeqs.min)) return None
       // a cow contributes its rewritten rows MINUS the rows of the files
@@ -794,9 +848,10 @@ final class SnapshotTable(
       val excluded = contributing.filter(m => m.kind == "cow" || m.kind == "mor").map { m =>
         readExclusion(m.id).map(_.rows).getOrElse(return None)
       }.sum
-      val delMatched = effDels.filter(_.kind == "del").map(_.rows.get).sum
-      Some(contributing.filterNot(_.kind == "del").map(_.rows.get).sum
-        - excluded - delMatched)
+      val delMatched = effDels.filter(_.kind == "del").map(_.rows.get).sum +
+        pdels.map(_.rows.get).sum
+      Some(contributing.filterNot(m => m.kind == "del" || m.kind == "pdel")
+        .map(_.rows.get).sum - excluded - delMatched)
     }
   }
 
@@ -811,10 +866,10 @@ final class SnapshotTable(
     * table doesn't exist. */
   def sizeInBytesFromMetadata: Option[Long] = currentSnapshotId.map { id =>
     val chain = dataChainAt(id)
-    // `del` sidecars are not scannable table bytes (their rows are the
-    // DELETED ones); the bytes those rows still occupy in data files stay
-    // counted until vacuum/compact — conservative for broadcast sizing
-    chain.filterNot(_.kind == "del")
+    // `del`/`pdel` sidecars are not scannable table bytes (their rows are
+    // the DELETED ones); the bytes those rows still occupy in data files
+    // stay counted until vacuum/compact — conservative for broadcast sizing
+    chain.filterNot(m => m.kind == "del" || m.kind == "pdel")
       .map(m => fs.getContentSummary(snapDir(m.id)).getLength).sum -
       chain.filter(_.kind == "cow").flatMap(m => readExclusion(m.id)).map(_.bytes).sum
   }
@@ -960,7 +1015,9 @@ final class SnapshotTable(
     val chain = dataChainAt(id)
     val sup = supersededIds(chain)
     val dels = chain.filter(carriesEqDeletes).filterNot(m => sup(m.id))
-    val data = chain.filterNot(_.kind == "del") // mor dirs ARE insert data
+    val pdels = chain.filter(carriesPosDeletes)
+    val data = chain.filterNot(m => // mor dirs ARE insert data; sidecars aren't
+      m.kind == "del" || m.kind == "pdel")
     val excl = chainExclusions(chain)
     // allowMissingColumns = Iceberg-style schema evolution: an append may
     // carry columns older snapshots lack (read as NULL there) and vice
@@ -977,7 +1034,16 @@ final class SnapshotTable(
         if (files.isEmpty) None
         else Some(spark.read.option("basePath", dir).parquet(files: _*))
       }
-    unionWithDels(data, dels, mkDf).getOrElse {
+    // positional fold: identity attaches at each LEAF (hidden _metadata
+    // doesn't survive unions), but the anti-join applies ONCE on the
+    // unioned result — file identity is global, so unlike the eq fold
+    // there is nothing per-dir about it
+    val mkDfPos: SnapMeta => Option[DataFrame] =
+      if (pdels.isEmpty) mkDf else m => mkDf(m).map(withPosCols)
+    unionWithDels(data, dels, mkDfPos)
+      .map(d => if (pdels.isEmpty) d
+                else applyPosDeletes(d, pdels).drop("__file", "__pos"))
+      .getOrElse {
       // every row rewritten away: schema from a replaced file (still on
       // disk — exclusion never deletes, expireSnapshots does)
       val any = excl.head
@@ -1220,17 +1286,17 @@ final class SnapshotTable(
     * delete-file compaction on exactly this count, and
     * [[graft.services.MaintenanceService]] sweeps on it here. */
   def pendingDeleteBatches(): Int = liveDels().count(m =>
-    m.kind == "del" || readExclusion(m.id).forall(_.rows > 0L))
+    m.kind == "del" || readExclusion(m.id).forall(_.rows > 0L)) +
+    livePosDels().size
 
   /** Rows the pending delete sidecars hold (deleted but not yet folded
     * into data files) — metadata only. None when some batch predates
     * count recording. */
   def pendingDeleteRows(): Option[Long] = {
-    val batches = liveDels()
-    val counts = batches.map { m =>
+    val counts = liveDels().map { m =>
       if (m.kind == "del") m.rows
       else readExclusion(m.id).map(_.rows)
-    }
+    } ++ livePosDels().map(_.rows)
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
@@ -1245,7 +1311,8 @@ final class SnapshotTable(
     * over the same root — a different dir set — can never be misrouted to
     * the full-table MV answer. */
   def liveSnapshotDirs(): Seq[String] = currentSnapshotId.toSeq.flatMap { id =>
-    dataChainAt(id).filterNot(_.kind == "del").map(s => snapDir(s.id).toString)
+    dataChainAt(id).filterNot(m => m.kind == "del" || m.kind == "pdel")
+      .map(s => snapDir(s.id).toString)
   }
 
   /** The root paths the CURRENT `read()` plan reports for its scans —
@@ -1255,7 +1322,7 @@ final class SnapshotTable(
     * against this by EQUALITY, so it keeps firing across file-pruned DML
     * while time-travel/delta scans (different sets) still decline. */
   def liveScanPaths(): Set[String] = currentSnapshotId.toSeq.flatMap { id =>
-    val chain = dataChainAt(id).filterNot(_.kind == "del")
+    val chain = dataChainAt(id).filterNot(m => m.kind == "del" || m.kind == "pdel")
     val excl = chainExclusions(dataChainAt(id))
     if (excl.isEmpty) chain.map(s => snapDir(s.id).toString)
     else chain.flatMap(s => listParquet(snapDir(s.id)).filterNot(f => excl(relToRoot(f))))
@@ -1308,6 +1375,7 @@ final class SnapshotTable(
     // a window crossing it must not re-emit deletes an earlier window
     // already delivered through the originals
     val allDels = all.filter(carriesEqDeletes).filter(mergedIds(_).isEmpty)
+    val allPdels = all.filter(carriesPosDeletes)
     val addedFiles: Seq[(String, Seq[String])] = range
       .filter(m => m.kind == "append" || m.kind == "cow" || m.kind == "mor")
       .flatMap { m =>
@@ -1335,8 +1403,29 @@ final class SnapshotTable(
             val ownerId = dirName.stripPrefix("snap-").takeWhile(_.isDigit).toLong
             val df = spark.read.option("basePath", qualifiedRoot + "/" + dirName)
               .parquet(rels.map(qualifiedRoot + "/" + _): _*)
-            (applyEqDeletes(df, ownerId, allDels.filter(_.id < m.id), delCache), rels.size)
+            // rows a positional delete already removed from a replaced
+            // file were emitted in the pdel's own window — adjust them
+            // out exactly like the equality-delete adjustment
+            val pBefore = allPdels.filter(_.id < m.id)
+            val leaf = if (pBefore.isEmpty) df else withPosCols(df)
+            val eqAdj = applyEqDeletes(leaf, ownerId, allDels.filter(_.id < m.id), delCache)
+            val adj = if (pBefore.isEmpty) eqAdj
+                      else applyPosDeletes(eqAdj, pBefore).drop("__file", "__pos")
+            (adj, rels.size)
           }
+      } ++ {
+        // the range's POSITIONAL sidecars: their rows ARE the deletes —
+        // read apart from the eq sidecars (the identity columns must not
+        // leak into the change schema), identity dropped
+        val pdelDirs = range.filter(carriesPosDeletes).map(m => snapDir(m.id))
+          .filter(d => listParquet(d).nonEmpty)
+        if (pdelDirs.isEmpty) Seq.empty
+        else Seq((
+          withDriverListing {
+            spark.read.option("mergeSchema", "true")
+              .parquet(pdelDirs.map(_.toString): _*)
+          }.drop("__file", "__pos"),
+          pdelDirs.map(listParquet(_).size).sum))
       } ++ {
         // all the range's delete sidecars in ONE merged-schema read (not a
         // plan per del — a caught-up feed draining a 100-statement trickle
@@ -1411,7 +1500,7 @@ final class SnapshotTable(
     // emitted — refuse exactly like a REPLACE
     val rewrites = range.filter(m =>
       (m.kind == "base" && !m.note.contains("compact")) ||
-        m.kind == "cow" ||
+        m.kind == "cow" || carriesPosDeletes(m) ||
         // a MERGED sidecar rides free like a compact rewrite: its
         // originals already refused (or were consumed) in their own window
         (carriesEqDeletes(m) && mergedIds(m).isEmpty))
@@ -1466,7 +1555,7 @@ final class SnapshotTable(
     // does this snapshot contribute rows to the batch being sized?
     def carriesRows(m: SnapMeta): Boolean =
       m.kind == "append" ||
-        (cdc && (m.kind == "cow" || m.kind == "mor" ||
+        (cdc && (m.kind == "cow" || m.kind == "mor" || m.kind == "pdel" ||
           // merged sidecars emit nothing (their originals already did)
           (m.kind == "del" && mergedIds(m).isEmpty)))
     // (rows, extraBytes) a row-carrying snapshot contributes: appends are
@@ -1476,7 +1565,7 @@ final class SnapshotTable(
     // marker count); a mor's is inserts (marker) + replaced rows (.excl).
     // None = unknown → cap-saturating, never free.
     def rowsOf(m: SnapMeta): (Option[Long], Long) =
-      if (m.kind == "append" || m.kind == "del") (m.rows, 0L)
+      if (m.kind == "append" || m.kind == "del" || m.kind == "pdel") (m.rows, 0L)
       else readExclusion(m.id) match {
         case Some(e) => (m.rows.map(_ + e.rows), e.bytes)
         case None => (None, 0L)
@@ -1552,9 +1641,10 @@ final class SnapshotTable(
     var nTotal = 0
     val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
     val excluded = chainExclusions(chain)
-    // `del` sidecar dirs hold deleted rows, not table data: never planned
-    // as scan files — readers apply them as anti-joins instead
-    chain.filterNot(_.kind == "del").map(_.id).foreach { id =>
+    // `del`/`pdel` sidecar dirs hold deleted rows, not table data: never
+    // planned as scan files — readers apply them as anti-joins instead
+    chain.filterNot(m => m.kind == "del" || m.kind == "pdel")
+      .map(_.id).foreach { id =>
       val dir = fs.makeQualified(snapDir(id)).toString
       val stats = readStatsSidecar(id)
       val it = fs.listFiles(snapDir(id), true)
@@ -1617,18 +1707,26 @@ final class SnapshotTable(
   }
 
   /** The surviving files of a scan plan as one DataFrame, per-dir hive
-    * reads (basePath), with the live chain's equality deletes anti-joined
-    * in — every planned read is MoR-aware, so a caller cannot forget the
-    * delete sidecars and silently resurrect deleted rows. */
-  private def readPlanned(plan: ScanPlan): DataFrame =
+    * reads (basePath), with the live chain's equality AND positional
+    * deletes anti-joined in — every planned read is MoR-aware, so a
+    * caller cannot forget the delete sidecars and silently resurrect
+    * deleted rows. `keepPos = true` keeps the __file/__pos identity
+    * columns on the result (the [[deleteWherePositional]] writer stores
+    * them in its sidecar); requires a non-empty plan. */
+  private def readPlanned(plan: ScanPlan, keepPos: Boolean = false): DataFrame =
     if (plan.files.isEmpty) read().limit(0)
     else {
       val dels = liveDels()
+      val pdels = livePosDels()
+      val needPos = keepPos || pdels.nonEmpty
       val cache = newDelKeyCache // one key-frame build per (key set, frontier), not per dir
-      plan.files.map { case (dir, files) =>
-        applyEqDeletes(spark.read.option("basePath", dir).parquet(files: _*),
+      val unioned = plan.files.map { case (dir, files) =>
+        val leaf = spark.read.option("basePath", dir).parquet(files: _*)
+        applyEqDeletes(if (needPos) withPosCols(leaf) else leaf,
           idOfSnapDirPath(dir), dels, cache)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val folded = applyPosDeletes(unioned, pdels)
+      if (!keepPos && pdels.nonEmpty) folded.drop("__file", "__pos") else folded
     }
 
   /** One ColRange's residual predicates over `d` (absent column = none —
@@ -1674,11 +1772,12 @@ final class SnapshotTable(
     * Columns a live file omits entirely (schema evolution) profile only
     * the files that carry them. */
   def columnStats(): Map[String, ColumnProfile] = {
-    // `del` sidecars describe DELETED rows — folding their stats in would
-    // inflate counts; pending-delete rows still counted in data-file stats
-    // are a conservative overcount until vacuum/compact
+    // `del`/`pdel` sidecars describe DELETED rows — folding their stats in
+    // would inflate counts; pending-delete rows still counted in data-file
+    // stats are a conservative overcount until vacuum/compact
     val liveIds = currentSnapshotId.toSeq
-      .flatMap(id => dataChainAt(id).filterNot(_.kind == "del").map(_.id))
+      .flatMap(id => dataChainAt(id)
+        .filterNot(m => m.kind == "del" || m.kind == "pdel").map(_.id))
     val all: Seq[(String, FileColStat)] =
       liveIds.flatMap(id => readStatsSidecar(id).valuesIterator.flatMap(_.iterator).toSeq)
     all.groupBy(_._1).map { case (col, pairs) =>
@@ -1713,7 +1812,7 @@ final class SnapshotTable(
     * partitions in metadata). */
   def partitionRowCountsFromMetadata(partCol: String): Option[Map[String, Long]] = {
     val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
-    if (chain.exists(carriesEqDeletes)) return None
+    if (chain.exists(m => carriesEqDeletes(m) || carriesPosDeletes(m))) return None
     val excluded = chainExclusions(chain)
     val out = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     chain.foreach { m =>
@@ -1781,7 +1880,8 @@ final class SnapshotTable(
       // deletes — without this a cow landing after a MoR delete would
       // resurrect its rows (the rewrite's id orders after the del, so the
       // read-path anti-join no longer covers them)
-      val hasDels = liveDels().nonEmpty && plan.filesKept > 0
+      val hasDels =
+        (liveDels().nonEmpty || livePosDels().nonEmpty) && plan.filesKept > 0
       val touched =
         if (plan.filesKept == 0) read().limit(0) // MERGE into no matching file: pure insert
         else readPlanned(plan)
@@ -1974,6 +2074,72 @@ final class SnapshotTable(
       }
       out.get
     } finally src.unpersist(blocking = false)
+  }
+
+  /** MERGE-ON-READ POSITIONAL DELETE (VERDICT r10 #4) — the Iceberg v2
+    * position-delete-file stance, for DELETE predicates equality keys
+    * can't express (non-key columns, no key at all): commit a `pdel`
+    * snapshot whose dir holds the matched rows PLUS their physical
+    * (file, row-ordinal) identity — ZERO data files rewritten, no key
+    * columns needed. Reads attach the same identity at each leaf scan
+    * and anti-join the sidecar ONCE per read ([[readPlanned]]/[[asOf]]);
+    * sequencing is free — a later append's files are never referenced,
+    * so re-inserted rows survive by construction; CDC emits the sidecar
+    * rows verbatim at sidecar-only cost; a later COW folds the deletion
+    * physically (its rewrite reads through the fold) and [[compact]]
+    * restores the pure layout. The one scan is file-pruned by the
+    * predicate's extractable ranges exactly like [[deletePruned]] — but
+    * it only reads. Optimistic like [[deleteByKeys]]: the matched-row
+    * materialization runs outside the commit lock under a claimed id; a
+    * commit landing meanwhile invalidates the matched positions, so the
+    * attempt retries. Returns (rowsDeleted, the pruned scan plan). */
+  def deleteWherePositional(cond: org.apache.spark.sql.Column): (Long, ScanPlan) = {
+    writeGuard()
+    require(exists, s"DML on non-existent table at $root")
+    val alternatives = FilterRanges.extractAlternatives(cond)
+    var out: Option[(Long, ScanPlan)] = None
+    var attempts = 0
+    while (out.isEmpty) {
+      attempts += 1
+      if (attempts > 50) throw new IllegalStateException(
+        s"positional delete on $root lost the commit race $attempts times — writer storm?")
+      val head = currentSnapshotId.get
+      val plan = planFilesAny(alternatives)
+      if (plan.filesKept == 0) return (0L, plan) // hull matches nothing
+      val matched = readPlanned(plan, keepPos = true).filter(cond)
+      val id = withCommitLock {
+        val i = claimId()
+        try {
+          if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
+            fs.delete(snapDir(i), true)
+          val line = s"pdel||0||${esc("pos-deleting")}|${System.currentTimeMillis()}"
+          val o = fs.create(stagedFile(i))
+          try o.write(line.getBytes("UTF-8")) finally o.close()
+        } finally releaseClaim(i)
+        i
+      }
+      def cleanup(): Unit = {
+        fs.delete(snapDir(id), true)
+        fs.delete(statsFile(id), false)
+        fs.delete(stagedFile(id), false)
+      }
+      try {
+        // like eq sidecars, no partition layout of its own: consumed via
+        // the (file, pos) anti-join, never merged into hive dirs
+        val rows = writeSnapshotData(matched, id, Seq.empty, Seq.empty)
+        withCommitLock {
+          if (currentSnapshotId.get == head) {
+            if (rows == 0L) { cleanup(); out = Some((0L, plan)) } // nothing matched
+            else {
+              writeMarker(id, "pdel", Seq.empty, rows, Seq.empty, None)
+              fs.delete(stagedFile(id), false)
+              out = Some((rows, plan))
+            }
+          } else cleanup() // head moved: matched positions are stale, retry
+        }
+      } catch { case e: Throwable => cleanup(); throw e }
+    }
+    out.get
   }
 
   /** MERGE-ON-READ UPSERT — one ATOMIC `mor` commit (the Iceberg MoR
