@@ -183,35 +183,44 @@ final class SnapshotTable(
     * committed before the merged RUN, never to rows appended between the
     * run and the merge commit (a re-inserted key must survive, the
     * Iceberg v2 sequence-number rule). Plain dels: their own id. Only
-    * `del`-kind markers are parsed (merges commit as `del`; every other
-    * kind's note is caller text), and only fully-numeric values count —
-    * [[requireNoteSafe]] keeps caller notes out of this namespace, and a
-    * non-numeric survivor (hand-edited marker) is ignored rather than
-    * throwing NumberFormatException on every subsequent read. */
+    * `del`/`pdel`-kind markers are parsed (merges commit as their
+    * members' kind; every other kind's note is caller text), and only
+    * fully-numeric values count — [[requireNoteSafe]] keeps caller notes
+    * out of this namespace, and a non-numeric survivor (hand-edited
+    * marker) is ignored rather than throwing NumberFormatException on
+    * every subsequent read. A merged `pdel` also records its originals'
+    * min id here — positions apply by absolute file identity so reads
+    * never consult it, but [[rowCountFromMetadata]]'s cow-interleaving
+    * guard needs the true position of the merged content. */
   private def delSeq(m: SnapMeta): Long =
-    if (m.kind != "del") m.id
+    if (m.kind != "del" && m.kind != "pdel") m.id
     else noteField(m, "seq").flatMap(_.toLongOption).getOrElse(m.id)
 
   /** The original sidecar ids a merged delete supersedes (`merged=` note
     * field). Current-state reads skip superseded originals (the merge
     * carries their union); CDC keeps reading the ORIGINALS (still on disk
     * until expire) and skips the merge — it adds no new logical change.
-    * Parsed only on `del`-kind markers, numeric values only (see
+    * Parsed only on `del`/`pdel`-kind markers, numeric values only (see
     * [[delSeq]]). */
   private def mergedIds(m: SnapMeta): Seq[Long] =
-    if (m.kind != "del") Seq.empty
+    if (m.kind != "del" && m.kind != "pdel") Seq.empty
     else noteField(m, "merged").toSeq
       .flatMap(_.split(',').flatMap(_.toLongOption))
 
   /** Ids superseded by merged delete sidecars within `chain`. Only
-    * `del`-kind sidecars can be superseded — [[compactDeletes]] never
-    * merges a `mor`'s delete side (its insert data shares the commit, and
+    * `del`/`pdel`-kind sidecars can be superseded, and only by a merge of
+    * their own kind — [[compactDeletes]] never merges a `mor`'s delete
+    * side (its insert data shares the commit, and
     * [[rowCountFromMetadata]] subtracts a mor's `.excl` rows unfiltered,
     * so superseding one would double-subtract its deletes) — enforced
     * here so a stray reference cannot drop a live sidecar. */
   private def supersededIds(chain: Seq[SnapMeta]): Set[Long] = {
-    val delIds = chain.filter(_.kind == "del").map(_.id).toSet
-    chain.flatMap(mergedIds).filter(delIds).toSet
+    val byKind = chain.groupBy(_.kind)
+    def sup(kind: String): Set[Long] = {
+      val ids = byKind.getOrElse(kind, Seq.empty).map(_.id).toSet
+      byKind.getOrElse(kind, Seq.empty).flatMap(mergedIds).filter(ids).toSet
+    }
+    sup("del") ++ sup("pdel")
   }
 
   /** Where a snapshot's equality-delete ROWS live. */
@@ -248,9 +257,14 @@ final class SnapshotTable(
 
   private def carriesPosDeletes(m: SnapMeta): Boolean = m.kind == "pdel"
 
-  /** The positional-delete members of the CURRENT live chain. */
+  /** The positional-delete members of the CURRENT live chain (superseded
+    * originals are carried by their [[compactDeletes]] merge, skipped). */
   private def livePosDels(): Seq[SnapMeta] =
-    currentSnapshotId.toSeq.flatMap(dataChainAt).filter(carriesPosDeletes)
+    currentSnapshotId.toSeq.flatMap(dataChainAt) match {
+      case chain =>
+        val sup = supersededIds(chain)
+        chain.filter(carriesPosDeletes).filterNot(m => sup(m.id))
+    }
 
   /** Attach the position-identity columns at a LEAF scan (the hidden
     * `_metadata` column does not survive unions). `__file` slices at the
@@ -836,10 +850,11 @@ final class SnapshotTable(
       // a merged sidecar carries its originals' union: count it, skip them
       val sup = supersededIds(contributing)
       val effDels = contributing.filter(carriesEqDeletes).filterNot(m => sup(m.id))
-      val pdels = contributing.filter(carriesPosDeletes)
+      val pdels = contributing.filter(carriesPosDeletes).filterNot(m => sup(m.id))
       // positional sidecars fold into a later cow's rewrite exactly like
       // equality ones — same double-subtraction hazard, same decline
-      val delSeqs = effDels.map(delSeq) ++ pdels.map(_.id)
+      // (a merged pdel's true position is its seq=, not its commit id)
+      val delSeqs = effDels.map(delSeq) ++ pdels.map(delSeq)
       if (delSeqs.nonEmpty &&
           contributing.exists(m => m.kind == "cow" && m.id > delSeqs.min)) return None
       // a cow contributes its rewritten rows MINUS the rows of the files
@@ -1015,7 +1030,7 @@ final class SnapshotTable(
     val chain = dataChainAt(id)
     val sup = supersededIds(chain)
     val dels = chain.filter(carriesEqDeletes).filterNot(m => sup(m.id))
-    val pdels = chain.filter(carriesPosDeletes)
+    val pdels = chain.filter(carriesPosDeletes).filterNot(m => sup(m.id))
     val data = chain.filterNot(m => // mor dirs ARE insert data; sidecars aren't
       m.kind == "del" || m.kind == "pdel")
     val excl = chainExclusions(chain)
@@ -1192,9 +1207,13 @@ final class SnapshotTable(
     * merge, which adds no logical change; [[rowCountFromMetadata]] counts
     * the merge's marker rows (the originals' sum) in their place. Merges
     * re-merge: a second trickle's fold can absorb an earlier merge whose
-    * frontier matches. Only `del`-kind sidecars participate — a `mor`'s
-    * delete side stays with its insert data (superseding it would
-    * double-subtract its `.excl` rows from metadata counts). Optimistic
+    * frontier matches. POSITIONAL sidecars (`pdel`) fold too — and more
+    * freely: positions apply by absolute file identity, so EVERY live
+    * pdel shares a frontier and the whole set merges into one (the
+    * merge's `seq=` keeps the originals' min position for the metadata
+    * count guard). A `mor`'s delete side never participates — it stays
+    * with its insert data (superseding it would double-subtract its
+    * `.excl` rows from metadata counts). Optimistic
     * like [[compact]]: the tiny union write runs outside the commit lock
     * under a claimed id + staged placeholder; a commit landing meanwhile
     * discards and retries on the new chain. Returns the merge commit ids
@@ -1233,20 +1252,27 @@ final class SnapshotTable(
             }
             groups.toSeq.map(g => (keys, g.toSeq))
         }.flatten.filter(_._2.size >= minRun)
-      if (runs.isEmpty) done = true
+      // positional sidecars: ALL live ones share a frontier (absolute
+      // file identity) — one candidate run of the whole set
+      val pruns = chain.filter(_.kind == "pdel").filterNot(m => sup(m.id))
+      if (runs.isEmpty && pruns.size < minRun) done = true
       else {
         // one merge per loop turn: the commit itself moves the head, so
         // the next turn recomputes runs on the fresh chain
-        val (keys, members) = runs.minBy(_._2.map(delSeq).min)
-        val seq = members.map(delSeq).min
-        val note = s"eqdel=${keys.mkString(",")} seq=$seq " +
-          s"merged=${members.map(_.id).mkString(",")}"
+        val (kind, note, members) =
+          if (runs.nonEmpty) {
+            val (keys, ms) = runs.minBy(_._2.map(delSeq).min)
+            ("del", s"eqdel=${keys.mkString(",")} seq=${ms.map(delSeq).min} " +
+              s"merged=${ms.map(_.id).mkString(",")}", ms)
+          } else
+            ("pdel", s"seq=${pruns.map(delSeq).min} " +
+              s"merged=${pruns.map(_.id).mkString(",")}", pruns)
         val id = withCommitLock {
           val i = claimId()
           try {
             if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i)))
               fs.delete(snapDir(i), true)
-            val line = s"del||0||${esc("merging deletes")}|${System.currentTimeMillis()}"
+            val line = s"$kind||0||${esc("merging deletes")}|${System.currentTimeMillis()}"
             val o = fs.create(stagedFile(i))
             try o.write(line.getBytes("UTF-8")) finally o.close()
           } finally releaseClaim(i)
@@ -1259,9 +1285,9 @@ final class SnapshotTable(
         }
         try {
           // the union is a few tiny sidecar dirs — rows within a run are
-          // DISJOINT (a re-delete of an already-deleted key matches
-          // nothing, so no sidecar ever repeats another's rows) and
-          // allowMissingColumns rides through evolved schemas
+          // DISJOINT (a re-delete of an already-deleted key or position
+          // matches nothing, so no sidecar ever repeats another's rows)
+          // and allowMissingColumns rides through evolved schemas
           val union = members.map(m =>
               spark.read.parquet(delRowsPath(m).toString))
             .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1269,7 +1295,7 @@ final class SnapshotTable(
           val rows = writeSnapshotData(union, id, Seq.empty, Seq.empty)
           withCommitLock {
             if (currentSnapshotId.get == head) {
-              writeMarker(id, "del", Seq.empty, rows, Seq.empty, Some(note))
+              writeMarker(id, kind, Seq.empty, rows, Seq.empty, Some(note))
               fs.delete(stagedFile(id), false)
               committed += id
             } else cleanup() // chain moved mid-merge: recompute runs
@@ -1375,7 +1401,7 @@ final class SnapshotTable(
     // a window crossing it must not re-emit deletes an earlier window
     // already delivered through the originals
     val allDels = all.filter(carriesEqDeletes).filter(mergedIds(_).isEmpty)
-    val allPdels = all.filter(carriesPosDeletes)
+    val allPdels = all.filter(carriesPosDeletes).filter(mergedIds(_).isEmpty)
     val addedFiles: Seq[(String, Seq[String])] = range
       .filter(m => m.kind == "append" || m.kind == "cow" || m.kind == "mor")
       .flatMap { m =>
@@ -1417,7 +1443,9 @@ final class SnapshotTable(
         // the range's POSITIONAL sidecars: their rows ARE the deletes —
         // read apart from the eq sidecars (the identity columns must not
         // leak into the change schema), identity dropped
-        val pdelDirs = range.filter(carriesPosDeletes).map(m => snapDir(m.id))
+        val pdelDirs = range.filter(carriesPosDeletes)
+          .filter(mergedIds(_).isEmpty) // originals only, like eq merges
+          .map(m => snapDir(m.id))
           .filter(d => listParquet(d).nonEmpty)
         if (pdelDirs.isEmpty) Seq.empty
         else Seq((
@@ -1500,10 +1528,10 @@ final class SnapshotTable(
     // emitted — refuse exactly like a REPLACE
     val rewrites = range.filter(m =>
       (m.kind == "base" && !m.note.contains("compact")) ||
-        m.kind == "cow" || carriesPosDeletes(m) ||
+        m.kind == "cow" ||
         // a MERGED sidecar rides free like a compact rewrite: its
         // originals already refused (or were consumed) in their own window
-        (carriesEqDeletes(m) && mergedIds(m).isEmpty))
+        ((carriesEqDeletes(m) || carriesPosDeletes(m)) && mergedIds(m).isEmpty))
     if (rewrites.nonEmpty && !ignoreReplaces)
       throw new IllegalStateException(
         s"snapshot(s) ${rewrites.map(_.id).mkString(", ")} rewrote table $root " +
@@ -1555,9 +1583,9 @@ final class SnapshotTable(
     // does this snapshot contribute rows to the batch being sized?
     def carriesRows(m: SnapMeta): Boolean =
       m.kind == "append" ||
-        (cdc && (m.kind == "cow" || m.kind == "mor" || m.kind == "pdel" ||
+        (cdc && (m.kind == "cow" || m.kind == "mor" ||
           // merged sidecars emit nothing (their originals already did)
-          (m.kind == "del" && mergedIds(m).isEmpty)))
+          ((m.kind == "del" || m.kind == "pdel") && mergedIds(m).isEmpty)))
     // (rows, extraBytes) a row-carrying snapshot contributes: appends are
     // their marker count; a cow's CDC payload is bounded by rewrite rows +
     // replaced rows (the two EXCEPT ALL inputs), replaced bytes from its

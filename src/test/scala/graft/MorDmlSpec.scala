@@ -555,6 +555,42 @@ class MorDmlSpec extends SparkSpec {
     assert(t.read().where("id = 5").count() === 1L)
   }
 
+  test("compactDeletes folds positional sidecars: whole live set to ONE, round-trip intact") {
+    // positions apply by absolute file identity, so every live pdel
+    // shares a frontier — the minor fold takes the WHOLE set at once,
+    // even across interleaved appends that would split an eq-del run
+    val t = eightFiles("pdel-fold")
+    val s0 = t.currentSnapshotId.get
+    val before = dataFilesOf(t)
+    t.deleteWherePositional(col("id").between(10L, 14L))
+    t.append(Seq((12L, "back")).toDF("id", "v")) // would split an eq run
+    t.deleteWherePositional(col("id").between(20L, 24L))
+    t.deleteWherePositional(length(col("v")) === lit(2) && col("id") >= 5L)
+    assert(t.pendingDeleteBatches() === 3)
+    val preRead = t.read().orderBy("id", "v").collect()
+    val merges = t.compactDeletes()
+    assert(merges.size === 1, s"all live pdels fold to ONE merge: $merges")
+    assert(t.pendingDeleteBatches() === 1)
+    assert(dataFilesOf(t).intersect(before) === before,
+      "the positional fold must not touch any data file")
+    assert(t.read().orderBy("id", "v").collect() === preRead, "state unchanged")
+    assert(t.read().where("id = 12 AND v = 'back'").count() === 1L,
+      "the re-appended row still survives through the merged sidecar")
+    assert(t.rowCountFromMetadata.contains(800L + 1L - 5L - 5L - 5L))
+    // CDC across the fold: originals only, every delete exactly once
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val dels = cs.df.where("_change = 'delete'").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels === ((5L to 9L) ++ (10L to 14L) ++ (20L to 24L)).sorted,
+      s"CDC must single-count across the pdel merge: $dels")
+    // re-merge: another statement + fold absorbs the earlier merge
+    t.deleteWherePositional(col("id") === lit(700L))
+    assert(t.compactDeletes().size === 1)
+    assert(t.pendingDeleteBatches() === 1)
+    assert(t.read().where("id = 700").count() === 0L)
+    assert(t.rowCountFromMetadata.contains(785L))
+  }
+
   test("updateRouted picks MoR for narrow updates, COW for broad ones — same answers") {
     // VERDICT r10 #3: the per-statement COW-vs-MoR cost route. A one-row
     // update on an 8-file table must NOT rewrite a file (write

@@ -523,10 +523,21 @@ class ServicesSpec extends SparkSpec {
       val ks = (0 until 60).map(i => (b * 60 + i).toLong)
       assert(heavy.deleteByKeys(Seq("id"), ks.toDF("id"))._1 === 60L)
     }
+    // POSITIONAL trickle: six pdel statements, tiny fraction — the minor
+    // fold must serve it too (before r12 a pdel trickle had no minor tool)
+    val ptrickle = mk("ptrickle")
+    (1 to 6).foreach(i =>
+      assert(ptrickle.deleteWherePositional(col("id") === lit(i * 90L))._1 === 1L))
+    val ptFiles = dataFiles(ptrickle)
     val svc = new graft.services.MaintenanceService(cat, maxDeltas = 4,
       keepSnapshots = 1, maxDeleteBatches = 4, deleteRatio = 0.3)
     val (compacted, _) = svc.sweep()
-    assert(compacted === 2, "both DML-trickled tables get maintenance")
+    assert(compacted === 3, "all three DML-trickled tables get maintenance")
+    assert(ptrickle.pendingDeleteBatches() === 1)
+    assert(dataFiles(ptrickle).intersect(ptFiles) === ptFiles,
+      "a light positional trickle must be folded, never rewritten")
+    assert(ptrickle.read().count() === 794L)
+    assert(ptrickle.rowCountFromMetadata.contains(794L))
     // light: sidecars folded to ONE, ZERO data files touched
     assert(light.pendingDeleteBatches() === 1)
     assert(dataFiles(light).intersect(lightFiles) === lightFiles,
@@ -539,7 +550,7 @@ class ServicesSpec extends SparkSpec {
       s"heavy table must compact to a pure base, got ${heavy.snapshots()}")
     assert(heavy.read().count() === 500L)
     assert(heavy.rowCountFromMetadata.contains(500L))
-    // a second sweep is a no-op for both
+    // a second sweep is a no-op for all three
     assert(svc.sweep() === ((0, 0)))
   }
 }
