@@ -763,6 +763,158 @@ object Views {
       }
     },
 
+    // POSITIONAL UPDATE through the correctness gate — the zero-rewrite
+    // DML matrix's last cell: UPDATE WHERE on a NON-KEY column
+    // (o_orderstatus), routed KEYLESS through updateRouted. The MoR side
+    // is one atomic `mor` commit: updated rows as data, old rows as a
+    // (file, row-ordinal) sidecar — REQUIREd: route mor, history =
+    // base + mor, ZERO data files rewritten, metadata COUNT unchanged,
+    // CDC across the statement window sidecar+mor-dir-only with
+    // delete(old)/insert(new) pairs. A second, broad statement REQUIREs
+    // the COW route on the same table; a final compact folds the
+    // sidecar. Pre- and post-compact states and both CDC sides hash
+    // against DuckDB replaying the statements as CASE projections.
+    "q136_positional_update" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/posupd"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val s0 = tbl.currentSnapshotId.get
+        val n0 = tbl.rowCountFromMetadata.get
+        def dataFiles(): Seq[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(wh)).map(_.getPath).filter(_.endsWith(".parquet")).sorted
+        }
+        // statement 1 — non-key predicate, NO keys given: the positional
+        // MoR route (sidecar + updated rows, one atomic commit)
+        val filesBefore = dataFiles()
+        val (mode1, n1) = tbl.updateRouted(
+          $"o_orderstatus" === lit("P") && $"o_custkey" % lit(97L) === lit(3L),
+          Map("o_totalprice" -> ($"o_totalprice" * lit(2.0))))
+        require(mode1 == "mor" && n1 > 0L,
+          s"q136 narrow non-key update must route MoR: ($mode1, $n1)")
+        require(dataFiles().intersect(filesBefore) == filesBefore,
+          "q136: the positional route must not rewrite or remove ANY data file")
+        require(tbl.snapshots().map(_._2) == Seq("base", "mor"),
+          s"q136 expects ONE atomic mor commit, got ${tbl.snapshots().map(_._2)}")
+        require(tbl.rowCountFromMetadata.contains(n0),
+          "q136: an update must not change the metadata row count")
+        // CDC over the statement window: sidecar + mor data dir only —
+        // the 8 base files stay unread (each side may shard per task)
+        val cs = tbl.rowChangesBetween(s0, tbl.currentSnapshotId.get).get
+        require(cs.filesRead <= 20, // ≤8 sidecar shards + ≤8 mor-dir files
+          s"q136 CDC must read only the sidecar and the mor dir, read ${cs.filesRead}")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"))
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"),
+              min($"o_orderkey").as("min_key"))
+        val cdcRows = agg(cs.df.where($"_change" === "delete"), "cdc_deletes")
+          .unionByName(agg(cs.df.where($"_change" === "insert"), "cdc_inserts"))
+          .collect()
+        // statement 2 — broad: the kept lower half routes COW (keyless too)
+        val cut = tbl.columnStats()("o_orderkey").max.get.toLong / 2
+        val (mode2, n2) = tbl.updateRouted($"o_orderkey" <= lit(cut),
+          Map("o_orderstatus" -> lit("B")))
+        require(mode2 == "cow" && n2 > 0L,
+          s"q136 half-table update must route COW: ($mode2, $n2)")
+        val preRows = agg(tbl.read(), "final").collect()
+        // compact folds the positional sidecar back into pure files
+        tbl.compact()
+        require(tbl.pendingDeleteBatches() == 0,
+          "q136 compact must clear the sidecar debt")
+        val res = agg(tbl.read(), "compacted").orderBy($"stage")
+        val rows = (cdcRows ++ preRows ++ res.collect()).sortBy(_.getString(0))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
+    // COST-ROUTED MERGE + DELETE through the correctness gate — the
+    // remaining two cells of the routed DML trio. A 50-row source (25
+    // updates of the lowest keys + 25 fresh keys past the max) REQUIREs
+    // the MoR upsert route with exact (updated, inserted) counts and
+    // zero rewrites; a source re-pricing the whole lower half REQUIREs
+    // the COW merge route. Then a 3-key DELETE REQUIREs the positional
+    // MoR route and a lower-quarter DELETE the COW route. The DuckDB
+    // oracle replays all four statements; the mode REQUIREs grade the
+    // routing, the hash grades the semantics.
+    "q137_routed_merge" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/routedmg"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        val proj = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        tbl.createOrReplace(proj.repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        def dataFiles(): Seq[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(wh)).map(_.getPath).filter(_.endsWith(".parquet")).sorted
+        }
+        val maxKey = tbl.columnStats()("o_orderkey").max.get.toLong
+        val cut = maxKey / 2
+        // statement 1 — trickle source: 10 repriced lows + 10 fresh highs
+        // (amplification 4: at sf0.001 one kept file is ~190 rows-worth,
+        // so the default 8x20 threshold would flip the route across sf)
+        val lows = proj.orderBy($"o_orderkey").limit(10)
+          .withColumn("o_totalprice", $"o_totalprice" + lit(1.0))
+        val fresh = proj.orderBy($"o_orderkey").limit(10)
+          .select(($"o_orderkey" + lit(maxKey + 1L)).as("o_orderkey"), $"o_custkey",
+            lit("N").as("o_orderstatus"), lit(100.0).as("o_totalprice"))
+        val filesBefore = dataFiles()
+        val (mode1, (u1, i1)) = tbl.mergeRouted(lows.unionByName(fresh),
+          Seq("o_orderkey"), amplification = 4.0)
+        require(mode1 == "mor" && u1 == 10L && i1 == 10L,
+          s"q137 trickle merge must route MoR with exact counts: ($mode1, $u1, $i1)")
+        require(dataFiles().intersect(filesBefore) == filesBefore,
+          "q137: the MoR merge route must not rewrite or remove ANY data file")
+        // statement 2 — bulk source: the whole lower half repriced
+        val bulk = proj.filter($"o_orderkey" <= lit(cut))
+          .withColumn("o_totalprice", $"o_totalprice" * lit(2.0))
+        val (mode2, (u2, i2)) = tbl.mergeRouted(bulk, Seq("o_orderkey"))
+        require(mode2 == "cow" && u2 > 0L && i2 == 0L,
+          s"q137 bulk merge must route COW: ($mode2, $u2, $i2)")
+        // statement 3 — narrow DELETE: three keys route positional MoR
+        val filesBefore3 = dataFiles()
+        val (mode3, n3) = tbl.deleteRouted(
+          $"o_orderkey".isin(1L, 2L, maxKey + 1L))
+        require(mode3 == "pdel",
+          s"q137 three-key delete must route positional MoR: ($mode3, $n3)")
+        require(dataFiles().intersect(filesBefore3) == filesBefore3,
+          "q137: the MoR delete route must not rewrite or remove ANY data file")
+        // statement 4 — broad DELETE: the lower quarter routes COW
+        val (mode4, n4) = tbl.deleteRouted($"o_orderkey" <= lit(cut / 2))
+        require(mode4 == "cow" && n4 > 0L,
+          s"q137 quarter-table delete must route COW: ($mode4, $n4)")
+        val res = tbl.read()
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            decCents($"o_totalprice").as("total_cents"),
+            countDistinct($"o_custkey").as("n_custs"),
+            min($"o_orderkey").as("min_key"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1419,6 +1571,68 @@ object Views {
                 MIN(o_orderkey) AS min_key,
                 MAX(o_orderkey) AS max_key
          FROM t1
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q136_positional_update" ->
+      """WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS c FROM orders),
+         t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         t1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderstatus = 'P' AND o_custkey % 97 = 3
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM t0),
+         t2 AS (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey <= (SELECT c FROM cut) THEN 'B'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM t1),
+         stages AS (
+           SELECT 'cdc_deletes' AS stage, * FROM t0
+             WHERE o_orderstatus = 'P' AND o_custkey % 97 = 3
+           UNION ALL SELECT 'cdc_inserts', * FROM t1
+             WHERE o_orderstatus = 'P' AND o_custkey % 97 = 3
+           UNION ALL SELECT 'final', * FROM t2
+           UNION ALL SELECT 'compacted', * FROM t2)
+         SELECT stage,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q137_routed_merge" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m,
+                            CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS c
+                     FROM orders),
+         t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         lows AS (SELECT o_orderkey FROM t0 ORDER BY o_orderkey LIMIT 10),
+         -- statement 1: 10 repriced lows replace, 10 fresh highs insert
+         m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey IN (SELECT o_orderkey FROM lows)
+                            THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+                FROM t0
+                UNION ALL
+                SELECT o_orderkey + (SELECT m FROM mx) + 1, o_custkey, 'N', 100.0
+                FROM t0 WHERE o_orderkey IN (SELECT o_orderkey FROM lows)),
+         -- statement 2: the whole lower half repriced x2
+         m2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey <= (SELECT c FROM mx)
+                            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+                FROM m1),
+         -- statements 3 + 4: the three-key and lower-quarter deletes
+         fin AS (SELECT * FROM m2
+                 WHERE o_orderkey NOT IN (1, 2, (SELECT m FROM mx) + 1)
+                   AND o_orderkey > (SELECT c FROM mx) / 2)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key,
+                MAX(o_orderkey) AS max_key
+         FROM fin
          GROUP BY 1
          ORDER BY 1""",
 

@@ -154,9 +154,9 @@ final class SnapshotTable(
   private def requireNoteSafe(note: Option[String]): Unit = note.foreach { n =>
     require(!n.contains('|'), s"invalid note '$n': '|' is the marker field separator")
     val reserved = n.split(' ')
-      .filter(t => Seq("eqdel=", "seq=", "merged=").exists(t.startsWith))
+      .filter(t => Seq("eqdel=", "seq=", "merged=", "posdel=").exists(t.startsWith))
     require(reserved.isEmpty,
-      s"invalid note '$n': ${reserved.mkString(", ")} — eqdel=/seq=/merged= " +
+      s"invalid note '$n': ${reserved.mkString(", ")} — eqdel=/seq=/merged=/posdel= " +
         "tokens are reserved for system-written marker fields")
   }
 
@@ -167,10 +167,19 @@ final class SnapshotTable(
       .map(_.stripPrefix("eqdel=").takeWhile(_ != ' ').split(',').toSeq)
       .getOrElse(Seq.empty)
 
+  /** Is this a `mor` commit whose `.delrows` sidecar is POSITIONAL
+    * ((file, row-ordinal) identity, [[updateWherePositional]]) rather
+    * than an equality-key set? Flagged by the system note token
+    * `posdel=1` — [[requireNoteSafe]] keeps the token out of caller
+    * notes, so only the writer ever sets it. */
+  private def isPosMor(m: SnapMeta): Boolean =
+    m.kind == "mor" && noteField(m, "posdel").isDefined
+
   /** Does this snapshot carry an equality-delete sidecar? (`del` = the
-    * whole dir; `mor` = its parallel `.delrows` dir). */
+    * whole dir; `mor` = its parallel `.delrows` dir — unless that sidecar
+    * is positional, which the positional fold owns instead). */
   private def carriesEqDeletes(m: SnapMeta): Boolean =
-    m.kind == "del" || m.kind == "mor"
+    m.kind == "del" || (m.kind == "mor" && !isPosMor(m))
 
   /** A space-delimited `key=value` field of the commit note. */
   private def noteField(m: SnapMeta, key: String): Option[String] =
@@ -255,7 +264,14 @@ final class SnapshotTable(
   // positions) keeps CDC sidecar-only — a change feed emits them
   // verbatim, never re-fetching the referenced files.
 
-  private def carriesPosDeletes(m: SnapMeta): Boolean = m.kind == "pdel"
+  private def carriesPosDeletes(m: SnapMeta): Boolean =
+    m.kind == "pdel" || isPosMor(m)
+
+  /** Rows a positional-sidecar-carrying snapshot DELETED: a `pdel`'s
+    * marker counts exactly its sidecar; a positional `mor`'s marker
+    * counts its INSERTS — its delete side is recorded in `.excl`. */
+  private def posDelRowCount(m: SnapMeta): Option[Long] =
+    if (isPosMor(m)) readExclusion(m.id).map(_.rows) else m.rows
 
   /** The positional-delete members of the CURRENT live chain (superseded
     * originals are carried by their [[compactDeletes]] merge, skipped). */
@@ -286,9 +302,9 @@ final class SnapshotTable(
     if (pdels.isEmpty) return df
     val pos = withDriverListing {
       spark.read.option("mergeSchema", "true")
-        .parquet(pdels.map(m => snapDir(m.id).toString): _*)
+        .parquet(pdels.map(m => delRowsPath(m).toString): _*)
     }.select(col("__file"), col("__pos")).distinct()
-    val rows = pdels.map(_.rows)
+    val rows = pdels.map(posDelRowCount)
     val hinted = // ~64 B/row: one path string + one ordinal
       if (rows.forall(_.isDefined) &&
           rows.flatten.sum * 64L <= SnapshotTable.MaxDelBroadcastBytes)
@@ -863,8 +879,11 @@ final class SnapshotTable(
       val excluded = contributing.filter(m => m.kind == "cow" || m.kind == "mor").map { m =>
         readExclusion(m.id).map(_.rows).getOrElse(return None)
       }.sum
+      // a positional MOR's deletes are already in `excluded` (its .excl
+      // sidecar) and its marker counts INSERTS — only pure `pdel`
+      // markers subtract here, or the mor would double-subtract
       val delMatched = effDels.filter(_.kind == "del").map(_.rows.get).sum +
-        pdels.map(_.rows.get).sum
+        pdels.filter(_.kind == "pdel").map(_.rows.get).sum
       Some(contributing.filterNot(m => m.kind == "del" || m.kind == "pdel")
         .map(_.rows.get).sum - excluded - delMatched)
     }
@@ -1313,7 +1332,8 @@ final class SnapshotTable(
     * [[graft.services.MaintenanceService]] sweeps on it here. */
   def pendingDeleteBatches(): Int = liveDels().count(m =>
     m.kind == "del" || readExclusion(m.id).forall(_.rows > 0L)) +
-    livePosDels().size
+    livePosDels().count(m =>
+      m.kind == "pdel" || readExclusion(m.id).forall(_.rows > 0L))
 
   /** Rows the pending delete sidecars hold (deleted but not yet folded
     * into data files) — metadata only. None when some batch predates
@@ -1322,7 +1342,7 @@ final class SnapshotTable(
     val counts = liveDels().map { m =>
       if (m.kind == "del") m.rows
       else readExclusion(m.id).map(_.rows)
-    } ++ livePosDels().map(_.rows)
+    } ++ livePosDels().map(posDelRowCount)
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
@@ -1445,7 +1465,7 @@ final class SnapshotTable(
         // leak into the change schema), identity dropped
         val pdelDirs = range.filter(carriesPosDeletes)
           .filter(mergedIds(_).isEmpty) // originals only, like eq merges
-          .map(m => snapDir(m.id))
+          .map(delRowsPath) // a positional mor's sidecar is its .delrows dir
           .filter(d => listParquet(d).nonEmpty)
         if (pdelDirs.isEmpty) Seq.empty
         else Seq((
@@ -2170,6 +2190,98 @@ final class SnapshotTable(
     out.get
   }
 
+  /** MERGE-ON-READ POSITIONAL UPDATE — completes the zero-rewrite DML
+    * matrix for predicates equality keys can't express (non-key columns,
+    * no key at all): ONE atomic `mor` commit whose data dir holds the
+    * UPDATED rows (append economics, table layout) and whose `.delrows`
+    * sidecar holds the matched OLD rows PLUS their physical (file,
+    * row-ordinal) identity — the [[deleteWherePositional]] stance fused
+    * with the [[upsertByKeys]] commit shape. ZERO data files rewritten,
+    * no key columns needed; one marker rename publishes delete + insert
+    * together, so a reader can never see the rows vanish without their
+    * replacements. The marker's system note token `posdel=1` routes the
+    * sidecar to the POSITIONAL read fold ([[applyPosDeletes]], absolute
+    * file identity — re-inserted rows survive by construction, no
+    * sequence bookkeeping); metadata COUNT stays exact (inserts counted
+    * by the marker, deletes subtracted via `.excl`); CDC emits the
+    * sidecar verbatim as deletes and the data dir as inserts — an UPDATE
+    * surfaces as delete(old) + insert(new) at cost ∝ change; a later
+    * [[compact]] folds the sidecar physically. The matched-row scan is
+    * file-pruned by the predicate's extractable ranges and runs outside
+    * the commit lock under a claimed id, optimistic-retried like every
+    * MoR write. Returns (rowsUpdated, the pruned scan plan). */
+  def updateWherePositional(cond: org.apache.spark.sql.Column,
+                            sets: Map[String, org.apache.spark.sql.Column]): (Long, ScanPlan) = {
+    writeGuard()
+    require(exists, s"DML on non-existent table at $root")
+    require(sets.nonEmpty, "positional update needs at least one SET column")
+    require(!sets.keys.exists(Seq("__file", "__pos").contains),
+      "positional update cannot assign the position-identity columns")
+    val alternatives = FilterRanges.extractAlternatives(cond)
+    var out: Option[(Long, ScanPlan)] = None
+    var attempts = 0
+    while (out.isEmpty) {
+      attempts += 1
+      if (attempts > 50) throw new IllegalStateException(
+        s"positional update on $root lost the commit race $attempts times — writer storm?")
+      val head = currentSnapshotId.get
+      val plan = planFilesAny(alternatives)
+      if (plan.filesKept == 0) return (0L, plan) // hull matches nothing
+      val matched = readPlanned(plan, keepPos = true).filter(cond).persist()
+      val id = withCommitLock {
+        val i = claimId()
+        try {
+          if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i))) {
+            fs.delete(snapDir(i), true); fs.delete(delRowsDir(i), true)
+          }
+          val line = s"mor||0||${esc("pos-updating")}|${System.currentTimeMillis()}"
+          val o = fs.create(stagedFile(i))
+          try o.write(line.getBytes("UTF-8")) finally o.close()
+        } finally releaseClaim(i)
+        i
+      }
+      def cleanup(): Unit = {
+        fs.delete(snapDir(id), true)
+        fs.delete(delRowsDir(id), true)
+        fs.delete(statsFile(id), false)
+        fs.delete(exclFile(id), false)
+        fs.delete(stagedFile(id), false)
+      }
+      try {
+        // every matched row IS updated (the predicate already filtered),
+        // so sets apply unconditionally; identity columns never land in
+        // table data
+        val updated = sets.foldLeft(matched.drop("__file", "__pos")) {
+          case (d, (c, v)) => d.withColumn(c, v)
+        }
+        val inserted = writeSnapshotData(updated, id, partitionSpec(), sortSpec())
+        val replaced =
+          if (inserted == 0L) 0L
+          else {
+            matched.write.mode(SaveMode.Overwrite).parquet(delRowsDir(id).toString)
+            footerWalk(delRowsDir(id))._1
+          }
+        withCommitLock {
+          if (currentSnapshotId.get == head) {
+            if (inserted == 0L) { cleanup(); out = Some((0L, plan)) } // nothing matched
+            else {
+              require(replaced == inserted,
+                s"positional update wrote $inserted rows but matched $replaced")
+              val delBytes = fs.getContentSummary(delRowsDir(id)).getLength
+              writeExclusion(id, Seq.empty, replaced, delBytes)
+              writeMarker(id, "mor", partitionSpec(), inserted, sortSpec(),
+                Some("posdel=1"))
+              fs.delete(stagedFile(id), false)
+              out = Some((inserted, plan))
+            }
+          } else cleanup() // head moved: matched positions are stale, retry
+        }
+      } catch { case e: Throwable => cleanup(); throw e }
+      finally matched.unpersist(blocking = false)
+    }
+    out.get
+  }
+
   /** MERGE-ON-READ UPSERT — one ATOMIC `mor` commit (the Iceberg MoR
     * MERGE shape): every target row whose `keys` match a `source` row is
     * replaced by it, unmatched source rows insert — and NO data file is
@@ -2361,14 +2473,15 @@ final class SnapshotTable(
     * one-row UPDATE on a wide table routes MoR (write a sidecar, not a
     * gigabyte); a predicate touching most rows of the files it keeps
     * routes COW (the rewrite amortizes and leaves no debt). `keys` must
-    * uniquely identify rows and must not be assigned by `sets`. Returns
-    * (mode ∈ {cow, mor, noop}, rowsUpdated). */
+    * uniquely identify rows and must not be assigned by `sets`; an EMPTY
+    * `keys` routes the MoR side through [[updateWherePositional]] instead
+    * — no key columns needed, the sidecar names rows by (file, ordinal).
+    * Returns (mode ∈ {cow, mor, noop}, rowsUpdated). */
   def updateRouted(cond: org.apache.spark.sql.Column,
                    sets: Map[String, org.apache.spark.sql.Column],
-                   keys: Seq[String],
+                   keys: Seq[String] = Seq.empty,
                    amplification: Double = 8.0): (String, Long) = {
     writeGuard()
-    require(keys.nonEmpty, "updateRouted needs key columns for the MoR route")
     require(!sets.keys.exists(keys.contains),
       s"updateRouted must not assign key columns: ${sets.keys.filter(keys.contains)}")
     val alternatives = FilterRanges.extractAlternatives(cond)
@@ -2386,15 +2499,49 @@ final class SnapshotTable(
       keptBytes > amplification * matched * avgRowBytes
     } // unknown table stats: COW, the established safe default
     if (mor) {
-      val updated = sets.foldLeft(pre.filter(cond)) { case (d, (c, v)) =>
-        d.withColumn(c, v)
+      if (keys.isEmpty) { // no usable key: the positional sidecar route
+        val (updated, _) = updateWherePositional(cond, sets)
+        ("mor", updated)
+      } else {
+        val updated = sets.foldLeft(pre.filter(cond)) { case (d, (c, v)) =>
+          d.withColumn(c, v)
+        }
+        val (replaced, _) = upsertByKeys(updated, keys)
+        ("mor", replaced)
       }
-      val (replaced, _) = upsertByKeys(updated, keys)
-      ("mor", replaced)
     } else {
       updatePruned(cond, sets)
       ("cow", matched)
     }
+  }
+
+  /** DELETE with COST-ROUTED write mode — [[updateRouted]]'s stance for
+    * DELETE, fully general (no key columns ever needed): COW
+    * ([[deletePruned]]) rewrites every overlapping file minus the doomed
+    * rows — cost ∝ matched-FILE bytes, no read debt; MoR
+    * ([[deleteWherePositional]]) commits only the matched rows' positions
+    * — cost ∝ deleted-ROW bytes plus one read-side anti-join until
+    * maintenance folds it. Same decision rule: MoR exactly when the
+    * rewrite would move more than `amplification`× the bytes the doomed
+    * rows themselves carry. Returns (mode ∈ {cow, pdel, noop},
+    * rowsDeleted). */
+  def deleteRouted(cond: org.apache.spark.sql.Column,
+                   amplification: Double = 8.0): (String, Long) = {
+    writeGuard()
+    val alternatives = FilterRanges.extractAlternatives(cond)
+    val plan = planFilesAny(alternatives)
+    if (plan.filesKept == 0) return ("noop", 0L) // hull matches nothing
+    val (pre, _) = readPrunedAny(alternatives)
+    val matched = pre.filter(cond).count()
+    if (matched == 0L) return ("noop", 0L) // files overlap, no row matches
+    val mor = sizeInBytesFromMetadata.exists { tblBytes =>
+      val keptBytes = tblBytes.toDouble * plan.filesKept / math.max(1, plan.filesTotal)
+      val avgRowBytes = rowCountFromMetadata.filter(_ > 0)
+        .map(tblBytes.toDouble / _).getOrElse(64.0)
+      keptBytes > amplification * matched * avgRowBytes
+    } // unknown table stats: COW, the established safe default
+    if (mor) { val (n, _) = deleteWherePositional(cond); ("pdel", n) }
+    else { val (n, _) = deletePruned(cond); ("cow", n) }
   }
 
   /** MERGE INTO (upsert): every `source` row replaces the current row with
@@ -2471,6 +2618,45 @@ final class SnapshotTable(
         }
       val inserted = count() - prev
       ((srcTotal - inserted, inserted), plan)
+    } finally src.unpersist(blocking = false)
+  }
+
+  /** MERGE with COST-ROUTED write mode — completes the routed DML trio
+    * ([[updateRouted]], [[deleteRouted]]): COW ([[mergePruned]]) rewrites
+    * every file the source keys' hulls overlap — cost ∝ matched-FILE
+    * bytes, no debt; MoR ([[upsertByKeys]]) commits the source rows plus
+    * an equality-delete sidecar — cost ∝ SOURCE bytes. The route goes to
+    * MoR exactly when the hull-kept files carry more than
+    * `amplification`× the source's own bytes — a trickle upsert into a
+    * large table routes MoR (append economics), a source touching most
+    * of what it prunes routes COW (the rewrite amortizes, no read debt).
+    * The probe is metadata + one source count; the source is counted
+    * anyway for duplicate-key rejection downstream. Returns
+    * (mode ∈ {cow, mor, noop}, (updatedRows, insertedRows)). */
+  def mergeRouted(source: DataFrame, keys: Seq[String],
+                  amplification: Double = 8.0): (String, (Long, Long)) = {
+    writeGuard()
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val src = source.persist()
+    try {
+      val srcKeys = src.select(keys.map(src.col): _*)
+      val srcTotal = srcKeys.count()
+      if (srcTotal == 0) return ("noop", (0L, 0L))
+      val plan = planFilesAny(keyHullAlternatives(srcKeys, keys, srcTotal))
+      val mor = sizeInBytesFromMetadata.exists { tblBytes =>
+        val keptBytes = tblBytes.toDouble * plan.filesKept / math.max(1, plan.filesTotal)
+        val avgRowBytes = rowCountFromMetadata.filter(_ > 0)
+          .map(tblBytes.toDouble / _).getOrElse(64.0)
+        keptBytes > amplification * srcTotal * avgRowBytes
+      } // unknown table stats: COW, the established safe default
+      if (mor) {
+        // normalize to MERGE's (updated, NET-inserted) convention —
+        // upsertByKeys reports ALL landed source rows as its insert side
+        val prev = count()
+        upsertByKeys(src, keys)
+        val inserted = count() - prev
+        ("mor", (srcTotal - inserted, inserted))
+      } else ("cow", mergePruned(src, keys)._1)
     } finally src.unpersist(blocking = false)
   }
 

@@ -627,11 +627,133 @@ class MorDmlSpec extends SparkSpec {
     }
   }
 
+  test("positional update: non-key predicate, one atomic commit, zero rewrites, CDC, compaction") {
+    // the zero-rewrite DML matrix's last cell: UPDATE on a predicate
+    // equality keys can't express — ONE `mor` commit whose data dir is
+    // the updated rows and whose sidecar names the old rows by (file,
+    // row-ordinal). Every read surface must answer as the COW update
+    // would have.
+    val t = eightFiles("pupd")
+    val s0 = t.currentSnapshotId.get
+    val before = dataFilesOf(t)
+    // 1. non-key predicate (string length — not range-extractable)
+    val (n1, _) = t.updateWherePositional(length(col("v")) === lit(2),
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(n1 === 10L, s"v0..v9 are the 2-char values: $n1")
+    assert(dataFilesOf(t).intersect(before) === before,
+      "a positional update must not rewrite or remove any data file")
+    assert(t.snapshots().map(_._2) === Seq("base", "mor"),
+      "delete side and insert side must share ONE atomic commit")
+    assert(t.read().count() === 800L)
+    assert(t.rowCountFromMetadata.contains(800L), "an update never changes the count")
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "v5!")
+    assert(t.read().where("length(v) = 2").count() === 0L)
+    val midId = t.currentSnapshotId.get
+    // 2. updating an UPDATED row again: the second sidecar references the
+    //    first commit's data dir — absolute file identity composes
+    val (n2, _) = t.updateWherePositional(col("v") === lit("v5!"),
+      Map("v" -> lit("v5!!")))
+    assert(n2 === 1L)
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "v5!!")
+    assert(t.read().count() === 800L)
+    assert(t.rowCountFromMetadata.contains(800L))
+    // 3. gauges see the sidecar debt (two positional mor batches, 11 rows)
+    assert(t.pendingDeleteBatches() === 2)
+    assert(t.pendingDeleteRows().contains(11L))
+    // 4. time travel between the updates
+    assert(t.asOf(midId).where("id = 5").select("v").head().getString(0) === "v5!")
+    assert(t.asOf(s0).where("id = 5").select("v").head().getString(0) === "v5")
+    // 5. CDC: delete(old) + insert(new) per update, identity never leaks;
+    //    id 5's intermediate v5! cancels (delete and insert of the same
+    //    row in one window — carryover elimination)
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    assert(cs.df.columns.toSet === Set("id", "v", "_change"),
+      s"__file/__pos must not leak into the change schema: ${cs.df.columns.toSeq}")
+    val dels = cs.df.where("_change = 'delete'").select("v")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(dels === (0L to 9L).map(k => s"v$k").sorted,
+      s"CDC deletes must be the ORIGINAL rows only: $dels")
+    val ins = cs.df.where("_change = 'insert'").select("v")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ins === ((0L to 9L).filterNot(_ == 5L).map(k => s"v$k!") :+ "v5!!").sorted,
+      s"CDC inserts must be the FINAL rows only: $ins")
+    // 6. a COW landing after folds the sidecars — updates never unwind
+    t.delete(col("id").between(300L, 309L))
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "v5!!")
+    assert(t.count() === 790L)
+    // 7. compact restores the pure layout with the updates applied
+    t.compact()
+    assert(t.pendingDeleteBatches() === 0)
+    assert(t.rowCountFromMetadata.contains(790L))
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "v5!!")
+    assert(t.read().where("length(v) = 2").count() === 0L)
+  }
+
+  test("updateRouted with NO keys takes the positional MoR route") {
+    val t = eightFiles("pupd-route")
+    val before = dataFilesOf(t)
+    val (mode1, n1) = t.updateRouted(col("id") === lit(7L), Map("v" -> lit("narrow")))
+    assert(mode1 === "mor" && n1 === 1L, s"($mode1, $n1)")
+    assert(dataFilesOf(t).intersect(before) === before,
+      "the keyless MoR route must not rewrite any data file")
+    assert(t.snapshots().map(_._2) === Seq("base", "mor"))
+    assert(t.read().where("id = 7").select("v").head().getString(0) === "narrow")
+    val (mode2, n2) = t.updateRouted(col("id") < lit(400L), Map("v" -> lit("broad")))
+    assert(mode2 === "cow" && n2 === 400L, s"($mode2, $n2)")
+    assert(t.read().where("v = 'broad'").count() === 400L)
+    assert(t.read().count() === 800L)
+  }
+
+  test("deleteRouted picks positional MoR for narrow deletes, COW for broad ones") {
+    val t = eightFiles("del-route")
+    val before = dataFilesOf(t)
+    // narrow: 2 rows of 800 → positional sidecar, zero rewrites, no keys needed
+    val (mode1, n1) = t.deleteRouted(col("id").isin(5L, 700L))
+    assert(mode1 === "pdel" && n1 === 2L, s"narrow delete must route MoR: ($mode1, $n1)")
+    assert(dataFilesOf(t).intersect(before) === before,
+      "the MoR route must not rewrite or remove any data file")
+    assert(t.read().count() === 798L)
+    assert(t.rowCountFromMetadata.contains(798L))
+    // broad: the whole lower half → COW (rewrite amortizes, no debt)
+    val (mode2, n2) = t.deleteRouted(col("id") < lit(400L))
+    assert(mode2 === "cow" && n2 === 399L, s"broad delete must route COW: ($mode2, $n2)")
+    assert(t.read().count() === 399L)
+    // out-of-hull: no commit
+    val snaps = t.snapshots().size
+    val (mode3, n3) = t.deleteRouted(col("id") === lit(10000L))
+    assert(mode3 === "noop" && n3 === 0L)
+    assert(t.snapshots().size === snaps)
+  }
+
+  test("mergeRouted picks MoR for trickle upserts, COW for bulk ones — same answers") {
+    val t = eightFiles("merge-route")
+    val before = dataFilesOf(t)
+    // trickle: 2 source rows vs 800 → MoR upsert (append economics)
+    val (mode1, (u1, i1)) = t.mergeRouted(
+      Seq((5L, "up5"), (900L, "new900")).toDF("id", "v"), Seq("id"))
+    assert(mode1 === "mor" && u1 === 1L && i1 === 1L, s"($mode1, $u1, $i1)")
+    assert(dataFilesOf(t).intersect(before) === before,
+      "the MoR route must not rewrite or remove any data file")
+    assert(t.read().where("id = 5").select("v").head().getString(0) === "up5")
+    assert(t.read().count() === 801L)
+    // bulk: a source replacing half the table → COW merge (hull-pruned rewrite)
+    val bulk = (0L until 400L).map(k => k -> s"bulk$k").toDF("id", "v")
+    val (mode2, (u2, i2)) = t.mergeRouted(bulk, Seq("id"))
+    assert(mode2 === "cow" && u2 === 400L && i2 === 0L, s"($mode2, $u2, $i2)")
+    assert(t.read().where("v like 'bulk%'").count() === 400L)
+    assert(t.read().count() === 801L)
+    // empty source: no commit
+    val snaps = t.snapshots().size
+    val (mode3, _) = t.mergeRouted(Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    assert(mode3 === "noop")
+    assert(t.snapshots().size === snaps)
+  }
+
   test("reserved note tokens are rejected at every caller entry point") {
     // ADVICE r11 #1 (high): a caller note carrying merged=/seq=/eqdel=
     // would silently supersede or re-sequence delete sidecars
     val t = eightFiles("mor-notes")
-    for (bad <- Seq("merged=2", "seq=1", "eqdel=id", "batch=7 merged=2,3")) {
+    for (bad <- Seq("merged=2", "seq=1", "eqdel=id", "posdel=1", "batch=7 merged=2,3")) {
       val e1 = intercept[IllegalArgumentException] {
         t.append(Seq((9999L, "x")).toDF("id", "v"), note = Some(bad))
       }
@@ -662,7 +784,7 @@ class MorDmlSpec extends SparkSpec {
       sortBy = Seq("id"))
     var nextKey = 200L
     for (_ <- 0 until 30) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 => // append a few fresh (or re-used) keys
           val ks = Seq.fill(1 + rnd.nextInt(3)) {
             if (rnd.nextBoolean() || nextKey >= 260) rnd.nextLong(nextKey)
@@ -704,6 +826,23 @@ class MorDmlSpec extends SparkSpec {
             col("id") >= lit(lo) && col("id") <= lit(hi))
           assert(n === model.keys.count(k => k >= lo && k <= hi).toLong,
             s"positional-delete count must equal live keys in [$lo, $hi]")
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 6 => // positional UPDATE over a random key range (keyless route)
+          val lo = rnd.nextLong(nextKey)
+          val hi = lo + rnd.nextInt(10)
+          val (n, _) = t.updateWherePositional(
+            col("id") >= lit(lo) && col("id") <= lit(hi),
+            Map("v" -> concat(lit("p"), col("id"))))
+          val hits = model.keys.filter(k => k >= lo && k <= hi)
+          assert(n === hits.size.toLong,
+            s"positional-update count must equal live keys in [$lo, $hi]")
+          model ++= hits.map(k => k -> s"p$k")
+        case 7 => // cost-routed DELETE: whichever mode, state must match
+          val lo = rnd.nextLong(nextKey)
+          val hi = lo + rnd.nextInt(18)
+          val (_, n) = t.deleteRouted(col("id") >= lit(lo) && col("id") <= lit(hi))
+          assert(n === model.keys.count(k => k >= lo && k <= hi).toLong,
+            s"routed-delete count must equal live keys in [$lo, $hi]")
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
       }
     }

@@ -552,5 +552,22 @@ class ServicesSpec extends SparkSpec {
     assert(heavy.rowCountFromMetadata.contains(500L))
     // a second sweep is a no-op for all three
     assert(svc.sweep() === ((0, 0)))
+    // POSITIONAL-UPDATE trickle: six keyless mor commits — the minor fold
+    // cannot merge a mor's sidecar (its insert data shares the commit),
+    // so the sweep must ESCALATE to the major rewrite, not spin
+    val pupd = mk("pupd")
+    (1 to 6).foreach(i =>
+      assert(pupd.updateWherePositional(col("id") === lit(i * 70L),
+        Map("v" -> lit(s"u$i")))._1 === 1L))
+    assert(pupd.pendingDeleteBatches() === 6)
+    val (c2, _) = svc.sweep()
+    assert(c2 === 1)
+    assert(pupd.pendingDeleteBatches() === 0,
+      "mor sidecar pressure must escalate to the major rewrite")
+    assert(pupd.snapshots().map(_._2) === Seq("base"),
+      s"escalation must leave a pure base, got ${pupd.snapshots()}")
+    assert(pupd.read().count() === 800L)
+    assert(pupd.rowCountFromMetadata.contains(800L))
+    assert(pupd.read().where("v = 'u3'").count() === 1L)
   }
 }

@@ -813,6 +813,14 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((2L, "b", "delete"), (2L, "b2", "insert")))
     assert(cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") === Set.empty)
 
+    // a POSITIONAL update (keyless mor: sidecar + new rows in one commit)
+    // flows as the same delete(old)/insert(new) pair — identity columns
+    // never reach the feed schema
+    t.updateWherePositional(col("v") === lit("c"), Map("v" -> lit("c2")))
+    assert(cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") ===
+      Set((3L, "c", "delete"), (3L, "c2", "insert")))
+    assert(cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") === Set.empty)
+
     // the plain rows tail refuses a del snapshot exactly like a cow
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       tailOnce(s"$tmp/tbl", s"$tmp/ckpt-rows") // full load (ok)
