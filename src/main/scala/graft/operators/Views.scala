@@ -915,6 +915,73 @@ object Views {
       }
     },
 
+    // TAGS + BRANCHES through the correctness gate (the Iceberg
+    // branching model over the marker warehouse): a tag pins a named
+    // state (REQUIREd to survive compact + expire while live — the
+    // retention pin), a branch takes WAP-staged commits invisible to
+    // main (REQUIREd: main count unchanged, branch read = fork + its
+    // commits), and fast-forward publish is REQUIREd to be marker swaps
+    // only — the data file SET is identical before and after. Four
+    // stages hash against DuckDB composing the same slices.
+    "q138_branch_tag" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/branchtag"
+      try {
+        val tbl = new graft.warehouse.SnapshotTable(s, wh)
+        val proj = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        val maxKey = proj.agg(max($"o_orderkey")).head().getLong(0)
+        val cut = maxKey / 2
+        tbl.createOrReplace(proj.filter($"o_orderkey" <= lit(cut))
+          .repartitionByRange(4, $"o_orderkey"), sortBy = Seq("o_orderkey"))
+        tbl.createTag("v1")
+        tbl.append(proj.filter($"o_orderkey" > lit(cut)))
+        val mainCount = tbl.read().count()
+        tbl.createBranch("audit")
+        tbl.appendToBranch("audit", proj.filter($"o_orderkey" <= lit(50L))
+          .withColumn("o_orderstatus", lit("A")))
+        tbl.appendToBranch("audit", proj
+          .filter($"o_orderkey".between(51L, 100L))
+          .withColumn("o_orderstatus", lit("Z")))
+        require(tbl.read().count() == mainCount,
+          "q138: branch commits must be invisible to main")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"),
+              min($"o_orderkey").as("min_key"))
+        val preRows = agg(tbl.readTag("v1"), "tag_v1")
+          .unionByName(agg(tbl.readBranch("audit"), "branch_pre"))
+          .unionByName(agg(tbl.read(), "main_pre"))
+          .collect()
+        // fast-forward: the data file SET must be IDENTICAL (marker swaps)
+        def dataFiles(): Set[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          walk(new java.io.File(wh)).map(_.getPath)
+            .filter(_.endsWith(".parquet")).toSet
+        }
+        val filesBefore = dataFiles()
+        tbl.fastForwardBranch("audit")
+        require(dataFiles() == filesBefore,
+          "q138: fast-forward must be marker swaps only — same data file set")
+        // the live tag pins its chain across compact + expire
+        tbl.compact()
+        require(tbl.expireSnapshots(keepLast = 1).isEmpty,
+          "q138: a live tag must pin its chain against expiry")
+        val res = agg(tbl.readTag("v1"), "tag_after_expire")
+          .orderBy($"stage", $"o_orderstatus")
+        val rows = (preRows ++ agg(tbl.read(), "final").collect() ++ res.collect())
+          .sortBy(r => (r.getString(0), r.getString(1)))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1635,6 +1702,32 @@ object Views {
          FROM fin
          GROUP BY 1
          ORDER BY 1""",
+
+    "q138_branch_tag" ->
+      """WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS c FROM orders),
+         t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         lower_h AS (SELECT * FROM t0 WHERE o_orderkey <= (SELECT c FROM cut)),
+         s1 AS (SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus, o_totalprice
+                FROM t0 WHERE o_orderkey <= 50),
+         s2 AS (SELECT o_orderkey, o_custkey, 'Z' AS o_orderstatus, o_totalprice
+                FROM t0 WHERE o_orderkey BETWEEN 51 AND 100),
+         branched AS (SELECT * FROM t0
+                      UNION ALL SELECT * FROM s1
+                      UNION ALL SELECT * FROM s2),
+         stages AS (
+           SELECT 'tag_v1' AS stage, * FROM lower_h
+           UNION ALL SELECT 'tag_after_expire', * FROM lower_h
+           UNION ALL SELECT 'main_pre', * FROM t0
+           UNION ALL SELECT 'branch_pre', * FROM branched
+           UNION ALL SELECT 'final', * FROM branched)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     "q131_disjunct_read" ->
       """WITH lim AS (SELECT MAX(o_orderkey) - 150 AS hi FROM orders),

@@ -1040,6 +1040,167 @@ final class SnapshotTable(
     }
   }
 
+  // ---- named refs: TAGS and BRANCHES (the Iceberg branching model) ----
+  //
+  // A TAG is an immutable name for a snapshot — `readTag` is time travel
+  // by name, and [[expireSnapshots]] protects every tagged snapshot's
+  // chain, so a tag is also a RETENTION pin (Iceberg's tag-driven
+  // retention). A BRANCH is a named line of WAP-staged commits forked
+  // from a recorded snapshot: branch writes pay full data-write cost
+  // ONCE but stay invisible to every main read; `readBranch` sees
+  // fork-state + the branch's commits (true isolation — main commits
+  // after the fork do NOT leak in, unlike a bare `readStaged` audit);
+  // `fastForwardBranch` publishes the line onto main when main has not
+  // moved (marker swaps, zero data rewrites — Iceberg `fast_forward`),
+  // `rebaseBranch` re-applies it onto a moved head (Iceberg
+  // cherry-pick). Refs live as tiny files under `refs/` — they replicate
+  // with the table dir, so a failover secondary keeps every tag and
+  // branch (the BCDR property the reference's validation discipline
+  // needs: named audit states survive promotion).
+
+  private def refsDir: Path = new Path(root, "refs")
+  private def refFile(name: String): Path = new Path(refsDir, s"$name.ref")
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid ref name '$name': use letters, digits, '_', '-', '.'")
+
+  /** Every named ref: (name, kind ∈ {tag, branch}, snapshot id). A
+    * branch's id is its FORK point; its commits are the WAP stages under
+    * `branch:<name>`. */
+  def refs(): Seq[(String, String, Long)] =
+    if (!fs.exists(refsDir)) Seq.empty
+    else {
+      val it = fs.listStatus(refsDir).toSeq.filter(_.getPath.getName.endsWith(".ref"))
+      it.map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        val f = txt.split('|')
+        (st.getPath.getName.stripSuffix(".ref"), f(0), f(1).toLong)
+      }.sortBy(_._1)
+    }
+
+  private def refOf(name: String): Option[(String, Long)] =
+    refs().find(_._1 == name).map(r => (r._2, r._3))
+
+  private def writeRef(name: String, kind: String, id: Long): Unit = {
+    val out = fs.create(refFile(name), true)
+    try out.write(s"$kind|$id|${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** CREATE TAG: an immutable name for snapshot `atId` (default: the
+    * current head). The tagged chain is protected from
+    * [[expireSnapshots]] until the tag is dropped. */
+  def createTag(name: String, atId: Option[Long] = None): Long = withCommitLock {
+    writeGuard()
+    requireRefName(name)
+    require(refOf(name).isEmpty, s"ref '$name' already exists at $root")
+    val id = atId.getOrElse(currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"tag on non-existent table at $root")))
+    require(metas().exists(_.id == id), s"no snapshot $id to tag at $root")
+    writeRef(name, "tag", id)
+    id
+  }
+
+  /** Time travel by tag name. */
+  def readTag(name: String): DataFrame = refOf(name) match {
+    case Some(("tag", id)) => asOf(id)
+    case Some((k, _)) => throw new IllegalArgumentException(
+      s"ref '$name' at $root is a $k, not a tag")
+    case None => throw new IllegalArgumentException(s"no tag '$name' at $root")
+  }
+
+  def dropTag(name: String): Unit = {
+    writeGuard()
+    refOf(name) match {
+      case Some(("tag", _)) => fs.delete(refFile(name), false)
+      case Some((k, _)) => throw new IllegalArgumentException(
+        s"ref '$name' at $root is a $k, not a tag")
+      case None => ()
+    }
+  }
+
+  private def branchWap(name: String): String = s"branch:$name"
+
+  /** CREATE BRANCH forked at `atId` (default: the current head). */
+  def createBranch(name: String, atId: Option[Long] = None): Long = withCommitLock {
+    writeGuard()
+    requireRefName(name)
+    require(refOf(name).isEmpty, s"ref '$name' already exists at $root")
+    val id = atId.getOrElse(currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"branch on non-existent table at $root")))
+    require(metas().exists(_.id == id), s"no snapshot $id to branch from at $root")
+    writeRef(name, "branch", id)
+    id
+  }
+
+  private def branchFork(name: String): Long = refOf(name) match {
+    case Some(("branch", id)) => id
+    case Some((k, _)) => throw new IllegalArgumentException(
+      s"ref '$name' at $root is a $k, not a branch")
+    case None => throw new IllegalArgumentException(s"no branch '$name' at $root")
+  }
+
+  /** Append to a branch: a WAP stage under the branch's audit id — full
+    * data write once, zero main-read visibility. */
+  def appendToBranch(name: String, df: DataFrame): Long = {
+    branchFork(name) // must exist
+    stageAppend(df, branchWap(name))
+  }
+
+  /** Branch state: the FORK snapshot plus the branch's staged commits in
+    * order. Main commits after the fork are invisible here (and branch
+    * commits are invisible to main) — the isolation a bare audit-read
+    * (`readStaged`, which unions onto the CURRENT head) does not give. */
+  def readBranch(name: String): DataFrame = {
+    val fork = branchFork(name)
+    stagedMetas().filter(_.note.contains(s"wap=${branchWap(name)}"))
+      .sortBy(_.id)
+      .map(m => spark.read.parquet(snapDir(m.id).toString))
+      .foldLeft(asOf(fork))(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Publish the branch onto main when main has NOT moved since the fork
+    * — pure marker swaps, zero data rewrites (Iceberg `fast_forward`).
+    * Throws if main moved; use [[rebaseBranch]] then. Returns the
+    * published snapshot ids; the ref is dropped. */
+  def fastForwardBranch(name: String): Seq[Long] = {
+    val fork = branchFork(name)
+    val head = currentSnapshotId.get
+    if (head != fork) throw new IllegalStateException(
+      s"main at $root moved since branch '$name' forked " +
+        s"($fork -> $head): fast-forward impossible, use rebaseBranch")
+    val ids = publishStaged(branchWap(name))
+    fs.delete(refFile(name), false)
+    ids
+  }
+
+  /** Re-apply the branch's commits onto the CURRENT head (Iceberg
+    * cherry-pick: fresh ids, data bytes never rewritten). The caller owns
+    * the judgment that the branch's rows still make sense on the moved
+    * head — appends compose; review interleaved DML first. */
+  def rebaseBranch(name: String): Seq[Long] = {
+    branchFork(name)
+    val ids = publishStaged(branchWap(name))
+    fs.delete(refFile(name), false)
+    ids
+  }
+
+  /** Discard the branch: staged data deleted, ref dropped, main untouched. */
+  def dropBranch(name: String): Unit = {
+    writeGuard()
+    refOf(name) match {
+      case Some(("branch", _)) =>
+        discardStaged(branchWap(name))
+        fs.delete(refFile(name), false)
+      case Some((k, _)) => throw new IllegalArgumentException(
+        s"ref '$name' at $root is a $k, not a branch")
+      case None => ()
+    }
+  }
+
   /** Table state at a snapshot: nearest base ≤ id, unioned with appends.
     * Snapshot dirs are read separately and unioned (each dir does its own
     * hive partition discovery — one multi-path read would reject the
@@ -2670,9 +2831,14 @@ final class SnapshotTable(
     writeGuard()
     val ms = metas()
     if (ms.size <= keepLast) return Seq.empty
+    // a named ref PINS its chain (Iceberg tag/branch retention): nothing
+    // a tag resolves through, or a branch forked from, may be reclaimed
+    // while the ref lives — dropping the ref releases the history
     val oldestRetained = ms.takeRight(keepLast).head
-    // everything strictly before the base that oldestRetained resolves from
-    val cut = ms.lastIndexWhere(m => m.kind == "base" && m.id <= oldestRetained.id)
+    val protectedId = (oldestRetained.id +: refs().map(_._3)).min
+    // everything strictly before the base that the oldest protected
+    // snapshot resolves from
+    val cut = ms.lastIndexWhere(m => m.kind == "base" && m.id <= protectedId)
     if (cut <= 0) return Seq.empty
     val expired = ms.take(cut)
     expired.foreach { m =>

@@ -823,4 +823,89 @@ class WarehouseSpec extends SparkSpec {
       s"append must skip claimed ids, landed at ${t.currentSnapshotId.get}")
     assert(t.read().count() == 2)
   }
+
+  test("tags: named time travel, immutable, expire-protected until dropped") {
+    val t = new SnapshotTable(spark, freshRoot("tags"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val v1 = t.createTag("v1")
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.createTag("v2")
+    assert(t.refs().map(r => (r._1, r._2)) == Seq(("v1", "tag"), ("v2", "tag")))
+    assert(t.readTag("v1").count() == 2)
+    assert(t.readTag("v2").count() == 3)
+    // immutable: re-tagging an existing name is rejected
+    intercept[IllegalArgumentException](t.createTag("v1"))
+    // retention pin: compact + expire must NOT reclaim the tagged chain
+    t.compact()
+    assert(t.expireSnapshots(keepLast = 1).isEmpty,
+      "a live tag must pin its chain against expiry")
+    assert(t.readTag("v1").count() == 2, "tagged state must survive expire")
+    // dropping the tags releases the history
+    t.dropTag("v1")
+    t.dropTag("v2")
+    assert(t.expireSnapshots(keepLast = 1).nonEmpty,
+      "dropped tags must release the chain for expiry")
+    assert(t.read().count() == 3)
+    intercept[IllegalArgumentException](t.readTag("v1"))
+  }
+
+  test("branches: isolated commits, fork-pinned reads, fast-forward publish") {
+    val t = new SnapshotTable(spark, freshRoot("branches"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq((3, "c")).toDF("id", "v"))
+    t.appendToBranch("audit", Seq((4, "d")).toDF("id", "v"))
+    // isolation both ways
+    assert(t.read().count() == 2, "branch commits must be invisible to main")
+    assert(t.snapshots().size == 1)
+    assert(t.readBranch("audit").count() == 4)
+    // duplicate name across kinds rejected
+    intercept[IllegalArgumentException](t.createTag("audit"))
+    // fast-forward: marker swaps only, branch ref dropped
+    val ids = t.fastForwardBranch("audit")
+    assert(ids.size == 2)
+    assert(t.read().count() == 4)
+    assert(t.snapshots().map(_._2) == Seq("base", "append", "append"))
+    assert(t.refs().isEmpty)
+    intercept[IllegalArgumentException](t.readBranch("audit"))
+  }
+
+  test("branches: fast-forward refuses a moved head; rebase re-applies; drop discards") {
+    val t = new SnapshotTable(spark, freshRoot("branches2"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    t.createBranch("b1")
+    t.appendToBranch("b1", Seq((2, "b")).toDF("id", "v"))
+    t.append(Seq((9, "z")).toDF("id", "v")) // main moves past the fork
+    // fork-pinned read: the interleaved main append must NOT leak in
+    assert(t.readBranch("b1").select("id").collect().map(_.getInt(0)).sorted
+      === Array(1, 2))
+    intercept[IllegalStateException](t.fastForwardBranch("b1"))
+    val ids = t.rebaseBranch("b1")
+    assert(ids.size == 1)
+    assert(t.read().select("id").collect().map(_.getInt(0)).sorted === Array(1, 2, 9))
+    // a discarded branch leaves no trace
+    t.createBranch("b2")
+    t.appendToBranch("b2", Seq((7, "q")).toDF("id", "v"))
+    t.dropBranch("b2")
+    assert(t.refs().isEmpty)
+    assert(t.stagedSnapshots().isEmpty, "discard must clean the staged data")
+    assert(t.read().count() == 3)
+    // a branch forked from an OLD snapshot pins it against expiry
+    val oldId = t.snapshots().head._1
+    t.createBranch("keeper", Some(oldId))
+    t.compact()
+    assert(t.expireSnapshots(keepLast = 1).isEmpty,
+      "a live branch fork must pin its chain against expiry")
+    t.dropBranch("keeper")
+    assert(t.expireSnapshots(keepLast = 1).nonEmpty)
+  }
+
+  test("refs: bad names rejected; refs ride replication (the BCDR property)") {
+    val t = new SnapshotTable(spark, freshRoot("refnames"))
+    t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    for (bad <- Seq("", "a|b", "a b", "a/b", "a,b"))
+      intercept[IllegalArgumentException](t.createTag(bad))
+    t.createTag("ok-v1.0_rc")
+    assert(t.refs().map(_._1) == Seq("ok-v1.0_rc"))
+  }
 }
