@@ -58,6 +58,96 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
 
   def refreshAll(): Int = groups.keys.map(refresh).sum
 
+  /** INCREMENTAL PHYSICAL replication of a group — the storage-level DR
+    * path, and the one that scales: where [[refresh]] logically rewrites
+    * each table's CURRENT state every cycle (cost ∝ table — a 100 TB
+    * table re-ships 100 TB every 10 minutes), this copies only the
+    * snapshot files the secondary is MISSING (cost ∝ delta: a 1 GB
+    * append cycle ships ~1 GB), and because the copy is verbatim the
+    * secondary keeps everything logical replication loses: full history
+    * (time travel + asOfTimestamp), tags and branches (`refs/` and WAP
+    * `.staged` markers ride along), pending MoR delete/positional
+    * sidecars, and IDENTICAL snapshot ids — so a checkpointed CDC
+    * consumer can resume against the promoted secondary exactly where it
+    * left off on the primary (the RPO property the reference's failover
+    * validation gates on).
+    *
+    * Commit-safe ordering, the same protocol local commits use: data
+    * dirs, sidecars and stats first, `.meta` markers LAST in ascending
+    * id order — a reader on the secondary always sees a prefix-
+    * consistent chain, never a marker without its data. Expiry follows:
+    * secondary entries the primary no longer has are deleted (markers
+    * first). Races with in-flight primary commits or expiry lose at most
+    * one cycle, never consistency. Returns files/dirs copied. */
+  def refreshPhysical(groupName: String): Int = {
+    val g = groups(groupName)
+    val wasReadOnly = secondary.readOnly
+    secondary.readOnly = false
+    try {
+      var copied = 0
+      for ((schema, t) <- g.tables) {
+        secondary.createSchema(schema)
+        copied += copyTableDelta(s"${primary.warehouse}/$schema/$t",
+          s"${secondary.warehouse}/$schema/$t")
+      }
+      if (g.includeViews) for (v <- primary.listViews()) {
+        secondary.createOrReplaceView(v.schema, v.name,
+          v.definition.replace(s"${primary.name}__", s"${secondary.name}__"))
+        copied += 1
+      }
+      lastRefresh(groupName) = System.currentTimeMillis()
+      copied
+    } finally secondary.readOnly = wasReadOnly
+  }
+
+  private def copyTableDelta(srcRoot: String, dstRoot: String): Int = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = primary.spark.sparkContext.hadoopConfiguration
+    val sp = new Path(srcRoot)
+    val dp = new Path(dstRoot)
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    if (!sfs.exists(sp)) return 0
+    dfs.mkdirs(dp)
+    def names(fs: org.apache.hadoop.fs.FileSystem, p: Path): Set[String] =
+      if (!fs.exists(p)) Set.empty else fs.listStatus(p).map(_.getPath.getName).toSet
+    // one listing per side; `.claim.` files are transient writer state
+    val src = names(sfs, sp).filterNot(_.contains(".claim."))
+    val dst = names(dfs, dp).filterNot(_.contains(".claim."))
+    var copied = 0
+    def copy(name: String): Unit =
+      try {
+        if (FileUtil.copy(sfs, new Path(sp, name), dfs, new Path(dp, name),
+            false, true, conf)) copied += 1
+      } catch { // expired/renamed on the primary mid-cycle: reconcile next cycle
+        case _: java.io.FileNotFoundException => ()
+      }
+    val fresh = (src -- dst - "refs").toSeq
+    val (metas, rest) = fresh.partition(_.endsWith(".meta"))
+    // 1. data, sidecars, stats, staged markers — invisible until their
+    //    marker lands
+    rest.sorted.foreach(copy)
+    // refs reconcile every cycle (tiny and mutable: tags drop, branches
+    // publish): replace wholesale, count only a first-time copy
+    if (src.contains("refs")) {
+      val had = dst.contains("refs")
+      if (had) dfs.delete(new Path(dp, "refs"), true)
+      copy("refs")
+      if (had) copied -= 1 // a re-sync, not new payload
+    } else if (dst.contains("refs")) dfs.delete(new Path(dp, "refs"), true)
+    // 2. markers last, ascending: every prefix is a consistent chain
+    metas.sorted.foreach(copy)
+    // 3. expiry follows: markers first (hide), then the data
+    val gone = (dst -- src - "refs").toSeq
+    gone.filter(_.endsWith(".meta")).sorted.foreach(n =>
+      dfs.delete(new Path(dp, n), false))
+    gone.filterNot(_.endsWith(".meta")).sorted.foreach(n =>
+      dfs.delete(new Path(dp, n), true))
+    copied
+  }
+
+  def refreshAllPhysical(): Int = groups.keys.map(refreshPhysical).sum
+
   /** Wire the replication cycle into the task scheduler at the reference's
     * 10-minute cadence (`scripts/20_failover_groups_primary.sql:113`
     * `REPLICATION_SCHEDULE = '10 MINUTE'`), with the same no-overlap and

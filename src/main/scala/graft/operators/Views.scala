@@ -982,6 +982,72 @@ object Views {
       }
     },
 
+    // INCREMENTAL PHYSICAL REPLICATION through the correctness gate: a
+    // primary takes MoR + positional + COW DML (pending sidecar debt of
+    // every kind), one physical refresh copies the DELTA verbatim, and
+    // the SECONDARY's read — interpreting the sidecars itself — plus its
+    // TIME TRAVEL to the pre-DML snapshot are hashed against DuckDB.
+    // REQUIREd: identical snapshot ids on both sides (the CDC-resume
+    // property), a one-append second cycle ships exactly 3 entries
+    // (dir + stats + marker — cost ∝ delta, never table), an idle cycle
+    // ships zero.
+    "q139_physical_replication" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/physrep-pri"
+      val whS = s"$base/physrep-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val tbl = pri.table("gate", "orders_p")
+        tbl.createOrReplace(
+          t(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val s0 = tbl.currentSnapshotId.get
+        // pending debt of every kind: equality sidecar, positional mor, cow
+        tbl.deleteByKeys(Seq("o_orderkey"), Seq(10L, 20L, 30L).toDF("o_orderkey"))
+        tbl.updateWherePositional($"o_custkey" % lit(89L) === lit(7L),
+          Map("o_totalprice" -> ($"o_totalprice" * lit(3.0))))
+        tbl.delete($"o_orderkey" < lit(100L))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "orders_p")), includeViews = false)
+        require(repl.refreshPhysical("core") > 0, "q139 first cycle must copy")
+        val mirror = sec.table("gate", "orders_p")
+        require(mirror.snapshots() == tbl.snapshots(),
+          "q139: snapshot ids must be IDENTICAL across the copy")
+        // delta-only: one append ships dir + stats + marker, idle ships zero
+        tbl.append(t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .filter($"o_orderkey" < lit(50L))
+          .withColumn("o_orderstatus", lit("R")))
+        val c2 = repl.refreshPhysical("core")
+        require(c2 == 3, s"q139 one-append cycle must ship 3 entries, shipped $c2")
+        require(repl.refreshPhysical("core") == 0, "q139 idle cycle must ship zero")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"),
+              min($"o_orderkey").as("min_key"))
+        val res = agg(mirror.read(), "secondary")
+          .unionByName(agg(mirror.asOf(s0), "sec_asof"))
+          .unionByName(agg(tbl.read(), "primary"))
+          .orderBy($"stage", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1720,6 +1786,31 @@ object Views {
            UNION ALL SELECT 'main_pre', * FROM t0
            UNION ALL SELECT 'branch_pre', * FROM branched
            UNION ALL SELECT 'final', * FROM branched)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q139_physical_replication" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         t1 AS (SELECT * FROM t0 WHERE o_orderkey NOT IN (10, 20, 30)),
+         t2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_custkey % 89 = 7 THEN o_totalprice * 3
+                            ELSE o_totalprice END AS o_totalprice
+                FROM t1),
+         t3 AS (SELECT * FROM t2 WHERE o_orderkey >= 100),
+         fin AS (SELECT * FROM t3
+                 UNION ALL
+                 SELECT o_orderkey, o_custkey, 'R', o_totalprice
+                 FROM t0 WHERE o_orderkey < 50),
+         stages AS (
+           SELECT 'primary' AS stage, * FROM fin
+           UNION ALL SELECT 'secondary', * FROM fin
+           UNION ALL SELECT 'sec_asof', * FROM t0)
          SELECT stage, o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,

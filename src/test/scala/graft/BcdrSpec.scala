@@ -109,4 +109,68 @@ class BcdrSpec extends SparkSpec {
       assert(repl.lagMs("core").exists(_ >= 0))
     } finally sched.shutdown()
   }
+
+  test("physical replication: delta-only, preserves history, refs, sidecars, and ids") {
+    val primary = new Catalog(spark, freshDir("pri-phy"), "pri")
+    val secondary = new Catalog(spark, freshDir("sec-phy"), "sec")
+    secondary.readOnly = true
+    primary.createSchema("adv")
+    val t = primary.table("adv", "orders_t")
+    t.createOrReplace(spark.range(0, 400).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id")))
+      .repartitionByRange(4, col("id")), sortBy = Seq("id"))
+    val s0 = t.currentSnapshotId.get
+    t.createTag("v1")
+    t.append(spark.range(400, 450).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id"))))
+    // PENDING MoR debt of both kinds: the secondary must interpret it
+    t.deleteByKeys(Seq("id"), Seq(5L, 6L).toDF("id"))
+    t.updateWherePositional(col("v") === lit("v10"), Map("v" -> lit("U10")))
+    // an unpublished branch rides along too
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq((900L, "b")).toDF("id", "v"))
+
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "orders_t")), includeViews = false)
+    val c1 = repl.refreshPhysical("core")
+    assert(c1 > 0)
+    assert(secondary.readOnly, "physical refresh must not unlock the secondary")
+    val st = secondary.table("adv", "orders_t")
+    // identical state THROUGH the pending sidecars, identical ids + history
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(st.read()) == rows(t.read()))
+    assert(!rows(st.read()).exists(_._1 == 5L))
+    assert(rows(st.read()).contains((10L, "U10")))
+    assert(st.snapshots() == t.snapshots(), "snapshot ids must be IDENTICAL")
+    assert(st.asOf(s0).count() == 400, "full history must survive the copy")
+    assert(st.readTag("v1").count() == 400, "tags must survive the copy")
+    assert(rows(st.readBranch("audit")).contains((900L, "b")),
+      "an unpublished branch must survive the copy")
+    // CDC resume: the same window answers identically on both sides
+    def cdc(x: graft.warehouse.SnapshotTable): Set[(Long, String, String)] = {
+      val cs = x.rowChangesBetween(s0, x.currentSnapshotId.get).get.df
+      cs.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change"))).toSet
+    }
+    assert(cdc(st) == cdc(t), "a checkpointed CDC consumer can fail over")
+    assert(repl.validate("core").select($"verdict").as[String].collect().toSet
+      == Set("MATCH"))
+    // DELTA-ONLY: one append ships dir + stats + marker, nothing else
+    t.append(Seq((950L, "x")).toDF("id", "v"))
+    val c2 = repl.refreshPhysical("core")
+    assert(c2 == 3, s"one append must ship 3 entries (dir, stats, meta): $c2")
+    assert(rows(st.read()).contains((950L, "x")))
+    // idle cycle ships NOTHING
+    assert(repl.refreshPhysical("core") == 0, "idle cycle must copy zero")
+    // expiry and ref drops follow
+    t.dropTag("v1")
+    t.dropBranch("audit")
+    t.compact()
+    t.expireSnapshots(keepLast = 1)
+    repl.refreshPhysical("core")
+    assert(st.snapshots() == t.snapshots(), "expiry must follow to the secondary")
+    assert(st.refs().isEmpty, "dropped refs must follow to the secondary")
+    assert(rows(st.read()) == rows(t.read()))
+  }
 }
