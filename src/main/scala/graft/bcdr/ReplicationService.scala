@@ -164,6 +164,19 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
     taskName
   }
 
+  /** [[scheduleRefresh]] for the PHYSICAL path — the cadence a 100 TB
+    * deployment actually runs: per-cycle cost ∝ committed delta. */
+  def schedulePhysicalRefresh(sched: graft.services.TaskScheduler,
+      everyMs: Long = 10 * 60 * 1000L,
+      taskName: String = "failover_group_physical_refresh"): String = {
+    sched.define(taskName) {
+      val n = refreshAllPhysical()
+      s"physically refreshed ${groups.size} group(s), $n entr(ies)"
+    }
+    sched.schedule(taskName, everyMs)
+    taskName
+  }
+
   /** Planned failover: promote secondary to primary (RTO < 5 min path). */
   def promote(): Unit = {
     secondary.readOnly = false

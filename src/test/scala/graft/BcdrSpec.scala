@@ -172,5 +172,14 @@ class BcdrSpec extends SparkSpec {
     assert(st.snapshots() == t.snapshots(), "expiry must follow to the secondary")
     assert(st.refs().isEmpty, "dropped refs must follow to the secondary")
     assert(rows(st.read()) == rows(t.read()))
+    // the physical path schedules like the logical one (no-overlap + history)
+    val sched = new graft.services.TaskScheduler
+    try {
+      t.append(Seq((960L, "y")).toDF("id", "v"))
+      val task = repl.schedulePhysicalRefresh(sched)
+      assert(sched.runOnce(task))
+      assert(sched.taskHistory().filter(_.task == task).forall(_.status == "SUCCEEDED"))
+      assert(rows(st.read()).contains((960L, "y")))
+    } finally sched.shutdown()
   }
 }
