@@ -192,6 +192,34 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
     * (`scripts/90_validation_queries.sql:149-168`). Counts come from
     * snapshot metadata — the 10-minute validation cycle must not scan
     * every replicated table (at 100 TB that IS the cluster's capacity). */
+  /** Metadata-EXACT validation for physically-replicated groups: the
+    * copy preserves snapshot ids, so both sides compare (head id, live
+    * marker count) directly — zero scan, zero count job, where
+    * [[validate]]'s row counts cost a metadata fold per side and can
+    * false-MATCH on equal counts with different rows. A lagging or
+    * partially-copied secondary shows a smaller head/marker set (the
+    * marker-last copy order makes every partial state a consistent
+    * prefix, so MISMATCH here means "behind", never "corrupt"). */
+  def validatePhysical(groupName: String): DataFrame = {
+    import primary.spark.implicits._
+    val g = groups(groupName)
+    val rows = g.tables.map { case (schema, t) =>
+      def state(c: Catalog): (Long, Int) = {
+        val tb = c.table(schema, t)
+        if (!tb.exists) (-1L, -1)
+        else (tb.currentSnapshotId.getOrElse(-1L), tb.snapshots().size)
+      }
+      val (ph, pn) = state(primary)
+      val (sh, sn) = state(secondary)
+      (s"$schema.$t", ph, pn, sh, sn)
+    }
+    rows.toDF("tbl", "head_primary", "n_snap_primary", "head_secondary", "n_snap_secondary")
+      .withColumn("verdict",
+        when(col("head_primary") === col("head_secondary") &&
+             col("n_snap_primary") === col("n_snap_secondary"), "MATCH")
+          .otherwise("MISMATCH"))
+  }
+
   def validate(groupName: String): DataFrame = {
     import primary.spark.implicits._
     val g = groups(groupName)

@@ -749,6 +749,44 @@ final class SnapshotTable(
     stale.size
   }
 
+  /** Iceberg `remove_orphan_files`: reclaim snapshot artifacts NO marker,
+    * stage, or claim references — debris from writers that crashed after
+    * materializing data but before (or while failing) their commit, which
+    * the inline sweeps ([[writeSnapshotData]]'s retry sweep,
+    * [[sweepStaleClaims]]) only catch when the same id is touched again.
+    * Metadata-only: one root listing, id-set membership, mtime grace.
+    * The `graceMs` window (default 24 h, Iceberg's `older_than` default)
+    * protects in-flight writers whose claim the listing raced; anything
+    * younger is left for the next sweep. Never touches committed
+    * snapshots, staged WAP batches, live claims, or `refs/`. Returns the
+    * reclaimed entry names. */
+  def removeOrphans(graceMs: Long = 24L * 3600 * 1000): Seq[String] = withCommitLock {
+    writeGuard()
+    val p = new Path(root)
+    if (!fs.exists(p)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    val live: Set[Long] =
+      (metas().map(_.id) ++ stagedIds() ++ claimedIds()).toSet
+    val entries = fs.listStatus(p).toSeq
+    val removed = Seq.newBuilder[String]
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      // candidate artifacts: snap-N dirs and snap-N.{delrows,stats,excl};
+      // markers (.meta/.staged) and claims ARE the reference set, refs/
+      // is the ref store — none of those are ever candidates
+      val isArtifact = n.startsWith("snap-") &&
+        !n.endsWith(".meta") && !n.endsWith(".staged") && !n.contains(".claim.")
+      if (isArtifact && st.getModificationTime < cutoff) {
+        val id = n.stripPrefix("snap-").takeWhile(_.isDigit).toLong
+        if (!live(id)) {
+          fs.delete(st.getPath, true)
+          removed += n
+        }
+      }
+    }
+    removed.result().sorted
+  }
+
   /** Write `df` as the data dir + stats sidecar for snapshot `id` (the
     * heavy half of a commit — shared by the normal commit path and WAP
     * staging, which differ only in which marker makes the data visible). */

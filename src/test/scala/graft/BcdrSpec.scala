@@ -181,5 +181,13 @@ class BcdrSpec extends SparkSpec {
       assert(sched.taskHistory().filter(_.task == task).forall(_.status == "SUCCEEDED"))
       assert(rows(st.read()).contains((960L, "y")))
     } finally sched.shutdown()
+    // metadata-exact validation: head ids + marker counts, zero scans
+    assert(repl.validatePhysical("core").select($"verdict").as[String]
+      .collect().toSet == Set("MATCH"))
+    t.append(Seq((970L, "z")).toDF("id", "v"))
+    assert(repl.validatePhysical("core").filter($"verdict" === "MISMATCH").count() == 1,
+      "a lagging secondary must show MISMATCH on head ids")
+    repl.refreshPhysical("core")
+    assert(repl.validatePhysical("core").filter($"verdict" === "MISMATCH").count() == 0)
   }
 }

@@ -900,6 +900,41 @@ class WarehouseSpec extends SparkSpec {
     assert(t.expireSnapshots(keepLast = 1).nonEmpty)
   }
 
+  test("removeOrphans reclaims unreferenced artifacts past the grace window only") {
+    val t = new SnapshotTable(spark, freshRoot("orphans"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.createTag("keep")
+    val fs = new org.apache.hadoop.fs.Path(t.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate crashed-writer debris: a dataless artifact set with no
+    // marker, stage, or claim — one OLD (reclaimable), one YOUNG (spared)
+    def orphan(id: Int, ageMs: Long): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(t.root, f"snap-$id%05d")
+      fs.mkdirs(dir)
+      val f = new org.apache.hadoop.fs.Path(dir, "part-000.parquet")
+      val o = fs.create(f); o.write(Array[Byte](1)); o.close()
+      val st = new org.apache.hadoop.fs.Path(t.root, f"snap-$id%05d.stats")
+      val o2 = fs.create(st); o2.write(Array[Byte](1)); o2.close()
+      val ts = System.currentTimeMillis() - ageMs
+      fs.setTimes(dir, ts, ts)
+      fs.setTimes(st, ts, ts)
+    }
+    orphan(90, 48L * 3600 * 1000)
+    orphan(91, 0)
+    val before = t.read().collect().toSet
+    val removed = t.removeOrphans()
+    assert(removed == Seq("snap-00090", "snap-00090.stats"),
+      s"only the aged orphan set is reclaimed: $removed")
+    assert(t.read().collect().toSet == before, "committed data untouched")
+    assert(t.readTag("keep").count() == 3, "refs untouched")
+    assert(t.snapshots().size == 2)
+    // the young orphan ages out and the next sweep takes it
+    assert(t.removeOrphans(graceMs = -1) ==
+      Seq("snap-00091", "snap-00091.stats"))
+    assert(t.removeOrphans(graceMs = -1).isEmpty, "idempotent once clean")
+  }
+
   test("refs: bad names rejected; refs ride replication (the BCDR property)") {
     val t = new SnapshotTable(spark, freshRoot("refnames"))
     t.createOrReplace(Seq((1, "a")).toDF("id", "v"))
