@@ -79,7 +79,26 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
     * secondary entries the primary no longer has are deleted (markers
     * first). Races with in-flight primary commits or expiry lose at most
     * one cycle, never consistency. Returns files/dirs copied. */
-  def refreshPhysical(groupName: String): Int = {
+  def refreshPhysical(groupName: String): Int =
+    refreshPhysicalAt(groupName, recordHeads(groupName))
+
+  /** The group's per-table head ids RIGHT NOW — the point-in-time cut a
+    * consistent cycle replicates to. One marker listing per table. */
+  def recordHeads(groupName: String): Map[(String, String), Long] =
+    groups(groupName).tables.map { case (schema, t) =>
+      (schema, t) -> primary.table(schema, t).currentSnapshotId.getOrElse(-1L)
+    }.toMap
+
+  /** [[refreshPhysical]] against an explicit head cut: every table copies
+    * only markers AT OR BELOW its recorded head, so the secondary lands
+    * on ONE cross-table-consistent point in time even while primary
+    * writers keep committing mid-cycle — the Snowflake failover-group
+    * guarantee (a promoted secondary never sees table B's 10:07 state
+    * next to table A's 10:02 state). Commits past the cut may have their
+    * DATA copied early (invisible without markers); the next cycle ships
+    * their markers. */
+  def refreshPhysicalAt(groupName: String,
+                        heads: Map[(String, String), Long]): Int = {
     val g = groups(groupName)
     val wasReadOnly = secondary.readOnly
     secondary.readOnly = false
@@ -88,7 +107,8 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
       for ((schema, t) <- g.tables) {
         secondary.createSchema(schema)
         copied += copyTableDelta(s"${primary.warehouse}/$schema/$t",
-          s"${secondary.warehouse}/$schema/$t")
+          s"${secondary.warehouse}/$schema/$t",
+          heads.getOrElse((schema, t), Long.MaxValue))
       }
       if (g.includeViews) for (v <- primary.listViews()) {
         secondary.createOrReplaceView(v.schema, v.name,
@@ -100,7 +120,8 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
     } finally secondary.readOnly = wasReadOnly
   }
 
-  private def copyTableDelta(srcRoot: String, dstRoot: String): Int = {
+  private def copyTableDelta(srcRoot: String, dstRoot: String,
+                             maxMetaId: Long = Long.MaxValue): Int = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = primary.spark.sparkContext.hadoopConfiguration
     val sp = new Path(srcRoot)
@@ -135,8 +156,12 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
       copy("refs")
       if (had) copied -= 1 // a re-sync, not new payload
     } else if (dst.contains("refs")) dfs.delete(new Path(dp, "refs"), true)
-    // 2. markers last, ascending: every prefix is a consistent chain
-    metas.sorted.foreach(copy)
+    // 2. markers last, ascending, only up to the consistency cut: every
+    //    prefix is a consistent chain AND the cycle lands on one
+    //    cross-table point in time
+    def metaId(n: String): Long =
+      n.stripPrefix("snap-").takeWhile(_.isDigit).toLong
+    metas.filter(metaId(_) <= maxMetaId).sorted.foreach(copy)
     // 3. expiry follows: markers first (hide), then the data
     val gone = (dst -- src - "refs").toSeq
     gone.filter(_.endsWith(".meta")).sorted.foreach(n =>

@@ -190,4 +190,33 @@ class BcdrSpec extends SparkSpec {
     repl.refreshPhysical("core")
     assert(repl.validatePhysical("core").filter($"verdict" === "MISMATCH").count() == 0)
   }
+
+  test("physical replication lands on ONE cross-table-consistent cut") {
+    // the Snowflake failover-group guarantee: a cycle racing live
+    // writers must never leave table A at 10:07 next to table B at 10:02
+    val primary = new Catalog(spark, freshDir("pri-cut"), "pri")
+    val secondary = new Catalog(spark, freshDir("sec-cut"), "sec")
+    primary.createSchema("adv")
+    val a = primary.table("adv", "a_t")
+    val b = primary.table("adv", "b_t")
+    a.createOrReplace(Seq((1L, "a1")).toDF("id", "v"))
+    b.createOrReplace(Seq((1L, "b1")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "a_t"), ("adv", "b_t")), includeViews = false)
+    repl.refreshPhysical("core")
+    // a cycle whose cut was recorded BEFORE these commits must ship
+    // NEITHER — even though both are on disk while it copies
+    val cut = repl.recordHeads("core")
+    a.append(Seq((2L, "a2")).toDF("id", "v"))
+    b.append(Seq((2L, "b2")).toDF("id", "v"))
+    repl.refreshPhysicalAt("core", cut)
+    val sa = secondary.table("adv", "a_t")
+    val sb = secondary.table("adv", "b_t")
+    assert(sa.read().count() == 1 && sb.read().count() == 1,
+      "commits past the recorded cut must not be visible on the secondary")
+    // the next ordinary cycle ships the markers (data may already be there)
+    repl.refreshPhysical("core")
+    assert(sa.read().count() == 2 && sb.read().count() == 2)
+    assert(repl.validatePhysical("core").filter(col("verdict") === "MISMATCH").count() == 0)
+  }
 }
