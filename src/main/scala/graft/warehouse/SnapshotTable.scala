@@ -1204,7 +1204,10 @@ final class SnapshotTable(
     * — pure marker swaps, zero data rewrites (Iceberg `fast_forward`).
     * Throws if main moved; use [[rebaseBranch]] then. Returns the
     * published snapshot ids; the ref is dropped. */
-  def fastForwardBranch(name: String): Seq[Long] = {
+  def fastForwardBranch(name: String): Seq[Long] = withCommitLock {
+    // head check and publish under ONE lock hold (reentrant) — a commit
+    // interleaving between them would silently turn the fast-forward
+    // into a rebase
     val fork = branchFork(name)
     val head = currentSnapshotId.get
     if (head != fork) throw new IllegalStateException(

@@ -191,6 +191,51 @@ class BcdrSpec extends SparkSpec {
     assert(repl.validatePhysical("core").filter($"verdict" === "MISMATCH").count() == 0)
   }
 
+  test("a checkpointed CDC consumer FAILS OVER to the secondary mid-stream") {
+    // the RPO payoff of id-identical physical copies: the consumer's
+    // checkpoint stores snapshot-id offsets, which stay valid against
+    // the promoted secondary — resume delivers exactly the missed delta
+    val primary = new Catalog(spark, freshDir("pri-cdc"), "pri")
+    val secondary = new Catalog(spark, freshDir("sec-cdc"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "feed_t")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val ckpt = freshDir("ckpt")
+    def cdcOnce(root: String): Set[(Long, String, String)] = {
+      val buf = scala.collection.mutable.Set.empty[(Long, String, String)]
+      val q = graft.streaming.SnapshotStream.readChanges(spark, root)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          buf.synchronized {
+            buf ++= batch.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getString(2)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSet)
+    }
+    // consume the initial load from the PRIMARY
+    assert(cdcOnce(t.root).map(_._3) == Set("insert"))
+    // DML lands, replication copies it, then the primary "fails"
+    t.deleteByKeys(Seq("id"), Seq(1L).toDF("id"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "feed_t")), includeViews = false)
+    repl.refreshPhysical("core")
+    repl.promote()
+    // SAME checkpoint, SECONDARY root: exactly the missed delta arrives
+    val st = secondary.table("adv", "feed_t")
+    assert(cdcOnce(st.root) ==
+      Set((1L, "a", "delete"), (3L, "c", "insert")),
+      "the checkpointed consumer must resume against the secondary")
+    // and it keeps tailing new post-failover commits
+    st.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(cdcOnce(st.root) == Set((4L, "d", "insert")))
+  }
+
   test("physical replication lands on ONE cross-table-consistent cut") {
     // the Snowflake failover-group guarantee: a cycle racing live
     // writers must never leave table A at 10:07 next to table B at 10:02
