@@ -121,7 +121,8 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
   }
 
   private def copyTableDelta(srcRoot: String, dstRoot: String,
-                             maxMetaId: Long = Long.MaxValue): Int = {
+                             maxMetaId: Long = Long.MaxValue,
+                             rewind: Boolean = false): Int = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = primary.spark.sparkContext.hadoopConfiguration
     val sp = new Path(srcRoot)
@@ -134,7 +135,55 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
       if (!fs.exists(p)) Set.empty else fs.listStatus(p).map(_.getPath.getName).toSet
     // one listing per side; `.claim.` files are transient writer state
     val src = names(sfs, sp).filterNot(_.contains(".claim."))
-    val dst = names(dfs, dp).filterNot(_.contains(".claim."))
+    var dst = names(dfs, dp).filterNot(_.contains(".claim."))
+    if (rewind) {
+      // DIVERGENCE TRUNCATION (the pg_rewind step a failback needs): the
+      // destination is a FORMER primary whose unreplicated commits can
+      // share snapshot ids with the source's independent commits — a
+      // name-based delta would silently interleave the two timelines
+      // (same-named markers/dirs with different bytes never enter the
+      // src -- dst fresh set). Snapshot chains are sequential and the
+      // replicated prefix is verbatim-identical, so agreement at id K
+      // (marker bytes AND data-file names — part files carry write
+      // UUIDs, so independent same-id commits can't collide) implies
+      // the whole chain below K is shared. Walk the common ids DOWN
+      // from the top and stop at the first agreeing id: the divergent
+      // suffix is bounded by the RPO window, so this is O(lost commits)
+      // marker reads, never O(history). Everything above the fork on
+      // the destination — the lost writes — is discarded, exactly like
+      // engine failback discards them.
+      def idOf(n: String): Option[Long] = {
+        val d = n.stripPrefix("snap-").takeWhile(_.isDigit)
+        if (n.startsWith("snap-") && d.nonEmpty) Some(d.toLong) else None
+      }
+      def bytes(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[Byte] = {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        buf.toSeq
+      }
+      def agreeAt(id: Long): Boolean = {
+        val m = f"snap-$id%05d.meta"
+        bytes(sfs, new Path(sp, m)) == bytes(dfs, new Path(dp, m)) && {
+          val dirN = f"snap-$id%05d"
+          val sHas = src.contains(dirN); val dHas = dst.contains(dirN)
+          sHas == dHas &&
+            (!sHas || names(sfs, new Path(sp, dirN)) == names(dfs, new Path(dp, dirN)))
+        }
+      }
+      def metaIds(s: Set[String]): Set[Long] =
+        s.filter(_.endsWith(".meta")).flatMap(idOf)
+      val common = (metaIds(src) & metaIds(dst)).toSeq.sorted
+      val fork = common.reverse.find(agreeAt).getOrElse(-1L)
+      val doomed = dst.filter(n => idOf(n).exists(_ > fork))
+      // markers first (hide), then data — the expiry discipline
+      doomed.filter(_.endsWith(".meta")).toSeq.sorted.foreach(n =>
+        dfs.delete(new Path(dp, n), false))
+      doomed.filterNot(_.endsWith(".meta")).toSeq.sorted.foreach(n =>
+        dfs.delete(new Path(dp, n), true))
+      dst = dst -- doomed
+    }
     var copied = 0
     def copy(name: String): Unit =
       try {
@@ -206,6 +255,57 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
   def promote(): Unit = {
     secondary.readOnly = false
     primary.readOnly = true
+  }
+
+  /** FAILBACK: re-synchronise the OLD primary from the promoted
+    * secondary after a disaster failover — the reverse-direction
+    * physical cycle plus divergence truncation
+    * (`scripts/21_failover_groups_secondary.sql:254-260`, the drill's
+    * return leg). Commits the old primary took past the last replicated
+    * cut — the RPO-lost writes — are DISCARDED, including ones whose
+    * snapshot ids collide with the new primary's independent commits
+    * (same-named markers with different bytes, which a plain delta copy
+    * would silently leave interleaved): [[copyTableDelta]]'s rewind
+    * pass finds the fork by content and truncates the suffix above it,
+    * then the ordinary delta ships the new primary's commits. The cut
+    * is recorded on the NEW primary first, so the old primary lands on
+    * one cross-table-consistent point in time like any cycle. Ids come
+    * back IDENTICAL, so checkpointed consumers moved during failover
+    * can move back. Roles do not flip — run failback cycles until lag
+    * is zero, then [[promote]] on the [[reversed]] service (or swap
+    * roles at the caller) to complete the drill. Returns entries
+    * copied; an idle failback returns 0. */
+  def failback(groupName: String): Int = {
+    val g = groups(groupName)
+    val heads = g.tables.map { case (schema, t) =>
+      (schema, t) -> secondary.table(schema, t).currentSnapshotId.getOrElse(-1L)
+    }.toMap
+    val wasReadOnly = primary.readOnly
+    primary.readOnly = false
+    try {
+      var copied = 0
+      for ((schema, t) <- g.tables) {
+        primary.createSchema(schema)
+        copied += copyTableDelta(s"${secondary.warehouse}/$schema/$t",
+          s"${primary.warehouse}/$schema/$t",
+          heads.getOrElse((schema, t), Long.MaxValue), rewind = true)
+      }
+      if (g.includeViews) for (v <- secondary.listViews()) {
+        primary.createOrReplaceView(v.schema, v.name,
+          v.definition.replace(s"${secondary.name}__", s"${primary.name}__"))
+        copied += 1
+      }
+      copied
+    } finally primary.readOnly = wasReadOnly
+  }
+
+  /** The same failover groups with the roles swapped — the ongoing
+    * reverse-replication service a completed failover runs (the old
+    * primary tracks the new one until a planned fail-forward). */
+  def reversed: ReplicationService = {
+    val r = new ReplicationService(secondary, primary)
+    groups.values.foreach(g => r.createGroup(g.name, g.tables, g.includeViews))
+    r
   }
 
   /** Replication lag per group (the ~10 min RPO check). */

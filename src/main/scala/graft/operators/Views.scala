@@ -1048,6 +1048,77 @@ object Views {
       }
     },
 
+    // FAILBACK through the correctness gate — the DR drill's return leg.
+    // A replicated primary takes one more append that never ships (the
+    // RPO-lost write), the secondary is promoted and commits its OWN
+    // timeline — REQUIREd to reuse the lost write's snapshot id, the
+    // exact collision a name-based delta copy would silently interleave
+    // — then `failback` must find the fork by content, DISCARD the lost
+    // write, and re-sync the old primary to id-identical state shipping
+    // ONLY the new timeline's suffix. The divergent pre-failback read,
+    // both sides' post-failback reads, and the old primary's time travel
+    // are all hashed against DuckDB replaying the surviving statements.
+    "q140_failback" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/failback-pri"
+      val whS = s"$base/failback-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val tbl = pri.table("gate", "orders_f")
+        def proj = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        tbl.createOrReplace(proj.repartitionByRange(8, $"o_orderkey"),
+          sortBy = Seq("o_orderkey"))
+        val s0 = tbl.currentSnapshotId.get
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "orders_f")), includeViews = false)
+        require(repl.refreshPhysical("core") > 0, "q140 bootstrap cycle must copy")
+        // the RPO-lost write: lands on the primary, never replicates
+        tbl.append(proj.filter($"o_orderkey" < lit(40L))
+          .withColumn("o_orderstatus", lit("L")))
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              countDistinct($"o_custkey").as("n_custs"),
+              min($"o_orderkey").as("min_key"))
+        // materialize the divergent state NOW — failback will erase it
+        val divDf = agg(tbl.read(), "divergent")
+        val divRows = divDf.collect()
+        // disaster: promote; the new primary's independent timeline
+        repl.promote()
+        val newPri = sec.table("gate", "orders_f")
+        newPri.deleteByKeys(Seq("o_orderkey"), Seq(10L, 20L, 30L).toDF("o_orderkey"))
+        newPri.append(proj.filter($"o_orderkey" < lit(50L))
+          .withColumn("o_orderstatus", lit("R")))
+        require(tbl.currentSnapshotId.get == s0 + 1 &&
+            newPri.snapshots().map(_._1).contains(s0 + 1),
+          "q140 precondition: the lost write and the new timeline must collide on an id")
+        val n = repl.failback("core")
+        require(n == 6,
+          s"q140 failback must ship exactly the new timeline's suffix (6 entries), shipped $n")
+        require(repl.failback("core") == 0, "q140 idle failback must ship zero")
+        require(tbl.snapshots() == newPri.snapshots(),
+          "q140: snapshot ids must be IDENTICAL after failback")
+        val res = agg(tbl.read(), "failback")
+          .unionByName(agg(newPri.read(), "newpri"))
+          .unionByName(agg(tbl.asOf(s0), "fb_asof"))
+        val rows = divRows ++ res.collect()
+        val sortedRows = rows.sortBy(r => (r.getString(0), r.getString(1)))
+        s.createDataFrame(java.util.Arrays.asList(sortedRows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1811,6 +1882,30 @@ object Views {
            SELECT 'primary' AS stage, * FROM fin
            UNION ALL SELECT 'secondary', * FROM fin
            UNION ALL SELECT 'sec_asof', * FROM t0)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q140_failback" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         div AS (SELECT * FROM t0
+                 UNION ALL
+                 SELECT o_orderkey, o_custkey, 'L', o_totalprice
+                 FROM t0 WHERE o_orderkey < 40),
+         fin AS (SELECT * FROM t0 WHERE o_orderkey NOT IN (10, 20, 30)
+                 UNION ALL
+                 SELECT o_orderkey, o_custkey, 'R', o_totalprice
+                 FROM t0 WHERE o_orderkey < 50),
+         stages AS (
+           SELECT 'divergent' AS stage, * FROM div
+           UNION ALL SELECT 'failback', * FROM fin
+           UNION ALL SELECT 'newpri', * FROM fin
+           UNION ALL SELECT 'fb_asof', * FROM t0)
          SELECT stage, o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,

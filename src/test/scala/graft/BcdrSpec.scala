@@ -236,6 +236,50 @@ class BcdrSpec extends SparkSpec {
     assert(cdcOnce(st.root) == Set((4L, "d", "insert")))
   }
 
+  test("failback truncates the divergent timeline and re-syncs the old primary") {
+    // the drill's return leg: the old primary holds RPO-lost commits —
+    // one whose snapshot id COLLIDES with the new primary's independent
+    // timeline, one uncontested — and failback must discard both by
+    // content comparison, then ship only the new timeline's suffix
+    val primary = new Catalog(spark, freshDir("fb-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("fb-sec"), "sec")
+    primary.createSchema("adv")
+    val a = primary.table("adv", "t_a")
+    val b = primary.table("adv", "t_b")
+    a.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    b.createOrReplace(Seq((10L, "x")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "t_a"), ("adv", "t_b")),
+      includeViews = false)
+    repl.refreshPhysical("core")
+    // lost writes on BOTH tables, never replicated
+    a.append(Seq((3L, "lost")).toDF("id", "v"))
+    b.append(Seq((11L, "lost")).toDF("id", "v"))
+    repl.promote()
+    val sa = secondary.table("adv", "t_a")
+    sa.append(Seq((4L, "new")).toDF("id", "v")) // reuses a's lost id
+    assert(repl.failback("core") > 0)
+    val pa = primary.table("adv", "t_a")
+    val pb = primary.table("adv", "t_b")
+    assert(pa.snapshots() == sa.snapshots(),
+      "ids must be identical after failback")
+    assert(pb.snapshots() == secondary.table("adv", "t_b").snapshots())
+    assert(pa.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (4L, "new")),
+      "the colliding lost write must be replaced by the new timeline")
+    assert(pb.read().as[(Long, String)].collect().toSet == Set((10L, "x")),
+      "an uncontested lost write must also be discarded")
+    assert(repl.failback("core") == 0, "idle failback ships zero")
+    // ongoing reverse replication: the old primary tracks the new one
+    val rev = repl.reversed
+    sa.append(Seq((5L, "after")).toDF("id", "v"))
+    assert(rev.refreshPhysical("core") == 3,
+      "a one-append reverse cycle ships dir + stats + marker")
+    assert(pa.read().count() == 4)
+    assert(rev.validatePhysical("core")
+      .filter($"verdict" === "MISMATCH").count() == 0)
+  }
+
   test("physical replication lands on ONE cross-table-consistent cut") {
     // the Snowflake failover-group guarantee: a cycle racing live
     // writers must never leave table A at 10:07 next to table B at 10:02
