@@ -112,6 +112,19 @@ object BcdrDemo {
     println(s"  post-promotion appended rows visible: $newRows (P6 LIKE probe)")
     println(s"  snapshot history: ${secondary.table("adv", "campaigns").snapshots()}")
 
+    banner("10. failback: truncate the old primary's divergence, re-sync, validate")
+    // the logical copy gave the old primary its own snapshot ids, so the
+    // rewind treats its whole chain as divergent and re-ships verbatim —
+    // after this the sides are id-identical and physical cycles take over
+    val shipped = repl.failback("core")
+    println(s"  entries shipped=$shipped")
+    val backRows = primary.table("adv", "campaigns").read()
+      .filter(col("campaign_id").like("CMP-NEW-%")).count()
+    println(s"  post-promotion rows now on old primary: $backRows")
+    println(s"  ids identical: ${primary.table("adv", "campaigns").snapshots() ==
+      secondary.table("adv", "campaigns").snapshots()}")
+    repl.reversed.validatePhysical("core").show(truncate = false)
+
     println("\nBCDR demo complete.")
     spark.stop()
   }
