@@ -58,6 +58,61 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
 
   def refreshAll(): Int = groups.keys.map(refresh).sum
 
+  private val lastShipped = mutable.Map.empty[(String, String, String), Long]
+
+  /** Incremental LOGICAL replication: ships each member table's
+    * row-level net changes since the last shipped snapshot
+    * (`rowChangesBetween`) and applies them on the secondary through the
+    * idempotent CDC consumer (`applyChanges` — one atomic `mor` commit
+    * per window, never a data-file rewrite). Per-cycle cost ∝ change
+    * like [[refreshPhysical]], but where the physical path clones the
+    * primary's chain verbatim, here the secondary keeps its OWN snapshot
+    * chain and physical layout — the cross-engine replication shape (the
+    * reference's failover groups refresh Snowflake tables from Iceberg
+    * deltas exactly this way), and the secondary is free to compact,
+    * recluster, and expire on its own schedule without disturbing the
+    * feed. Needs the key columns updates are identified by. The first
+    * cycle — or a REPLACE on the primary, whose delta is not
+    * reconstructible from files — falls back to one full logical copy.
+    * Returns rows shipped (deletes + inserts; full copies count their
+    * rows), 0 when caught up. */
+  def refreshIncremental(groupName: String,
+                         keys: Map[(String, String), Seq[String]]): Long = {
+    val g = groups(groupName)
+    val wasReadOnly = secondary.readOnly
+    secondary.readOnly = false
+    try {
+      var shipped = 0L
+      for ((schema, t) <- g.tables) {
+        val pt = primary.table(schema, t)
+        val head = pt.currentSnapshotId.getOrElse(-1L)
+        val st = secondary.table(schema, t)
+        val k = (groupName, schema, t)
+        def fullCopy(): Unit = {
+          secondary.createSchema(schema)
+          st.createOrReplace(pt.read())
+          shipped += st.count()
+        }
+        lastShipped.get(k).filter(_ => st.exists) match {
+          case Some(off) if off == head => () // caught up: zero work
+          case Some(off) =>
+            pt.rowChangesBetween(off, head) match {
+              case Some(cs) if cs.df.isEmpty => () // e.g. compact-only range
+              case Some(cs) =>
+                val kc = keys.getOrElse((schema, t), throw new IllegalArgumentException(
+                  s"refreshIncremental needs key columns for $schema.$t"))
+                val (d, i) = st.applyChanges(cs.df, kc)
+                shipped += d + i
+              case None => fullCopy() // REPLACE on the primary
+            }
+          case None => fullCopy() // bootstrap
+        }
+        lastShipped(k) = head
+      }
+      shipped
+    } finally secondary.readOnly = wasReadOnly
+  }
+
   /** INCREMENTAL PHYSICAL replication of a group — the storage-level DR
     * path, and the one that scales: where [[refresh]] logically rewrites
     * each table's CURRENT state every cycle (cost ∝ table — a 100 TB

@@ -236,6 +236,45 @@ class BcdrSpec extends SparkSpec {
     assert(cdcOnce(st.root) == Set((4L, "d", "insert")))
   }
 
+  test("incremental logical replication ships deltas and survives a REPLACE") {
+    // the cross-engine shape: the secondary keeps its OWN chain and
+    // layout; each cycle lands the primary's net row changes as one
+    // atomic mor commit at cost-∝-change
+    val primary = new Catalog(spark, freshDir("ilr-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("ilr-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "inc_t")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "inc_t")), includeViews = false)
+    val keys = Map(("adv", "inc_t") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 3L, "bootstrap full copy")
+    val st = secondary.table("adv", "inc_t")
+    val mirrorBase = st.snapshots().size
+    // one window with every DML shape: append, MoR delete, atomic upsert
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.deleteByKeys(Seq("id"), Seq(1L).toDF("id"))
+    t.upsertByKeys(Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    // net: deletes {1:a, 2:b}, inserts {4:d, 2:B2, 5:e} = 5 rows shipped
+    assert(repl.refreshIncremental("core", keys) == 5L)
+    assert(st.read().as[(Long, String)].collect().toSet ==
+      Set((2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(st.snapshots().size == mirrorBase + 1 &&
+      st.snapshots().last._2 == "mor",
+      "one atomic mor commit per window, never a rewrite")
+    assert(repl.refreshIncremental("core", keys) == 0L, "caught up ships zero")
+    assert(st.snapshots().size == mirrorBase + 1, "caught up commits nothing")
+    // the secondary maintains ITSELF without disturbing the feed
+    st.compact()
+    t.append(Seq((6L, "f")).toDF("id", "v"))
+    assert(repl.refreshIncremental("core", keys) == 1L)
+    assert(st.read().count() == 5)
+    // REPLACE on the primary: delta not reconstructible → one full resync
+    t.createOrReplace(Seq((10L, "x")).toDF("id", "v"))
+    assert(repl.refreshIncremental("core", keys) == 1L)
+    assert(st.read().as[(Long, String)].collect().toSet == Set((10L, "x")))
+  }
+
   test("failback truncates the divergent timeline and re-syncs the old primary") {
     // the drill's return leg: the old primary holds RPO-lost commits —
     // one whose snapshot id COLLIDES with the new primary's independent
