@@ -306,6 +306,21 @@ final class ReplicationService(primary: Catalog, secondary: Catalog) {
     taskName
   }
 
+  /** [[scheduleRefresh]] for the INCREMENTAL logical path: every cycle
+    * ships only CDC deltas (cost ∝ change) while the secondary keeps its
+    * own chain and layout. Same no-overlap + TASK_HISTORY surface. */
+  def scheduleIncrementalRefresh(sched: graft.services.TaskScheduler,
+      keys: Map[(String, String), Seq[String]],
+      everyMs: Long = 10 * 60 * 1000L,
+      taskName: String = "failover_group_incremental_refresh"): String = {
+    sched.define(taskName) {
+      val n = groups.keys.map(refreshIncremental(_, keys)).sum
+      s"incrementally refreshed ${groups.size} group(s), $n row(s)"
+    }
+    sched.schedule(taskName, everyMs)
+    taskName
+  }
+
   /** Planned failover: promote secondary to primary (RTO < 5 min path). */
   def promote(): Unit = {
     secondary.readOnly = false

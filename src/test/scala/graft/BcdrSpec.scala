@@ -273,6 +273,17 @@ class BcdrSpec extends SparkSpec {
     t.createOrReplace(Seq((10L, "x")).toDF("id", "v"))
     assert(repl.refreshIncremental("core", keys) == 1L)
     assert(st.read().as[(Long, String)].collect().toSet == Set((10L, "x")))
+    // and the scheduled cadence drives it with task history
+    val sched = new graft.services.TaskScheduler
+    try {
+      t.append(Seq((11L, "y")).toDF("id", "v"))
+      val task = repl.scheduleIncrementalRefresh(sched, keys)
+      assert(sched.runOnce(task))
+      assert(sched.taskHistory().filter(_.task == task)
+        .forall(_.status == "SUCCEEDED"))
+      assert(st.read().as[(Long, String)].collect().toSet ==
+        Set((10L, "x"), (11L, "y")))
+    } finally sched.shutdown()
   }
 
   test("failback truncates the divergent timeline and re-syncs the old primary") {
