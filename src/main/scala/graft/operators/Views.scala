@@ -1119,6 +1119,93 @@ object Views {
       }
     },
 
+    // KEYLESS INCREMENTAL LOGICAL REPLICATION through the correctness
+    // gate (r12 verdict #3): a table with NO usable key — duplicate rows
+    // by construction — replicates incrementally through the POSITIONAL
+    // CDC consumer. REQUIREd: exact shipped-row counts per window (cost
+    // ∝ change, never table), exactly ONE atomic commit per window on
+    // the mirror and every post-bootstrap commit mor/pdel (zero data
+    // files rewritten), a replayed window refused whole under its note,
+    // and the primary/secondary MULTISETS identical both ways. The
+    // final grouped counts hash against DuckDB replaying the statements.
+    "q141_keyless_replication" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/keyless-pri"
+      val whS = s"$base/keyless-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val tbl = pri.table("gate", "clicks_k")
+        def proj(m: Int) = t(s, dir, "orders")
+          .filter($"o_orderkey" % lit(3L) === lit(m.toLong))
+          .select($"o_orderstatus".as("st"), ($"o_custkey" % lit(50L)).as("bucket"))
+        tbl.createOrReplace(proj(0))
+        val k0 = tbl.count()
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "clicks_k")), includeViews = false)
+        require(repl.refreshIncremental("core") == k0,
+          "q141 bootstrap must full-copy the keyless table")
+        val mirror = sec.table("gate", "clicks_k")
+        val chain0 = mirror.snapshots().size
+        // window 1: keyless positional DELETE + disjoint append
+        val delB7 = tbl.read().filter($"bucket" === lit(7L)).count()
+        val h1a = tbl.currentSnapshotId.get
+        tbl.deleteWherePositional($"bucket" === lit(7L))
+        val k1 = proj(1).filter($"bucket" =!= lit(7L))
+        tbl.append(k1)
+        val h1b = tbl.currentSnapshotId.get
+        val s1 = repl.refreshIncremental("core")
+        require(s1 == delB7 + k1.count(),
+          s"q141 window 1 must ship exactly its net rows: $s1")
+        require(mirror.snapshots().size == chain0 + 1 &&
+            mirror.snapshots().last._2 == "mor",
+          "q141: one atomic mor commit per window on the mirror")
+        // window 2: cow DELETE + disjoint append
+        val delHi = tbl.read().filter($"bucket" >= lit(40L)).count()
+        tbl.delete($"bucket" >= lit(40L))
+        val k2 = proj(2).filter($"bucket" < lit(20L))
+        tbl.append(k2)
+        val s2 = repl.refreshIncremental("core")
+        require(s2 == delHi + k2.count(),
+          s"q141 window 2 must ship exactly its net rows: $s2")
+        // a replayed window is refused WHOLE under its note (unlock like
+        // the service's system channel — the refusal is the point)
+        sec.readOnly = false
+        try require(mirror.applyChangesPositional(
+            tbl.rowChangesBetween(h1a, h1b).get.df,
+            Some(s"cdcwin=${h1a}_$h1b")) == ((0L, 0L)),
+          "q141: a replayed window must be skipped")
+        finally sec.readOnly = true
+        require(repl.refreshIncremental("core") == 0L, "q141 caught up ships zero")
+        // the mirror never rewrites data: post-bootstrap commits mor/pdel
+        val kinds = mirror.snapshots().drop(chain0).map(_._2).toSet
+        require(kinds.subsetOf(Set("mor", "pdel")),
+          s"q141: mirror commits must be sidecar-only, saw $kinds")
+        // multiset equality both ways (duplicates included)
+        require(mirror.read().exceptAll(tbl.read()).isEmpty &&
+            tbl.read().exceptAll(mirror.read()).isEmpty,
+          "q141: primary and secondary multisets must be identical")
+        val res = mirror.read()
+          .groupBy(lit("secondary").as("stage"), $"st", $"bucket")
+          .agg(count(lit(1)).as("n"))
+          .unionByName(tbl.read()
+            .groupBy(lit("primary").as("stage"), $"st", $"bucket")
+            .agg(count(lit(1)).as("n")))
+          .orderBy($"stage", $"st", $"bucket")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -1914,6 +2001,23 @@ object Views {
          FROM stages
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+
+    "q141_keyless_replication" ->
+      """WITH k0 AS (SELECT o_orderstatus AS st, o_custkey % 50 AS bucket
+                     FROM orders WHERE o_orderkey % 3 = 0),
+         k1 AS (SELECT o_orderstatus AS st, o_custkey % 50 AS bucket
+                FROM orders WHERE o_orderkey % 3 = 1 AND o_custkey % 50 <> 7),
+         k2 AS (SELECT o_orderstatus AS st, o_custkey % 50 AS bucket
+                FROM orders WHERE o_orderkey % 3 = 2 AND o_custkey % 50 < 20),
+         s1 AS (SELECT * FROM k0 WHERE bucket <> 7 UNION ALL SELECT * FROM k1),
+         fin AS (SELECT * FROM s1 WHERE bucket < 40 UNION ALL SELECT * FROM k2),
+         stages AS (
+           SELECT 'primary' AS stage, * FROM fin
+           UNION ALL SELECT 'secondary', * FROM fin)
+         SELECT stage, st, bucket, CAST(count(*) AS BIGINT) AS n
+         FROM stages
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
 
     "q131_disjunct_read" ->
       """WITH lim AS (SELECT MAX(o_orderkey) - 150 AS hi FROM orders),

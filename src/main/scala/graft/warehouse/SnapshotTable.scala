@@ -92,6 +92,17 @@ final class SnapshotTable(
       .sortBy(_.id)
   }
 
+  /** Whether a change window starting at `sinceId` is still fully
+    * reconstructible from the surviving marker chain: true when `sinceId`
+    * itself survives (expiry removes prefixes only, so everything after
+    * it survives too), or when the earliest survivor is the ADJACENT id
+    * (ids are claimed sequentially — nothing can have committed strictly
+    * between consecutive ids). Any other gap may hide an expired commit
+    * whose row changes are gone. */
+  private def contiguousFrom(all: Seq[SnapMeta], sinceId: Long): Boolean =
+    all.exists(_.id == sinceId) ||
+      all.headOption.map(_.id).contains(sinceId + 1)
+
   /** The data-bearing snapshots a read at `id` resolves to: nearest base
     * at-or-before `id` plus the appends after it, `spec` markers skipped
     * (they carry layout only, no data dir). */
@@ -777,10 +788,13 @@ final class SnapshotTable(
       val isArtifact = n.startsWith("snap-") &&
         !n.endsWith(".meta") && !n.endsWith(".staged") && !n.contains(".claim.")
       if (isArtifact && st.getModificationTime < cutoff) {
-        val id = n.stripPrefix("snap-").takeWhile(_.isDigit).toLong
-        if (!live(id)) {
-          fs.delete(st.getPath, true)
-          removed += n
+        // a stray non-numeric entry (`snap-backup`) must not abort the
+        // whole sweep — skip what doesn't parse (r12 ADVICE #4)
+        n.stripPrefix("snap-").takeWhile(_.isDigit).toLongOption match {
+          case Some(id) if !live(id) =>
+            fs.delete(st.getPath, true)
+            removed += n
+          case _ => ()
         }
       }
     }
@@ -1616,6 +1630,18 @@ final class SnapshotTable(
   def rowChangesBetween(sinceId: Long, endId: Long): Option[ChangeScan] = {
     import org.apache.spark.sql.functions.lit
     val all = metas()
+    // CONTIGUITY GUARD (r12 ADVICE #1): a consumer offset no longer in the
+    // chain means expiry truncated history PAST it — the commits between
+    // `sinceId` and the surviving base were folded into that base and
+    // their row changes are no longer reconstructible from files. A
+    // compact base is only transparent when the window's originals still
+    // exist; here they provably don't, so the feed must say "can't
+    // answer" (None → callers full-copy / rebuild) instead of silently
+    // shipping a window that skips the expired commits. The one safe
+    // exception: `sinceId + 1` IS the earliest survivor — ids are claimed
+    // sequentially, so nothing can have committed strictly between
+    // adjacent ids and the window loses nothing.
+    if (!contiguousFrom(all, sinceId)) return None
     val range = all.filter(m => m.id > sinceId && m.id <= endId)
     if (range.exists(m => m.kind == "base" && !m.note.contains("compact"))) return None
     // CDC always reads the ORIGINAL sidecars (on disk until expire) and
@@ -1744,7 +1770,18 @@ final class SnapshotTable(
     * 100 TB behind the current offset. */
   def appendsBetween(sinceId: Long, endId: Long,
                      ignoreReplaces: Boolean = false): DataFrame = {
-    val range = metas().filter(m => m.id > sinceId && m.id <= endId)
+    val all = metas()
+    // same contiguity guard as [[rowChangesBetween]]: an offset expiry
+    // truncated past means appends in the window were folded into the
+    // surviving base and physically deleted — not skippable even with
+    // `ignoreReplaces` (that flag skips REWRITES the tail tolerates, not
+    // appends it silently loses)
+    if (!contiguousFrom(all, sinceId))
+      throw new IllegalStateException(
+        s"snapshot history of $root was expired past a streaming tail's " +
+          s"offset $sinceId; appends in the expired window are not " +
+          "recoverable — restart from a fresh checkpoint")
+    val range = all.filter(m => m.id > sinceId && m.id <= endId)
     // a cow DML (file-pruned DELETE/UPDATE/MERGE) or a merge-on-read
     // delete/upsert removes or rewrites rows the tail may already have
     // emitted — refuse exactly like a REPLACE
@@ -2343,7 +2380,8 @@ final class SnapshotTable(
     * materialization runs outside the commit lock under a claimed id; a
     * commit landing meanwhile invalidates the matched positions, so the
     * attempt retries. Returns (rowsDeleted, the pruned scan plan). */
-  def deleteWherePositional(cond: org.apache.spark.sql.Column): (Long, ScanPlan) = {
+  def deleteWherePositional(cond: org.apache.spark.sql.Column,
+                            preMatched: Option[(Long, DataFrame)] = None): (Long, ScanPlan) = {
     writeGuard()
     require(exists, s"DML on non-existent table at $root")
     val alternatives = FilterRanges.extractAlternatives(cond)
@@ -2356,7 +2394,14 @@ final class SnapshotTable(
       val head = currentSnapshotId.get
       val plan = planFilesAny(alternatives)
       if (plan.filesKept == 0) return (0L, plan) // hull matches nothing
-      val matched = readPlanned(plan, keepPos = true).filter(cond)
+      // a router's probe already materialized the matched rows+positions
+      // at `h` — reuse them iff the head hasn't moved since (ids are
+      // monotonic, so a stale frame can never re-qualify); re-scan on any
+      // retry (r12 verdict: the probe and the route must share ONE scan)
+      val matched = preMatched match {
+        case Some((h, df)) if h == head => df
+        case _ => readPlanned(plan, keepPos = true).filter(cond)
+      }
       val id = withCommitLock {
         val i = claimId()
         try {
@@ -2413,7 +2458,8 @@ final class SnapshotTable(
     * the commit lock under a claimed id, optimistic-retried like every
     * MoR write. Returns (rowsUpdated, the pruned scan plan). */
   def updateWherePositional(cond: org.apache.spark.sql.Column,
-                            sets: Map[String, org.apache.spark.sql.Column]): (Long, ScanPlan) = {
+                            sets: Map[String, org.apache.spark.sql.Column],
+                            preMatched: Option[(Long, DataFrame)] = None): (Long, ScanPlan) = {
     writeGuard()
     require(exists, s"DML on non-existent table at $root")
     require(sets.nonEmpty, "positional update needs at least one SET column")
@@ -2429,7 +2475,12 @@ final class SnapshotTable(
       val head = currentSnapshotId.get
       val plan = planFilesAny(alternatives)
       if (plan.filesKept == 0) return (0L, plan) // hull matches nothing
-      val matched = readPlanned(plan, keepPos = true).filter(cond).persist()
+      // reuse a router probe's matched frame iff the head hasn't moved
+      // (see deleteWherePositional); a reused frame is the CALLER's cache
+      val (matched, ownCache) = preMatched match {
+        case Some((h, df)) if h == head => (df, false)
+        case _ => (readPlanned(plan, keepPos = true).filter(cond).persist(), true)
+      }
       val id = withCommitLock {
         val i = claimId()
         try {
@@ -2479,7 +2530,7 @@ final class SnapshotTable(
           } else cleanup() // head moved: matched positions are stale, retry
         }
       } catch { case e: Throwable => cleanup(); throw e }
-      finally matched.unpersist(blocking = false)
+      finally if (ownCache) matched.unpersist(blocking = false)
     }
     out.get
   }
@@ -2525,6 +2576,143 @@ final class SnapshotTable(
     (deleted, inserted)
   }
 
+  /** APPLY A CHANGE-FEED BATCH WITHOUT KEY COLUMNS (r12 verdict #3 — the
+    * keyless half of [[applyChanges]]): the batch's delete side names
+    * rows by VALUE, and a multiset-correct apply must remove exactly as
+    * many physical copies as the feed says — a whole-row equality delete
+    * would nuke every duplicate of a row the feed deleted once. The
+    * positional machinery is the substrate: the batch's per-value delete
+    * MULTIPLICITY caps a row_number over each matched duplicate group's
+    * (file, ordinal) positions, and ONE atomic commit publishes the
+    * positional sidecar + the insert rows together (the
+    * [[updateWherePositional]] shape — zero data files rewritten, reads
+    * fold it like any pdel, CDC re-emits it verbatim, compact folds it
+    * physically). The value-match scan is hull-pruned on EVERY column of
+    * the delete rows (a file outside any column's hull can't hold a
+    * victim), so cost stays ∝ touched files, never ∝ table.
+    *
+    * Replay: without keys, delete-before-insert cannot make a replay a
+    * no-op, so idempotence is NOTE-BASED like [[WarehouseIngest]]'s
+    * exactly-once ingest — pass the change window's identity as `note`;
+    * a batch whose note already sits on a committed marker is skipped
+    * whole. Returns (deletedRows, insertedRows). */
+  def applyChangesPositional(batch: DataFrame,
+                             note: Option[String] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    writeGuard()
+    require(exists, s"DML on non-existent table at $root")
+    require(batch.columns.contains("_change"),
+      "applyChangesPositional expects a _change-tagged CDC batch")
+    requireNoteSafe(note)
+    note.foreach { n => // an at-least-once feed replaying the window
+      if (commitNotes().exists(_._2.split(' ').contains(n))) return (0L, 0L)
+    }
+    val inserts = batch.filter(col("_change") === "insert").drop("_change").persist()
+    val deletes = batch.filter(col("_change") === "delete").drop("_change").persist()
+    try {
+      val delTotal = deletes.count()
+      val insTotal = inserts.count()
+      if (delTotal == 0 && insTotal == 0) return (0L, 0L)
+      val cols = deletes.columns.toSeq
+      // every-column hull of the doomed values — the keyless pruning
+      // stance (a victim must sit inside ALL of them)
+      val alternatives =
+        if (delTotal == 0) Seq.empty
+        else keyHullAlternatives(deletes, cols, delTotal)
+      var out: Option[(Long, Long)] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        attempts += 1
+        if (attempts > 50) throw new IllegalStateException(
+          s"keyless CDC apply on $root lost the commit race $attempts times — writer storm?")
+        val head = currentSnapshotId.get
+        val doomed: Option[DataFrame] =
+          if (delTotal == 0) None
+          else {
+            val plan = planFilesAny(alternatives)
+            if (plan.filesKept == 0) None
+            else {
+              val live = readPlanned(plan, keepPos = true).as("t")
+              val wanted = deletes.groupBy(cols.map(col): _*)
+                .agg(org.apache.spark.sql.functions.count(lit(1)).as("__want")).as("d")
+              // null-safe value match; per duplicate group, doom the first
+              // `__want` physical positions (total order: file, ordinal)
+              val joined = live.join(wanted,
+                cols.map(c => col(s"t.$c") <=> col(s"d.$c")).reduce(_ && _))
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(cols.map(c => col(s"t.$c")): _*)
+                .orderBy(col("__file"), col("__pos"))
+              Some(joined.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") <= col("__want"))
+                .select(cols.map(c => col(s"t.$c")) ++
+                  Seq(col("__file"), col("__pos")): _*))
+            }
+          }
+        val id = withCommitLock {
+          val i = claimId()
+          try {
+            if (fs.exists(snapDir(i)) && !fs.exists(metaFile(i))) {
+              fs.delete(snapDir(i), true); fs.delete(delRowsDir(i), true)
+            }
+            val line = s"mor||0||${esc("cdc-applying")}|${System.currentTimeMillis()}"
+            val o = fs.create(stagedFile(i))
+            try o.write(line.getBytes("UTF-8")) finally o.close()
+          } finally releaseClaim(i)
+          i
+        }
+        def cleanup(): Unit = {
+          fs.delete(snapDir(id), true)
+          fs.delete(delRowsDir(id), true)
+          fs.delete(statsFile(id), false)
+          fs.delete(exclFile(id), false)
+          fs.delete(stagedFile(id), false)
+        }
+        try {
+          val inserted = writeSnapshotData(inserts, id, partitionSpec(), sortSpec())
+          val replaced = doomed match {
+            case None => 0L
+            case Some(d) =>
+              d.write.mode(SaveMode.Overwrite).parquet(delRowsDir(id).toString)
+              footerWalk(delRowsDir(id))._1
+          }
+          if (replaced == 0L) fs.delete(delRowsDir(id), true)
+          withCommitLock {
+            if (currentSnapshotId.get == head) {
+              if (inserted == 0L && replaced == 0L) {
+                cleanup(); out = Some((0L, 0L)) // nothing to do
+              } else if (inserted == 0L) {
+                // delete-only window: one `pdel` commit, the sidecar IS
+                // the data dir (the deleteWherePositional shape)
+                fs.delete(snapDir(id), true)
+                fs.delete(statsFile(id), false)
+                require(fs.rename(delRowsDir(id), snapDir(id)),
+                  s"mor→pdel conversion rename failed for snapshot $id at $root")
+                writeMarker(id, "pdel", Seq.empty, replaced, Seq.empty, note)
+                fs.delete(exclFile(id), false)
+                fs.delete(stagedFile(id), false)
+                out = Some((replaced, 0L))
+              } else {
+                val noteStr = "posdel=1" + note.map(n => s" $n").getOrElse("")
+                val delBytes =
+                  if (replaced == 0L) 0L
+                  else fs.getContentSummary(delRowsDir(id)).getLength
+                writeExclusion(id, Seq.empty, replaced, delBytes)
+                writeMarker(id, "mor", partitionSpec(), inserted, sortSpec(),
+                  Some(noteStr))
+                fs.delete(stagedFile(id), false)
+                out = Some((replaced, inserted))
+              }
+            } else cleanup() // head moved: matched positions stale, retry
+          }
+        } catch { case e: Throwable => cleanup(); throw e }
+      }
+      out.get
+    } finally {
+      inserts.unpersist(blocking = false)
+      deletes.unpersist(blocking = false)
+    }
+  }
+
   /** The shared `mor` commit: delete every live row whose `keys` match
     * `delKeys`, insert `insertRows`, atomically. Optimistic like
     * [[deleteByKeys]]: the matched-row materialization runs outside the
@@ -2533,7 +2721,8 @@ final class SnapshotTable(
     * (replacedRows, insertedRows, snapshotId). */
   private def morCommit(insertRows: DataFrame, delKeys: DataFrame,
                         keys: Seq[String],
-                        note: Option[String] = None): (Long, Long, Long) = {
+                        note: Option[String] = None,
+                        preMatched: Option[(Long, DataFrame)] = None): (Long, Long, Long) = {
     writeGuard()
     require(exists, s"DML on non-existent table at $root")
     require(keys.nonEmpty, "MoR upsert needs at least one key column")
@@ -2560,11 +2749,16 @@ final class SnapshotTable(
         if (attempts > 50) throw new IllegalStateException(
           s"MoR upsert on $root lost the commit race $attempts times — writer storm?")
         val head = currentSnapshotId.get
+        // a router probe's matched frame stands in for the key semi-join
+        // iff the head hasn't moved (the router guarantees its frame IS
+        // the rows these keys identify — unique-key contract)
         val matched =
           if (total == 0) read().limit(0)
-          else {
-            val (pre, _) = readPrunedAny(alternatives)
-            pre.join(src, keys, "left_semi")
+          else preMatched match {
+            case Some((h, df)) if h == head => df
+            case _ =>
+              val (pre, _) = readPrunedAny(alternatives)
+              pre.join(src, keys, "left_semi")
           }
         val id = withCommitLock {
           val i = claimId()
@@ -2687,34 +2881,60 @@ final class SnapshotTable(
     require(!sets.keys.exists(keys.contains),
       s"updateRouted must not assign key columns: ${sets.keys.filter(keys.contains)}")
     val alternatives = FilterRanges.extractAlternatives(cond)
+    val headAtProbe = currentSnapshotId.get // BEFORE planning: a commit
+    // landing after this read makes the probe frame stale, and the head
+    // check below must catch it
     val plan = planFilesAny(alternatives)
     if (plan.filesKept == 0) return ("noop", 0L) // hull matches nothing
-    // the probe: exact matched count over ONLY the kept files, column-
-    // pruned to the predicate's columns — cheap relative to either write
-    val (pre, _) = readPrunedAny(alternatives)
-    val matched = pre.filter(cond).count()
-    if (matched == 0L) return ("noop", 0L) // files overlap, no row matches
-    val mor = sizeInBytesFromMetadata.exists { tblBytes =>
+    val decide: Long => Boolean = matched => sizeInBytesFromMetadata.exists { tblBytes =>
       val keptBytes = tblBytes.toDouble * plan.filesKept / math.max(1, plan.filesTotal)
       val avgRowBytes = rowCountFromMetadata.filter(_ > 0)
         .map(tblBytes.toDouble / _).getOrElse(64.0)
       keptBytes > amplification * matched * avgRowBytes
     } // unknown table stats: COW, the established safe default
-    if (mor) {
-      if (keys.isEmpty) { // no usable key: the positional sidecar route
-        val (updated, _) = updateWherePositional(cond, sets)
-        ("mor", updated)
-      } else {
-        val updated = sets.foldLeft(pre.filter(cond)) { case (d, (c, v)) =>
-          d.withColumn(c, v)
-        }
-        val (replaced, _) = upsertByKeys(updated, keys)
-        ("mor", replaced)
-      }
-    } else {
+    if (!decide(1L)) {
+      // metadata alone already rules MoR out (even ONE matched row would
+      // route COW): keep the cheap narrow probe — count only, column-
+      // pruned to the predicate's columns
+      val (pre, _) = readPrunedAny(alternatives)
+      val matched = pre.filter(cond).count()
+      if (matched == 0L) return ("noop", 0L)
       updatePruned(cond, sets)
-      ("cow", matched)
+      return ("cow", matched)
     }
+    // MoR is in play: ONE scan serves probe AND route (r12 verdict
+    // "What's wrong #1") — materialize the matched rows (with positions
+    // when the keyless route may need them), count from the cache, and
+    // hand the same frame to whichever MoR commit wins. A statement that
+    // still routes COW pays full-width probe IO once — bounded by the
+    // rewrite it precedes, which reads every kept byte anyway.
+    val probe = readPlanned(plan, keepPos = keys.isEmpty).filter(cond).persist()
+    try {
+      val matched = probe.count()
+      if (matched == 0L) return ("noop", 0L) // files overlap, no row matches
+      if (decide(matched)) {
+        if (keys.isEmpty) { // no usable key: the positional sidecar route
+          val (updated, _) =
+            updateWherePositional(cond, sets, Some((headAtProbe, probe)))
+          ("mor", updated)
+        } else {
+          val updated = sets.foldLeft(probe) { case (d, (c, v)) =>
+            d.withColumn(c, v)
+          }
+          val srcKeys = probe.select(keys.map(probe.col): _*)
+          require(srcKeys.distinct().count() == srcKeys.count(),
+            s"MoR upsert source has duplicate keys on (${keys.mkString(", ")})")
+          // the probe frame IS the matched-old side under the unique-key
+          // contract — morCommit skips its key semi-join re-scan
+          val (replaced, _, _) = morCommit(updated, srcKeys, keys,
+            preMatched = Some((headAtProbe, probe)))
+          ("mor", replaced)
+        }
+      } else {
+        updatePruned(cond, sets)
+        ("cow", matched)
+      }
+    } finally probe.unpersist(blocking = false)
   }
 
   /** DELETE with COST-ROUTED write mode — [[updateRouted]]'s stance for
@@ -2731,19 +2951,32 @@ final class SnapshotTable(
                    amplification: Double = 8.0): (String, Long) = {
     writeGuard()
     val alternatives = FilterRanges.extractAlternatives(cond)
+    val headAtProbe = currentSnapshotId.get // before planning (see updateRouted)
     val plan = planFilesAny(alternatives)
     if (plan.filesKept == 0) return ("noop", 0L) // hull matches nothing
-    val (pre, _) = readPrunedAny(alternatives)
-    val matched = pre.filter(cond).count()
-    if (matched == 0L) return ("noop", 0L) // files overlap, no row matches
-    val mor = sizeInBytesFromMetadata.exists { tblBytes =>
+    val decide: Long => Boolean = matched => sizeInBytesFromMetadata.exists { tblBytes =>
       val keptBytes = tblBytes.toDouble * plan.filesKept / math.max(1, plan.filesTotal)
       val avgRowBytes = rowCountFromMetadata.filter(_ > 0)
         .map(tblBytes.toDouble / _).getOrElse(64.0)
       keptBytes > amplification * matched * avgRowBytes
     } // unknown table stats: COW, the established safe default
-    if (mor) { val (n, _) = deleteWherePositional(cond); ("pdel", n) }
-    else { val (n, _) = deletePruned(cond); ("cow", n) }
+    if (!decide(1L)) { // even one matched row routes COW: narrow count probe
+      val (pre, _) = readPrunedAny(alternatives)
+      val matched = pre.filter(cond).count()
+      if (matched == 0L) return ("noop", 0L)
+      val (n, _) = deletePruned(cond)
+      return ("cow", n)
+    }
+    // one scan serves probe and route (r12 verdict "What's wrong #1")
+    val probe = readPlanned(plan, keepPos = true).filter(cond).persist()
+    try {
+      val matched = probe.count()
+      if (matched == 0L) return ("noop", 0L) // files overlap, no row matches
+      if (decide(matched)) {
+        val (n, _) = deleteWherePositional(cond, Some((headAtProbe, probe)))
+        ("pdel", n)
+      } else { val (n, _) = deletePruned(cond); ("cow", n) }
+    } finally probe.unpersist(blocking = false)
   }
 
   /** MERGE INTO (upsert): every `source` row replaces the current row with
@@ -2800,7 +3033,8 @@ final class SnapshotTable(
     if (multi.nonEmpty) multi else Seq(ranges)
   }
 
-  def mergePruned(source: DataFrame, keys: Seq[String]): ((Long, Long), ScanPlan) = {
+  def mergePruned(source: DataFrame, keys: Seq[String],
+                  preAlternatives: Option[Seq[Seq[ColRange]]] = None): ((Long, Long), ScanPlan) = {
     import org.apache.spark.sql.functions.{col, max, min}
     // the source delta is referenced several times (count, key check, key
     // hull, final union) — pin it so a derived source computes once
@@ -2812,7 +3046,10 @@ final class SnapshotTable(
         return ((0L, 0L), ScanPlan(Seq.empty, 0, 0))
       require(srcKeys.distinct().count() == srcTotal,
         s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
-      val alternatives = keyHullAlternatives(srcKeys, keys, srcTotal)
+      // a router already hulled these keys for its probe — don't pay the
+      // approxQuantile pass twice (r12 verdict "What's wrong #2")
+      val alternatives = preAlternatives
+        .getOrElse(keyHullAlternatives(srcKeys, keys, srcTotal))
       val prev = count()
       val (_, plan, _, _) =
         cowRewrite(alternatives, "merge", emptyPlanIsNoop = false) { touched =>
@@ -2844,7 +3081,8 @@ final class SnapshotTable(
       val srcKeys = src.select(keys.map(src.col): _*)
       val srcTotal = srcKeys.count()
       if (srcTotal == 0) return ("noop", (0L, 0L))
-      val plan = planFilesAny(keyHullAlternatives(srcKeys, keys, srcTotal))
+      val alternatives = keyHullAlternatives(srcKeys, keys, srcTotal)
+      val plan = planFilesAny(alternatives)
       val mor = sizeInBytesFromMetadata.exists { tblBytes =>
         val keptBytes = tblBytes.toDouble * plan.filesKept / math.max(1, plan.filesTotal)
         val avgRowBytes = rowCountFromMetadata.filter(_ > 0)
@@ -2858,7 +3096,7 @@ final class SnapshotTable(
         upsertByKeys(src, keys)
         val inserted = count() - prev
         ("mor", (srcTotal - inserted, inserted))
-      } else ("cow", mergePruned(src, keys)._1)
+      } else ("cow", mergePruned(src, keys, Some(alternatives))._1)
     } finally src.unpersist(blocking = false)
   }
 

@@ -272,4 +272,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(servedA.nonEmpty && servedA.toSeq === servedB.toSeq,
       "maintained serve must hash-match a fresh build of the current membership")
   }
+
+  test("sync from a source EXPIRED past the offset rebuilds from membership " +
+    "instead of drifting") {
+    // r12 ADVICE #2: a source that compacted + expired past `sinceId`
+    // used to return a change feed missing the expired window — the
+    // contiguity guard makes it unanswerable (None), which syncFromSource
+    // already treats as "rebuild from the source's CURRENT membership"
+    import spark.implicits._
+    val root = freshRoot()
+    val src = new SnapshotTable(spark, freshRoot() + "-src")
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    val ids = spark.table("embeddings").select("vec_id")
+    src.createOrReplace(ids.filter("vec_id % 5 <> 0"))
+    AnnIndex.build(spark, sfDir, root, "vec_id % 5 <> 0")
+    val offset = src.currentSnapshotId.get
+    // the index lags while the source takes DML, compacts, and expires:
+    // the window between offset and the surviving base is gone
+    src.deleteByKeys(Seq("vec_id"), Seq(1L, 2L).toDF("vec_id"))
+    src.append(ids.filter("vec_id % 5 = 0 AND vec_id < 100"))
+    src.compact()
+    src.expireSnapshots(keepLast = 1)
+    val (_, _, retrained, newOff) =
+      AnnIndex.syncFromSource(spark, sfDir, root, src, offset, retrainThreshold = 1e9)
+    assert(retrained, "an expired-past offset must trigger a membership rebuild")
+    assert(newOff === src.currentSnapshotId.get)
+    AnnIndex.registerViews(spark, root)
+    val mine = spark.table("pidx_vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val theirs = src.read().select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(mine.toSeq === theirs.toSeq,
+      "membership must equal the source — no silent drift through the expiry")
+  }
 }

@@ -137,6 +137,94 @@ class MorDmlSpec extends SparkSpec {
       s"CDC must read less than a full scan: ${cs.filesRead}/${cs.liveFilesTotal}")
   }
 
+  test("routed DML reads the kept files ONCE per statement (probe fused with the route)") {
+    // r12 verdict "What's wrong #1": the router's matched-count probe and
+    // the chosen MoR route used to scan the kept files independently.
+    // The probe now materializes the matched frame once and hands it to
+    // the route. Witness: actual filesystem bytes read across the whole
+    // statement stay under ~1.6× the table's data bytes (two scans would
+    // be ≥2×). Hadoop's FileSystem.Statistics aggregates across threads,
+    // so local[n] executor reads are all counted.
+    import scala.jdk.CollectionConverters._
+    def fsBytesRead: Long =
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    def bytesOf(t: SnapshotTable): Long =
+      dataFilesOf(t).map(p => new java.io.File(p).length()).sum
+    // big enough that data bytes dwarf footer/marker reads (a 12 KB table
+    // is all fixed overhead); md5 payload defeats parquet compression
+    def fatTable(name: String): SnapshotTable = {
+      val t = new SnapshotTable(spark, freshRoot(name))
+      val df = spark.range(40000).toDF("id")
+        .withColumn("v", concat(lit("v"), col("id")))
+        .withColumn("pad", md5(col("id").cast("string")))
+        .repartitionByRange(8, col("id"))
+      t.createOrReplace(df, sortBy = Seq("id"))
+      t
+    }
+
+    // a mod predicate: no extractable range (hull keeps all 8 files), no
+    // parquet pushdown — the probe must read every kept byte exactly once
+    val t = fatTable("mor-routed-once-del")
+    val tBytes = bytesOf(t)
+    val b0 = fsBytesRead
+    val (mode, n) = t.deleteRouted(col("id") % 5000L === 50L)
+    assert(mode === "pdel" && n === 8L, s"($mode, $n)")
+    val dDelta = fsBytesRead - b0
+    assert(dDelta < (1.6 * tBytes).toLong,
+      s"pdel statement read $dDelta bytes against a $tBytes-byte table — " +
+        "the probe and the route must share ONE scan")
+
+    // the keyed MoR update: same contract through morCommit's preMatched
+    val t2 = fatTable("mor-routed-once-upd")
+    val t2Bytes = bytesOf(t2)
+    val b1 = fsBytesRead
+    val (mode2, n2) = t2.updateRouted(col("id") % 5000L === 51L,
+      Map("v" -> lit("U")), keys = Seq("id"))
+    assert(mode2 === "mor" && n2 === 8L, s"($mode2, $n2)")
+    val uDelta = fsBytesRead - b1
+    assert(uDelta < (1.6 * t2Bytes).toLong,
+      s"mor update read $uDelta bytes against a $t2Bytes-byte table")
+    // and the results are right: updated rows visible, count preserved
+    assert(t2.read().where("v = 'U'").count() === 8L)
+    assert(t2.read().count() === 40000L)
+    assert(t.read().count() === 39992L)
+  }
+
+  test("CDC contiguity: a window from an EXPIRED offset answers None, never a hole") {
+    // r12 ADVICE #1: the primary appends, compacts, and expires while a
+    // consumer lags — the commits between its offset and the surviving
+    // base were folded in and physically deleted, so the feed must say
+    // "can't answer" (None → consumers full-copy/rebuild) instead of
+    // silently shipping a window that skips them
+    val t = eightFiles("mor-cdc-expire")
+    val off = t.currentSnapshotId.get
+    t.append(Seq((900L, "lost")).toDF("id", "v")) // would vanish from the window
+    t.compact()
+    t.expireSnapshots(keepLast = 1) // drops the offset AND the append
+    assert(t.rowChangesBetween(off, t.currentSnapshotId.get).isEmpty,
+      "expired-past offset must be unanswerable, not silently empty")
+    // the append-only tail refuses too: those appends are physically gone
+    // and ignoreReplaces only skips rewrites, never loses appends
+    intercept[IllegalStateException] {
+      t.appendsBetween(off, t.currentSnapshotId.get, ignoreReplaces = true)
+    }
+    // the ADJACENT case stays answerable: only the offset itself expired,
+    // and ids are sequential — nothing can have committed between it and
+    // the surviving base, so the window loses nothing
+    val t2 = eightFiles("mor-cdc-adjacent")
+    val off2 = t2.currentSnapshotId.get
+    t2.compact()
+    t2.expireSnapshots(keepLast = 1)
+    val cs = t2.rowChangesBetween(off2, t2.currentSnapshotId.get)
+    assert(cs.isDefined && cs.get.df.isEmpty,
+      "adjacent compact-only window is EMPTY, not unanswerable")
+    t2.append(Seq((901L, "n2")).toDF("id", "v"))
+    val cs2 = t2.rowChangesBetween(off2, t2.currentSnapshotId.get).get
+    assert(cs2.df.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      === Set((901L, "insert")))
+  }
+
   test("CDC: del then cow replacing the same file single-counts the delete") {
     val t = eightFiles("mor-cdc2")
     val s0 = t.currentSnapshotId.get
