@@ -344,9 +344,29 @@ object AnnIndex {
           // duplicate physical copies
           val tombFull = if (hasTombs) tomb.read() else null
           val tombIds = if (hasTombs) tombFull.select("vec_id") else null
-          val fresh =
+          val fresh0 =
             if (!hasTombs) insIds
             else insIds.join(tombIds, Seq("vec_id"), "left_anti")
+          // REPLAY GUARD (r13): a crashed driver re-running a window (the
+          // checkpointed maintenance drive persists its offset AFTER the
+          // fold) must not re-add ids already physically present — probe
+          // the vectors table over the window ids' hull (file-pruned by
+          // vec_id stats: fresh appends hull to recent files) and drop
+          // the survivors. Makes the whole fold replay-idempotent:
+          // deletes are a tombstone set, revives re-check tombstones,
+          // adds now re-check membership.
+          val fresh = {
+            val distinctIds = fresh0.distinct()
+            val bounds = distinctIds
+              .agg(org.apache.spark.sql.functions.min("vec_id"),
+                org.apache.spark.sql.functions.max("vec_id")).head()
+            if (bounds.isNullAt(0)) distinctIds
+            else {
+              val (present, _) = tbl(s, root, "vectors").readWhere(
+                col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
+              distinctIds.join(present.select("vec_id"), Seq("vec_id"), "left_anti")
+            }
+          }
           val revived =
             if (!hasTombs) 0L
             else {
@@ -369,6 +389,85 @@ object AnnIndex {
           (added + revived, removed, retrained, head)
       }
     }
+
+  // ---- checkpointed continuous maintenance (r12 verdict #5) ------------
+
+  private def offsetFile(root: String): Path = new Path(root, "source.offset")
+
+  /** The index's DURABLE synced offset — the source snapshot id whose
+    * state the index last mirrored. Lives in the index root, not in the
+    * caller: maintenance survives restarts without offset bookkeeping. */
+  def syncedOffset(s: SparkSession, root: String): Option[Long] = {
+    val p = offsetFile(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      txt.toLongOption
+    }
+  }
+
+  def recordSyncedOffset(s: SparkSession, root: String, id: Long): Unit = {
+    val p = offsetFile(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One maintenance firing from DURABLE state: fold the source's change
+    * feed from the persisted offset, then persist the new one. A crash
+    * between the fold and the offset write replays the window on the
+    * next firing — harmless, because the fold is replay-idempotent
+    * (tombstones are a set, revives re-check tombstones, adds re-check
+    * membership). Returns syncFromSource's (added, removed, retrained,
+    * newOffset). */
+  def syncOnce(s: SparkSession, dir: String, root: String,
+               source: graft.warehouse.SnapshotTable,
+               retrainThreshold: Double = 2.0): (Long, Long, Boolean, Long) = {
+    val since = syncedOffset(s, root).getOrElse(throw new IllegalStateException(
+      s"index at $root has no synced offset — pass initialOffset to " +
+        "maintainContinuously (or recordSyncedOffset) after building"))
+    val r = syncFromSource(s, dir, root, source, since, retrainThreshold)
+    recordSyncedOffset(s, root, r._4)
+    r
+  }
+
+  /** CONTINUOUS INDEX MAINTENANCE AS A CHECKPOINTED STREAM (r12 verdict
+    * #5): the [[graft.streaming.MvMaintenance]] stance for the ANN index
+    * — a [[graft.streaming.SnapshotStream]] tail of the source table is
+    * the COMMIT-NOTIFICATION channel (its micro-batch is never acted on,
+    * so the stream itself reads no delta bytes), and each firing runs
+    * [[syncOnce]] against the index's own durable offset. Kill the
+    * driver mid-stream and restart the same checkpoint: the offset file
+    * says where the index truly is, a replayed window folds idempotently,
+    * and membership converges to the source — no caller-side offset
+    * bookkeeping (the r12 gap). `initialOffset` seeds the durable offset
+    * for a freshly built index (pass the source head captured at build);
+    * an already-maintained index ignores it. */
+  def maintainContinuously(s: SparkSession, dir: String, root: String,
+      source: graft.warehouse.SnapshotTable, checkpoint: String,
+      initialOffset: Option[Long] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      retrainThreshold: Double = 2.0,
+      onSync: ((Long, Long, Boolean, Long)) => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (syncedOffset(s, root).isEmpty)
+      recordSyncedOffset(s, root, initialOffset.orElse(source.currentSnapshotId)
+        .getOrElse(throw new IllegalStateException(
+          s"cannot seed maintenance of $root: source table does not exist")))
+    graft.streaming.SnapshotStream.read(s, source.root, ignoreReplaces = true)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        onSync(syncOnce(s, dir, root, source, retrainThreshold))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
 
   /** (Re)register the `pidx_vectors` / `pidx_codes` temp views, wrapping
     * them in a tombstone anti-join when undeleted tombstones exist. */

@@ -72,7 +72,30 @@ final class MaintenanceService(cat: Catalog, maxDeltas: Int = 4, keepSnapshots: 
     (compacted, expired)
   }
 
-  /** Schedule the sweep (default hourly). Returns the task name. */
+  /** RETENTION-PIN OBSERVABILITY (r12 verdict #4): every ref across the
+    * catalog with the exact bytes it is personally keeping alive past
+    * the retention window — the "one forgotten tag pins a 100 TB
+    * table's history forever" report, from filesystem metadata only
+    * (zero scans, zero Spark jobs). Columns: (tbl, ref, kind,
+    * pinned_at_snapshot, pinned_bytes), largest pin first. */
+  def pinnedHistoryReport(): org.apache.spark.sql.DataFrame = {
+    import cat.spark.implicits._
+    val rows = for {
+      schema <- cat.listSchemas()
+      tname <- cat.listTables(schema)
+      t = cat.table(schema, tname)
+      if t.exists
+      (ref, kind, id, bytes) <- t.pinnedBytesByRef(keepLast = keepSnapshots)
+    } yield (s"$schema.$tname", ref, kind, id, bytes)
+    rows.toDF("tbl", "ref", "kind", "pinned_at_snapshot", "pinned_bytes")
+      .orderBy(org.apache.spark.sql.functions.col("pinned_bytes").desc,
+        org.apache.spark.sql.functions.col("tbl"),
+        org.apache.spark.sql.functions.col("ref"))
+  }
+
+  /** Schedule the sweep (default hourly). Returns the task name. The
+    * sweep's `expireSnapshots` drops aged-out refs first (per-ref TTL),
+    * so a tagged-with-TTL release chain reclaims on schedule. */
   def scheduleSweep(sched: TaskScheduler,
                     everyMs: Long = 60 * 60 * 1000L,
                     taskName: String = "table_maintenance"): String = {

@@ -1136,23 +1136,101 @@ final class SnapshotTable(
   private def refOf(name: String): Option[(String, Long)] =
     refs().find(_._1 == name).map(r => (r._2, r._3))
 
-  private def writeRef(name: String, kind: String, id: Long): Unit = {
+  /** One ref with full retention metadata: created wall-clock ms and the
+    * optional max age, `None` = pin forever (the pre-r13 behavior and
+    * still the default). */
+  final case class RefInfo(name: String, kind: String, id: Long,
+                           createdMs: Long, maxAgeMs: Option[Long])
+
+  /** [[refs]] with the retention fields — same one listing + tiny reads. */
+  def refsDetailed(): Seq[RefInfo] =
+    if (!fs.exists(refsDir)) Seq.empty
+    else fs.listStatus(refsDir).toSeq.filter(_.getPath.getName.endsWith(".ref"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        val f = txt.split('|')
+        RefInfo(st.getPath.getName.stripSuffix(".ref"), f(0), f(1).toLong,
+          if (f.length > 2) f(2).toLongOption.getOrElse(0L) else 0L,
+          if (f.length > 3) f(3).toLongOption else None)
+      }.sortBy(_.name)
+
+  private def writeRef(name: String, kind: String, id: Long,
+                       maxAgeMs: Option[Long] = None): Unit = {
     val out = fs.create(refFile(name), true)
-    try out.write(s"$kind|$id|${System.currentTimeMillis()}".getBytes("UTF-8"))
+    try out.write((s"$kind|$id|${System.currentTimeMillis()}" +
+      maxAgeMs.map(a => s"|$a").getOrElse("")).getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** DROP every ref whose age exceeds its own `maxRefAgeMs` (Iceberg's
+    * per-ref retention stance, r12 verdict #4): an aged-out TAG drops its
+    * ref file, an aged-out BRANCH also discards its staged commits —
+    * then NORMAL retention applies, so the next [[expireSnapshots]] can
+    * reclaim the history the ref was pinning. Refs without a TTL (the
+    * default) never age out — but they are now VISIBLE as pins through
+    * [[pinnedBytesByRef]] instead of silently holding 100 TB of history.
+    * Runs automatically at the head of [[expireSnapshots]]. Returns the
+    * dropped ref names. */
+  def expireRefs(nowMs: Long = System.currentTimeMillis()): Seq[String] = withCommitLock {
+    writeGuard()
+    val aged = refsDetailed().filter(r =>
+      r.maxAgeMs.exists(a => nowMs - r.createdMs > a))
+    aged.foreach { r =>
+      if (r.kind == "branch")
+        stagedMetas().filter(_.note.contains(s"wap=${branchWap(r.name)}"))
+          .foreach { m =>
+            fs.delete(snapDir(m.id), true)
+            fs.delete(statsFile(m.id), false)
+            fs.delete(stagedFile(m.id), false)
+          }
+      fs.delete(refFile(r.name), false)
+    }
+    aged.map(_.name)
+  }
+
+  /** THE PINNED-BYTES GAUGE (r12 verdict #4): for each live ref, the
+    * EXACT bytes dropping that ref alone would let
+    * `expireSnapshots(keepLast)` reclaim right now — i.e. the history it
+    * is personally keeping alive past both the retention window and
+    * every OTHER ref's pin. A forgotten tag on a 100 TB table stops
+    * being invisible: MaintenanceService surfaces this as
+    * (ref, kind, pinned_at, bytes). Filesystem metadata only (content
+    * summaries of the would-be-reclaimed snapshot artifacts) — zero
+    * scans, zero Spark jobs. */
+  def pinnedBytesByRef(keepLast: Int = 2): Seq[(String, String, Long, Long)] = {
+    val ms = metas()
+    val all = refs()
+    if (ms.size <= keepLast) return all.map(r => (r._1, r._2, r._3, 0L))
+    val oldestRetained = ms.takeRight(keepLast).head
+    def cutFor(pins: Seq[Long]): Int =
+      ms.lastIndexWhere(m => m.kind == "base" &&
+        m.id <= (oldestRetained.id +: pins).min)
+    def sz(p: Path): Long =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    def bytesOf(id: Long): Long =
+      sz(snapDir(id)) + sz(delRowsDir(id)) + sz(metaFile(id)) + sz(statsFile(id))
+    val cutAll = math.max(cutFor(all.map(_._3)), 0)
+    all.map { case (name, kind, id) =>
+      val cutWithout = math.max(cutFor(all.filter(_._1 != name).map(_._3)), 0)
+      (name, kind, id,
+        ms.slice(cutAll, cutWithout).map(m => bytesOf(m.id)).sum)
+    }
   }
 
   /** CREATE TAG: an immutable name for snapshot `atId` (default: the
     * current head). The tagged chain is protected from
-    * [[expireSnapshots]] until the tag is dropped. */
-  def createTag(name: String, atId: Option[Long] = None): Long = withCommitLock {
+    * [[expireSnapshots]] until the tag is dropped — or, with
+    * `maxRefAgeMs` set, until the tag AGES OUT ([[expireRefs]]). */
+  def createTag(name: String, atId: Option[Long] = None,
+                maxRefAgeMs: Option[Long] = None): Long = withCommitLock {
     writeGuard()
     requireRefName(name)
     require(refOf(name).isEmpty, s"ref '$name' already exists at $root")
     val id = atId.getOrElse(currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"tag on non-existent table at $root")))
     require(metas().exists(_.id == id), s"no snapshot $id to tag at $root")
-    writeRef(name, "tag", id)
+    writeRef(name, "tag", id, maxRefAgeMs)
     id
   }
 
@@ -1176,15 +1254,18 @@ final class SnapshotTable(
 
   private def branchWap(name: String): String = s"branch:$name"
 
-  /** CREATE BRANCH forked at `atId` (default: the current head). */
-  def createBranch(name: String, atId: Option[Long] = None): Long = withCommitLock {
+  /** CREATE BRANCH forked at `atId` (default: the current head); an
+    * optional `maxRefAgeMs` lets an abandoned branch age out
+    * ([[expireRefs]] — staged commits discarded with the ref). */
+  def createBranch(name: String, atId: Option[Long] = None,
+                   maxRefAgeMs: Option[Long] = None): Long = withCommitLock {
     writeGuard()
     requireRefName(name)
     require(refOf(name).isEmpty, s"ref '$name' already exists at $root")
     val id = atId.getOrElse(currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"branch on non-existent table at $root")))
     require(metas().exists(_.id == id), s"no snapshot $id to branch from at $root")
-    writeRef(name, "branch", id)
+    writeRef(name, "branch", id, maxRefAgeMs)
     id
   }
 
@@ -2632,7 +2713,15 @@ final class SnapshotTable(
             val plan = planFilesAny(alternatives)
             if (plan.filesKept == 0) None
             else {
-              val live = readPlanned(plan, keepPos = true).as("t")
+              // conform the live side to the batch's columns: a window
+              // carrying a schema EVOLUTION (new column) must still match
+              // pre-evolution rows, whose value for it is NULL (the
+              // read-time-evolution stance) — <=> treats NULL as a value
+              val live0 = readPlanned(plan, keepPos = true)
+              val live = cols.foldLeft(live0) { (d, c) =>
+                if (d.columns.contains(c)) d
+                else d.withColumn(c, lit(null).cast(deletes.schema(c).dataType))
+              }.as("t")
               val wanted = deletes.groupBy(cols.map(col): _*)
                 .agg(org.apache.spark.sql.functions.count(lit(1)).as("__want")).as("d")
               // null-safe value match; per duplicate group, doom the first
@@ -3108,6 +3197,7 @@ final class SnapshotTable(
     * expired snapshot ids. */
   def expireSnapshots(keepLast: Int = 2): Seq[Long] = withCommitLock {
     writeGuard()
+    expireRefs() // aged-out refs drop FIRST, then normal retention applies
     val ms = metas()
     if (ms.size <= keepLast) return Seq.empty
     // a named ref PINS its chain (Iceberg tag/branch retention): nothing

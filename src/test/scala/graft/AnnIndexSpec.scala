@@ -273,6 +273,59 @@ class AnnIndexSpec extends SparkSpec {
       "maintained serve must hash-match a fresh build of the current membership")
   }
 
+  test("checkpointed maintenance survives a restart: same checkpoint resumes, " +
+    "a replayed window folds idempotently, membership converges") {
+    // r12 verdict #5: syncFromSource was offset-passing-manual. The
+    // maintenance drive now persists the index's own offset durably and
+    // runs as a checkpointed stream — kill and resume with NO caller
+    // bookkeeping.
+    import spark.implicits._
+    val root = freshRoot()
+    val src = new SnapshotTable(spark, freshRoot() + "-src")
+    val ckpt = freshRoot() + "-ckpt"
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    val ids = spark.table("embeddings").select("vec_id")
+    src.createOrReplace(ids.filter("vec_id % 4 <> 0"))
+    AnnIndex.build(spark, sfDir, root, "vec_id % 4 <> 0")
+    val builtAt = src.currentSnapshotId.get
+    def runPass(): Unit = {
+      val q = AnnIndex.maintainContinuously(spark, sfDir, root, src, ckpt,
+        initialOffset = Some(builtAt), retrainThreshold = 1e9)
+      q.awaitTermination()
+    }
+    // window 1 lands, one AvailableNow pass folds it, the "driver dies"
+    src.deleteByKeys(Seq("vec_id"), Seq(3L, 5L).toDF("vec_id"))
+    src.append(ids.filter("vec_id % 4 = 0 AND vec_id < 200"))
+    runPass()
+    val offAfter1 = AnnIndex.syncedOffset(spark, root)
+    assert(offAfter1.contains(src.currentSnapshotId.get),
+      "the durable offset must track the fold")
+    // window 2 lands while "down"; the restarted stream (SAME checkpoint)
+    // folds exactly the missed window
+    src.append(Seq(3L).toDF("vec_id")) // a revive
+    src.append(ids.filter("vec_id % 4 = 0 AND vec_id >= 200"))
+    runPass()
+    def membership(): Seq[Long] = {
+      AnnIndex.registerViews(spark, root)
+      spark.table("pidx_vectors").select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val want = src.read().select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = membership()
+    assert(got === want, "restarted maintenance must converge to the source")
+    assert(got.length === got.distinct.length, "no duplicates")
+    // CRASH REPLAY: re-fold an already-folded window (offset write lost)
+    // — the idempotent fold must change nothing
+    AnnIndex.recordSyncedOffset(spark, root, builtAt)
+    val (a, r, _, off) = AnnIndex.syncOnce(spark, sfDir, root, src,
+      retrainThreshold = 1e9)
+    assert(off === src.currentSnapshotId.get)
+    assert(a === 0L, s"a replayed window must re-add nothing, added $a")
+    assert(membership() === want, "replay must not disturb membership")
+    assert(r >= 0L)
+  }
+
   test("sync from a source EXPIRED past the offset rebuilds from membership " +
     "instead of drifting") {
     // r12 ADVICE #2: a source that compacted + expired past `sinceId`

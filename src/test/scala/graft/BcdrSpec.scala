@@ -440,6 +440,53 @@ class BcdrSpec extends SparkSpec {
     assert(repl.refreshIncremental("core") == 0L, "caught up ships zero")
   }
 
+  test("incremental logical replication rides schema EVOLUTION on the primary") {
+    // r12 verdict #6: the primary evolving (added column) mid-window.
+    // Pre-evolution rows read NULL for the new column on the secondary,
+    // post-evolution changes keep applying — keyed and keyless tables.
+    val primary = new Catalog(spark, freshDir("evo-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("evo-sec"), "sec")
+    primary.createSchema("adv")
+    val tk = primary.table("adv", "evo_keyed")
+    tk.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val tn = primary.table("adv", "evo_keyless")
+    tn.createOrReplace(Seq(("x", 1), ("x", 1), ("y", 2)).toDF("tag", "n"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "evo_keyed"), ("adv", "evo_keyless")),
+      includeViews = false)
+    val keys = Map(("adv", "evo_keyed") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 5L, "bootstrap")
+    // the evolution window: both tables gain a column mid-window, with a
+    // delete of pre-evolution rows in the same window
+    tk.deleteByKeys(Seq("id"), Seq(1L).toDF("id"))
+    tk.append(Seq((3L, "c", 30)).toDF("id", "v", "w"))
+    tn.deleteWherePositional(col("tag") === "y")
+    tn.append(Seq(("z", 3, 99)).toDF("tag", "n", "m"))
+    assert(repl.refreshIncremental("core", keys) == 4L,
+      "2 rows per table: one delete + one evolved insert")
+    def rowsK(c: Catalog): Set[(Long, String, String)] =
+      c.table("adv", "evo_keyed").read().select("id", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) "null" else r.getInt(2).toString)).toSet
+    assert(rowsK(secondary) == Set((2L, "b", "null"), (3L, "c", "30")))
+    assert(rowsK(secondary) == rowsK(primary))
+    def rowsN(c: Catalog): Seq[(String, Int, String)] =
+      c.table("adv", "evo_keyless").read().select("tag", "n", "m").collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) "null" else r.getInt(2).toString)).sorted.toSeq
+    assert(rowsN(secondary) ==
+      Seq(("x", 1, "null"), ("x", 1, "null"), ("z", 3, "99")))
+    assert(rowsN(secondary) == rowsN(primary))
+    // post-evolution changes keep flowing, including updates to the new column
+    tk.upsertByKeys(Seq((3L, "C2", 31)).toDF("id", "v", "w"), Seq("id"))
+    tn.deleteWherePositional(col("m") === 99)
+    assert(repl.refreshIncremental("core", keys) == 3L)
+    assert(rowsK(secondary) == rowsK(primary) &&
+      rowsK(secondary).contains((3L, "C2", "31")))
+    assert(rowsN(secondary) == rowsN(primary) &&
+      !rowsN(secondary).exists(_._3 == "99"))
+  }
+
   test("failback truncates the divergent timeline and re-syncs the old primary") {
     // the drill's return leg: the old primary holds RPO-lost commits —
     // one whose snapshot id COLLIDES with the new primary's independent

@@ -191,6 +191,52 @@ class MorDmlSpec extends SparkSpec {
     assert(t.read().count() === 39992L)
   }
 
+  test("CDC mirror rides schema EVOLUTION: pre-evolution rows read NULL, " +
+    "post-evolution changes apply, keyed and keyless") {
+    // r12 verdict #6: the source evolving (added column) mid-window had
+    // no coverage on the apply side. Both consumers must land evolved
+    // inserts, match pre-evolution victims (new column = NULL), and the
+    // mirrors must read back identical to the source.
+    val src = new SnapshotTable(spark, freshRoot("evo-src"))
+    src.createOrReplace(Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v"))
+    val keyed = new SnapshotTable(spark, freshRoot("evo-keyed"))
+    keyed.createOrReplace(src.read())
+    val keyless = new SnapshotTable(spark, freshRoot("evo-keyless"))
+    keyless.createOrReplace(src.read())
+    val s0 = src.currentSnapshotId.get
+    // the window: a delete of pre-evolution rows + an EVOLVED append
+    src.deleteByKeys(Seq("id"), Seq(3L).toDF("id"))
+    src.append(Seq((4L, "d", 40), (5L, "e", 50)).toDF("id", "v", "w"))
+    val cs = src.rowChangesBetween(s0, src.currentSnapshotId.get).get.df
+    assert(cs.columns.toSet == Set("id", "v", "w", "_change"),
+      "the window carries the union schema")
+    // keyed apply (id unique except the dup — use keyless there)
+    keyed.applyChanges(cs, Seq("id"))
+    // keyless positional apply must match the pre-evolution victim by
+    // value with w = NULL
+    keyless.applyChangesPositional(cs)
+    def state(t: SnapshotTable): Seq[(Long, String, String)] =
+      t.read().select("id", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) "null" else r.getInt(2).toString)).sorted.toSeq
+    val want = Seq((1L, "a", "null"), (2L, "b", "null"), (2L, "b", "null"),
+      (4L, "d", "40"), (5L, "e", "50"))
+    assert(state(src) == want, s"source: ${state(src)}")
+    assert(state(keyless) == want, s"keyless mirror: ${state(keyless)}")
+    // the keyed mirror deletes BOTH (2,b) copies if 2 were in the batch —
+    // it wasn't, so its state matches too
+    assert(state(keyed) == want, s"keyed mirror: ${state(keyed)}")
+    // a SECOND window updating an evolved row flows through both
+    val s1 = src.currentSnapshotId.get
+    src.upsertByKeys(Seq((4L, "D2", 41)).toDF("id", "v", "w"), Seq("id"))
+    val cs2 = src.rowChangesBetween(s1, src.currentSnapshotId.get).get.df
+    keyed.applyChanges(cs2, Seq("id"))
+    keyless.applyChangesPositional(cs2)
+    assert(state(keyed) == state(src) && state(keyless) == state(src),
+      "post-evolution changes must keep applying")
+  }
+
   test("CDC contiguity: a window from an EXPIRED offset answers None, never a hole") {
     // r12 ADVICE #1: the primary appends, compacts, and expires while a
     // consumer lags — the commits between its offset and the surviving

@@ -849,6 +849,53 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readTag("v1"))
   }
 
+  test("per-ref TTL: an aged-out tag drops, history reclaims, live refs untouched; " +
+    "pinnedBytesByRef reports the exact reclaim") {
+    // r12 verdict #4: one forgotten tag used to pin unbounded history
+    // invisibly. Now a ref can carry its own max age (Iceberg's
+    // maxRefAgeMs stance) and the pinned bytes are observable.
+    val t = new SnapshotTable(spark, freshRoot("reftll"))
+    t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.createTag("ephemeral", maxRefAgeMs = Some(1L)) // ages out immediately
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.createTag("release") // no TTL: pins forever (the default)
+    t.compact()
+    // the gauge BEFORE expiry: both refs sit below the would-be cut;
+    // dropping 'ephemeral' alone reclaims nothing extra while 'release'
+    // still pins the same prefix AND vice versa — the exact-reclaim
+    // semantics (bytes are attributed to the ref whose drop frees them)
+    val pins = t.pinnedBytesByRef(keepLast = 1).map(r => (r._1, r._4)).toMap
+    assert(pins.keySet == Set("ephemeral", "release"))
+    assert(pins.values.forall(_ == 0L),
+      s"overlapping pins attribute zero EXCLUSIVE bytes to each ref: $pins")
+    Thread.sleep(5) // the TTL clock
+    // expireSnapshots drops the aged ref first, then normal retention —
+    // 'release' still pins, so nothing is reclaimed yet
+    assert(t.expireSnapshots(keepLast = 1).isEmpty)
+    assert(t.refs().map(_._1) == Seq("release"), "only the aged ref drops")
+    // now 'release' is the SOLE pin: its exclusive reclaim is positive
+    val solo = t.pinnedBytesByRef(keepLast = 1).map(r => (r._1, r._4)).toMap
+    assert(solo("release") > 0L,
+      s"a sole pin must report the bytes it is keeping alive: $solo")
+    assert(t.readTag("release").count() == 3, "the live ref still time-travels")
+    // dropping it releases exactly that history
+    t.dropTag("release")
+    assert(t.expireSnapshots(keepLast = 1).nonEmpty)
+    assert(t.read().count() == 3)
+    // an aged-out BRANCH discards its staged commits with the ref
+    val b = new SnapshotTable(spark, freshRoot("refttl-br"))
+    b.createOrReplace(Seq((1, "a")).toDF("id", "v"))
+    b.createBranch("stale", maxRefAgeMs = Some(1L))
+    b.appendToBranch("stale", Seq((9, "z")).toDF("id", "v"))
+    Thread.sleep(5)
+    assert(b.expireRefs() == Seq("stale"))
+    assert(b.refs().isEmpty, "the aged branch ref must drop")
+    assert(!new java.io.File(b.root).listFiles()
+        .exists(_.getName.endsWith(".staged")),
+      "an aged branch must take its staged commits with it")
+    assert(b.read().count() == 1, "main is untouched")
+  }
+
   test("branches: isolated commits, fork-pinned reads, fast-forward publish") {
     val t = new SnapshotTable(spark, freshRoot("branches"))
     t.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"))
