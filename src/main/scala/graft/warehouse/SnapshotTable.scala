@@ -2780,14 +2780,21 @@ final class SnapshotTable(
                 fs.delete(exclFile(id), false)
                 fs.delete(stagedFile(id), false)
                 out = Some((replaced, 0L))
+              } else if (replaced == 0L) {
+                // insert-only window: a plain APPEND commit — a `mor`
+                // marker CONTRACTUALLY carries a sidecar (readers resolve
+                // `.delrows` for eq-kind, the dir itself for posdel-kind),
+                // so tagging one without a sidecar breaks every reader
+                writeMarker(id, "append", partitionSpec(), inserted, sortSpec(),
+                  note)
+                fs.delete(exclFile(id), false)
+                fs.delete(stagedFile(id), false)
+                out = Some((0L, inserted))
               } else {
-                val noteStr = "posdel=1" + note.map(n => s" $n").getOrElse("")
-                val delBytes =
-                  if (replaced == 0L) 0L
-                  else fs.getContentSummary(delRowsDir(id)).getLength
-                writeExclusion(id, Seq.empty, replaced, delBytes)
+                writeExclusion(id, Seq.empty, replaced,
+                  fs.getContentSummary(delRowsDir(id)).getLength)
                 writeMarker(id, "mor", partitionSpec(), inserted, sortSpec(),
-                  Some(noteStr))
+                  Some(("posdel=1" +: note.toSeq).mkString(" ")))
                 fs.delete(stagedFile(id), false)
                 out = Some((replaced, inserted))
               }

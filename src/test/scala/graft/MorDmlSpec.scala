@@ -191,6 +191,23 @@ class MorDmlSpec extends SparkSpec {
     assert(t.read().count() === 39992L)
   }
 
+  test("a stale router probe frame is ignored once the head moves") {
+    // the preMatched contract: a frame captured at head h is only trusted
+    // while the head IS h — a commit in between makes positions stale,
+    // and the route must recompute from a fresh scan
+    val t = eightFiles("stale-probe")
+    val h0 = t.currentSnapshotId.get
+    val bogus = t.read().filter(lit(false)) // provably wrong: matches nothing
+    t.append(Seq((900L, "x")).toDF("id", "v")) // head moves past h0
+    val (n, _) = t.deleteWherePositional(col("id") === 5L, Some((h0, bogus)))
+    assert(n === 1L,
+      "the route must recompute from a fresh scan, not trust the stale frame")
+    assert(t.read().where("id = 5").count() === 0L)
+    val (n2, _) = t.updateWherePositional(col("id") === 6L,
+      Map("v" -> lit("U6")), Some((h0, bogus)))
+    assert(n2 === 1L && t.read().where("id = 6 AND v = 'U6'").count() === 1L)
+  }
+
   test("CDC mirror rides schema EVOLUTION: pre-evolution rows read NULL, " +
     "post-evolution changes apply, keyed and keyless") {
     // r12 verdict #6: the source evolving (added column) mid-window had

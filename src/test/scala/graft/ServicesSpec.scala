@@ -495,6 +495,36 @@ class ServicesSpec extends SparkSpec {
       .contains("compacted 0 table(s), expired 0 snapshot(s)"))
   }
 
+  test("pinnedHistoryReport surfaces retention pins catalog-wide; sweep reclaims a TTL'd tag") {
+    val cat = newCatalog("PINREP")
+    cat.createSchema("ing")
+    val t = cat.table("ing", "pinned")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.createTag("forgotten") // no TTL: pins forever, must be VISIBLE
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.compact()
+    val svc = new graft.services.MaintenanceService(cat, keepSnapshots = 1)
+    val rep = svc.pinnedHistoryReport().collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    assert(r.getString(0) == "ing.pinned" && r.getString(1) == "forgotten" &&
+      r.getString(2) == "tag" && r.getLong(4) > 0L,
+      s"the forgotten tag's pinned bytes must be visible: ${r.mkString(",")}")
+    // the pin holds through a sweep (no TTL)
+    svc.sweep()
+    assert(t.readTag("forgotten").count() == 2)
+    // a TTL'd tag ages out DURING the sweep and its history reclaims
+    t.dropTag("forgotten")
+    t.createTag("release", maxRefAgeMs = Some(1L))
+    Thread.sleep(5)
+    val before = t.snapshots().size
+    svc.sweep()
+    assert(t.refs().isEmpty, "the TTL'd tag must age out in the sweep")
+    assert(t.snapshots().size < before, "its pinned history must reclaim")
+    assert(svc.pinnedHistoryReport().isEmpty)
+    assert(t.read().count() == 3)
+  }
+
   test("maintenance sweep is delete-aware: light trickles fold sidecars, heavy deletes rewrite") {
     // VERDICT r10 #1: the delta-count trigger is blind to a MoR delete
     // trickle (zero new data dirs). The sweep now reads pending-delete

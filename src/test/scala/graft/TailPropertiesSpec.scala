@@ -203,4 +203,81 @@ object TailPropertiesSpec extends Properties("snapshotTail") {
         (s"concatenated steps = backlog: got $delivered want $allRows" |:
           (delivered == allRows))
     }
+
+  // ── keyless mirror over generated duplicate-row histories ─────────────
+
+  private sealed trait KlOp
+  private case class KAppend(rows: Seq[(Long, Long)]) extends KlOp
+  private case class KPosDel(tag: Long, n: Long) extends KlOp
+  private case class KCowDel(tag: Long) extends KlOp
+  private case object KCompact extends KlOp
+
+  // tags/values from a TINY domain so duplicate multiplicities are the
+  // norm, not the exception — the case keyless replication exists for
+  private val klOpGen: Gen[KlOp] = Gen.frequency(
+    5 -> Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k,
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 1L)))).map(KAppend),
+    3 -> Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 1L))
+      .map { case (t, v) => KPosDel(t, v) },
+    2 -> Gen.chooseNum(0L, 2L).map(KCowDel),
+    1 -> Gen.const(KCompact))
+
+  /** KEYLESS MIRROR property (r13): over random histories of appends
+    * carrying DUPLICATE rows, keyless positional deletes, COW deletes
+    * and compactions, a mirror consuming the change feed window-by-window
+    * through `applyChangesPositional` must hold the source's exact
+    * MULTISET after every window — and replaying any window under its
+    * note must change nothing. Windows span ~2 ops, so delete+re-append
+    * of the same VALUE inside one window exercises the partial-multiset
+    * net deletes ("remove 2 of 3 copies") a whole-row equality delete
+    * would get wrong. */
+  property("keyless positional apply mirrors duplicate-row histories, multiset-exact") =
+    Prop.forAll(Gen.chooseNum(3, 6).flatMap(n => Gen.listOfN(n, klOpGen))) { ops =>
+      import org.apache.spark.sql.functions.{col, lit}
+      import spark.implicits._
+      val dir = Files.createTempDirectory("kl-prop").toString
+      val src = new SnapshotTable(spark, s"$dir/s")
+      val mir = new SnapshotTable(spark, s"$dir/m")
+      src.createOrReplace(Seq((0L, 0L), (0L, 0L), (1L, 0L)).toDF("tag", "n"))
+      mir.createOrReplace(src.read())
+      var off = src.currentSnapshotId.get
+      def bag(t: SnapshotTable): Map[(Long, Long), Int] =
+        t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      def fold(): Prop = {
+        val head = src.currentSnapshotId.get
+        if (head == off) Prop.passed
+        else {
+          val note = Some(s"cdcwin=${off}_$head")
+          val cs = src.rowChangesBetween(off, head).get
+          mir.applyChangesPositional(cs.df, note)
+          val after = bag(mir)
+          val want = bag(src)
+          val replay = mir.applyChangesPositional(cs.df, note)
+          // evaluate NOW: propBoolean is by-name, and a deferred bag(mir)
+          // would read the mirror after LATER windows mutated it
+          val afterReplay = bag(mir)
+          val ok1 = after == want
+          val ok2 = replay == ((0L, 0L))
+          val ok3 = afterReplay == want
+          off = head
+          (s"window → mirror multiset: got $after want $want" |: ok1) &&
+            (s"replay must be refused: $replay" |: ok2) &&
+            (s"replay must not disturb: $afterReplay want $want" |: ok3)
+        }
+      }
+      var props = List.empty[Prop]
+      ops.zipWithIndex.foreach { case (op, i) =>
+        op match {
+          case KAppend(rows) => src.append(rows.toDF("tag", "n"))
+          case KPosDel(t, v) =>
+            src.deleteWherePositional(col("tag") === lit(t) && col("n") === lit(v))
+          case KCowDel(t) => src.delete(col("tag") === lit(t))
+          case KCompact => src.compact()
+        }
+        if (i % 2 == 1) props ::= fold()
+      }
+      props ::= fold()
+      props.reduce(_ && _)
+    }
 }
