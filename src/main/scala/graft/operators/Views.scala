@@ -1206,6 +1206,85 @@ object Views {
       }
     },
 
+    // SCHEMA EVOLUTION THROUGH INCREMENTAL REPLICATION (r12 verdict #6):
+    // the primary EVOLVES (new column) mid-window — the same window also
+    // deletes pre-evolution rows — and the mirror must land the evolved
+    // inserts, keep reading pre-evolution rows as NULL for the new
+    // column, and keep applying post-evolution changes (an upsert
+    // rewriting the evolved column). REQUIREd: exact shipped counts, one
+    // atomic mor commit per window, and the final grouped aggregate
+    // (NULL-bucketed evolved column) hashed vs DuckDB replaying the
+    // statements for BOTH sides.
+    "q142_evolved_replication" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/evorep-pri"
+      val whS = s"$base/evorep-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val tbl = pri.table("gate", "orders_e")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        tbl.createOrReplace(
+          orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "orders_e")), includeViews = false)
+        val keys = Map(("gate", "orders_e") -> Seq("o_orderkey"))
+        require(repl.refreshIncremental("core", keys) == tbl.count(),
+          "q142 bootstrap full copy")
+        val mirror = sec.table("gate", "orders_e")
+        val chain0 = mirror.snapshots().size
+        // window 1: delete pre-evolution rows + the EVOLVED append (new
+        // column `extra`), one incremental cycle
+        val doomed = orders.filter($"o_orderkey" % lit(5L) === lit(0L))
+          .select($"o_orderkey")
+        val nDel = doomed.count()
+        tbl.deleteByKeys(Seq("o_orderkey"), doomed)
+        def evolved = orders.filter($"o_orderkey" % lit(7L) === lit(3L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("E").as("o_orderstatus"), $"o_totalprice",
+            ($"o_custkey" % lit(10L)).as("extra"))
+        tbl.append(evolved)
+        val s1 = repl.refreshIncremental("core", keys)
+        require(s1 == nDel + evolved.count(),
+          s"q142 window 1 must ship exactly its net rows: $s1")
+        require(mirror.snapshots().size == chain0 + 1 &&
+            mirror.snapshots().last._2 == "mor",
+          "q142: one atomic mor commit per window")
+        // window 2: a POST-evolution upsert rewriting the evolved column
+        val upd = evolved.filter($"extra" === lit(7L))
+          .withColumn("o_totalprice", $"o_totalprice" * lit(2.0))
+        tbl.upsertByKeys(upd, Seq("o_orderkey"))
+        val s2 = repl.refreshIncremental("core", keys)
+        require(s2 == 2 * upd.count(),
+          s"q142 window 2 ships delete+insert per updated row: $s2")
+        require(repl.refreshIncremental("core", keys) == 0L,
+          "q142 caught up ships zero")
+        val kinds = mirror.snapshots().drop(chain0).map(_._2).toSet
+        require(kinds == Set("mor"),
+          s"q142: mirror windows must be sidecar-only commits, saw $kinds")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus",
+            coalesce($"extra", lit(-1L)).as("extra_b"))
+            .agg(count(lit(1)).as("n"),
+              decCents($"o_totalprice").as("total_cents"))
+        val res = agg(mirror.read(), "secondary")
+          .unionByName(agg(tbl.read(), "primary"))
+          .orderBy($"stage", $"o_orderstatus", $"extra_b")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -2015,6 +2094,29 @@ object Views {
            SELECT 'primary' AS stage, * FROM fin
            UNION ALL SELECT 'secondary', * FROM fin)
          SELECT stage, st, bucket, CAST(count(*) AS BIGINT) AS n
+         FROM stages
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
+
+    "q142_evolved_replication" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         surv AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         CAST(NULL AS BIGINT) AS extra
+                  FROM orders WHERE o_orderkey % 5 <> 0),
+         evo AS (SELECT o.o_orderkey + mx.m AS o_orderkey,
+                        'E' AS o_orderstatus,
+                        CASE WHEN o.o_custkey % 10 = 7
+                             THEN o.o_totalprice * 2 ELSE o.o_totalprice
+                        END AS o_totalprice,
+                        o.o_custkey % 10 AS extra
+                 FROM orders o, mx WHERE o.o_orderkey % 7 = 3),
+         fin AS (SELECT * FROM surv UNION ALL SELECT * FROM evo),
+         stages AS (
+           SELECT 'primary' AS stage, * FROM fin
+           UNION ALL SELECT 'secondary', * FROM fin)
+         SELECT stage, o_orderstatus, COALESCE(extra, -1) AS extra_b,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
          FROM stages
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
