@@ -2,10 +2,13 @@ package graft.bcdr
 
 import scala.collection.mutable
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
+import graft.rbac.GrantService
+import graft.warehouse.SnapshotTable
 
 /** Failover groups + replication + promotion (D11,
   * `scripts/20_failover_groups_primary.sql:109-205`,
@@ -22,36 +25,100 @@ import graft.catalog.Catalog
 final class ReplicationService(primary: Catalog, secondary: Catalog,
                                copyJobThreshold: Int = 8) {
 
+  /** `includeRoles` replicates account-level RBAC state alongside the
+    * group's tables — the reference's first failover group ships
+    * `OBJECT_TYPES = ROLES, INTEGRATIONS`
+    * (`scripts/20_failover_groups_primary.sql:110-114`); attach the two
+    * account [[GrantService]]s via [[attachGrantServices]]. */
   final case class FailoverGroup(name: String,
                                  tables: Seq[(String, String)],
-                                 includeViews: Boolean)
+                                 includeViews: Boolean,
+                                 includeRoles: Boolean = false)
 
   private val groups = mutable.LinkedHashMap.empty[String, FailoverGroup]
   private val lastRefresh = mutable.Map.empty[String, Long]
 
   def createGroup(name: String, tables: Seq[(String, String)],
-                  includeViews: Boolean = true): Unit =
-    groups(name) = FailoverGroup(name, tables, includeViews)
+                  includeViews: Boolean = true,
+                  includeRoles: Boolean = false): Unit =
+    groups(name) = FailoverGroup(name, tables, includeViews, includeRoles)
+
+  def groupNames: Seq[String] = groups.keys.toSeq
+
+  // ── roles / integrations replication (r13 verdict #4) ─────────────────
+
+  private var grantSvcs: Option[(GrantService, GrantService)] = None
+
+  /** Attach the two accounts' RBAC services so groups created with
+    * `includeRoles = true` replicate roles, grants, and future grants
+    * primary→secondary on every refresh (any flavor). The secondary's
+    * grant-audit heartbeat then passes after a promote without manual
+    * re-grants (`scripts/31_sync_task_secondary.sql:197-287`). The
+    * "integration" half of the reference's ROLES, INTEGRATIONS object
+    * types is the catalog link itself, which both sides hold by
+    * construction ([[Catalog.link]]). */
+  def attachGrantServices(primaryGrants: GrantService,
+                          secondaryGrants: GrantService): Unit =
+    grantSvcs = Some((primaryGrants, secondaryGrants))
+
+  /** Make the secondary's RBAC state MATCH the primary's (Snowflake
+    * replication semantics: the secondary is overwritten, including
+    * revoking grants the primary doesn't hold). Returns changes applied
+    * (0 = already in sync); every change rides the secondary's own audit
+    * log like a local GRANT/REVOKE would. */
+  private def syncGrants(): Int = grantSvcs.fold(0) { case (pg, sg) =>
+    var n = 0
+    pg.listRoles().foreach { r => if (sg.createRole(r)) n += 1 }
+    val want = pg.listGrants().toSet
+    val have = sg.listGrants().toSet
+    (want -- have).toSeq.sorted.foreach { case (r, p, o) =>
+      if (!sg.listRoles().contains(r)) sg.createRole(r)
+      sg.grant(r, p, o); n += 1
+    }
+    (have -- want).toSeq.sorted.foreach { case (r, p, o) =>
+      sg.revoke(r, p, o); n += 1
+    }
+    val wantF = pg.listFutureGrants().toSet
+    val haveF = sg.listFutureGrants().toSet
+    (wantF -- haveF).toSeq.sorted.foreach { case (r, p, sc) =>
+      if (!sg.listRoles().contains(r)) sg.createRole(r)
+      sg.grantFuture(r, p, sc); n += 1
+    }
+    (haveF -- wantF).toSeq.sorted.foreach { case (r, p, sc) =>
+      sg.revokeFuture(r, p, sc); n += 1
+    }
+    n
+  }
 
   /** One replication cycle for a group; returns objects copied. Replication
     * writes bypass the secondary's read-only gate (system channel), exactly
-    * as engine-level replication does. */
+    * as engine-level replication does. Tables copy AS OF one point-in-time
+    * cut recorded up front ([[recordHeads]]) — the group lands consistent
+    * even while primary writers keep committing — and each table's
+    * consumed offset is recorded durably so a later [[refreshIncremental]]
+    * resumes from this state instead of replaying into it. */
   def refresh(groupName: String): Int = {
     val g = groups(groupName)
+    val heads = recordHeads(groupName)
     val wasReadOnly = secondary.readOnly
     secondary.readOnly = false
     try {
       var n = 0
       for ((schema, t) <- g.tables) {
-        secondary.createSchema(schema)
-        secondary.table(schema, t).createOrReplace(primary.table(schema, t).read())
-        n += 1
+        val head = heads.getOrElse((schema, t), -1L)
+        if (head >= 0) {
+          secondary.createSchema(schema)
+          secondary.table(schema, t).createOrReplace(primary.table(schema, t).asOf(head))
+          writeOffsetAt(secondary.warehouse, groupName, schema, t, head)
+          n += 1
+        }
       }
       if (g.includeViews) for (v <- primary.listViews()) {
         secondary.createOrReplaceView(v.schema, v.name,
           v.definition.replace(s"${primary.name}__", s"${secondary.name}__"))
         n += 1
       }
+      if (g.includeRoles) n += syncGrants()
       lastRefresh(groupName) = System.currentTimeMillis()
       n
     } finally secondary.readOnly = wasReadOnly
@@ -59,7 +126,68 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
 
   def refreshAll(): Int = groups.keys.map(refresh).sum
 
-  private val lastShipped = mutable.Map.empty[(String, String, String), Long]
+  // ── durable consumer offsets (r13 verdict #1) ──────────────────────────
+  //
+  // The per-(group, table) consumed offset — the primary snapshot id whose
+  // state the secondary has fully applied — lives on the SECONDARY (the
+  // consumer owns its progress), one tiny file per table under the
+  // `_replication` system namespace. A restarted service resumes
+  // incrementally instead of re-shipping the estate (the r12→r13 ANN-index
+  // `source.offset` pattern); offsets the primary EXPIRED past are handled
+  // by rowChangesBetween's contiguity guard (→ full copy, never a hole).
+
+  private def offsetFile(wh: String, group: String, schema: String,
+                         t: String): Path =
+    new Path(s"$wh/_replication/$group/$schema.$t.offset")
+
+  private def hfs(p: Path) =
+    p.getFileSystem(primary.spark.sparkContext.hadoopConfiguration)
+
+  private def readOffsetAt(wh: String, group: String, schema: String,
+                           t: String): Option[Long] = {
+    val p = offsetFile(wh, group, schema, t)
+    val fs = hfs(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      txt.toLongOption // a torn write parses to None → safe full-copy bootstrap
+    }
+  }
+
+  private def writeOffsetAt(wh: String, group: String, schema: String,
+                            t: String, id: Long): Unit = {
+    val p = offsetFile(wh, group, schema, t)
+    val fs = hfs(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The keyless consumer's CRASH-PROOF progress: each applied window's
+    * identity note `cdcwin=<off>_<head>` is committed ATOMICALLY with the
+    * apply (and survives the mirror's own compact+expire via the
+    * retired-notes ledger), so the highest applied `head` recoverable from
+    * the mirror itself supersedes a stale offset file — a crash between
+    * apply and offset write can never double-apply a window. */
+  private def appliedWindowHead(st: SnapshotTable): Option[Long] =
+    (st.commitNotes().map(_._2) ++ st.retiredNotes())
+      .flatMap(_.split(' '))
+      .filter(_.startsWith("cdcwin="))
+      .flatMap(_.stripPrefix("cdcwin=").split('_').lastOption.flatMap(_.toLongOption))
+      .maxOption
+
+  /** Offset-file and note-derived progress, maxed. The mirror's `cdcwin`
+    * notes are trusted as THIS feed's applied windows — enrolling a table
+    * whose notes came from a DIFFERENT feed (e.g. a physical clone of
+    * some other primary's keyless mirror) as a logical-group member is
+    * unsupported: recreate the table (or clear it) so the bootstrap path
+    * owns it. */
+  private def consumedOffset(group: String, schema: String, t: String,
+                             st: SnapshotTable): Option[Long] =
+    if (!st.exists) None
+    else (readOffsetAt(secondary.warehouse, group, schema, t).toSeq ++
+      appliedWindowHead(st).toSeq).maxOption
 
   /** Incremental LOGICAL replication: ships each member table's
     * row-level net changes since the last shipped snapshot
@@ -83,7 +211,26 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * falls back to one full logical copy. Returns rows shipped (deletes
     * + inserts; full copies count their rows), 0 when caught up. */
   def refreshIncremental(groupName: String,
-                         keys: Map[(String, String), Seq[String]] = Map.empty): Long = {
+                         keys: Map[(String, String), Seq[String]] = Map.empty): Long =
+    refreshIncrementalAt(groupName, recordHeads(groupName), keys)
+
+  /** [[refreshIncremental]] against an explicit head cut (r13 verdict #2,
+    * the [[refreshPhysicalAt]] pattern): every table ships its window only
+    * UP TO its recorded head, so one cycle racing live primary writers
+    * still lands the whole group on ONE cross-table-consistent point in
+    * time — a logical secondary must never show table A at 10:07 next to
+    * table B at 10:02 (the Snowflake failover-group point-in-time
+    * guarantee, `scripts/20_failover_groups_primary.sql:109-172`). Commits
+    * past a table's cut ship next cycle. Progress is DURABLE (r13 verdict
+    * #1): consumed offsets persist per table on the secondary
+    * ([[consumedOffset]]), so a restarted service resumes delta-only; a
+    * crash between a keyless apply and its offset write is covered by the
+    * window note committed atomically with the apply
+    * ([[appliedWindowHead]]), and a keyed replay converges because
+    * [[SnapshotTable.applyChanges]] is idempotent. */
+  def refreshIncrementalAt(groupName: String,
+                           heads: Map[(String, String), Long],
+                           keys: Map[(String, String), Seq[String]] = Map.empty): Long = {
     val g = groups(groupName)
     val wasReadOnly = secondary.readOnly
     secondary.readOnly = false
@@ -91,33 +238,37 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
       var shipped = 0L
       for ((schema, t) <- g.tables) {
         val pt = primary.table(schema, t)
-        val head = pt.currentSnapshotId.getOrElse(-1L)
-        val st = secondary.table(schema, t)
-        val k = (groupName, schema, t)
-        def fullCopy(): Unit = {
-          secondary.createSchema(schema)
-          st.createOrReplace(pt.read())
-          shipped += st.count()
+        val head = heads.getOrElse((schema, t), -1L)
+        if (head >= 0) {
+          val st = secondary.table(schema, t)
+          def fullCopy(): Unit = {
+            secondary.createSchema(schema)
+            st.createOrReplace(pt.asOf(head)) // the CUT's state, not live head
+            shipped += st.count()
+          }
+          val off = consumedOffset(groupName, schema, t, st)
+          off match {
+            case Some(o) if o >= head => () // caught up (or a stale cut): zero work
+            case Some(o) =>
+              pt.rowChangesBetween(o, head) match {
+                case Some(cs) if cs.df.isEmpty => () // e.g. compact-only range
+                case Some(cs) =>
+                  val (d, i) = keys.get((schema, t)) match {
+                    case Some(kc) => st.applyChanges(cs.df, kc)
+                    case None => // keyless: positional apply, window-note replay dedup
+                      st.applyChangesPositional(cs.df,
+                        note = Some(s"cdcwin=${o}_$head"))
+                  }
+                  shipped += d + i
+                case None => fullCopy() // REPLACE or history expired past the offset
+              }
+            case None => fullCopy() // bootstrap
+          }
+          if (off.forall(_ < head))
+            writeOffsetAt(secondary.warehouse, groupName, schema, t, head)
         }
-        lastShipped.get(k).filter(_ => st.exists) match {
-          case Some(off) if off == head => () // caught up: zero work
-          case Some(off) =>
-            pt.rowChangesBetween(off, head) match {
-              case Some(cs) if cs.df.isEmpty => () // e.g. compact-only range
-              case Some(cs) =>
-                val (d, i) = keys.get((schema, t)) match {
-                  case Some(kc) => st.applyChanges(cs.df, kc)
-                  case None => // keyless: positional apply, window-note replay dedup
-                    st.applyChangesPositional(cs.df,
-                      note = Some(s"cdcwin=${off}_$head"))
-                }
-                shipped += d + i
-              case None => fullCopy() // REPLACE or history expired past the offset
-            }
-          case None => fullCopy() // bootstrap
-        }
-        lastShipped(k) = head
       }
+      if (g.includeRoles) syncGrants() // RBAC rides every flavor of refresh
       // the incremental path satisfies the same ~10-min RPO contract the
       // full/physical cycles record — lagMs must see it (r12 ADVICE #3)
       lastRefresh(groupName) = System.currentTimeMillis()
@@ -182,6 +333,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
           v.definition.replace(s"${primary.name}__", s"${secondary.name}__"))
         copied += 1
       }
+      if (g.includeRoles) copied += syncGrants()
       lastRefresh(groupName) = System.currentTimeMillis()
       copied
     } finally secondary.readOnly = wasReadOnly
@@ -200,7 +352,11 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     dfs.mkdirs(dp)
     def names(fs: org.apache.hadoop.fs.FileSystem, p: Path): Set[String] =
       if (!fs.exists(p)) Set.empty else fs.listStatus(p).map(_.getPath.getName).toSet
-    // one listing per side; `.claim.` files are transient writer state
+    // one listing per side; `.claim.` files are transient writer state.
+    // `refs` and `notes.retired` are the two MUTABLE root entries (tags
+    // drop, expiry appends notes) — a name-based delta would copy them
+    // once and never refresh, so they reconcile wholesale every cycle
+    val mutableSingles = Set("refs", "notes.retired")
     val src = names(sfs, sp).filterNot(_.contains(".claim."))
     var dst = names(dfs, dp).filterNot(_.contains(".claim."))
     if (rewind) {
@@ -260,7 +416,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
       catch { // expired/renamed on the primary mid-cycle: reconcile next cycle
         case _: java.io.FileNotFoundException => false
       }
-    val fresh = (src -- dst - "refs").toSeq
+    val fresh = (src -- dst -- mutableSingles).toSeq
     val (metas, rest) = fresh.partition(_.endsWith(".meta"))
     // 1. data, sidecars, stats, staged markers — invisible until their
     //    marker lands, so order within the payload doesn't matter and the
@@ -268,14 +424,16 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     //    point a busy cycle's delta is tens-to-hundreds of GB, which must
     //    not serialize through the driver NIC
     copied += copyPayload(sp.toString, dp.toString, conf, sfs, rest.sorted)
-    // refs reconcile every cycle (tiny and mutable: tags drop, branches
-    // publish): replace wholesale, count only a first-time copy that
-    // actually landed (r12 ADVICE #5: never blind-decrement the counter)
-    if (src.contains("refs")) {
-      val had = dst.contains("refs")
-      if (had) dfs.delete(new Path(dp, "refs"), true)
-      if (copyDriver("refs") && !had) copied += 1
-    } else if (dst.contains("refs")) dfs.delete(new Path(dp, "refs"), true)
+    // the mutable singles reconcile every cycle (tiny): replace wholesale,
+    // count only a first-time copy that actually landed (r12 ADVICE #5:
+    // never blind-decrement the counter)
+    for (nm <- mutableSingles.toSeq.sorted) {
+      if (src.contains(nm)) {
+        val had = dst.contains(nm)
+        if (had) dfs.delete(new Path(dp, nm), true)
+        if (copyDriver(nm) && !had) copied += 1
+      } else if (dst.contains(nm)) dfs.delete(new Path(dp, nm), true)
+    }
     // 2. markers last, ascending, only up to the consistency cut: every
     //    prefix is a consistent chain AND the cycle lands on one
     //    cross-table point in time. Markers are tiny and their ORDER is
@@ -285,7 +443,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     metas.filter(metaId(_) <= maxMetaId).sorted
       .foreach(n => if (copyDriver(n)) copied += 1)
     // 3. expiry follows: markers first (hide), then the data
-    val gone = (dst -- src - "refs").toSeq
+    val gone = (dst -- src -- mutableSingles).toSeq
     gone.filter(_.endsWith(".meta")).sorted.foreach(n =>
       dfs.delete(new Path(dp, n), false))
     gone.filterNot(_.endsWith(".meta")).sorted.foreach(n =>
@@ -315,41 +473,44 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                           entries: Seq[String]): Int = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val sp = new Path(srcRoot)
+    val dp = new Path(dstRoot)
+    val dfs = dp.getFileSystem(conf)
     def filesUnder(p: Path, rel: String): Seq[String] =
       sfs.listStatus(p).toSeq.flatMap { st =>
         val r = s"$rel/${st.getPath.getName}"
         if (st.isDirectory) filesUnder(st.getPath, r) else Seq(r)
       }
-    var shipped = 0
-    val manifest = Seq.newBuilder[String]
-    entries.foreach { n =>
+    // entry → its files; an entry that vanished on the primary mid-cycle
+    // (expiry race) is skipped and reconciles next cycle
+    val perEntry: Seq[(String, Seq[String])] = entries.flatMap { n =>
       try {
         val st = sfs.getFileStatus(new Path(sp, n))
-        if (st.isDirectory) manifest ++= filesUnder(st.getPath, n)
-        else manifest += n
-        shipped += 1
-      } catch { case _: java.io.FileNotFoundException => () }
+        Some(n -> (if (st.isDirectory) filesUnder(st.getPath, n) else Seq(n)))
+      } catch { case _: java.io.FileNotFoundException => None }
     }
-    val rels = manifest.result()
-    if (rels.isEmpty) shipped
-    else if (rels.size <= copyJobThreshold) {
-      val dp = new Path(dstRoot)
-      val dfs = dp.getFileSystem(conf)
-      rels.foreach { rel =>
-        try FileUtil.copy(sfs, new Path(sp, rel), dfs, new Path(dp, rel),
-          false, true, conf)
-        catch { case _: java.io.FileNotFoundException => () }
+    // a directory entry expanding to zero files is still an OBJECT — create
+    // it on the destination (r13 ADVICE #3: it previously never landed)
+    perEntry.foreach { case (n, fl) => if (fl.isEmpty) dfs.mkdirs(new Path(dp, n)) }
+    val rels = perEntry.flatMap(_._2)
+    val landed: Set[String] =
+      if (rels.isEmpty) Set.empty
+      else if (rels.size <= copyJobThreshold) {
+        rels.filter { rel =>
+          try FileUtil.copy(sfs, new Path(sp, rel), dfs, new Path(dp, rel),
+            false, true, conf)
+          catch { case _: java.io.FileNotFoundException => false }
+        }.toSet
+      } else {
+        val sc = primary.spark.sparkContext
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        sc.setJobDescription(s"graft-replication-copy: ${rels.size} files")
+        try ReplicationService.copyFilesJob(sc, serConf, srcRoot, dstRoot, rels)
+        finally sc.setJobDescription(null)
       }
-      shipped
-    } else {
-      val sc = primary.spark.sparkContext
-      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-      sc.setJobDescription(s"graft-replication-copy: ${rels.size} files")
-      try {
-        ReplicationService.copyFilesJob(sc, serConf, srcRoot, dstRoot, rels)
-      } finally sc.setJobDescription(null)
-      shipped
-    }
+    // an entry counts as SHIPPED only when every file under it actually
+    // landed (r13 ADVICE #3 — counting at listing time overreported
+    // mid-cycle vanishes); a partial entry reconciles next cycle
+    perEntry.count { case (_, fl) => fl.isEmpty || fl.forall(landed) }
   }
 
   def refreshAllPhysical(): Int = groups.keys.map(refreshPhysical).sum
@@ -446,12 +607,90 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     } finally primary.readOnly = wasReadOnly
   }
 
+  /** FAILBACK for a LOGICALLY replicated group (r13 verdict #5): the
+    * secondary of a logical group has its OWN snapshot ids, so
+    * [[failback]]'s marker-byte rewind cannot apply — instead the old
+    * primary re-syncs by VALUE. Divergence truncation happens through the
+    * multiset diff itself: the state the old primary must reach is the
+    * new primary's cut (`exceptAll` both ways → exact surplus/deficit
+    * multisets, the RPO-lost writes land on the delete side), and the
+    * diff applies through the same idempotent CDC consumers replication
+    * uses — ONE atomic sidecar-only commit per table, rewrite cost ∝
+    * divergence, never ∝ table (the diff computation scans both sides
+    * once, acceptable for a drill's return leg). Tables with an entry in
+    * `keys` apply through [[SnapshotTable.applyChanges]]; keyless tables
+    * through [[SnapshotTable.applyChangesPositional]]. The cut is
+    * recorded on the NEW primary first (cross-table-consistent like any
+    * cycle), and each table's consumed offset is persisted on the OLD
+    * primary — the [[reversed]] service's consumer — so subsequent
+    * reverse incremental cycles resume DELTA-ONLY from the failback
+    * point. An old primary whose lost writes ADDED a column the new
+    * primary never saw falls back to a full logical resync (a value diff
+    * cannot express the column drop). Returns rows shipped (full resyncs
+    * count their rows); an idle failback returns 0. */
+  def failbackLogical(groupName: String,
+                      keys: Map[(String, String), Seq[String]] = Map.empty): Long = {
+    val g = groups(groupName)
+    val heads = g.tables.map { case (schema, t) =>
+      (schema, t) -> secondary.table(schema, t).currentSnapshotId.getOrElse(-1L)
+    }.toMap
+    val wasReadOnly = primary.readOnly
+    primary.readOnly = false
+    try {
+      var shipped = 0L
+      for ((schema, t) <- g.tables) {
+        val head = heads((schema, t))
+        if (head >= 0) {
+          val target = secondary.table(schema, t).asOf(head)
+          val old = primary.table(schema, t)
+          if (!old.exists ||
+              !old.read().columns.toSet.subsetOf(target.columns.toSet)) {
+            primary.createSchema(schema)
+            old.createOrReplace(target)
+            shipped += old.count()
+          } else {
+            // conform the old primary to the target schema (the new
+            // primary may have EVOLVED): missing columns read as typed
+            // NULLs, exactly the read-time-evolution stance
+            val cur = old.read()
+            val conformed = target.columns.toSeq.map { c =>
+              if (cur.columns.contains(c)) cur(c)
+              else lit(null).cast(target.schema(c).dataType).as(c)
+            }
+            val curC = cur.select(conformed: _*)
+            val dels = curC.exceptAll(target)
+            val ins = target.exceptAll(curC)
+            val changes = dels.withColumn("_change", lit("delete"))
+              .unionByName(ins.withColumn("_change", lit("insert"))).persist()
+            try {
+              if (!changes.isEmpty) { // an idle table commits NOTHING
+                val (d, i) = keys.get((schema, t)) match {
+                  case Some(kc) => old.applyChanges(changes, kc)
+                  case None => old.applyChangesPositional(changes,
+                    note = Some(s"cdcfb=$head"))
+                }
+                shipped += d + i
+              }
+            } finally changes.unpersist(blocking = false)
+          }
+          // the old primary is now the REVERSED service's consumer: its
+          // durable offset is the new primary's cut, so reverse
+          // incremental cycles resume delta-only across restarts
+          writeOffsetAt(primary.warehouse, groupName, schema, t, head)
+        }
+      }
+      shipped
+    } finally primary.readOnly = wasReadOnly
+  }
+
   /** The same failover groups with the roles swapped — the ongoing
     * reverse-replication service a completed failover runs (the old
     * primary tracks the new one until a planned fail-forward). */
   def reversed: ReplicationService = {
     val r = new ReplicationService(secondary, primary, copyJobThreshold)
-    groups.values.foreach(g => r.createGroup(g.name, g.tables, g.includeViews))
+    groups.values.foreach(g =>
+      r.createGroup(g.name, g.tables, g.includeViews, g.includeRoles))
+    grantSvcs.foreach { case (pg, sg) => r.attachGrantServices(sg, pg) }
     r
   }
 
@@ -518,18 +757,21 @@ object ReplicationService {
   private def copyFilesJob(sc: org.apache.spark.SparkContext,
                            conf: org.apache.spark.util.SerializableConfiguration,
                            srcRoot: String, dstRoot: String,
-                           rels: Seq[String]): Unit = {
+                           rels: Seq[String]): Set[String] = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     sc.parallelize(rels, math.min(rels.size, math.max(1, sc.defaultParallelism)))
-      .foreachPartition { it =>
+      .mapPartitions { it =>
         val c = conf.value
         val sP = new Path(srcRoot); val dP = new Path(dstRoot)
         val fsS = sP.getFileSystem(c); val fsD = dP.getFileSystem(c)
-        it.foreach { rel =>
+        it.filter { rel =>
           try FileUtil.copy(fsS, new Path(sP, rel), fsD, new Path(dP, rel),
             false, true, c)
-          catch { case _: java.io.FileNotFoundException => () }
+          catch { case _: java.io.FileNotFoundException => false }
         }
       }
+      // the collected payload is FILE NAMES of one cycle's delta (the
+      // copy-success roll-up r13 ADVICE #3 asked for), not data
+      .collect().toSet
   }
 }

@@ -71,7 +71,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
   def listSchemas(): Seq[String] = {
     val p = new Path(warehouse)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      // `_`-prefixed directories are SYSTEM namespaces, not schemas (e.g.
+      // `_replication`, the consumer-side durable offset store) — the
+      // Iceberg/Hive hidden-path convention
+      .filterNot(_.startsWith("_")).sorted
   }
 
   def listTables(schema: String): Seq[String] = {

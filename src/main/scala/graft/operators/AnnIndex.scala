@@ -443,8 +443,10 @@ object AnnIndex {
     * says where the index truly is, a replayed window folds idempotently,
     * and membership converges to the source — no caller-side offset
     * bookkeeping (the r12 gap). `initialOffset` seeds the durable offset
-    * for a freshly built index (pass the source head captured at build);
-    * an already-maintained index ignores it. */
+    * for a freshly built index and is REQUIRED then (pass the source head
+    * captured at build — defaulting to the current head would skip
+    * commits landed since build, r13 ADVICE #2); an already-maintained
+    * index ignores it. */
   def maintainContinuously(s: SparkSession, dir: String, root: String,
       source: graft.warehouse.SnapshotTable, checkpoint: String,
       initialOffset: Option[Long] = None,
@@ -454,9 +456,15 @@ object AnnIndex {
       onSync: ((Long, Long, Boolean, Long)) => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (syncedOffset(s, root).isEmpty)
-      recordSyncedOffset(s, root, initialOffset.orElse(source.currentSnapshotId)
-        .getOrElse(throw new IllegalStateException(
-          s"cannot seed maintenance of $root: source table does not exist")))
+      // NEVER default to the source's CURRENT head (r13 ADVICE #2): any
+      // commits between index build and first maintenance start would be
+      // silently skipped and membership would drift until a skew retrain
+      // happened to fire — force the caller to state the build-time head
+      recordSyncedOffset(s, root, initialOffset.getOrElse(
+        throw new IllegalStateException(
+          s"cannot seed maintenance of $root: no durable offset exists — " +
+            "pass initialOffset (the source head captured at BUILD time, " +
+            "not now; commits since build must replay through the fold)")))
     graft.streaming.SnapshotStream.read(s, source.root, ignoreReplaces = true)
       .writeStream
       .option("checkpointLocation", checkpoint)

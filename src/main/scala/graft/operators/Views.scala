@@ -1285,6 +1285,307 @@ object Views {
       }
     },
 
+    // DURABLE REPLICATION OFFSETS through the correctness gate (r13
+    // verdict #1): after a bootstrap + one shipped window, the service is
+    // "RESTARTED" — a brand-new instance with zero shared driver memory —
+    // and the next cycle is REQUIREd to ship EXACTLY the new window's net
+    // rows as ONE atomic mor commit: a service whose progress lived in
+    // driver memory would re-ship the whole table as a base re-copy here.
+    // The final grouped aggregate hashes against DuckDB replaying the
+    // statements for both sides.
+    "q143_offset_restart" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/durrep-pri"
+      val whS = s"$base/durrep-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val tbl = pri.table("gate", "orders_d")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        tbl.createOrReplace(
+          orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice"))
+        val keys = Map(("gate", "orders_d") -> Seq("o_orderkey"))
+        val svc1 = new graft.bcdr.ReplicationService(pri, sec)
+        svc1.createGroup("core", Seq(("gate", "orders_d")), includeViews = false)
+        require(svc1.refreshIncremental("core", keys) == tbl.count(),
+          "q143 bootstrap full copy")
+        val mirror = sec.table("gate", "orders_d")
+        // window 1, shipped by svc1
+        val doomed = orders.filter($"o_orderkey" % lit(5L) === lit(0L))
+          .select($"o_orderkey")
+        tbl.deleteByKeys(Seq("o_orderkey"), doomed)
+        require(svc1.refreshIncremental("core", keys) == doomed.count(),
+          "q143 window 1 ships its net rows")
+        val chain1 = mirror.snapshots().size
+        // THE RESTART: progress must come from the durable offsets on the
+        // secondary — svc2 shares nothing with svc1
+        val svc2 = new graft.bcdr.ReplicationService(pri, sec)
+        svc2.createGroup("core", Seq(("gate", "orders_d")), includeViews = false)
+        // window 2: one upsert mixing updates (price×2) with new keys
+        def upd = orders.filter($"o_orderkey" % lit(5L) =!= lit(0L) &&
+            $"o_orderkey" % lit(7L) === lit(3L))
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            ($"o_totalprice" * lit(2.0)).as("o_totalprice"))
+        def nova = orders.filter($"o_orderkey" % lit(11L) === lit(4L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"), $"o_custkey",
+            lit("N").as("o_orderstatus"), $"o_totalprice")
+        tbl.upsertByKeys(upd.unionByName(nova), Seq("o_orderkey"))
+        val s2 = svc2.refreshIncremental("core", keys)
+        require(s2 == 2 * upd.count() + nova.count(),
+          s"q143: the RESTARTED service must ship exactly window 2 " +
+            s"(delete+insert per update, one insert per new key) — a full " +
+            s"re-copy would ship the table: $s2")
+        require(mirror.snapshots().size == chain1 + 1 &&
+            mirror.snapshots().last._2 == "mor",
+          "q143: the resumed window is ONE atomic mor commit, never a base re-copy")
+        require(svc2.refreshIncremental("core", keys) == 0L,
+          "q143 caught up ships zero")
+        require(mirror.read().exceptAll(tbl.read()).isEmpty &&
+            tbl.read().exceptAll(mirror.read()).isEmpty,
+          "q143: primary and secondary multisets must be identical")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              min($"o_orderkey").as("min_key"))
+        val res = agg(mirror.read(), "secondary")
+          .unionByName(agg(tbl.read(), "primary"))
+          .orderBy($"stage", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
+    // CROSS-TABLE CONSISTENT CUT for INCREMENTAL LOGICAL replication (r13
+    // verdict #2): two tables' heads are pinned, racing commits land on
+    // BOTH tables after the pin, and the cycle is REQUIREd to ship exactly
+    // the pre-cut windows — each mirror equals the primary AS OF its cut
+    // (multiset both ways), so the secondary shows ONE point in time. The
+    // cut-state and final-state aggregates both hash against DuckDB.
+    "q144_consistent_cut" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/lcut-pri"
+      val whS = s"$base/lcut-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        def proj = orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val ta = pri.table("gate", "cut_a")
+        val tb = pri.table("gate", "cut_b")
+        ta.createOrReplace(proj.filter($"o_orderkey" % lit(2L) === lit(0L)))
+        tb.createOrReplace(proj.filter($"o_orderkey" % lit(2L) === lit(1L)))
+        val keys = Map(("gate", "cut_a") -> Seq("o_orderkey"),
+          ("gate", "cut_b") -> Seq("o_orderkey"))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "cut_a"), ("gate", "cut_b")),
+          includeViews = false)
+        require(repl.refreshIncremental("core", keys) == ta.count() + tb.count(),
+          "q144 bootstrap")
+        // PRE-cut windows on both tables
+        def pRows = proj.filter($"o_orderkey" % lit(2L) === lit(1L) &&
+            $"o_orderkey" % lit(13L) === lit(6L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("P").as("o_orderstatus"), $"o_totalprice")
+        ta.append(pRows)
+        val bDoomed = proj.filter($"o_orderkey" % lit(2L) === lit(1L) &&
+          $"o_orderkey" % lit(3L) === lit(0L)).select($"o_orderkey")
+        tb.deleteByKeys(Seq("o_orderkey"), bDoomed)
+        // the cut is recorded; RACING commits then land on BOTH tables
+        val cut = repl.recordHeads("core")
+        ta.delete($"o_orderkey" % lit(7L) === lit(2L))
+        def qRows = proj.filter($"o_orderkey" % lit(2L) === lit(0L) &&
+            $"o_orderkey" % lit(13L) === lit(2L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("Q").as("o_orderstatus"), $"o_totalprice")
+        tb.append(qRows)
+        val sCut = repl.refreshIncrementalAt("core", cut, keys)
+        require(sCut == pRows.count() + bDoomed.count(),
+          s"q144: exactly the pre-cut windows ship, got $sCut")
+        val ma = sec.table("gate", "cut_a")
+        val mb = sec.table("gate", "cut_b")
+        // ONE point in time: every mirror equals the primary AS OF its cut
+        for (((schema, tn), h) <- cut) {
+          val m = sec.table(schema, tn).read()
+          val p = pri.table(schema, tn).asOf(h)
+          require(m.exceptAll(p).isEmpty && p.exceptAll(m).isEmpty,
+            s"q144: $schema.$tn must equal the primary's cut state")
+        }
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              min($"o_orderkey").as("min_key"))
+        val cutRows = agg(ma.read(), "cut_a").collect() ++
+          agg(mb.read(), "cut_b").collect()
+        // the racers ship NEXT cycle
+        val s2 = repl.refreshIncremental("core", keys)
+        require(s2 == ta.asOf(cut(("gate", "cut_a"))).filter(
+            $"o_orderkey" % lit(7L) === lit(2L)).count() + qRows.count(),
+          s"q144: the catch-up cycle ships exactly the racers, got $s2")
+        require(ma.read().exceptAll(ta.read()).isEmpty &&
+            ta.read().exceptAll(ma.read()).isEmpty &&
+            mb.read().exceptAll(tb.read()).isEmpty &&
+            tb.read().exceptAll(mb.read()).isEmpty,
+          "q144: both mirrors converge to the primary")
+        val res = agg(ma.read(), "fin_a").unionByName(agg(mb.read(), "fin_b"))
+        val rows = (cutRows ++ res.collect())
+          .sortBy(r => (r.getString(0), r.getString(1)))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
+    // LOGICAL FAILBACK through the correctness gate (r13 verdict #5): a
+    // KEYLESS logically replicated group — the secondary has its OWN ids,
+    // so marker rewind can't apply — takes a lost write on the old
+    // primary, the promoted secondary commits its own timeline, and
+    // `failbackLogical` re-syncs the old primary BY VALUE: REQUIREd to
+    // ship exactly the divergence multiset as ONE sidecar-only commit,
+    // both sides multiset-identical, an idle failback shipping zero, and
+    // the REVERSED service resuming DELTA-ONLY from the recorded offset.
+    "q145_logical_failback" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/lfb-pri"
+      val whS = s"$base/lfb-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val orders = t(s, dir, "orders")
+        def proj(m: Int) = orders
+          .filter($"o_orderkey" % lit(3L) === lit(m.toLong))
+          .select($"o_orderstatus".as("st"), ($"o_custkey" % lit(50L)).as("bucket"))
+        val tbl = pri.table("gate", "clicks_f")
+        tbl.createOrReplace(proj(0))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "clicks_f")), includeViews = false)
+        require(repl.refreshIncremental("core") == tbl.count(), "q145 bootstrap")
+        // the RPO-lost write: lands on the primary, never replicates
+        def lost = proj(1).filter($"bucket" < lit(10L))
+          .withColumn("st", lit("L"))
+        tbl.append(lost)
+        // disaster: promote; the new primary commits its own timeline
+        repl.promote()
+        val mirror = sec.table("gate", "clicks_f")
+        val delB7 = mirror.read().filter($"bucket" === lit(7L)).count()
+        mirror.deleteWherePositional($"bucket" === lit(7L))
+        def k1 = proj(1).filter($"bucket" >= lit(30L))
+        mirror.append(k1)
+        val chain0 = tbl.snapshots().size
+        val shipped = repl.failbackLogical("core")
+        require(shipped == lost.count() + delB7 + k1.count(),
+          s"q145: failback must ship exactly the divergence multiset, got $shipped")
+        require(tbl.snapshots().size == chain0 + 1 &&
+            tbl.snapshots().last._2 == "mor",
+          "q145: the value re-sync is ONE atomic sidecar-only commit")
+        require(tbl.read().exceptAll(mirror.read()).isEmpty &&
+            mirror.read().exceptAll(tbl.read()).isEmpty,
+          "q145: both sides multiset-identical after failback")
+        require(repl.failbackLogical("core") == 0L, "q145 idle failback ships zero")
+        // the reversed service resumes DELTA-ONLY from the recorded offset
+        val rev = repl.reversed
+        def k2 = proj(2).filter($"bucket" < lit(20L))
+        mirror.append(k2)
+        require(rev.refreshIncremental("core") == k2.count(),
+          "q145: the reverse cycle ships only the post-failback delta, never a full copy")
+        require(tbl.read().exceptAll(mirror.read()).isEmpty &&
+            mirror.read().exceptAll(tbl.read()).isEmpty,
+          "q145: the old primary tracks the new one")
+        val res = mirror.read()
+          .groupBy(lit("newpri").as("stage"), $"st", $"bucket")
+          .agg(count(lit(1)).as("n"))
+          .unionByName(tbl.read()
+            .groupBy(lit("oldpri").as("stage"), $"st", $"bucket")
+            .agg(count(lit(1)).as("n")))
+          .orderBy($"stage", $"st", $"bucket")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
+    // NULL-MIXED KEYLESS CDC WINDOW through the correctness gate (r13
+    // ADVICE #1): the table's nullable column is laid out so entire files
+    // are ALL-NULL in it, and one window deletes a value set MIXING NULL
+    // and non-null values — a null-blind min/max hull prunes the all-null
+    // files and silently never deletes the NULL-valued victims. REQUIREd:
+    // exact delete/insert counts (the null victims must match), one atomic
+    // sidecar-only commit; the NULL-bucketed survivor aggregate hashes
+    // against DuckDB replaying the statements.
+    "q146_null_keyless_window" -> { (s, dir) =>
+      import s.implicits._
+      val wh = s"${sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")}/nullwin"
+      try {
+        val cat = new graft.catalog.Catalog(s, wh, "NULLW")
+        cat.createSchema("gate")
+        val tbl = cat.table("gate", "docs_n")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        // v is NULL for a third of the rows; range-laying out by v packs
+        // the NULLs into files that are ALL-NULL in v (nulls sort first)
+        def bse = orders.select($"o_orderkey",
+          when($"o_orderkey" % lit(3L) === lit(0L), lit(null).cast("long"))
+            .otherwise($"o_custkey" % lit(13L)).as("v"))
+        tbl.createOrReplace(bse.repartitionByRange(8, $"v"),
+          sortBy = Seq("o_orderkey"))
+        val chain0 = tbl.snapshots().size
+        // ONE window: delete every %17=3 row (NULL and non-null v mixed —
+        // the non-null values give v a bounded, null-blind hull), insert
+        // shifted %23=1 rows
+        val dels = bse.filter($"o_orderkey" % lit(17L) === lit(3L))
+        val ins = bse.filter($"o_orderkey" % lit(23L) === lit(1L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"), $"v")
+        val (nDel, nIns) = (dels.count(), ins.count())
+        val batch = dels.withColumn("_change", lit("delete"))
+          .unionByName(ins.withColumn("_change", lit("insert")))
+        val (d, i) = tbl.applyChangesPositional(batch, Some("win-q146"))
+        require(d == nDel && i == nIns,
+          s"q146: every victim must match INCLUDING the NULL-valued ones a " +
+            s"null-blind hull prunes away: got ($d, $i) want ($nDel, $nIns)")
+        require(tbl.snapshots().size == chain0 + 1 &&
+            tbl.snapshots().last._2 == "mor",
+          "q146: one atomic sidecar-only commit, zero data files rewritten")
+        val res = tbl.read()
+          .groupBy(coalesce($"v", lit(-1L)).as("vb"))
+          .agg(count(lit(1)).as("n"), min($"o_orderkey").as("min_key"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"vb")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -2120,6 +2421,93 @@ object Views {
          FROM stages
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
+
+    "q143_offset_restart" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         t1 AS (SELECT * FROM t0 WHERE o_orderkey % 5 <> 0),
+         t2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM t1),
+         nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey, o.o_custkey,
+                         'N' AS o_orderstatus, o.o_totalprice
+                  FROM t0 o, mx WHERE o.o_orderkey % 11 = 4),
+         fin AS (SELECT * FROM t2 UNION ALL SELECT * FROM nova),
+         stages AS (
+           SELECT 'primary' AS stage, * FROM fin
+           UNION ALL SELECT 'secondary', * FROM fin)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q144_consistent_cut" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         a0 AS (SELECT * FROM t0 WHERE o_orderkey % 2 = 0),
+         b0 AS (SELECT * FROM t0 WHERE o_orderkey % 2 = 1),
+         p AS (SELECT o.o_orderkey + mx.m AS o_orderkey, 'P' AS o_orderstatus,
+                      o.o_totalprice
+               FROM t0 o, mx WHERE o.o_orderkey % 2 = 1 AND o.o_orderkey % 13 = 6),
+         a1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM p),
+         b1 AS (SELECT * FROM b0 WHERE o_orderkey % 3 <> 0),
+         a2 AS (SELECT * FROM a1 WHERE o_orderkey % 7 <> 2),
+         q AS (SELECT o.o_orderkey + mx.m AS o_orderkey, 'Q' AS o_orderstatus,
+                      o.o_totalprice
+               FROM t0 o, mx WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey % 13 = 2),
+         b2 AS (SELECT * FROM b1 UNION ALL SELECT * FROM q),
+         stages AS (
+           SELECT 'cut_a' AS stage, * FROM a1
+           UNION ALL SELECT 'cut_b', * FROM b1
+           UNION ALL SELECT 'fin_a', * FROM a2
+           UNION ALL SELECT 'fin_b', * FROM b2)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q145_logical_failback" ->
+      """WITH k0 AS (SELECT o_orderstatus AS st, o_custkey % 50 AS bucket
+                     FROM orders WHERE o_orderkey % 3 = 0),
+         k1 AS (SELECT o_orderstatus AS st, o_custkey % 50 AS bucket
+                FROM orders WHERE o_orderkey % 3 = 1 AND o_custkey % 50 >= 30),
+         k2 AS (SELECT o_orderstatus AS st, o_custkey % 50 AS bucket
+                FROM orders WHERE o_orderkey % 3 = 2 AND o_custkey % 50 < 20),
+         fin AS (SELECT * FROM k0 WHERE bucket <> 7
+                 UNION ALL SELECT * FROM k1
+                 UNION ALL SELECT * FROM k2),
+         stages AS (
+           SELECT 'newpri' AS stage, * FROM fin
+           UNION ALL SELECT 'oldpri', * FROM fin)
+         SELECT stage, st, bucket, CAST(count(*) AS BIGINT) AS n
+         FROM stages
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
+
+    "q146_null_keyless_window" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         t0 AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                            ELSE o_custkey % 13 END AS v
+                FROM orders),
+         t1 AS (SELECT * FROM t0 WHERE o_orderkey % 17 <> 3),
+         ins AS (SELECT o.o_orderkey + mx.m AS o_orderkey, o.v
+                 FROM t0 o, mx WHERE o.o_orderkey % 23 = 1),
+         fin AS (SELECT * FROM t1 UNION ALL SELECT * FROM ins)
+         SELECT COALESCE(v, -1) AS vb,
+                CAST(count(*) AS BIGINT) AS n,
+                MIN(o_orderkey) AS min_key,
+                MAX(o_orderkey) AS max_key
+         FROM fin
+         GROUP BY 1
+         ORDER BY 1""",
 
     "q131_disjunct_read" ->
       """WITH lim AS (SELECT MAX(o_orderkey) - 150 AS hi FROM orders),

@@ -45,6 +45,10 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   def hasGrant(role: String, privilege: String, obj: String): Boolean =
     grants.contains((role, privilege, obj))
 
+  /** The grant triples as data — the replication surface ([[showGrants]]
+    * is the user-facing DataFrame of the same state). */
+  def listGrants(): Seq[(String, String, String)] = grants.toSeq
+
   def showGrants(): DataFrame = {
     import spark.implicits._
     grants.toSeq.toDF("role", "privilege", "object")
@@ -72,6 +76,13 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   }
 
   def listFutureGrants(): Seq[(String, String, String)] = futureGrants.toSeq
+
+  def revokeFuture(role: String, privilege: String, schema: String): Boolean = {
+    val removed = futureGrants.remove((role, privilege, schema))
+    if (removed) auditLog.append(Seq(Row(role, privilege,
+      s"FUTURE TABLES IN SCHEMA $schema", "REVOKE_FUTURE")))
+    removed
+  }
 
   /** Materialize matching future grants for a just-created object; returns
     * the number of grants applied. Invoked via the catalog's creation hook

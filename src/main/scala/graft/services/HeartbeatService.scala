@@ -34,6 +34,20 @@ final class HeartbeatService(
     * SELECTs to the analyst role each run). */
   var expectedGrants: Seq[(String, String, String)] = Seq.empty
 
+  /** Replication groups whose lag must stay under a bound (r13 verdict
+    * #6): (service, groupName, maxLagMs). A group that has NEVER
+    * refreshed, or whose last cycle is older than the bound, reds the
+    * beat — the reference's DR-readiness roll-up treats a stalled
+    * replication schedule as not-ready
+    * (`scripts/31_sync_task_secondary.sql:663-682`). */
+  var replicationLag: Seq[(graft.bcdr.ReplicationService, String, Long)] = Seq.empty
+
+  /** Pinned-history ceiling (r13 verdict #6): any single ref pinning more
+    * than `maxBytes` past retention reds the beat — the "one forgotten
+    * tag pins a 100 TB table's history forever" alarm, from the
+    * maintenance service's metadata-only report. */
+  var pinnedHistory: Option[(MaintenanceService, Long)] = None
+
   /** One heartbeat: returns (checksRun, failures). */
   def run(): (Int, Int) = {
     var fails = 0
@@ -70,7 +84,34 @@ final class HeartbeatService(
     log("VIEW_COVERAGE", coverageOk,
       if (missing.isEmpty) "all covered" else s"missing=${missing.mkString(",")}")
 
-    (4, fails)
+    var checks = 4
+
+    // 5. replication lag (configured groups only): a group that never
+    // refreshed or whose last cycle exceeds its bound is a DR incident
+    for ((svc, grp, maxLag) <- replicationLag) {
+      val lag = svc.lagMs(grp)
+      val ok = lag.exists(_ <= maxLag)
+      if (!ok) fails += 1
+      log("REPLICATION_LAG", ok,
+        s"group=$grp lag_ms=${lag.getOrElse(-1L)} max_ms=$maxLag")
+      checks += 1
+    }
+
+    // 6. pinned history: any ref personally keeping more than the ceiling
+    // alive past retention (metadata-only report, zero scans)
+    pinnedHistory.foreach { case (maint, maxBytes) =>
+      val over = maint.pinnedHistoryReport()
+        .filter(col("pinned_bytes") > maxBytes).collect()
+        .map(r => s"${r.getString(0)}:${r.getString(1)}=${r.getLong(4)}B")
+      val ok = over.isEmpty
+      if (!ok) fails += 1
+      log("PINNED_HISTORY", ok,
+        if (ok) s"no ref pins more than ${maxBytes}B"
+        else s"over=${over.mkString(",")}")
+      checks += 1
+    }
+
+    (checks, fails)
   }
 
   /** DR-readiness roll-up (A11): MAX(CASE) per check over the last window. */

@@ -31,10 +31,13 @@ import graft.warehouse.SnapshotTable
 object WarehouseIngest {
 
   /** The highest streaming batch id ever committed into `t`, from the
-    * commit-marker notes — metadata-only, no data I/O. */
+    * commit-marker notes PLUS the retired-notes ledger (expiry preserves
+    * notes there — r13 verdict #3), so the skip stays exactly-once even
+    * when maintenance compacted + expired past the batch's own marker.
+    * Metadata-only, no data I/O. */
   def lastBatchId(t: SnapshotTable): Option[Long] =
-    t.commitNotes().collect {
-      case (_, n) if n.startsWith("batch=") => n.stripPrefix("batch=").toLong
+    (t.commitNotes().map(_._2) ++ t.retiredNotes()).collect {
+      case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong
     }.maxOption
 
   /** Idempotently ingest one micro-batch: appends and records `batchId`

@@ -441,6 +441,44 @@ final class SnapshotTable(
   def commitNotes(): Seq[(Long, String)] =
     metas().flatMap(m => m.note.map(m.id -> _))
 
+  // ---- durable note retirement (r13 verdict #3 / ADVICE #4) -------------
+
+  private def retiredNotesFile: Path = new Path(root, "notes.retired")
+
+  /** The commit notes of EXPIRED snapshots, preserved durably: note-based
+    * exactly-once consumers ([[applyChangesPositional]]'s window dedup,
+    * [[graft.streaming.WarehouseIngest]]'s batch dedup) check live marker
+    * notes — which [[expireSnapshots]] deletes — so without this ledger
+    * the replay-protection horizon would silently equal the retention
+    * window (a redelivery delayed past one maintenance cycle would
+    * double-apply). Expiry writes each doomed marker's note HERE before
+    * deleting the marker (ledger-first ordering: a crash between the two
+    * leaves the note in both places, never in neither), so
+    * [[noteEverCommitted]] stays true forever. One line per expired noted
+    * commit — bytes ∝ expired noted history, compaction-independent. */
+  def retiredNotes(): Seq[String] =
+    if (!fs.exists(retiredNotesFile)) Seq.empty
+    else {
+      val in = fs.open(retiredNotesFile)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.split('\n').filter(_.nonEmpty).toSeq.map(unesc)
+    }
+
+  private def retireNotes(notes: Seq[String]): Unit = if (notes.nonEmpty) {
+    val all = (retiredNotes() ++ notes).distinct
+    val out = fs.create(retiredNotesFile, true)
+    try out.write((all.map(esc).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Has a commit carrying note token `n` EVER been committed on this
+    * table — live (marker note) or expired ([[retiredNotes]])? The
+    * replay-refusal predicate for note-deduped exactly-once consumers;
+    * unlike a bare [[commitNotes]] scan it survives compact + expire. */
+  def noteEverCommitted(n: String): Boolean =
+    commitNotes().exists(_._2.split(' ').contains(n)) ||
+      retiredNotes().exists(_.split(' ').contains(n))
+
   /** (id, kind) for every committed snapshot, ascending — the table history
     * (S7: `SELECT * FROM t.snapshots`). */
   def snapshots(): Seq[(Long, String)] = metas().map(m => (m.id, m.kind))
@@ -2042,7 +2080,12 @@ final class SnapshotTable(
                     case "x" => true // counts recorded, bounds unusable
                     case k => SnapshotTable.rangesOverlap(k, st.min, st.max, r)
                   }
-                  rangeOk && !(r.notNull && st.allNull)
+                  // a matchesNull filter keeps any file that may hold a
+                  // NULL: all-null columns, recorded nullCount > 0, or an
+                  // unknown null count (pre-upgrade sidecar — keep)
+                  val nullOk = r.matchesNull &&
+                    (st.kind == "n" || st.nullCount.forall(_ > 0))
+                  (rangeOk && !(r.notNull && st.allNull)) || nullOk
                 case None => true // no stats recorded → cannot prune
               }
             }
@@ -2104,9 +2147,12 @@ final class SnapshotTable(
     if (!d.columns.contains(f.col)) Seq.empty
     else {
       val c = d(f.col)
-      f.lower.map(v => c >= lit(v)).toSeq ++
+      val bounds = f.lower.map(v => c >= lit(v)).toSeq ++
         f.upper.map(v => c <= lit(v)).toSeq ++
         (if (f.notNull) Seq(c.isNotNull) else Nil)
+      // a matchesNull filter's residual admits NULLs alongside the range
+      if (f.matchesNull && bounds.nonEmpty) Seq(bounds.reduce(_ && _) || c.isNull)
+      else bounds
     }
   }
 
@@ -2685,8 +2731,11 @@ final class SnapshotTable(
     require(batch.columns.contains("_change"),
       "applyChangesPositional expects a _change-tagged CDC batch")
     requireNoteSafe(note)
-    note.foreach { n => // an at-least-once feed replaying the window
-      if (commitNotes().exists(_._2.split(' ').contains(n))) return (0L, 0L)
+    note.foreach { n => // an at-least-once feed replaying the window —
+      // checked against live marker notes AND the retired-notes ledger,
+      // so the mirror compacting + expiring on its own schedule (it is
+      // free to) can never re-open the window to a late redelivery
+      if (noteEverCommitted(n)) return (0L, 0L)
     }
     val inserts = batch.filter(col("_change") === "insert").drop("_change").persist()
     val deletes = batch.filter(col("_change") === "delete").drop("_change").persist()
@@ -3100,12 +3149,17 @@ final class SnapshotTable(
     * keep the single hull. */
   private def keyHullAlternatives(srcKeys: DataFrame, keys: Seq[String],
                                   srcTotal: Long): Seq[Seq[ColRange]] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val hullRow = srcKeys.agg(
-      min(col(keys.head)), (keys.flatMap(k => Seq(min(col(k)), max(col(k)))).drop(1)): _*
-    ).head()
+    import org.apache.spark.sql.functions.{col, max, min, sum, when}
+    // min/max SKIP NULLs, so a per-column null count rides in the same
+    // agg: any column the value set holds a NULL in gets a matchesNull
+    // hull, or files holding the NULL-valued matches would be pruned
+    // (r13 ADVICE #1 — the null-safe `<=>` consumers match NULLs)
+    val aggCols = keys.flatMap(k => Seq(min(col(k)), max(col(k)),
+      sum(when(col(k).isNull, 1L).otherwise(0L))))
+    val hullRow = srcKeys.agg(aggCols.head, aggCols.tail: _*).head()
     val ranges = keys.zipWithIndex.map { case (k, i) =>
-      ColRange(k, Option(hullRow.get(2 * i)), Option(hullRow.get(2 * i + 1)))
+      ColRange(k, Option(hullRow.get(3 * i)), Option(hullRow.get(3 * i + 1)),
+        matchesNull = hullRow.getLong(3 * i + 2) > 0)
     }
     val lead = keys.head
     val numeric = srcKeys.schema(lead).dataType match {
@@ -3124,7 +3178,11 @@ final class SnapshotTable(
       srcKeys.groupBy(bucket.as("__h"))
         .agg(min(col(lead)).as("lo"), max(col(lead)).as("hi"))
         .collect().toSeq
-        .map(r => ColRange(lead, Option(r.get(1)), Option(r.get(2))) +: ranges.tail)
+        // NULL lead values bucket to 0 but min/max skip them — carry the
+        // lead's matchesNull into every alternative (conservative: a
+        // null-bearing file stays kept whichever segment considers it)
+        .map(r => ColRange(lead, Option(r.get(1)), Option(r.get(2)),
+          matchesNull = ranges.head.matchesNull) +: ranges.tail)
     }
     if (multi.nonEmpty) multi else Seq(ranges)
   }
@@ -3217,6 +3275,11 @@ final class SnapshotTable(
     val cut = ms.lastIndexWhere(m => m.kind == "base" && m.id <= protectedId)
     if (cut <= 0) return Seq.empty
     val expired = ms.take(cut)
+    // LEDGER FIRST, markers second: the notes of expiring commits move to
+    // the durable ledger before any marker dies, so note-deduped replay
+    // protection ([[noteEverCommitted]]) never has a gap — a crash between
+    // the two steps leaves the note in both places, which dedups fine
+    retireNotes(expired.flatMap(_.note))
     expired.foreach { m =>
       fs.delete(snapDir(m.id), true)
       fs.delete(delRowsDir(m.id), true)
@@ -3245,9 +3308,14 @@ final class SnapshotTable(
 /** One scan filter for metadata pruning: an inclusive range on `col`
   * (either bound optional) plus an optional IS NOT NULL requirement —
   * `notNull` alone (no bounds) is the IS NOT NULL scan shape, pruned via
-  * recorded null counts. */
+  * recorded null counts. `matchesNull` widens the filter to ALSO match
+  * NULL values (r13 ADVICE #1): min/max hulls are null-blind (aggregates
+  * skip NULLs), so a hull built from a value set that CONTAINS NULLs —
+  * a keyless CDC delete batch matching null-safely (`<=>`) — must keep
+  * every file that may hold a NULL in `col`, or the NULL-valued victims
+  * are silently never matched. */
 final case class ColRange(col: String, lower: Option[Any] = None, upper: Option[Any] = None,
-                          notNull: Boolean = false)
+                          notNull: Boolean = false, matchesNull: Boolean = false)
 
 /** One column's recorded stats for one data file (a `.stats` sidecar
   * line). `kind`: a value axis (`l`/`d`/`s`/`t`/`u`/`c:<scale>`), `n` =
@@ -3371,7 +3439,7 @@ object SnapshotTable {
     * IS NOT NULL scan) matches it. */
   private[warehouse] def partValueInRange(v: String, r: ColRange): Boolean = {
     if (v == "__HIVE_DEFAULT_PARTITION__")
-      return r.lower.isEmpty && r.upper.isEmpty && !r.notNull
+      return r.matchesNull || (r.lower.isEmpty && r.upper.isEmpty && !r.notNull)
     def axis(bound: Any): Option[(BigDecimal, BigDecimal)] = bound match {
       case d: java.sql.Date =>
         scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption

@@ -326,6 +326,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(r >= 0L)
   }
 
+  test("maintenance of a fresh index REFUSES to seed from the current source head") {
+    // r13 ADVICE #2: the old default (source.currentSnapshotId) silently
+    // skipped every commit between index build and first maintenance
+    // start — membership drifted until a skew retrain happened to fire.
+    // A fresh index (no durable offset) now REQUIRES initialOffset.
+    val root = freshRoot()
+    val src = new SnapshotTable(spark, freshRoot() + "-src")
+    src.createOrReplace(spark.range(3).toDF("vec_id"))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.maintainContinuously(spark, sfDir, root, src, freshRoot() + "-ck")
+    }
+    assert(e.getMessage.contains("initialOffset"))
+  }
+
   test("sync from a source EXPIRED past the offset rebuilds from membership " +
     "instead of drifting") {
     // r12 ADVICE #2: a source that compacted + expired past `sinceId`

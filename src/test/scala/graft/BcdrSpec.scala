@@ -559,4 +559,203 @@ class BcdrSpec extends SparkSpec {
     assert(sa.read().count() == 2 && sb.read().count() == 2)
     assert(repl.validatePhysical("core").filter(col("verdict") === "MISMATCH").count() == 0)
   }
+
+  test("incremental logical replication offsets are DURABLE: a restarted " +
+    "service resumes delta-only, never a full re-copy") {
+    // r13 verdict #1: consumed offsets used to live in driver memory, so
+    // ANY restart re-shipped every table in full — an RPO incident at the
+    // 100 TB operating point. They now persist on the SECONDARY (the
+    // consumer owns its progress), one file per (group, table).
+    val primary = new Catalog(spark, freshDir("dur-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("dur-sec"), "sec")
+    primary.createSchema("adv")
+    val tk = primary.table("adv", "dur_keyed")
+    tk.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val tn = primary.table("adv", "dur_keyless")
+    tn.createOrReplace(Seq(("x", 1), ("x", 1), ("y", 2)).toDF("tag", "n"))
+    val keys = Map(("adv", "dur_keyed") -> Seq("id"))
+    val svc1 = new ReplicationService(primary, secondary)
+    svc1.createGroup("core", Seq(("adv", "dur_keyed"), ("adv", "dur_keyless")),
+      includeViews = false)
+    assert(svc1.refreshIncremental("core", keys) == 6L, "bootstrap full copy")
+    tk.deleteByKeys(Seq("id"), Seq(1L).toDF("id"))
+    tk.append(Seq((4L, "d")).toDF("id", "v"))
+    tn.append(Seq(("z", 3)).toDF("tag", "n"))
+    assert(svc1.refreshIncremental("core", keys) == 3L, "window 1 delta-only")
+    val sk = secondary.table("adv", "dur_keyed")
+    val sn = secondary.table("adv", "dur_keyless")
+    val chainK = sk.snapshots().size
+    val chainN = sn.snapshots().size
+    // THE RESTART: a brand-new service instance over the same catalogs —
+    // zero shared driver memory with svc1
+    val svc2 = new ReplicationService(primary, secondary)
+    svc2.createGroup("core", Seq(("adv", "dur_keyed"), ("adv", "dur_keyless")),
+      includeViews = false)
+    tk.upsertByKeys(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    tn.deleteWherePositional(col("tag") === "y")
+    assert(svc2.refreshIncremental("core", keys) == 3L,
+      "the restarted service must ship EXACTLY window 2's net rows " +
+        "(delete+insert for the upsert, one keyless delete) — no full copy")
+    assert(sk.snapshots().size == chainK + 1 && sn.snapshots().size == chainN + 1,
+      "one atomic delta commit per table — a full copy would land a base")
+    assert(sk.snapshots().last._2 == "mor" &&
+      Set("mor", "pdel").contains(sn.snapshots().last._2),
+      "restart-resumed windows stay sidecar-only")
+    assert(sk.read().as[(Long, String)].collect().toSet ==
+      Set((2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(sn.read().as[(String, Int)].collect().toSeq.sorted ==
+      Seq(("x", 1), ("x", 1), ("z", 3)))
+    assert(svc2.refreshIncremental("core", keys) == 0L, "caught up ships zero")
+    // a restart mid-estate (offset file present, table dropped on the
+    // secondary) still bootstraps that one table safely
+    sn.drop()
+    val svc3 = new ReplicationService(primary, secondary)
+    svc3.createGroup("core", Seq(("adv", "dur_keyed"), ("adv", "dur_keyless")),
+      includeViews = false)
+    assert(svc3.refreshIncremental("core", keys) == 3L,
+      "a dropped mirror table full-copies; the intact one ships zero")
+  }
+
+  test("incremental logical replication lands on ONE cross-table-consistent cut") {
+    // r13 verdict #2: the logical path now pins every table's head BEFORE
+    // shipping any window (the refreshPhysicalAt pattern) — a cycle racing
+    // live writers must never land table A at 10:07 next to table B at
+    // 10:02 on the logical secondary
+    val primary = new Catalog(spark, freshDir("lcut-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("lcut-sec"), "sec")
+    primary.createSchema("adv")
+    val a = primary.table("adv", "lc_a")
+    val b = primary.table("adv", "lc_b")
+    a.createOrReplace(Seq((1L, "a1")).toDF("id", "v"))
+    b.createOrReplace(Seq((1L, "b1")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "lc_a"), ("adv", "lc_b")),
+      includeViews = false)
+    val keys = Map(("adv", "lc_a") -> Seq("id"), ("adv", "lc_b") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 2L, "bootstrap")
+    a.append(Seq((2L, "a2")).toDF("id", "v"))
+    b.append(Seq((2L, "b2")).toDF("id", "v"))
+    // the cut is recorded, then MID-CYCLE commits land on both tables —
+    // the cycle must ship the windows up to the cut and nothing newer
+    val cut = repl.recordHeads("core")
+    a.append(Seq((3L, "a3-racing")).toDF("id", "v"))
+    b.deleteByKeys(Seq("id"), Seq(1L).toDF("id")) // racing DELETE, post-cut
+    assert(repl.refreshIncrementalAt("core", cut, keys) == 2L,
+      "exactly the two pre-cut appends ship")
+    val sa = secondary.table("adv", "lc_a")
+    val sb = secondary.table("adv", "lc_b")
+    assert(sa.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "a2")), "post-cut append excluded")
+    assert(sb.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "b1"), (2L, "b2")), "post-cut delete excluded — one point in time")
+    // the group-wide read equals the primary AS OF the cut, per table
+    for (((schema, t), head) <- cut)
+      assert(secondary.table(schema, t).read().collect().toSet ==
+        primary.table(schema, t).asOf(head).collect().toSet,
+        s"$schema.$t must equal the primary's cut state")
+    // the racing commits ship next cycle
+    assert(repl.refreshIncremental("core", keys) == 2L)
+    assert(sa.read().count() == 3 && sb.read().count() == 1)
+  }
+
+  test("failover groups replicate ROLES: grants land on the secondary and " +
+    "the grant audit passes after promote") {
+    // r13 verdict #4: the reference's account failover group ships
+    // OBJECT_TYPES = ROLES, INTEGRATIONS — roles, grants and future
+    // grants must exist on the secondary after a refresh, with no manual
+    // re-grants after a promote
+    val primary = new Catalog(spark, freshDir("rg-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("rg-sec"), "sec")
+    primary.createSchema("adv")
+    primary.table("adv", "t1").createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    val pg = new graft.rbac.GrantService(spark, freshDir("rg-audit-p"))
+    val sg = new graft.rbac.GrantService(spark, freshDir("rg-audit-s"))
+    pg.createRole("analyst")
+    pg.grant("analyst", "SELECT", "adv.t1")
+    pg.grantFuture("analyst", "SELECT", "adv")
+    val repl = new ReplicationService(primary, secondary)
+    repl.attachGrantServices(pg, sg)
+    repl.createGroup("acct", Seq(("adv", "t1")), includeViews = false,
+      includeRoles = true)
+    val n1 = repl.refresh("acct")
+    assert(n1 >= 4, s"table + role + grant + future grant must ship, got $n1")
+    assert(sg.listRoles() == Seq("analyst"))
+    assert(sg.hasGrant("analyst", "SELECT", "adv.t1"))
+    assert(sg.listFutureGrants() == Seq(("analyst", "SELECT", "adv")))
+    // idempotent: an in-sync cycle applies zero RBAC changes
+    assert(repl.refresh("acct") == 1, "only the table re-copies; RBAC in sync")
+    // divergence heals BOTH ways: a new grant ships, a secondary-local
+    // extra is revoked (Snowflake semantics: the secondary is overwritten)
+    pg.createRole("etl")
+    pg.grant("etl", "INSERT", "adv.t1")
+    sg.createRole("rogue")
+    sg.grant("rogue", "SELECT", "adv.t1")
+    repl.refreshIncremental("acct")
+    assert(sg.hasGrant("etl", "INSERT", "adv.t1"))
+    assert(!sg.hasGrant("rogue", "SELECT", "adv.t1"),
+      "grants the primary doesn't hold are revoked")
+    // after promote, the secondary's own grant audit reports ZERO repairs
+    repl.promote()
+    assert(sg.ensureGrants(pg.listGrants()) == 0,
+      "no missing grants after promote — the reference's heartbeat check")
+    // and the audit trail recorded every replicated action
+    assert(sg.auditLog.read().count() >= 4)
+  }
+
+  test("failbackLogical re-syncs the old primary by VALUE and hands off " +
+    "to delta-only reverse replication") {
+    // r13 verdict #5: a logically replicated secondary has its OWN ids —
+    // marker rewind can't apply. The value diff discards the RPO-lost
+    // writes, applies as ONE sidecar-only commit per table, and records
+    // the reversed consumer's offset so reverse cycles resume delta-only.
+    val primary = new Catalog(spark, freshDir("lfb-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("lfb-sec"), "sec")
+    primary.createSchema("adv")
+    val tk = primary.table("adv", "lfb_keyed")
+    tk.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val tn = primary.table("adv", "lfb_keyless")
+    tn.createOrReplace(Seq(("x", 1), ("x", 1), ("y", 2)).toDF("tag", "n"))
+    val keys = Map(("adv", "lfb_keyed") -> Seq("id"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "lfb_keyed"), ("adv", "lfb_keyless")),
+      includeViews = false)
+    assert(repl.refreshIncremental("core", keys) == 5L, "bootstrap")
+    // RPO-lost writes on the old primary, never replicated
+    tk.append(Seq((9L, "lost")).toDF("id", "v"))
+    tn.append(Seq(("lost", 0)).toDF("tag", "n"))
+    // disaster: promote; the new primary commits its own timeline
+    repl.promote()
+    val sk = secondary.table("adv", "lfb_keyed")
+    val sn = secondary.table("adv", "lfb_keyless")
+    sk.upsertByKeys(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    sn.deleteWherePositional(col("tag") === "y")
+    sn.append(Seq(("z", 3)).toDF("tag", "n"))
+    val chainK = tk.snapshots().size
+    val chainN = tn.snapshots().size
+    val shipped = repl.failbackLogical("core", keys)
+    // keyed diff: lost(9) + old 2:b deleted, B2 + 3:c inserted = 4; keyless
+    // diff: lost + (y,2) deleted, (z,3) inserted = 3
+    assert(shipped == 7L, s"failback must ship exactly the divergence, got $shipped")
+    assert(tk.snapshots().size == chainK + 1 && tn.snapshots().size == chainN + 1,
+      "one atomic commit per table — never a table rewrite")
+    assert(Set("mor", "pdel").contains(tk.snapshots().last._2) &&
+      Set("mor", "pdel").contains(tn.snapshots().last._2), "sidecar-only")
+    // both sides hash-equal, multiset-exact
+    assert(tk.read().exceptAll(sk.read()).isEmpty &&
+      sk.read().exceptAll(tk.read()).isEmpty)
+    assert(tn.read().exceptAll(sn.read()).isEmpty &&
+      sn.read().exceptAll(tn.read()).isEmpty)
+    assert(repl.failbackLogical("core", keys) == 0L, "idle failback ships zero")
+    // the reversed service resumes DELTA-ONLY from the failback point —
+    // the offset recorded during failback makes the bootstrap unnecessary
+    val rev = repl.reversed
+    rev.createGroup("core", Seq(("adv", "lfb_keyed"), ("adv", "lfb_keyless")),
+      includeViews = false)
+    sk.append(Seq((4L, "d")).toDF("id", "v"))
+    val revKeys = Map(("adv", "lfb_keyed") -> Seq("id"))
+    assert(rev.refreshIncremental("core", revKeys) == 1L,
+      "reverse cycle ships only the post-failback delta, never a full copy")
+    assert(tk.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
 }

@@ -254,6 +254,76 @@ class MorDmlSpec extends SparkSpec {
       "post-evolution changes must keep applying")
   }
 
+  test("keyless apply deletes NULL-valued victims the null-blind hull would prune away") {
+    // r13 ADVICE #1: min/max hulls skip NULLs, and planFilesAny prunes
+    // all-null-column files against a bounded hull — a keyless CDC delete
+    // batch MIXING null and non-null values in one column used to leave
+    // the NULL-valued victims alive forever (silent multiset divergence)
+    val t = new SnapshotTable(spark, freshRoot("nullhull"))
+    // 8 range files on id; v is NULL for the whole first file (ids < 100)
+    // and non-null elsewhere — the exact all-null-file shape that pruned
+    val df = spark.range(800).toDF("id")
+      .withColumn("v", when(col("id") < 100, lit(null).cast("long"))
+        .otherwise(col("id") % 7))
+      .repartitionByRange(8, col("id"))
+    t.createOrReplace(df, sortBy = Seq("id"))
+    val before = dataFilesOf(t)
+    // one window: two NULL-v victims + two non-null victims — the non-null
+    // values give v a bounded hull that misses the all-null file
+    val batch = Seq(
+      (5L, Option.empty[Long], "delete"), (6L, Option.empty[Long], "delete"),
+      (205L, Some(205L % 7), "delete"), (306L, Some(306L % 7), "delete"))
+      .toDF("id", "v", "_change")
+    val (d, i) = t.applyChangesPositional(batch)
+    assert(d == 4 && i == 0, s"all four victims must match, got ($d, $i)")
+    // a delete-only window commits its sidecar as a pdel dir — every
+    // PRE-EXISTING data file must survive untouched (zero rewrites)
+    val newSnap = f"snap-${t.currentSnapshotId.get}%05d"
+    assert(dataFilesOf(t).filterNot(_.contains(newSnap)) == before,
+      "the apply must stay sidecar-only")
+    assert(t.snapshots().last._2 == "pdel")
+    assert(t.read().filter(col("id").isin(5L, 6L, 205L, 306L)).count() == 0,
+      "the NULL-valued victims must be deleted too")
+    assert(t.count() == 796)
+  }
+
+  test("keyless window replay is refused even after the mirror compacts + expires") {
+    // r13 verdict #3 / ADVICE #4: the replay-refusal note used to live in
+    // LIVE markers only — the mirror compacting + expiring on its own
+    // schedule (it is free to) erased it, so a late at-least-once
+    // redelivery double-applied. The retired-notes ledger closes it.
+    val src = new SnapshotTable(spark, freshRoot("replay-s"))
+    val mir = new SnapshotTable(spark, freshRoot("replay-m"))
+    src.createOrReplace(Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v"))
+    mir.createOrReplace(src.read())
+    val off = src.currentSnapshotId.get
+    src.deleteWherePositional(col("k") === lit(1L))
+    src.append(Seq((3L, "c")).toDF("k", "v"))
+    val head = src.currentSnapshotId.get
+    val cs = src.rowChangesBetween(off, head).get.df.persist()
+    val note = Some(s"cdcwin=${off}_$head")
+    mir.applyChangesPositional(cs, note)
+    def bag(t: SnapshotTable): Map[(Long, String), Int] =
+      t.read().collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val want = bag(src)
+    assert(bag(mir) == want)
+    // the mirror maintains ITSELF: compact folds the window's sidecar,
+    // expire physically drops the note-bearing markers
+    mir.compact()
+    assert(mir.expireSnapshots(keepLast = 1).nonEmpty,
+      "precondition: the note-bearing markers must actually expire")
+    assert(!mir.commitNotes().exists(_._2.contains("cdcwin=")),
+      "precondition: no live marker carries the note any more")
+    assert(mir.retiredNotes().exists(_.contains(s"cdcwin=${off}_$head")),
+      "expiry must move the note to the durable ledger")
+    // the late redelivery: refused whole, multiset untouched
+    assert(mir.applyChangesPositional(cs, note) == ((0L, 0L)),
+      "a replayed window must stay refused across mirror maintenance")
+    assert(bag(mir) == want, "replay after maintenance must not double-apply")
+    cs.unpersist(blocking = false)
+  }
+
   test("CDC contiguity: a window from an EXPIRED offset answers None, never a hole") {
     // r12 ADVICE #1: the primary appends, compacts, and expires while a
     // consumer lags — the commits between its offset and the surviving

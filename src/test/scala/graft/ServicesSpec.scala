@@ -233,6 +233,40 @@ class ServicesSpec extends SparkSpec {
     assert(grants.auditLog.read().filter($"action" === "GRANT").count() == 1)
   }
 
+  test("heartbeat: replication lag and pinned-history red the beat until healthy") {
+    // r13 verdict #6: a stalled replication schedule or a forgotten ref
+    // pinning history past the ceiling must flip the heartbeat — the
+    // gauges existed (lagMs, pinnedHistoryReport); now the beat reads them
+    val src = newCatalog("cld6"); val prod = newCatalog("prod6")
+    seed(src)
+    val grants = new GrantService(spark, freshDir("audit6"))
+    val hb = new HeartbeatService(spark, src, prod, grants, freshDir("hb6"))
+    new SyncService(spark, src, prod, freshDir("sync6")).run()
+    // a replication group that has NEVER refreshed = stalled
+    val sec = newCatalog("sec6")
+    val repl = new graft.bcdr.ReplicationService(src, sec)
+    repl.createGroup("core", Seq(("adv", "campaigns")), includeViews = false)
+    hb.replicationLag = Seq((repl, "core", 60000L))
+    // a tag pinning pre-compaction history past retention, ceiling 0 bytes
+    val t = src.table("adv", "campaigns")
+    t.createTag("keep")
+    t.append(Seq((3, "draft")).toDF("id", "status"))
+    t.compact()
+    val maint = new graft.services.MaintenanceService(src, keepSnapshots = 1)
+    hb.pinnedHistory = Some((maint, 0L))
+    val (checks1, fails1) = hb.run()
+    assert(checks1 == 6, "lag + pin checks join the battery")
+    assert(fails1 == 2, "stalled group AND over-ceiling pin both red")
+    // heal both: one replication cycle, drop the pinning tag
+    repl.refreshIncremental("core")
+    t.dropTag("keep")
+    val (_, fails2) = hb.run()
+    assert(fails2 == 0, "a fresh cycle + a released pin green the beat")
+    val kinds = hb.heartbeatLog.read()
+      .select($"check_type").as[String].collect().toSet
+    assert(Set("REPLICATION_LAG", "PINNED_HISTORY").subsetOf(kinds))
+  }
+
   test("scheduler: no-overlap, suspend/resume, history") {
     val sched = new TaskScheduler
     val gate = new java.util.concurrent.CountDownLatch(1)

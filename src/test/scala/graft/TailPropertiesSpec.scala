@@ -207,17 +207,22 @@ object TailPropertiesSpec extends Properties("snapshotTail") {
   // ── keyless mirror over generated duplicate-row histories ─────────────
 
   private sealed trait KlOp
-  private case class KAppend(rows: Seq[(Long, Long)]) extends KlOp
-  private case class KPosDel(tag: Long, n: Long) extends KlOp
+  private case class KAppend(rows: Seq[(Long, Option[Long])]) extends KlOp
+  private case class KPosDel(tag: Long, n: Option[Long]) extends KlOp
   private case class KCowDel(tag: Long) extends KlOp
   private case object KCompact extends KlOp
 
   // tags/values from a TINY domain so duplicate multiplicities are the
-  // norm, not the exception — the case keyless replication exists for
+  // norm, not the exception — the case keyless replication exists for.
+  // The value column is NULLABLE (1-in-3): windows mixing NULL and
+  // non-null deletes in one column exercise the matchesNull hull
+  // (r13 ADVICE #1 — a null-blind hull prunes the NULL victims' files)
+  private val klValGen: Gen[Option[Long]] = Gen.frequency(
+    2 -> Gen.chooseNum(0L, 1L).map(Some(_)), 1 -> Gen.const(None))
   private val klOpGen: Gen[KlOp] = Gen.frequency(
     5 -> Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k,
-      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 1L)))).map(KAppend),
-    3 -> Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 1L))
+      Gen.zip(Gen.chooseNum(0L, 2L), klValGen))).map(KAppend),
+    3 -> Gen.zip(Gen.chooseNum(0L, 2L), klValGen)
       .map { case (t, v) => KPosDel(t, v) },
     2 -> Gen.chooseNum(0L, 2L).map(KCowDel),
     1 -> Gen.const(KCompact))
@@ -238,11 +243,14 @@ object TailPropertiesSpec extends Properties("snapshotTail") {
       val dir = Files.createTempDirectory("kl-prop").toString
       val src = new SnapshotTable(spark, s"$dir/s")
       val mir = new SnapshotTable(spark, s"$dir/m")
-      src.createOrReplace(Seq((0L, 0L), (0L, 0L), (1L, 0L)).toDF("tag", "n"))
+      src.createOrReplace(
+        Seq((0L, Some(0L)), (0L, Some(0L)), (1L, Option.empty[Long]))
+          .toDF("tag", "n"))
       mir.createOrReplace(src.read())
       var off = src.currentSnapshotId.get
-      def bag(t: SnapshotTable): Map[(Long, Long), Int] =
-        t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+      def bag(t: SnapshotTable): Map[(Long, Option[Long]), Int] =
+        t.read().collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
           .groupBy(identity).view.mapValues(_.length).toMap
       def fold(): Prop = {
         val head = src.currentSnapshotId.get
@@ -270,8 +278,9 @@ object TailPropertiesSpec extends Properties("snapshotTail") {
       ops.zipWithIndex.foreach { case (op, i) =>
         op match {
           case KAppend(rows) => src.append(rows.toDF("tag", "n"))
-          case KPosDel(t, v) =>
-            src.deleteWherePositional(col("tag") === lit(t) && col("n") === lit(v))
+          case KPosDel(t, v) => // <=> so a NULL value names the NULL rows
+            src.deleteWherePositional(col("tag") === lit(t) &&
+              (col("n") <=> v.map(lit(_)).getOrElse(lit(null))))
           case KCowDel(t) => src.delete(col("tag") === lit(t))
           case KCompact => src.compact()
         }
