@@ -36,7 +36,23 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                                  includeRoles: Boolean = false)
 
   private val groups = mutable.LinkedHashMap.empty[String, FailoverGroup]
+  // write-through cache over the durable per-group refresh timestamp —
+  // lagMs (the ~10-min RPO check the heartbeat now consumes) must not
+  // read None after a service restart when cycles HAVE been running
   private val lastRefresh = mutable.Map.empty[String, Long]
+
+  private def lastRefreshFile(group: String): Path =
+    new Path(s"${secondary.warehouse}/_replication/$group/last_refresh")
+
+  private def recordRefresh(group: String): Unit = {
+    val now = System.currentTimeMillis()
+    lastRefresh(group) = now
+    val p = lastRefreshFile(group)
+    val fs = hfs(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   def createGroup(name: String, tables: Seq[(String, String)],
                   includeViews: Boolean = true,
@@ -119,7 +135,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
         n += 1
       }
       if (g.includeRoles) n += syncGrants()
-      lastRefresh(groupName) = System.currentTimeMillis()
+      recordRefresh(groupName)
       n
     } finally secondary.readOnly = wasReadOnly
   }
@@ -271,7 +287,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
       if (g.includeRoles) syncGrants() // RBAC rides every flavor of refresh
       // the incremental path satisfies the same ~10-min RPO contract the
       // full/physical cycles record — lagMs must see it (r12 ADVICE #3)
-      lastRefresh(groupName) = System.currentTimeMillis()
+      recordRefresh(groupName)
       shipped
     } finally secondary.readOnly = wasReadOnly
   }
@@ -334,7 +350,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
         copied += 1
       }
       if (g.includeRoles) copied += syncGrants()
-      lastRefresh(groupName) = System.currentTimeMillis()
+      recordRefresh(groupName)
       copied
     } finally secondary.readOnly = wasReadOnly
   }
@@ -694,9 +710,20 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     r
   }
 
-  /** Replication lag per group (the ~10 min RPO check). */
+  /** Replication lag per group (the ~10 min RPO check). Falls back to the
+    * DURABLE per-group timestamp, so a freshly restarted service over a
+    * replicated pair doesn't false-red the heartbeat's lag check. */
   def lagMs(groupName: String): Option[Long] =
-    lastRefresh.get(groupName).map(System.currentTimeMillis() - _)
+    lastRefresh.get(groupName).orElse {
+      val p = lastRefreshFile(groupName)
+      val fs = hfs(p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        txt.toLongOption
+      }
+    }.map(System.currentTimeMillis() - _)
 
   /** The validation query (J9/U3 shape): per-table row counts on both
     * sides with a MATCH/MISMATCH verdict

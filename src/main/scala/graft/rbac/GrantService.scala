@@ -13,7 +13,14 @@ import graft.warehouse.LogTable
   * `scripts/31_sync_task_secondary.sql:197-287`) is pure metadata and must
   * be reproducible. Grants are (role, privilege, object) triples;
   * `ensureGrants` is the idempotent audit pass.
-  */
+  *
+  * DURABILITY (r14): the audit log IS the state — every mutation appends
+  * an event, and a new service over the same `auditRoot` REPLAYS the log
+  * in id order, so a restarted service resumes with the exact RBAC state
+  * it last held (the same consumer-owns-its-progress stance the
+  * replication offsets and ANN index follow; Snowflake's grant store is
+  * likewise durable). Pre-replay logs lacking CREATE_ROLE events still
+  * recover every granted role (a GRANT implies its role). */
 final class GrantService(spark: SparkSession, auditRoot: String) {
 
   private val roles = mutable.LinkedHashSet.empty[String]
@@ -25,7 +32,15 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     StructField("object", StringType),
     StructField("action", StringType))))
 
-  def createRole(role: String): Boolean = roles.add(role)
+  private val FuturePrefix = "FUTURE TABLES IN SCHEMA "
+
+  /** Idempotent CREATE ROLE; durable via its audit event. Returns true
+    * if new. */
+  def createRole(role: String): Boolean = {
+    val added = roles.add(role)
+    if (added) auditLog.append(Seq(Row(role, "", "", "CREATE_ROLE")))
+    added
+  }
   def listRoles(): Seq[String] = roles.toSeq
 
   /** Idempotent GRANT; logs only real changes. Returns true if new. */
@@ -72,7 +87,7 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   def grantFuture(role: String, privilege: String, schema: String): Unit = {
     require(roles.contains(role), s"unknown role $role")
     if (futureGrants.add((role, privilege, schema)))
-      auditLog.append(Seq(Row(role, privilege, s"FUTURE TABLES IN SCHEMA $schema", "GRANT_FUTURE")))
+      auditLog.append(Seq(Row(role, privilege, s"$FuturePrefix$schema", "GRANT_FUTURE")))
   }
 
   def listFutureGrants(): Seq[(String, String, String)] = futureGrants.toSeq
@@ -80,7 +95,7 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   def revokeFuture(role: String, privilege: String, schema: String): Boolean = {
     val removed = futureGrants.remove((role, privilege, schema))
     if (removed) auditLog.append(Seq(Row(role, privilege,
-      s"FUTURE TABLES IN SCHEMA $schema", "REVOKE_FUTURE")))
+      s"$FuturePrefix$schema", "REVOKE_FUTURE")))
     removed
   }
 
@@ -96,4 +111,28 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     * on flows through [[objectCreated]]. */
   def attachTo(cat: graft.catalog.Catalog): Unit =
     cat.onObjectCreated = (schema, obj) => { objectCreated(schema, obj); () }
+
+  // event-sourced recovery (r14): fold the persisted audit trail — id
+  // order, LogTable ids are monotonic — back into the in-memory sets.
+  // Runs LAST in the class body so every set it folds into exists. Reads
+  // one small log table once per construction; a fresh root reads nothing.
+  locally {
+    if (auditLog.table.exists)
+      auditLog.read().orderBy(org.apache.spark.sql.functions.col("id"))
+        .collect().foreach { r =>
+          val (role, priv, obj, action) =
+            (r.getString(2), r.getString(3), r.getString(4), r.getString(5))
+          action match {
+            case "CREATE_ROLE" => roles.add(role)
+            case "GRANT" => roles.add(role); grants.add((role, priv, obj))
+            case "REVOKE" => grants.remove((role, priv, obj))
+            case "GRANT_FUTURE" =>
+              roles.add(role)
+              futureGrants.add((role, priv, obj.stripPrefix(FuturePrefix)))
+            case "REVOKE_FUTURE" =>
+              futureGrants.remove((role, priv, obj.stripPrefix(FuturePrefix)))
+            case _ => ()
+          }
+        }
+  }
 }

@@ -612,6 +612,9 @@ class BcdrSpec extends SparkSpec {
     val svc3 = new ReplicationService(primary, secondary)
     svc3.createGroup("core", Seq(("adv", "dur_keyed"), ("adv", "dur_keyless")),
       includeViews = false)
+    assert(svc3.lagMs("core").exists(_ >= 0),
+      "lagMs must survive the restart too (durable per-group timestamp) — " +
+        "a healthy pair must not false-red the heartbeat after a restart")
     assert(svc3.refreshIncremental("core", keys) == 3L,
       "a dropped mirror table full-copies; the intact one ships zero")
   }

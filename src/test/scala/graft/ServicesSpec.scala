@@ -233,6 +233,33 @@ class ServicesSpec extends SparkSpec {
     assert(grants.auditLog.read().filter($"action" === "GRANT").count() == 1)
   }
 
+  test("RBAC state survives a service restart: the audit log replays") {
+    // the r14 durable-progress stance applied to RBAC: the audit log IS
+    // the state — a new GrantService over the same root folds it back,
+    // so a driver restart loses no roles, grants, or future grants
+    val root = freshDir("rbacdur")
+    val g1 = new GrantService(spark, root)
+    g1.createRole("analyst")
+    g1.grant("analyst", "SELECT", "adv.t1")
+    g1.grantFuture("analyst", "SELECT", "adv")
+    g1.createRole("etl")
+    g1.grant("etl", "INSERT", "adv.t1")
+    g1.revoke("etl", "INSERT", "adv.t1")
+    val g2 = new GrantService(spark, root) // the restart
+    assert(g2.listRoles().toSet == Set("analyst", "etl"),
+      "roles survive, including never-granted ones")
+    assert(g2.hasGrant("analyst", "SELECT", "adv.t1"))
+    assert(!g2.hasGrant("etl", "INSERT", "adv.t1"), "revokes replay too")
+    assert(g2.listFutureGrants() == Seq(("analyst", "SELECT", "adv")))
+    assert(g2.ensureGrants(g1.listGrants()) == 0, "zero repairs after restart")
+    // future grants still materialize through the replayed state
+    assert(g2.objectCreated("adv", "t9") == 1)
+    assert(g2.hasGrant("analyst", "SELECT", "adv.t9"))
+    // and a THIRD instance sees the post-restart mutations as well
+    val g3 = new GrantService(spark, root)
+    assert(g3.hasGrant("analyst", "SELECT", "adv.t9"))
+  }
+
   test("heartbeat: replication lag and pinned-history red the beat until healthy") {
     // r13 verdict #6: a stalled replication schedule or a forgotten ref
     // pinning history past the ceiling must flip the heartbeat — the
