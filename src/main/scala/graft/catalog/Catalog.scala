@@ -92,16 +92,51 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
       table(s, t).read().createOrReplaceTempView(qualified(s, t))
 
   // ── views (D1) ────────────────────────────────────────────────────────
+  //
+  // DURABLE (r14): view definitions are DDL, not session state — the
+  // reference's views survive restarts, so ours persist as one tiny
+  // `.sql` file per view under the `_views` system namespace and a new
+  // Catalog over the same warehouse reloads them (the same durable-state
+  // stance as replication offsets and the RBAC audit replay). The
+  // in-memory map stays the read path; files are write-through.
+
+  private def viewsDir = new Path(s"$warehouse/_views")
+
+  // URLEncoder never EMITS '~' (it encodes it), so '~' is a safe
+  // schema/name separator in the filename
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+  private def viewFile(schema: String, vname: String): Path =
+    new Path(viewsDir, s"${enc(schema)}~${enc(vname)}.sql")
+
+  locally {
+    if (fs.exists(viewsDir))
+      fs.listStatus(viewsDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".sql")).sortBy(_.getName).foreach { p =>
+          p.getName.stripSuffix(".sql").split('~') match {
+            case Array(s, v) =>
+              val in = fs.open(p)
+              val txt = try scala.io.Source.fromInputStream(in).mkString
+                        finally in.close()
+              views((dec(s), dec(v))) = ViewDef(dec(s), dec(v), txt)
+            case _ => () // not ours; ignore
+          }
+        }
+  }
 
   def createOrReplaceView(schema: String, vname: String, definition: String): ViewDef = {
     checkWritable()
     val v = ViewDef(schema, vname, definition)
     views((schema, vname)) = v
+    fs.mkdirs(viewsDir)
+    val out = fs.create(viewFile(schema, vname), true)
+    try out.write(definition.getBytes("UTF-8")) finally out.close()
     v
   }
 
   def dropView(schema: String, vname: String): Boolean = {
     checkWritable()
+    fs.delete(viewFile(schema, vname), false)
     views.remove((schema, vname)).isDefined
   }
 

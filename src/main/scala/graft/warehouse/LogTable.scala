@@ -29,9 +29,16 @@ final class LogTable(spark: SparkSession, root: String, valueSchema: StructType)
       table.createIfNotExists(empty)
     }
 
+  // max(id) from the stats SIDECARS when every live file recorded usable
+  // bounds (the log is append-only, so file-level max IS the table max) —
+  // a monitoring log appending every 5 minutes must not rescan itself per
+  // append (O(n²) in log age); the scan remains only as the fallback for
+  // empty/pre-upgrade files
   private def nextId(): Long =
     if (!table.exists) 1L
-    else table.read().agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1L
+    else table.columnStats().get("id").flatMap(_.max).flatMap(_.toLongOption)
+      .getOrElse(
+        table.read().agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)) + 1L
 
   /** INSERT INTO ... VALUES with generated id + timestamp (D4). */
   def append(rows: Seq[Row]): Unit = {

@@ -233,6 +233,28 @@ class ServicesSpec extends SparkSpec {
     assert(grants.auditLog.read().filter($"action" === "GRANT").count() == 1)
   }
 
+  test("views survive a catalog restart: definitions persist as DDL") {
+    // r14 durability sweep: view definitions are DDL, not session state —
+    // a new Catalog over the same warehouse must reload them (text-exact,
+    // so drift detection's definition hashes keep matching)
+    val wh = freshDir("vdur")
+    val c1 = new Catalog(spark, wh, "cld")
+    c1.createSchema("adv")
+    c1.table("adv", "t1").createOrReplace(Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    c1.createOrReplaceView("adv", "v_one", "SELECT * FROM cld__adv__t1 WHERE id = 1")
+    c1.createOrReplaceView("adv", "v_two", "SELECT 2 AS two")
+    assert(c1.dropView("adv", "v_two"))
+    val c2 = new Catalog(spark, wh, "cld") // the restart
+    assert(c2.listViews().map(v => (v.schema, v.name)) == Seq(("adv", "v_one")),
+      "created views reload; dropped views stay dropped")
+    assert(c2.getView("adv", "v_one").get.hash ==
+      c1.getView("adv", "v_one").get.hash,
+      "definition text round-trips exactly — drift hashes must agree")
+    assert(c2.queryView("adv", "v_one").count() == 1)
+    // the _views namespace is hidden from the schema listing
+    assert(!c2.listSchemas().exists(_.startsWith("_")))
+  }
+
   test("RBAC state survives a service restart: the audit log replays") {
     // the r14 durable-progress stance applied to RBAC: the audit log IS
     // the state — a new GrantService over the same root folds it back,
