@@ -82,7 +82,10 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * revoking grants the primary doesn't hold). Returns changes applied
     * (0 = already in sync); every change rides the secondary's own audit
     * log like a local GRANT/REVOKE would. */
-  private def syncGrants(): Int = grantSvcs.fold(0) { case (pg, sg) =>
+  private def syncGrants(): Int =
+    grantSvcs.fold(0) { case (pg, sg) => syncGrantsBetween(pg, sg) }
+
+  private def syncGrantsBetween(pg: GrantService, sg: GrantService): Int = {
     var n = 0
     pg.listRoles().foreach { r => if (sg.createRole(r)) n += 1 }
     val want = pg.listGrants().toSet
@@ -284,7 +287,12 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             writeOffsetAt(secondary.warehouse, groupName, schema, t, head)
         }
       }
-      if (g.includeRoles) syncGrants() // RBAC rides every flavor of refresh
+      // views and RBAC ride every flavor of refresh (tiny, re-synced
+      // wholesale; not counted — the return is ROWS shipped)
+      if (g.includeViews) for (v <- primary.listViews())
+        secondary.createOrReplaceView(v.schema, v.name,
+          v.definition.replace(s"${primary.name}__", s"${secondary.name}__"))
+      if (g.includeRoles) syncGrants()
       // the incremental path satisfies the same ~10-min RPO contract the
       // full/physical cycles record — lagMs must see it (r12 ADVICE #3)
       recordRefresh(groupName)
@@ -695,9 +703,21 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
           writeOffsetAt(primary.warehouse, groupName, schema, t, head)
         }
       }
+      // views re-sync from the new primary like the physical failback
+      // (namespace rewritten back); not counted — the return is rows
+      if (g.includeViews) for (v <- secondary.listViews())
+        primary.createOrReplaceView(v.schema, v.name,
+          v.definition.replace(s"${secondary.name}__", s"${primary.name}__"))
+      if (g.includeRoles) syncGrantsReversed()
       shipped
     } finally primary.readOnly = wasReadOnly
   }
+
+  /** [[syncGrants]] in the failback direction: the NEW primary's (the
+    * attached `secondaryGrants`) RBAC state overwrites the old primary's
+    * — the role flip a completed failover implies. */
+  private def syncGrantsReversed(): Int =
+    grantSvcs.fold(0) { case (pg, sg) => syncGrantsBetween(sg, pg) }
 
   /** The same failover groups with the roles swapped — the ongoing
     * reverse-replication service a completed failover runs (the old

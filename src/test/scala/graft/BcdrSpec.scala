@@ -661,6 +661,27 @@ class BcdrSpec extends SparkSpec {
     assert(sa.read().count() == 3 && sb.read().count() == 1)
   }
 
+  test("incremental cycles replicate views alongside the CDC deltas") {
+    // views are part of a failover group like any object — a deployment
+    // running ONLY the incremental cadence must still get view DR
+    val primary = new Catalog(spark, freshDir("iv-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("iv-sec"), "sec")
+    primary.createSchema("adv")
+    primary.table("adv", "t1").createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    primary.createOrReplaceView("adv", "v1", "SELECT * FROM pri__adv__t1")
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "t1"))) // includeViews default
+    assert(repl.refreshIncremental("core") == 1L,
+      "shipped counts ROWS only; the view rides along uncounted")
+    assert(secondary.getView("adv", "v1").exists(
+      _.definition.contains("sec__adv__t1")))
+    // a view definition change ships on the next (otherwise idle) cycle
+    primary.createOrReplaceView("adv", "v1", "SELECT id FROM pri__adv__t1")
+    assert(repl.refreshIncremental("core") == 0L)
+    assert(secondary.getView("adv", "v1").exists(
+      _.definition == "SELECT id FROM sec__adv__t1"))
+  }
+
   test("failover groups replicate ROLES: grants land on the secondary and " +
     "the grant audit passes after promote") {
     // r13 verdict #4: the reference's account failover group ships
@@ -720,19 +741,21 @@ class BcdrSpec extends SparkSpec {
     tn.createOrReplace(Seq(("x", 1), ("x", 1), ("y", 2)).toDF("tag", "n"))
     val keys = Map(("adv", "lfb_keyed") -> Seq("id"))
     val repl = new ReplicationService(primary, secondary)
-    repl.createGroup("core", Seq(("adv", "lfb_keyed"), ("adv", "lfb_keyless")),
-      includeViews = false)
+    repl.createGroup("core", Seq(("adv", "lfb_keyed"), ("adv", "lfb_keyless")))
     assert(repl.refreshIncremental("core", keys) == 5L, "bootstrap")
     // RPO-lost writes on the old primary, never replicated
     tk.append(Seq((9L, "lost")).toDF("id", "v"))
     tn.append(Seq(("lost", 0)).toDF("tag", "n"))
-    // disaster: promote; the new primary commits its own timeline
+    // disaster: promote; the new primary commits its own timeline —
+    // including a VIEW the failback must carry home, namespace-rewritten
     repl.promote()
     val sk = secondary.table("adv", "lfb_keyed")
     val sn = secondary.table("adv", "lfb_keyless")
     sk.upsertByKeys(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
     sn.deleteWherePositional(col("tag") === "y")
     sn.append(Seq(("z", 3)).toDF("tag", "n"))
+    secondary.createOrReplaceView("adv", "v_new",
+      "SELECT * FROM sec__adv__lfb_keyed WHERE id > 1")
     val chainK = tk.snapshots().size
     val chainN = tn.snapshots().size
     val shipped = repl.failbackLogical("core", keys)
@@ -748,6 +771,9 @@ class BcdrSpec extends SparkSpec {
       sk.read().exceptAll(tk.read()).isEmpty)
     assert(tn.read().exceptAll(sn.read()).isEmpty &&
       sn.read().exceptAll(tn.read()).isEmpty)
+    assert(primary.getView("adv", "v_new").exists(
+      _.definition.contains("pri__adv__lfb_keyed")),
+      "the new primary's view comes home namespace-rewritten")
     assert(repl.failbackLogical("core", keys) == 0L, "idle failback ships zero")
     // the reversed service resumes DELTA-ONLY from the failback point —
     // the offset recorded during failback makes the bootstrap unnecessary
