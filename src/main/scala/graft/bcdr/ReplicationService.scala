@@ -127,8 +127,10 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
         val head = heads.getOrElse((schema, t), -1L)
         if (head >= 0) {
           secondary.createSchema(schema)
-          secondary.table(schema, t).createOrReplace(primary.table(schema, t).asOf(head))
-          writeOffsetAt(secondary.warehouse, groupName, schema, t, head)
+          val st = secondary.table(schema, t)
+          st.createOrReplace(primary.table(schema, t).asOf(head))
+          writeOffsetAt(secondary.warehouse, groupName, schema, t, head,
+            st.currentSnapshotId)
           n += 1
         }
       }
@@ -162,25 +164,41 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
   private def hfs(p: Path) =
     p.getFileSystem(primary.spark.sparkContext.hadoopConfiguration)
 
-  private def readOffsetAt(wh: String, group: String, schema: String,
-                           t: String): Option[Long] = {
+  /** The offset file carries "consumedPrimaryHead[ consumerHeadAfter]":
+    * the first token is the replication offset proper; the optional
+    * second records the CONSUMER table's own snapshot id once that state
+    * was applied — the (producer, consumer) FORK PAIR [[failbackLogical]]
+    * needs to run delta-bounded instead of diffing whole tables. A torn
+    * or pre-upgrade file degrades gracefully (first-token parse; missing
+    * pair → the value-diff fallback). */
+  private def readOffsetPairAt(wh: String, group: String, schema: String,
+                               t: String): Option[(Long, Option[Long])] = {
     val p = offsetFile(wh, group, schema, t)
     val fs = hfs(p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      txt.toLongOption // a torn write parses to None → safe full-copy bootstrap
+      val toks = txt.split(' ')
+      toks.headOption.flatMap(_.toLongOption)
+        .map(off => (off, toks.lift(1).flatMap(_.toLongOption)))
     }
   }
 
+  private def readOffsetAt(wh: String, group: String, schema: String,
+                           t: String): Option[Long] =
+    readOffsetPairAt(wh, group, schema, t).map(_._1)
+
   private def writeOffsetAt(wh: String, group: String, schema: String,
-                            t: String, id: Long): Unit = {
+                            t: String, id: Long,
+                            consumerHead: Option[Long] = None): Unit = {
     val p = offsetFile(wh, group, schema, t)
     val fs = hfs(p)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    try out.write((id.toString + consumerHead.fold("")(h => s" $h"))
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The keyless consumer's CRASH-PROOF progress: each applied window's
@@ -284,7 +302,8 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             case None => fullCopy() // bootstrap
           }
           if (off.forall(_ < head))
-            writeOffsetAt(secondary.warehouse, groupName, schema, t, head)
+            writeOffsetAt(secondary.warehouse, groupName, schema, t, head,
+              st.currentSnapshotId) // the fork pair failbackLogical reads
         }
       }
       // views and RBAC ride every flavor of refresh (tiny, re-synced
@@ -660,47 +679,111 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     }.toMap
     val wasReadOnly = primary.readOnly
     primary.readOnly = false
+    val modes = Map.newBuilder[(String, String), String]
     try {
       var shipped = 0L
       for ((schema, t) <- g.tables) {
         val head = heads((schema, t))
         if (head >= 0) {
-          val target = secondary.table(schema, t).asOf(head)
+          val sTbl = secondary.table(schema, t)
+          val target = sTbl.asOf(head)
           val old = primary.table(schema, t)
-          if (!old.exists ||
-              !old.read().columns.toSet.subsetOf(target.columns.toSet)) {
-            primary.createSchema(schema)
-            old.createOrReplace(target)
-            shipped += old.count()
-          } else {
-            // conform the old primary to the target schema (the new
-            // primary may have EVOLVED): missing columns read as typed
-            // NULLs, exactly the read-time-evolution stance
-            val cur = old.read()
-            val conformed = target.columns.toSeq.map { c =>
-              if (cur.columns.contains(c)) cur(c)
-              else lit(null).cast(target.schema(c).dataType).as(c)
-            }
-            val curC = cur.select(conformed: _*)
-            val dels = curC.exceptAll(target)
-            val ins = target.exceptAll(curC)
-            val changes = dels.withColumn("_change", lit("delete"))
-              .unionByName(ins.withColumn("_change", lit("insert"))).persist()
+          // the change batch to reach the target, applied through the
+          // idempotent CDC consumers as ONE sidecar-only commit
+          def applyBatch(changes: DataFrame): Unit = {
+            val pinned = changes.persist()
             try {
-              if (!changes.isEmpty) { // an idle table commits NOTHING
+              if (!pinned.isEmpty) { // an idle table commits NOTHING
                 val (d, i) = keys.get((schema, t)) match {
-                  case Some(kc) => old.applyChanges(changes, kc)
-                  case None => old.applyChangesPositional(changes,
+                  case Some(kc) => old.applyChanges(pinned, kc)
+                  case None => old.applyChangesPositional(pinned,
                     note = Some(s"cdcfb=$head"))
                 }
                 shipped += d + i
               }
-            } finally changes.unpersist(blocking = false)
+            } finally pinned.unpersist(blocking = false)
           }
-          // the old primary is now the REVERSED service's consumer: its
-          // durable offset is the new primary's cut, so reverse
-          // incremental cycles resume delta-only across restarts
-          writeOffsetAt(primary.warehouse, groupName, schema, t, head)
+          // DELTA-BOUNDED fast path: the forward direction's offset file
+          // records the FORK PAIR (last primary head the secondary
+          // consumed, the secondary's own head once applied) — so the
+          // divergence is exactly the two sides' change feeds since the
+          // fork, cost ∝ lost writes + new-primary writes, never ∝ table.
+          // Multiset algebra: with current = fork − lostDel + lostIns and
+          // target = fork − fwdDel + fwdIns, applying
+          //   D = lostIns + fwdDel,  I = lostDel + fwdIns
+          // gives current − D + I = target EXACTLY; cross-cancelling the
+          // common part (D′ = D ∖ I, I′ = I ∖ D, both exceptAll over the
+          // SMALL change sets) never under-deletes because
+          // current − D′ ≥ min(current, target) ≥ 0 per value — and the
+          // cancellation makes a RETRY after a crash (or an idle second
+          // failback) a provable no-op, no note bookkeeping needed. The
+          // overlap case (a window shipped but its offset write lost)
+          // cancels the same way: the window's rows sit in BOTH feeds.
+          def fastChanges(): Option[DataFrame] = for {
+            (pFork, sForkOpt) <- readOffsetPairAt(secondary.warehouse,
+              groupName, schema, t)
+            sFork <- sForkOpt
+            oldHead <- old.currentSnapshotId
+            lost <- old.rowChangesBetween(pFork, oldHead)
+            fwd <- sTbl.rowChangesBetween(sFork, head)
+          } yield {
+            def side(cs: graft.warehouse.ChangeScan, change: String) =
+              cs.df.filter(col("_change") === change).drop("_change")
+            def u(a: DataFrame, b: DataFrame) =
+              a.unionByName(b, allowMissingColumns = true)
+            val dRaw = u(side(lost, "insert"), side(fwd, "delete"))
+            val iRaw = u(side(lost, "delete"), side(fwd, "insert"))
+            // conform both to one schema (evolution may have touched only
+            // one side's feed) before the multiset difference
+            val fields = (dRaw.schema.fields ++ iRaw.schema.fields)
+              .groupBy(_.name).map { case (n, fs) => n -> fs.head }
+            val allCols = (dRaw.columns ++ iRaw.columns).distinct.toSeq
+            def conf(df: DataFrame) = df.select(allCols.map { c =>
+              if (df.columns.contains(c)) df(c)
+              else lit(null).cast(fields(c).dataType).as(c)
+            }: _*)
+            val (d2, i2) = (conf(dRaw), conf(iRaw))
+            d2.exceptAll(i2).withColumn("_change", lit("delete"))
+              .unionByName(i2.exceptAll(d2).withColumn("_change", lit("insert")))
+          }
+          if (!old.exists ||
+              !old.read().columns.toSet.subsetOf(target.columns.toSet)) {
+            // divergent schema the value algebra can't express (lost
+            // writes ADDED a column): one loud full logical resync
+            primary.createSchema(schema)
+            old.createOrReplace(target)
+            shipped += old.count()
+            modes += ((schema, t) -> "resync")
+          } else fastChanges() match {
+            case Some(changes) =>
+              applyBatch(changes)
+              modes += ((schema, t) -> "delta")
+            case None =>
+              // no fork pair (pre-upgrade offsets), or a feed the chains
+              // can't answer (REPLACE / expired past the fork): the
+              // whole-table value diff — correct at diff-scan cost
+              val cur = old.read()
+              val conformed = target.columns.toSeq.map { c =>
+                if (cur.columns.contains(c)) cur(c)
+                else lit(null).cast(target.schema(c).dataType).as(c)
+              }
+              val curC = cur.select(conformed: _*)
+              applyBatch(curC.exceptAll(target)
+                .withColumn("_change", lit("delete"))
+                .unionByName(target.exceptAll(curC)
+                  .withColumn("_change", lit("insert"))))
+              modes += ((schema, t) -> "diff")
+          }
+          // both sides are now provably equal at (old head, cut): record
+          // the fork pair in BOTH directions — the old primary is the
+          // REVERSED service's consumer (reverse cycles resume
+          // delta-only), and a failback retry or a resumed FORWARD cycle
+          // is delta-bounded from here too
+          writeOffsetAt(primary.warehouse, groupName, schema, t, head,
+            old.currentSnapshotId)
+          old.currentSnapshotId.foreach(oh =>
+            writeOffsetAt(secondary.warehouse, groupName, schema, t, oh,
+              Some(head)))
         }
       }
       // views re-sync from the new primary like the physical failback
@@ -709,9 +792,17 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
         primary.createOrReplaceView(v.schema, v.name,
           v.definition.replace(s"${secondary.name}__", s"${primary.name}__"))
       if (g.includeRoles) syncGrantsReversed()
+      failbackModes = modes.result()
       shipped
     } finally primary.readOnly = wasReadOnly
   }
+
+  /** Per-table route of the LAST [[failbackLogical]] call: "delta" (the
+    * fork-pair fast path, cost ∝ divergence), "diff" (whole-table value
+    * diff fallback), or "resync" (divergent schema → full copy). The
+    * observability hook gates and drills assert the scale path on. */
+  def lastFailbackModes: Map[(String, String), String] = failbackModes
+  @volatile private var failbackModes: Map[(String, String), String] = Map.empty
 
   /** [[syncGrants]] in the failback direction: the NEW primary's (the
     * attached `secondaryGrants`) RBAC state overwrites the old primary's

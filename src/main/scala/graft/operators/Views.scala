@@ -1497,6 +1497,9 @@ object Views {
         val shipped = repl.failbackLogical("core")
         require(shipped == lost.count() + delB7 + k1.count(),
           s"q145: failback must ship exactly the divergence multiset, got $shipped")
+        require(repl.lastFailbackModes == Map(("gate", "clicks_f") -> "delta"),
+          s"q145: failback must take the DELTA-BOUNDED fast path (cost ∝ " +
+            s"divergence, never a table diff): ${repl.lastFailbackModes}")
         require(tbl.snapshots().size == chain0 + 1 &&
             tbl.snapshots().last._2 == "mor",
           "q145: the value re-sync is ONE atomic sidecar-only commit")

@@ -762,6 +762,8 @@ class BcdrSpec extends SparkSpec {
     // keyed diff: lost(9) + old 2:b deleted, B2 + 3:c inserted = 4; keyless
     // diff: lost + (y,2) deleted, (z,3) inserted = 3
     assert(shipped == 7L, s"failback must ship exactly the divergence, got $shipped")
+    assert(repl.lastFailbackModes.values.toSet == Set("delta"),
+      s"both tables must take the fork-pair DELTA path: ${repl.lastFailbackModes}")
     assert(tk.snapshots().size == chainK + 1 && tn.snapshots().size == chainN + 1,
       "one atomic commit per table — never a table rewrite")
     assert(Set("mor", "pdel").contains(tk.snapshots().last._2) &&
@@ -786,5 +788,39 @@ class BcdrSpec extends SparkSpec {
       "reverse cycle ships only the post-failback delta, never a full copy")
     assert(tk.read().as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("failbackLogical falls back to the value diff when a chain can't " +
+    "answer the fork — still multiset-exact") {
+    // the delta fast path needs both sides' change feeds from the fork
+    // pair; an old primary that compacted + expired past it (or a
+    // pre-upgrade offset file) must degrade to the whole-table diff, not
+    // to a wrong answer
+    val primary = new Catalog(spark, freshDir("lfbd-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("lfbd-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "fbd")
+    t.createOrReplace(Seq(("x", 1), ("x", 1), ("y", 2)).toDF("tag", "n"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "fbd")), includeViews = false)
+    repl.refreshIncremental("core")
+    t.append(Seq(("lost", 0)).toDF("tag", "n"))
+    // the old primary's own maintenance truncates history PAST the fork
+    t.compact()
+    t.expireSnapshots(keepLast = 1)
+    repl.promote()
+    val m = secondary.table("adv", "fbd")
+    m.deleteWherePositional(col("tag") === "y")
+    m.append(Seq(("z", 3)).toDF("tag", "n"))
+    val shipped = repl.failbackLogical("core")
+    assert(repl.lastFailbackModes == Map(("adv", "fbd") -> "diff"),
+      s"expired fork → value-diff fallback: ${repl.lastFailbackModes}")
+    assert(shipped == 3L, s"lost + (y,2) deleted, (z,3) inserted: $shipped")
+    assert(primary.table("adv", "fbd").read().exceptAll(m.read()).isEmpty &&
+      m.read().exceptAll(primary.table("adv", "fbd").read()).isEmpty)
+    // idle failback on the DELTA path after offsets were re-recorded
+    assert(repl.failbackLogical("core") == 0L)
+    assert(repl.lastFailbackModes == Map(("adv", "fbd") -> "delta"),
+      "the failback itself recorded a fresh fork pair — the retry is delta")
   }
 }
