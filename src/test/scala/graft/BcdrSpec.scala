@@ -712,12 +712,22 @@ class BcdrSpec extends SparkSpec {
     // extra is revoked (Snowflake semantics: the secondary is overwritten)
     pg.createRole("etl")
     pg.grant("etl", "INSERT", "adv.t1")
+    // a role HIERARCHY edge must ship too (r14 verdict #1): etl inherits
+    // the analyst's SELECT on both sides after the cycle
+    pg.grantRole("analyst", "etl")
     sg.createRole("rogue")
     sg.grant("rogue", "SELECT", "adv.t1")
     repl.refreshIncremental("acct")
     assert(sg.hasGrant("etl", "INSERT", "adv.t1"))
+    assert(sg.listRoleGrants() == Seq(("analyst", "etl")),
+      "hierarchy edges replicate")
+    assert(sg.hasGrant("etl", "SELECT", "adv.t1"),
+      "inherited privileges resolve on the secondary")
     assert(!sg.hasGrant("rogue", "SELECT", "adv.t1"),
       "grants the primary doesn't hold are revoked")
+    assert(!sg.listRoles().contains("rogue"),
+      "secondary-LOCAL roles are dropped outright — Snowflake ROLES " +
+        "replication overwrites the role set, not just the grants")
     // after promote, the secondary's own grant audit reports ZERO repairs
     repl.promote()
     assert(sg.ensureGrants(pg.listGrants()) == 0,
@@ -822,5 +832,156 @@ class BcdrSpec extends SparkSpec {
     assert(repl.failbackLogical("core") == 0L)
     assert(repl.lastFailbackModes == Map(("adv", "fbd") -> "delta"),
       "the failback itself recorded a fresh fork pair — the retry is delta")
+  }
+
+  test("physical failback on an includeRoles group re-syncs RBAC from the " +
+    "new primary — zero repairs on the old primary's audit") {
+    // r14 verdict finding #1: `failback` copied tables + views but left
+    // the old primary's RBAC stale until the first reverse refresh cycle
+    // happened to run — asymmetric with failbackLogical and with the
+    // reference's group semantics (ROLES are group members)
+    val primary = new Catalog(spark, freshDir("fbr-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("fbr-sec"), "sec")
+    primary.createSchema("adv")
+    primary.table("adv", "t1").createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    val pg = new graft.rbac.GrantService(spark, freshDir("fbr-audit-p"))
+    val sg = new graft.rbac.GrantService(spark, freshDir("fbr-audit-s"))
+    pg.createRole("analyst")
+    pg.grant("analyst", "SELECT", "adv.t1")
+    val repl = new ReplicationService(primary, secondary)
+    repl.attachGrantServices(pg, sg)
+    repl.createGroup("acct", Seq(("adv", "t1")), includeViews = false,
+      includeRoles = true)
+    repl.refreshPhysical("acct")
+    assert(sg.hasGrant("analyst", "SELECT", "adv.t1"))
+    // disaster: promote; the NEW primary's RBAC evolves during the outage
+    repl.promote()
+    sg.createRole("etl")
+    sg.grant("etl", "INSERT", "adv.t1")
+    sg.grantRole("analyst", "etl")
+    pg.grant("analyst", "DELETE", "adv.t1") // a lost RBAC write, discarded
+    // the drill's return leg must land the old primary on the new
+    // primary's RBAC state in the SAME call — not at some later cycle
+    assert(repl.failback("acct") > 0)
+    assert(pg.hasGrant("etl", "INSERT", "adv.t1"),
+      "the new primary's grants land on the old primary at failback")
+    assert(pg.listRoleGrants() == Seq(("analyst", "etl")),
+      "hierarchy edges ride the physical failback too")
+    assert(!pg.hasGrant("analyst", "DELETE", "adv.t1"),
+      "lost RBAC writes are overwritten like lost table commits")
+    assert(pg.ensureGrants(sg.listGrants()) == 0,
+      "zero repairs — the reference's post-drill grant-audit check")
+  }
+
+  test("the incremental cycle publishes GROUP-ATOMICALLY: a mid-cycle " +
+    "reader sees only the previous complete cut") {
+    // r14 verdict #3: windows used to commit per table serially, so a
+    // reader (or a promote) landing mid-cycle saw table A's new cut next
+    // to table B's old one ON THE MIRROR — the skew the consistent cut
+    // had just eliminated on the source side. Cycles now stage every
+    // window (WAP) and flip all markers live together.
+    val primary = new Catalog(spark, freshDir("gap-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("gap-sec"), "sec")
+    secondary.readOnly = true
+    primary.createSchema("adv")
+    val a = primary.table("adv", "ga_keyed")
+    val b = primary.table("adv", "ga_keyless")
+    a.createOrReplace(Seq((1L, "a1"), (2L, "a2")).toDF("id", "v"))
+    b.createOrReplace(Seq(("x", 1), ("x", 1), ("y", 2)).toDF("tag", "n"))
+    val keys = Map(("adv", "ga_keyed") -> Seq("id"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "ga_keyed"), ("adv", "ga_keyless")),
+      includeViews = false)
+    assert(repl.refreshIncremental("core", keys) == 5L, "bootstrap")
+    val sa = secondary.table("adv", "ga_keyed")
+    val sb = secondary.table("adv", "ga_keyless")
+    val cut1a = sa.read().collect().toSet
+    val cut1b = sb.read().collect().toSet
+    // windows on BOTH tables: keyed upsert + keyless mixed DML
+    a.upsertByKeys(Seq((2L, "A2"), (3L, "a3")).toDF("id", "v"), Seq("id"))
+    b.deleteWherePositional(col("tag") === "y")
+    b.append(Seq(("z", 3)).toDF("tag", "n"))
+    // PHASE 1: the cycle stages both windows — the expensive writes run
+    // here, and the MIRROR'S VISIBLE STATE MUST NOT MOVE
+    val cycle = repl.stageIncrementalCycle("core",
+      repl.recordHeads("core"), keys)
+    assert(cycle.work.map(_.mode) == Seq("staged", "staged"),
+      s"both windows staged: ${cycle.work}")
+    assert(sa.read().collect().toSet == cut1a &&
+        sb.read().collect().toSet == cut1b,
+      "a reader mid-cycle sees ONLY the previous complete cut — staged " +
+        "windows are invisible")
+    assert(sa.stagedSnapshots().nonEmpty && sb.stagedSnapshots().nonEmpty)
+    // PHASE 2: both flips together; the full refresh total matches the
+    // per-table serial path exactly
+    assert(repl.publishCycle(cycle) == 3L + 2L,
+      "keyed: 1 matched del + 2 ins; keyless: 1 del + 1 ins")
+    assert(sa.read().collect().toSet == a.read().collect().toSet)
+    assert(sb.read().as[(String, Int)].collect().sorted.toSeq ==
+      b.read().as[(String, Int)].collect().sorted.toSeq)
+    assert(sa.stagedSnapshots().isEmpty && sb.stagedSnapshots().isEmpty,
+      "the publish consumed every staged window")
+    assert(repl.refreshIncremental("core", keys) == 0L, "caught up")
+    // a DISCARDED cycle leaves no trace and the re-run re-ships it
+    a.append(Seq((9L, "a9")).toDF("id", "v"))
+    val c2 = repl.stageIncrementalCycle("core", repl.recordHeads("core"), keys)
+    repl.discardCycle(c2)
+    assert(sa.stagedSnapshots().isEmpty && sa.read().filter($"id" === 9L).isEmpty)
+    assert(repl.refreshIncremental("core", keys) == 1L,
+      "the discarded window re-ships — offsets never moved")
+    // a CRASHED cycle (staged, never published) is swept by the next
+    // cycle's stage phase: no duplicate windows, exact convergence
+    b.append(Seq(("w", 4)).toDF("tag", "n"))
+    repl.stageIncrementalCycle("core", repl.recordHeads("core"), keys) // "crash"
+    assert(repl.refreshIncremental("core", keys) == 1L,
+      "the restarted cycle replaces the orphaned staged window, exactly once")
+    assert(sb.read().as[(String, Int)].collect().sorted.toSeq ==
+      b.read().as[(String, Int)].collect().sorted.toSeq)
+  }
+
+  test("a DROPPED-AND-RECREATED primary member full-copies instead of " +
+    "silently shipping nothing forever") {
+    // r14 ADVICE #2: the persisted offset outlives the primary table's
+    // timeline when the table is dropped and recreated (snapshot ids
+    // restart at 1) — the bare `o >= head` skip treated the stale offset
+    // as caught-up and incremental cycles shipped nothing forever
+    val primary = new Catalog(spark, freshDir("drt-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("drt-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "reborn")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "reborn")), includeViews = false)
+    val keys = Map(("adv", "reborn") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 2L, "bootstrap")
+    // a few windows push the consumed offset well past a fresh timeline
+    for (i <- 3L to 6L) {
+      t.append(Seq((i, s"v$i")).toDF("id", "v"))
+      assert(repl.refreshIncremental("core", keys) == 1L)
+    }
+    // DROP + RECREATE: the new table's ids restart below the offset
+    t.drop()
+    val t2 = primary.table("adv", "reborn")
+    t2.createOrReplace(Seq((100L, "fresh")).toDF("id", "v"))
+    assert(t2.currentSnapshotId.get < 5,
+      "sanity: the recreated timeline restarted below the consumed offset")
+    val shipped = repl.refreshIncremental("core", keys)
+    assert(shipped == 1L,
+      s"the dead-timeline cycle must FULL-COPY the recreated table " +
+        s"(1 row), not skip as caught-up: $shipped")
+    assert(secondary.table("adv", "reborn").read()
+      .as[(Long, String)].collect().toSet == Set((100L, "fresh")),
+      "the mirror holds the recreated table's state")
+    // and the pair resumes normal delta-only replication from here
+    t2.append(Seq((101L, "next")).toDF("id", "v"))
+    assert(repl.refreshIncremental("core", keys) == 1L, "delta resumes")
+    assert(repl.refreshIncremental("core", keys) == 0L, "caught up")
+    // an EXPLICIT OLDER CUT against a live timeline still skips: zero
+    // work, never a spurious full copy
+    val oldCut = repl.recordHeads("core")
+    t2.append(Seq((102L, "racer")).toDF("id", "v"))
+    assert(repl.refreshIncremental("core", keys) == 1L) // ships the racer
+    assert(repl.refreshIncrementalAt("core", oldCut, keys) == 0L,
+      "a stale cut below the consumed offset ships nothing")
   }
 }

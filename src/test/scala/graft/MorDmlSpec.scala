@@ -324,6 +324,72 @@ class MorDmlSpec extends SparkSpec {
     cs.unpersist(blocking = false)
   }
 
+  test("the retired-notes ledger stays BOUNDED under a long trickle while " +
+    "replay inside the horizon is still refused") {
+    // r14 verdict #4: retireNotes rewrote (and noteEverCommitted re-read)
+    // the FULL ledger forever — growth ∝ all noted history, the same
+    // quiet-growth class as the fixed LogTable self-rescan. The ledger
+    // now keeps the most recent RetiredNotesCap lines only.
+    val capBefore = SnapshotTable.RetiredNotesCap
+    SnapshotTable.RetiredNotesCap = 8
+    try {
+      val t = new SnapshotTable(spark, freshRoot("ledger-cap"))
+      t.createOrReplace(Seq((0L, "seed")).toDF("k", "v"))
+      def note(i: Int) = s"cdcwin=${i - 1}_$i"
+      for (i <- 1 to 12) {
+        t.applyChangesPositional(
+          Seq((i.toLong, s"v$i", "insert")).toDF("k", "v", "_change"),
+          Some(note(i)))
+        if (i % 3 == 0) { t.compact(); t.expireSnapshots(keepLast = 1) }
+      }
+      t.compact(); t.expireSnapshots(keepLast = 1)
+      assert(!t.commitNotes().exists(_._2.contains("cdcwin=")),
+        "precondition: every window note left the live markers")
+      assert(t.retiredNotes().size <= 8,
+        s"ledger must stay within the cap: ${t.retiredNotes().size}")
+      assert(t.retiredNotes().exists(_.split(' ').contains(note(12))),
+        "the most recent windows stay on the ledger")
+      assert(!t.retiredNotes().exists(_.split(' ').contains(note(1))),
+        "windows beyond the horizon are evicted")
+      // replay INSIDE the horizon: refused whole, across a fresh instance
+      val t2 = new SnapshotTable(spark, t.root)
+      val replay = t2.applyChangesPositional(
+        Seq((12L, "v12", "insert")).toDF("k", "v", "_change"), Some(note(12)))
+      assert(replay == ((0L, 0L)), "in-horizon replay must be refused")
+      assert(t2.read().filter(col("k") === 12L).count() == 1)
+    } finally SnapshotTable.RetiredNotesCap = capBefore
+  }
+
+  test("the retired-notes ledger survives a crash between the replace's " +
+    "delete and rename (r14 ADVICE #1)") {
+    val t = new SnapshotTable(spark, freshRoot("ledger-crash"))
+    t.createOrReplace(Seq((0L, "seed")).toDF("k", "v"))
+    t.applyChangesPositional(
+      Seq((1L, "v1", "insert")).toDF("k", "v", "_change"), Some("cdcwin=0_1"))
+    t.compact(); t.expireSnapshots(keepLast = 1)
+    assert(t.retiredNotes().exists(_.split(' ').contains("cdcwin=0_1")))
+    // simulate the crash window: the new ledger landed complete in .tmp,
+    // the old file was deleted, the rename never ran
+    val fs = new org.apache.hadoop.fs.Path(t.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(t.root, "notes.retired")
+    val tmp = new org.apache.hadoop.fs.Path(t.root, "notes.retired.tmp")
+    assert(fs.rename(ledger, tmp), "stage the crash state")
+    val t2 = new SnapshotTable(spark, t.root) // the restart
+    assert(t2.retiredNotes().exists(_.split(' ').contains("cdcwin=0_1")),
+      "the ledger must be recoverable from the .tmp sibling — a note in " +
+        "NEITHER place reopens the double-apply window")
+    assert(t2.applyChangesPositional(
+      Seq((1L, "v1", "insert")).toDF("k", "v", "_change"),
+      Some("cdcwin=0_1")) == ((0L, 0L)),
+      "replay refused straight through the crash window")
+    // the next expire heals the crash state back to a plain ledger
+    t2.append(Seq((2L, "v2")).toDF("k", "v"), note = Some("batch=heal"))
+    t2.compact(); t2.expireSnapshots(keepLast = 1)
+    assert(fs.exists(ledger) &&
+      t2.retiredNotes().exists(_.split(' ').contains("cdcwin=0_1")))
+  }
+
   test("CDC contiguity: a window from an EXPIRED offset answers None, never a hole") {
     // r12 ADVICE #1: the primary appends, compacts, and expires while a
     // consumer lags — the commits between its offset and the surviving

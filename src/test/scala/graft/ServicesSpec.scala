@@ -282,6 +282,69 @@ class ServicesSpec extends SparkSpec {
     assert(g3.hasGrant("analyst", "SELECT", "adv.t9"))
   }
 
+  test("RBAC role hierarchy: inherited privileges resolve transitively " +
+    "and survive a restart") {
+    // r14 verdict #1: the reference's ADMIN → ENGINEER → ANALYST chain
+    // (`scripts/00_prereqs_rbac.sql:38-44`) — GRANT ROLE x TO ROLE y makes
+    // y inherit x's privileges, transitively through every hop
+    val root = freshDir("rbachier")
+    val g1 = new GrantService(spark, root)
+    g1.createRole("ICEBERG_ANALYST")
+    g1.createRole("ICEBERG_ENGINEER")
+    g1.createRole("ICEBERG_ADMIN")
+    g1.createRole("ACCOUNTADMIN")
+    g1.grant("ICEBERG_ANALYST", "SELECT", "adv.events")
+    g1.grant("ICEBERG_ENGINEER", "INSERT", "adv.events")
+    // the reference's exact chain: analyst → engineer → admin → accountadmin
+    g1.grantRole("ICEBERG_ANALYST", "ICEBERG_ENGINEER")
+    g1.grantRole("ICEBERG_ENGINEER", "ICEBERG_ADMIN")
+    g1.grantRole("ICEBERG_ADMIN", "ACCOUNTADMIN")
+    // one hop: the engineer resolves the analyst's SELECT
+    assert(g1.hasGrant("ICEBERG_ENGINEER", "SELECT", "adv.events"))
+    // two hops: the admin resolves it through the engineer
+    assert(g1.hasGrant("ICEBERG_ADMIN", "SELECT", "adv.events"))
+    assert(g1.hasGrant("ICEBERG_ADMIN", "INSERT", "adv.events"))
+    // three hops for the account admin; inheritance flows UP only
+    assert(g1.hasGrant("ACCOUNTADMIN", "SELECT", "adv.events"))
+    assert(!g1.hasGrant("ICEBERG_ANALYST", "INSERT", "adv.events"),
+      "a granted role never inherits from its grantee")
+    assert(g1.inheritedRoles("ICEBERG_ADMIN") ==
+      Set("ICEBERG_ANALYST", "ICEBERG_ENGINEER"))
+    assert(g1.resolvedGrants("ICEBERG_ADMIN").toSet == Set(
+      ("ICEBERG_ADMIN", "SELECT", "adv.events"),
+      ("ICEBERG_ADMIN", "INSERT", "adv.events")))
+    // circular grants are rejected (Snowflake refuses them too)
+    intercept[IllegalArgumentException] {
+      g1.grantRole("ACCOUNTADMIN", "ICEBERG_ANALYST")
+    }
+    intercept[IllegalArgumentException] {
+      g1.grantRole("ICEBERG_ADMIN", "ICEBERG_ADMIN")
+    }
+    // THE RESTART: hierarchy edges replay from the audit log
+    val g2 = new GrantService(spark, root)
+    assert(g2.hasGrant("ACCOUNTADMIN", "SELECT", "adv.events"),
+      "two-hop inheritance must survive a service restart via replay")
+    assert(g2.listRoleGrants().toSet == Set(
+      ("ICEBERG_ANALYST", "ICEBERG_ENGINEER"),
+      ("ICEBERG_ENGINEER", "ICEBERG_ADMIN"),
+      ("ICEBERG_ADMIN", "ACCOUNTADMIN")))
+    // revoke breaks the chain above the cut edge only
+    g2.revokeRole("ICEBERG_ENGINEER", "ICEBERG_ADMIN")
+    assert(!g2.hasGrant("ICEBERG_ADMIN", "SELECT", "adv.events"))
+    assert(g2.hasGrant("ICEBERG_ENGINEER", "SELECT", "adv.events"))
+    // DROP ROLE cascades: grants and edges touching it vanish
+    g2.dropRole("ICEBERG_ANALYST")
+    assert(!g2.hasGrant("ICEBERG_ENGINEER", "SELECT", "adv.events"),
+      "privileges inherited through a dropped role are gone")
+    assert(g2.listRoleGrants().toSet == Set(("ICEBERG_ADMIN", "ACCOUNTADMIN")))
+    // and the post-restart mutations replay into a third instance
+    val g3 = new GrantService(spark, root)
+    assert(g3.listRoles().toSet ==
+      Set("ICEBERG_ENGINEER", "ICEBERG_ADMIN", "ACCOUNTADMIN"))
+    assert(g3.listRoleGrants().toSet == Set(("ICEBERG_ADMIN", "ACCOUNTADMIN")))
+    assert(!g3.hasGrant("ICEBERG_ENGINEER", "SELECT", "adv.events"))
+  }
+
   test("heartbeat: replication lag and pinned-history red the beat until healthy") {
     // r13 verdict #6: a stalled replication schedule or a forgotten ref
     // pinning history past the ceiling must flip the heartbeat — the
