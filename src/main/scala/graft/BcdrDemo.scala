@@ -77,13 +77,28 @@ object BcdrDemo {
     println(s"  objects replicated=${repl.refresh("core")}")
     repl.validate("core").show(truncate = false)
 
-    banner("6. heartbeat + grant audit + DR readiness")
+    banner("6. heartbeat + grant audit + RBAC hierarchy + DR readiness")
     val grants = new GrantService(spark, s"$work/logs/grants")
+    // the reference's role chain (`scripts/00_prereqs_rbac.sql:38-44`):
+    // ANALYST → ENGINEER → ADMIN — inherited privileges resolve upward
+    for (r <- Seq("ICEBERG_ANALYST", "ICEBERG_ENGINEER", "ICEBERG_ADMIN"))
+      grants.createRole(r)
+    grants.grantRole("ICEBERG_ANALYST", "ICEBERG_ENGINEER")
+    grants.grantRole("ICEBERG_ENGINEER", "ICEBERG_ADMIN")
     val hb = new HeartbeatService(spark, primary, prod, grants, s"$work/logs/heartbeat")
     hb.expectedGrants = Seq(
-      ("ANALYST", "SELECT", "adv.campaigns"), ("ANALYST", "SELECT", "adv.conversions"))
+      ("ICEBERG_ANALYST", "SELECT", "adv.campaigns"),
+      ("ICEBERG_ANALYST", "SELECT", "adv.conversions"))
+    // the r14 checks join the beat: REPLICATION_LAG against the ~10-min
+    // RPO (green — step 5 just refreshed) and PINNED_HISTORY against a
+    // 512 MB pin ceiling (green — no forgotten refs)
+    hb.replicationLag = Seq((repl, "core", 10 * 60 * 1000L))
+    hb.pinnedHistory = Some((new graft.services.MaintenanceService(primary),
+      512L * 1024 * 1024))
     val (checks, fails) = hb.run()
-    println(s"  checks=$checks failures=$fails")
+    println(s"  checks=$checks failures=$fails (REPLICATION_LAG + PINNED_HISTORY green)")
+    println(s"  ADMIN inherits the analyst grant two hops down: ${
+      grants.hasGrant("ICEBERG_ADMIN", "SELECT", "adv.campaigns")}")
     hb.drReadiness().show(truncate = false)
 
     banner("7. induce + detect schema drift, then resolve")
@@ -124,6 +139,61 @@ object BcdrDemo {
     println(s"  ids identical: ${primary.table("adv", "campaigns").snapshots() ==
       secondary.table("adv", "campaigns").snapshots()}")
     repl.reversed.validatePhysical("core").show(truncate = false)
+
+    banner("11. LOGICAL failover group: group-atomic cycles, restart, delta resume")
+    // the cross-engine path (secondary keeps its OWN ids + layout): every
+    // cycle ships CDC deltas, stages them per table (WAP) and publishes
+    // all members together — a reader racing a cycle sees one cut
+    primary.readOnly = false
+    secondary.readOnly = true
+    val live = primary.table("adv", "clicks_live")
+    live.createOrReplace(clks)
+    val lg = new ReplicationService(primary, secondary)
+    lg.createGroup("funnel", Seq(("adv", "clicks_live")), includeViews = false)
+    println(s"  bootstrap rows shipped=${lg.refreshIncremental("funnel")}")
+    live.deleteWherePositional(col("click_id").like("%3"))
+    println(s"  window 1 (keyless positional) rows shipped=${lg.refreshIncremental("funnel")}")
+    // THE RESTART: a brand-new service instance — progress comes from the
+    // durable per-(group, table) offsets on the secondary, not memory
+    val lg2 = new ReplicationService(primary, secondary)
+    lg2.createGroup("funnel", Seq(("adv", "clicks_live")), includeViews = false)
+    live.append(clks.limit(500).withColumn("click_id",
+      concat(lit("CLK-NEW-"), col("click_id"))))
+    println(s"  RESTARTED service ships exactly the new window: ${
+      lg2.refreshIncremental("funnel")} rows (no full re-copy)")
+    // group-atomic publish, observed: stage the next window, read mid-cycle
+    live.append(clks.limit(200).withColumn("click_id",
+      concat(lit("CLK-W3-"), col("click_id"))))
+    val mirror = secondary.table("adv", "clicks_live")
+    val before = mirror.count()
+    val cyc = lg2.stageIncrementalCycle("funnel", lg2.recordHeads("funnel"))
+    println(s"  staged cycle modes=${cyc.work.map(ts => s"${ts.table}:${ts.mode}")}")
+    println(s"  mid-cycle reader still sees the previous cut: ${mirror.count()} rows" +
+      s" (== $before); publish ships ${lg2.publishCycle(cyc)}")
+    println(s"  replication lag ms=${lg2.lagMs("funnel").getOrElse(-1L)}")
+
+    banner("12. LOGICAL failback drill: delta-bounded, mode-observable")
+    live.append(clks.limit(100).withColumn("click_id",
+      concat(lit("CLK-LOST-"), col("click_id")))) // the RPO-lost write
+    lg2.promote()
+    mirror.append(clks.limit(150).withColumn("click_id",
+      concat(lit("CLK-DR-"), col("click_id")))) // the new primary moves on
+    val fbShipped = lg2.failbackLogical("funnel")
+    println(s"  failback rows shipped=$fbShipped modes=${lg2.lastFailbackModes}")
+    println(s"  (mode 'delta' = the fork-pair fast path: cost ∝ lost + " +
+      "new-primary writes, never ∝ table)")
+    val lostGone = primary.table("adv", "clicks_live").read()
+      .filter(col("click_id").like("CLK-LOST-%")).count()
+    val drHome = primary.table("adv", "clicks_live").read()
+      .filter(col("click_id").like("CLK-DR-%")).count()
+    println(s"  lost writes discarded: ${lostGone == 0}; new-primary writes landed: $drHome")
+
+    banner("13. post-drill heartbeat: lag + pinned-history checks still green")
+    sync.run() // the scheduled sync task covers the drill's new table
+    hb.replicationLag = Seq((repl, "core", 10 * 60 * 1000L),
+      (lg2, "funnel", 10 * 60 * 1000L))
+    val (checks2, fails2) = hb.run()
+    println(s"  checks=$checks2 failures=$fails2 (both groups' REPLICATION_LAG green)")
 
     println("\nBCDR demo complete.")
     spark.stop()

@@ -1589,6 +1589,183 @@ object Views {
       }
     },
 
+    // GROUP-ATOMIC CYCLE PUBLISH through the correctness gate (r14 verdict
+    // #3): two tables take windows, the cycle STAGES both (phase 1), and
+    // the mirror is REQUIREd to still read the previous cut — then one
+    // publish (phase 2) flips both live together. A per-table serial
+    // commit would expose table A's new window next to table B's old one
+    // to any reader racing the cycle. REQUIREd: both windows mode
+    // "staged", mirror state frozen across phase 1, exact shipped totals,
+    // one atomic sidecar commit per table, multiset convergence; the
+    // final two-table aggregate hashes against DuckDB.
+    "q147_atomic_cycle_publish" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/atom-pri"
+      val whS = s"$base/atom-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        def proj = orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        def a0 = proj.filter($"o_orderkey" % lit(2L) === lit(0L))
+        // the keyless table holds DUPLICATES by construction (%11 rows twice)
+        def b0 = proj.filter($"o_orderkey" % lit(2L) === lit(1L))
+          .unionByName(proj.filter($"o_orderkey" % lit(2L) === lit(1L) &&
+            $"o_orderkey" % lit(11L) === lit(0L)))
+        val ta = pri.table("gate", "atom_a")
+        val tb = pri.table("gate", "atom_b")
+        ta.createOrReplace(a0)
+        tb.createOrReplace(b0)
+        val keys = Map(("gate", "atom_a") -> Seq("o_orderkey"))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "atom_a"), ("gate", "atom_b")),
+          includeViews = false)
+        require(repl.refreshIncremental("core", keys) == ta.count() + tb.count(),
+          "q147 bootstrap")
+        val ma = sec.table("gate", "atom_a")
+        val mb = sec.table("gate", "atom_b")
+        val (chainA, chainB) = (ma.snapshots().size, mb.snapshots().size)
+        // windows on BOTH tables: keyed upsert; keyless delete + insert
+        def updA = a0.filter($"o_orderkey" % lit(7L) === lit(3L))
+          .select($"o_orderkey", lit("U").as("o_orderstatus"),
+            ($"o_totalprice" * lit(2.0)).as("o_totalprice"))
+        def novA = proj.filter($"o_orderkey" % lit(13L) === lit(2L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), $"o_totalprice")
+        ta.upsertByKeys(updA.unionByName(novA), Seq("o_orderkey"))
+        val bDel = tb.read().filter($"o_orderkey" % lit(5L) === lit(0L)).count()
+        tb.deleteWherePositional($"o_orderkey" % lit(5L) === lit(0L))
+        def novB = proj.filter($"o_orderkey" % lit(17L) === lit(4L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("K").as("o_orderstatus"), $"o_totalprice")
+        tb.append(novB)
+        // PHASE 1: stage — the expensive CDC writes happen here, and the
+        // mirror's VISIBLE state must not move
+        val cycle = repl.stageIncrementalCycle("core",
+          repl.recordHeads("core"), keys)
+        require(cycle.work.map(_.mode) == Seq("staged", "staged"),
+          s"q147: both windows must stage, got ${cycle.work}")
+        require(ma.read().exceptAll(a0).isEmpty && a0.exceptAll(ma.read()).isEmpty,
+          "q147: mid-cycle reader must see table A's PREVIOUS cut")
+        require(mb.read().exceptAll(b0).isEmpty && b0.exceptAll(mb.read()).isEmpty,
+          "q147: mid-cycle reader must see table B's PREVIOUS cut")
+        // PHASE 2: one publish flips both — exact shipped totals
+        val shipped = repl.publishCycle(cycle)
+        require(shipped == 2 * updA.count() + novA.count() + bDel + novB.count(),
+          s"q147: the publish must ship exactly both windows, got $shipped")
+        require(ma.snapshots().size == chainA + 1 &&
+            ma.snapshots().last._2 == "mor" &&
+            mb.snapshots().size == chainB + 1 &&
+            Set("mor", "pdel").contains(mb.snapshots().last._2),
+          "q147: one atomic sidecar-only commit per table")
+        require(ma.read().exceptAll(ta.read()).isEmpty &&
+            ta.read().exceptAll(ma.read()).isEmpty &&
+            mb.read().exceptAll(tb.read()).isEmpty &&
+            tb.read().exceptAll(mb.read()).isEmpty,
+          "q147: both mirrors multiset-converge at publish")
+        require(repl.refreshIncremental("core", keys) == 0L,
+          "q147 caught up ships zero")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              decCents($"o_totalprice").as("total_cents"),
+              min($"o_orderkey").as("min_key"))
+        val res = agg(ma.read(), "fin_a").unionByName(agg(mb.read(), "fin_b"))
+          .orderBy($"stage", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
+    // RBAC ROLE HIERARCHY through the correctness gate (r14 verdict #1 /
+    // top_next): the reference's role-to-role grants
+    // (`scripts/00_prereqs_rbac.sql:38-44`) — one role per nation holding
+    // SELECT on its table, granted to its region's role, all regions
+    // granted to ADMIN. REQUIREd: two-hop transitive resolution, replay
+    // across a service RESTART, replication of the hierarchy to a
+    // secondary whose rogue local role VANISHES (overwrite semantics).
+    // The resolved-privileges view of the REPLICATED, RESTARTED secondary
+    // hashes against DuckDB deriving the same rows from nation ⋈ region.
+    "q148_rbac_hierarchy" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/rbac-pri"
+      val whS = s"$base/rbac-sec"
+      val auditP = s"$base/rbac-audit-p"
+      val auditS = s"$base/rbac-audit-s"
+      try {
+        val nation = t(s, dir, "nation").select($"n_name", $"n_regionkey").collect()
+        val region = t(s, dir, "region").select($"r_regionkey", $"r_name").collect()
+        val regionName = region
+          .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+        val pg = new graft.rbac.GrantService(s, auditP)
+        pg.createRole("ADMIN")
+        regionName.values.toSeq.sorted.foreach(r => pg.createRole(s"R_$r"))
+        nation.sortBy(_.getString(0)).foreach { n =>
+          val (nm, reg) = (n.getString(0), regionName(n.getAs[Number](1).longValue))
+          pg.createRole(s"N_$nm")
+          pg.grant(s"N_$nm", "SELECT", s"tbl_$nm")
+          pg.grantRole(s"N_$nm", s"R_$reg") // region inherits its nations
+        }
+        regionName.values.toSeq.sorted.foreach(r =>
+          pg.grantRole(s"R_$r", "ADMIN")) // ADMIN inherits all, two hops deep
+        // two-hop resolution on the primary
+        val nat0 = nation.head.getString(0)
+        require(pg.hasGrant("ADMIN", "SELECT", s"tbl_$nat0"),
+          "q148: ADMIN must resolve a nation grant through two hops")
+        require(!pg.hasGrant(s"N_$nat0", "SELECT",
+          s"tbl_${nation.last.getString(0)}") || nation.length == 1,
+          "q148: inheritance must flow up only")
+        // replicate: the hierarchy rides an includeRoles group; the
+        // secondary's rogue local role must VANISH (overwrite semantics)
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        pri.createSchema("gate")
+        pri.table("gate", "anchor").createOrReplace(Seq((1L, "x")).toDF("id", "v"))
+        val sg0 = new graft.rbac.GrantService(s, auditS)
+        sg0.createRole("ROGUE")
+        sg0.grant("ROGUE", "SELECT", "tbl_anything")
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.attachGrantServices(pg, sg0)
+        repl.createGroup("acct", Seq(("gate", "anchor")), includeViews = false,
+          includeRoles = true)
+        repl.refresh("acct")
+        require(!sg0.listRoles().contains("ROGUE"),
+          "q148: secondary-local roles are dropped by the overwrite sync")
+        require(repl.refresh("acct") == 1,
+          "q148: an in-sync second cycle applies zero RBAC changes")
+        // THE RESTART: a brand-new service over the secondary's audit log
+        val sg = new graft.rbac.GrantService(s, auditS)
+        require(sg.listRoleGrants().toSet == pg.listRoleGrants().toSet,
+          "q148: hierarchy edges must survive the restart via replay")
+        require(sg.hasGrant("ADMIN", "SELECT", s"tbl_$nat0"),
+          "q148: two-hop resolution must survive restart + replication")
+        // the resolved-privileges view of every region role + ADMIN
+        val rows = (regionName.values.toSeq.map(r => s"R_$r") :+ "ADMIN")
+          .flatMap(role => sg.resolvedGrants(role))
+        val res = rows.toDF("role", "privilege", "obj")
+          .orderBy($"role", $"obj")
+        val out = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS, auditP, auditS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -2493,6 +2670,52 @@ object Views {
          FROM stages
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
+
+    "q147_atomic_cycle_publish" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         a0 AS (SELECT * FROM t0 WHERE o_orderkey % 2 = 0),
+         b0 AS (SELECT * FROM t0 WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT * FROM t0 WHERE o_orderkey % 2 = 1 AND o_orderkey % 11 = 0),
+         a1 AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 3 THEN 'U' ELSE o_orderstatus
+                       END AS o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM a0),
+         nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey,
+                         'N' AS o_orderstatus, o.o_totalprice
+                  FROM t0 o, mx WHERE o.o_orderkey % 13 = 2),
+         fa AS (SELECT * FROM a1 UNION ALL SELECT * FROM nova),
+         b1 AS (SELECT * FROM b0 WHERE o_orderkey % 5 <> 0),
+         novb AS (SELECT o.o_orderkey + mx.m AS o_orderkey,
+                         'K' AS o_orderstatus, o.o_totalprice
+                  FROM t0 o, mx WHERE o.o_orderkey % 17 = 4),
+         fb AS (SELECT * FROM b1 UNION ALL SELECT * FROM novb),
+         stages AS (
+           SELECT 'fin_a' AS stage, * FROM fa
+           UNION ALL SELECT 'fin_b', * FROM fb)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+                MIN(o_orderkey) AS min_key
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q148_rbac_hierarchy" ->
+      """WITH nr AS (SELECT n.n_name, r.r_name
+                     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+         reg AS (SELECT 'R_' || r_name AS role, 'SELECT' AS privilege,
+                        'tbl_' || n_name AS obj
+                 FROM nr),
+         adm AS (SELECT 'ADMIN' AS role, 'SELECT' AS privilege,
+                        'tbl_' || n_name AS obj
+                 FROM nation)
+         SELECT role, privilege, obj
+         FROM (SELECT * FROM reg UNION ALL SELECT * FROM adm)
+         ORDER BY role, obj""",
 
     "q146_null_keyless_window" ->
       """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
