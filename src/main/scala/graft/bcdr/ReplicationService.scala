@@ -88,44 +88,41 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     grantSvcs.fold(0) { case (pg, sg) => syncGrantsBetween(pg, sg) }
 
   private def syncGrantsBetween(pg: GrantService, sg: GrantService): Int = {
-    var n = 0
-    pg.listRoles().foreach { r => if (sg.createRole(r)) n += 1 }
+    // ONE event batch = ONE audit commit on the secondary (r15: the
+    // per-change single-row log commits made a divergent sync pay N
+    // commit floors — Snowflake replication moves the grant store as a
+    // batch). Event order matters: roles first (grants/edges validate
+    // against them), surplus hierarchy edges drop BEFORE adds so a
+    // flipped edge direction can never trip the cycle guard mid-batch,
+    // and secondary-LOCAL roles drop LAST (overwrite semantics — the
+    // role set, not just the grants, matches the primary; the DROP_ROLE
+    // cascade sweeps whatever the explicit revokes left).
+    import GrantService.GrantEvent
+    val ev = Seq.newBuilder[GrantEvent]
+    val haveRoles = sg.listRoles().toSet
+    pg.listRoles().filterNot(haveRoles).foreach(r =>
+      ev += GrantEvent(r, "", "", "CREATE_ROLE"))
     val want = pg.listGrants().toSet
     val have = sg.listGrants().toSet
     (want -- have).toSeq.sorted.foreach { case (r, p, o) =>
-      if (!sg.listRoles().contains(r)) sg.createRole(r)
-      sg.grant(r, p, o); n += 1
-    }
+      ev += GrantEvent(r, p, o, "GRANT") }
     (have -- want).toSeq.sorted.foreach { case (r, p, o) =>
-      sg.revoke(r, p, o); n += 1
-    }
+      ev += GrantEvent(r, p, o, "REVOKE") }
     val wantF = pg.listFutureGrants().toSet
     val haveF = sg.listFutureGrants().toSet
     (wantF -- haveF).toSeq.sorted.foreach { case (r, p, sc) =>
-      if (!sg.listRoles().contains(r)) sg.createRole(r)
-      sg.grantFuture(r, p, sc); n += 1
-    }
+      ev += GrantEvent(r, p, sg.futureObj(sc), "GRANT_FUTURE") }
     (haveF -- wantF).toSeq.sorted.foreach { case (r, p, sc) =>
-      sg.revokeFuture(r, p, sc); n += 1
-    }
-    // role HIERARCHY edges (the ADMIN → ENGINEER → ANALYST chain,
-    // `scripts/00_prereqs_rbac.sql:38-44`): surplus edges drop FIRST so a
-    // flipped edge direction can never trip the cycle guard mid-sync
+      ev += GrantEvent(r, p, sg.futureObj(sc), "REVOKE_FUTURE") }
     val wantE = pg.listRoleGrants().toSet
     val haveE = sg.listRoleGrants().toSet
     (haveE -- wantE).toSeq.sorted.foreach { case (r, g) =>
-      sg.revokeRole(r, g); n += 1
-    }
+      ev += GrantEvent(r, "", sg.roleObj(g), "REVOKE_ROLE") }
     (wantE -- haveE).toSeq.sorted.foreach { case (r, g) =>
-      sg.grantRole(r, g); n += 1
-    }
-    // secondary-LOCAL roles vanish last (overwrite semantics — Snowflake
-    // ROLES replication replaces the role set, not just the grants); by
-    // here their edges/grants are already gone, dropRole sweeps the rest
-    (sg.listRoles().toSet -- pg.listRoles().toSet).toSeq.sorted.foreach { r =>
-      sg.dropRole(r); n += 1
-    }
-    n
+      ev += GrantEvent(r, "", sg.roleObj(g), "GRANT_ROLE") }
+    (haveRoles -- pg.listRoles().toSet).toSeq.sorted.foreach(r =>
+      ev += GrantEvent(r, "", "", "DROP_ROLE"))
+    sg.applyEvents(ev.result())
   }
 
   /** One replication cycle for a group; returns objects copied. Replication

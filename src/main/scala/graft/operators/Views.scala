@@ -1709,16 +1709,26 @@ object Views {
         val regionName = region
           .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
         val pg = new graft.rbac.GrantService(s, auditP)
-        pg.createRole("ADMIN")
-        regionName.values.toSeq.sorted.foreach(r => pg.createRole(s"R_$r"))
-        nation.sortBy(_.getString(0)).foreach { n =>
-          val (nm, reg) = (n.getString(0), regionName(n.getAs[Number](1).longValue))
-          pg.createRole(s"N_$nm")
-          pg.grant(s"N_$nm", "SELECT", s"tbl_$nm")
-          pg.grantRole(s"N_$nm", s"R_$reg") // region inherits its nations
+        // the whole hierarchy lands as ONE event batch = ONE audit commit
+        // (the bulk-import shape; script 00 runs as a batch too) — plus a
+        // couple of single-op calls below to exercise that path as well
+        locally {
+          import graft.rbac.GrantService.GrantEvent
+          val ev = Seq.newBuilder[GrantEvent]
+          ev += GrantEvent("ADMIN", "", "", "CREATE_ROLE")
+          regionName.values.toSeq.sorted.foreach(r =>
+            ev += GrantEvent(s"R_$r", "", "", "CREATE_ROLE"))
+          nation.sortBy(_.getString(0)).foreach { n =>
+            val (nm, reg) = (n.getString(0), regionName(n.getAs[Number](1).longValue))
+            ev += GrantEvent(s"N_$nm", "", "", "CREATE_ROLE")
+            ev += GrantEvent(s"N_$nm", "SELECT", s"tbl_$nm", "GRANT")
+            // region inherits its nations
+            ev += GrantEvent(s"N_$nm", "", pg.roleObj(s"R_$reg"), "GRANT_ROLE")
+          }
+          regionName.values.toSeq.sorted.foreach(r => // ADMIN: two hops deep
+            ev += GrantEvent(s"R_$r", "", pg.roleObj("ADMIN"), "GRANT_ROLE"))
+          require(pg.applyEvents(ev.result()) > 0, "q148 bulk import")
         }
-        regionName.values.toSeq.sorted.foreach(r =>
-          pg.grantRole(s"R_$r", "ADMIN")) // ADMIN inherits all, two hops deep
         // two-hop resolution on the primary
         val nat0 = nation.head.getString(0)
         require(pg.hasGrant("ADMIN", "SELECT", s"tbl_$nat0"),

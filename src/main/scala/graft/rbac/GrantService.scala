@@ -38,29 +38,73 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     StructField("action", StringType))))
 
   private val FuturePrefix = "FUTURE TABLES IN SCHEMA "
+  private val RolePrefix = "ROLE "
+
+  // ── the event core ──────────────────────────────────────────────────────
+  //
+  // Every mutation is an EVENT in the audit log's own row shape; the
+  // single-op public API wraps one event each, and [[applyEvents]] lands a
+  // whole batch as ONE audit commit — the replication sync path's shape
+  // (r15: a cycle syncing N grant changes used to pay N single-row log
+  // commits; Snowflake replication moves the grant store as a batch).
+
+  import GrantService.GrantEvent
+
+  /** Apply a batch of events as ONE audit commit: events validate and
+    * fold IN ORDER (so a batch may create a role and grant to it), and
+    * only the ones that actually changed state are logged. Returns the
+    * number applied. */
+  def applyEvents(events: Seq[GrantEvent]): Int = {
+    val applied = events.filter(foldValidated)
+    if (applied.nonEmpty)
+      auditLog.append(applied.map(e => Row(e.role, e.privilege, e.obj, e.action)))
+    applied.size
+  }
+
+  /** Validate + fold one event into the in-memory state; true iff it
+    * changed anything (the audit-worthiness predicate). The REPLAY fold
+    * (constructor) is the lenient twin of this — no requires, since a
+    * durable log is by construction a valid history. */
+  private def foldValidated(e: GrantEvent): Boolean = e.action match {
+    case "CREATE_ROLE" => roles.add(e.role)
+    case "GRANT" =>
+      require(roles.contains(e.role), s"unknown role ${e.role}")
+      grants.add((e.role, e.privilege, e.obj))
+    case "REVOKE" => grants.remove((e.role, e.privilege, e.obj))
+    case "GRANT_FUTURE" =>
+      require(roles.contains(e.role), s"unknown role ${e.role}")
+      futureGrants.add((e.role, e.privilege, e.obj.stripPrefix(FuturePrefix)))
+    case "REVOKE_FUTURE" =>
+      futureGrants.remove((e.role, e.privilege, e.obj.stripPrefix(FuturePrefix)))
+    case "GRANT_ROLE" =>
+      val toRole = e.obj.stripPrefix(RolePrefix)
+      require(roles.contains(e.role), s"unknown role ${e.role}")
+      require(roles.contains(toRole), s"unknown role $toRole")
+      require(e.role != toRole, s"cannot grant role ${e.role} to itself")
+      require(!inheritedRoles(e.role).contains(toRole),
+        s"circular role grant: $toRole already flows into ${e.role}")
+      roleEdges.add((e.role, toRole))
+    case "REVOKE_ROLE" =>
+      roleEdges.remove((e.role, e.obj.stripPrefix(RolePrefix)))
+    case "DROP_ROLE" =>
+      val existed = roles.remove(e.role)
+      if (existed) dropRoleState(e.role)
+      existed
+    case other => throw new IllegalArgumentException(s"unknown action $other")
+  }
 
   /** Idempotent CREATE ROLE; durable via its audit event. Returns true
     * if new. */
-  def createRole(role: String): Boolean = {
-    val added = roles.add(role)
-    if (added) auditLog.append(Seq(Row(role, "", "", "CREATE_ROLE")))
-    added
-  }
+  def createRole(role: String): Boolean =
+    applyEvents(Seq(GrantEvent(role, "", "", "CREATE_ROLE"))) == 1
   def listRoles(): Seq[String] = roles.toSeq
 
   /** Idempotent GRANT; logs only real changes. Returns true if new. */
-  def grant(role: String, privilege: String, obj: String): Boolean = {
-    require(roles.contains(role), s"unknown role $role")
-    val added = grants.add((role, privilege, obj))
-    if (added) auditLog.append(Seq(Row(role, privilege, obj, "GRANT")))
-    added
-  }
+  def grant(role: String, privilege: String, obj: String): Boolean =
+    applyEvents(Seq(GrantEvent(role, privilege, obj, "GRANT"))) == 1
 
-  def revoke(role: String, privilege: String, obj: String): Boolean = {
-    val removed = grants.remove((role, privilege, obj))
-    if (removed) auditLog.append(Seq(Row(role, privilege, obj, "REVOKE")))
-    removed
-  }
+  def revoke(role: String, privilege: String, obj: String): Boolean =
+    applyEvents(Seq(GrantEvent(role, privilege, obj, "REVOKE"))) == 1
 
   // ── role hierarchy (r14 verdict #1: the one reference RBAC surface
   //    never ported — `GRANT ROLE x TO ROLE y` role-to-role grants) ───────
@@ -70,23 +114,13 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     * Snowflake role-hierarchy model). Idempotent; circular grants are
     * rejected exactly as Snowflake rejects them (a cycle would make every
     * member role equivalent). Durable via its audit event. */
-  def grantRole(role: String, toRole: String): Boolean = {
-    require(roles.contains(role), s"unknown role $role")
-    require(roles.contains(toRole), s"unknown role $toRole")
-    require(role != toRole, s"cannot grant role $role to itself")
-    require(!inheritedRoles(role).contains(toRole),
-      s"circular role grant: $toRole already flows into $role")
-    val added = roleEdges.add((role, toRole))
-    if (added) auditLog.append(Seq(Row(role, "", s"ROLE $toRole", "GRANT_ROLE")))
-    added
-  }
+  def grantRole(role: String, toRole: String): Boolean =
+    applyEvents(Seq(
+      GrantEvent(role, "", s"$RolePrefix$toRole", "GRANT_ROLE"))) == 1
 
-  def revokeRole(role: String, fromRole: String): Boolean = {
-    val removed = roleEdges.remove((role, fromRole))
-    if (removed)
-      auditLog.append(Seq(Row(role, "", s"ROLE $fromRole", "REVOKE_ROLE")))
-    removed
-  }
+  def revokeRole(role: String, fromRole: String): Boolean =
+    applyEvents(Seq(
+      GrantEvent(role, "", s"$RolePrefix$fromRole", "REVOKE_ROLE"))) == 1
 
   /** The hierarchy edges as (grantedRole, granteeRole) — the replication
     * surface, mirroring [[listGrants]]. */
@@ -113,14 +147,8 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     * grants, and every hierarchy edge touching it (either side) vanish;
     * roles that inherited THROUGH it keep nothing from it. One audit
     * event — replay re-derives the cascade deterministically. */
-  def dropRole(role: String): Boolean = {
-    val existed = roles.remove(role)
-    if (existed) {
-      dropRoleState(role)
-      auditLog.append(Seq(Row(role, "", "", "DROP_ROLE")))
-    }
-    existed
-  }
+  def dropRole(role: String): Boolean =
+    applyEvents(Seq(GrantEvent(role, "", "", "DROP_ROLE"))) == 1
 
   private def dropRoleState(role: String): Unit = {
     grants.filterInPlace(_._1 != role)
@@ -167,20 +195,20 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   /** `GRANT <priv> ON FUTURE TABLES IN SCHEMA <schema> TO ROLE <role>`:
     * objects created in the schema AFTER this call inherit the privilege
     * automatically. Audit-logged like any other grant action. */
-  def grantFuture(role: String, privilege: String, schema: String): Unit = {
-    require(roles.contains(role), s"unknown role $role")
-    if (futureGrants.add((role, privilege, schema)))
-      auditLog.append(Seq(Row(role, privilege, s"$FuturePrefix$schema", "GRANT_FUTURE")))
-  }
+  def grantFuture(role: String, privilege: String, schema: String): Unit =
+    applyEvents(Seq(GrantEvent(role, privilege,
+      s"$FuturePrefix$schema", "GRANT_FUTURE")))
 
   def listFutureGrants(): Seq[(String, String, String)] = futureGrants.toSeq
 
-  def revokeFuture(role: String, privilege: String, schema: String): Boolean = {
-    val removed = futureGrants.remove((role, privilege, schema))
-    if (removed) auditLog.append(Seq(Row(role, privilege,
-      s"$FuturePrefix$schema", "REVOKE_FUTURE")))
-    removed
-  }
+  def revokeFuture(role: String, privilege: String, schema: String): Boolean =
+    applyEvents(Seq(GrantEvent(role, privilege,
+      s"$FuturePrefix$schema", "REVOKE_FUTURE"))) == 1
+
+  /** Render the audit-log `obj` field for a future grant / role grant —
+    * the event-construction helpers for batch callers ([[applyEvents]]). */
+  def futureObj(schema: String): String = s"$FuturePrefix$schema"
+  def roleObj(toRole: String): String = s"$RolePrefix$toRole"
 
   /** Materialize matching future grants for a just-created object; returns
     * the number of grants applied. Invoked via the catalog's creation hook
@@ -225,4 +253,13 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
           }
         }
   }
+}
+
+object GrantService {
+  /** One grant-store event, the audit log's row shape. `obj` carries the
+    * audit-log rendering: `"ROLE <grantee>"` for GRANT_ROLE/REVOKE_ROLE
+    * ([[GrantService.roleObj]]), the `"FUTURE TABLES IN SCHEMA <schema>"`
+    * form for future grants ([[GrantService.futureObj]]). */
+  final case class GrantEvent(role: String, privilege: String,
+                              obj: String, action: String)
 }
