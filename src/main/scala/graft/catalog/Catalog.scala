@@ -112,11 +112,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
   locally {
     if (fs.exists(viewsDir)) {
       val names = fs.listStatus(viewsDir).toSeq.map(_.getPath.getName).toSet
-      // a complete `.sql.tmp` whose `.sql` is MISSING is the crash window
-      // of the write-then-rename replace — recover the definition from
-      // it (the same stance as the retired-notes ledger); a tmp NEXT TO
-      // its target is a crashed write of a still-live old definition and
-      // is ignored
+      // a `.sql.tmp` whose `.sql` is MISSING is the crash window of the
+      // write-then-rename replace — recover the definition from it (the
+      // same stance as the retired-notes ledger). The tmp is COMPLETE by
+      // construction (r16): writes land in a `.stg` stage and rename to
+      // `.tmp`, so a crash mid-write leaves only the inert stage, never a
+      // truncated tmp this recovery would replay. A tmp NEXT TO its
+      // target is a crashed write of a still-live old definition and is
+      // ignored; `.stg` files match neither filter and are never loaded
       val load = names.filter(_.endsWith(".sql")) ++
         names.filter(n => n.endsWith(".sql.tmp") &&
           !names.contains(n.stripSuffix(".tmp"))).map(_.stripSuffix(".tmp"))
@@ -145,10 +148,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
     // view's definition text-exactly — unlike offset files, a torn .sql
     // read has no safe degradation. The `.tmp` suffix fails the loader's
     // `.sql` filter, so a crashed write leaves the OLD definition live.
+    // The tmp itself is made atomic through a `.stg` stage (r15 ADVICE
+    // #3): the loader recovers an orphaned `.sql.tmp` as the definition,
+    // so the tmp must never be observable mid-write — a crash during a
+    // view's FIRST create would otherwise replay a TRUNCATED definition.
     val target = viewFile(schema, vname)
     val tmp = new Path(viewsDir, target.getName + ".tmp")
-    val out = fs.create(tmp, true)
+    val stg = new Path(viewsDir, target.getName + ".tmp.stg")
+    val out = fs.create(stg, true)
     try out.write(definition.getBytes("UTF-8")) finally out.close()
+    fs.delete(tmp, false)
+    require(fs.rename(stg, tmp),
+      s"view definition stage rename failed for $schema.$vname in catalog $name")
     fs.delete(target, false)
     require(fs.rename(tmp, target),
       s"view definition rename failed for $schema.$vname in catalog $name")
@@ -159,7 +170,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
     checkWritable()
     val target = viewFile(schema, vname)
     // the `.tmp` sibling too — left behind it would "recover" the
-    // dropped view as a crash-window orphan on the next construction
+    // dropped view as a crash-window orphan on the next construction —
+    // and the `.stg` stage (inert to the loader, but garbage)
+    fs.delete(new Path(viewsDir, target.getName + ".tmp.stg"), false)
     fs.delete(new Path(viewsDir, target.getName + ".tmp"), false)
     fs.delete(target, false)
     views.remove((schema, vname)).isDefined

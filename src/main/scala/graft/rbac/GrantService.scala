@@ -53,42 +53,72 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   /** Apply a batch of events as ONE audit commit: events validate and
     * fold IN ORDER (so a batch may create a role and grant to it), and
     * only the ones that actually changed state are logged. Returns the
-    * number applied. */
+    * number applied.
+    *
+    * EXCEPTION- AND CRASH-ATOMIC (r15 verdict #1): the whole batch
+    * validates and folds against SCRATCH copies of the four state sets
+    * first, so a mid-batch `require` (unknown role, circular role grant)
+    * fires before anything is applied or logged; then the audit batch is
+    * appended — the durability point — and only then does the scratch
+    * state swap in. An invalid event or a failed append leaves memory,
+    * log, and any restarted replica all identical to the pre-batch
+    * state (write-ahead ordering: never hold state the log doesn't). */
   def applyEvents(events: Seq[GrantEvent]): Int = {
-    val applied = events.filter(foldValidated)
-    if (applied.nonEmpty)
+    val scratch = Scratch(roles.clone(), grants.clone(),
+      futureGrants.clone(), roleEdges.clone())
+    val applied = events.filter(foldValidated(_, scratch))
+    if (applied.nonEmpty) {
       auditLog.append(applied.map(e => Row(e.role, e.privilege, e.obj, e.action)))
+      roles.clear(); roles ++= scratch.roles
+      grants.clear(); grants ++= scratch.grants
+      futureGrants.clear(); futureGrants ++= scratch.futureGrants
+      roleEdges.clear(); roleEdges ++= scratch.roleEdges
+      eventsSinceCheckpoint += applied.size
+      if (eventsSinceCheckpoint >= GrantService.CheckpointEvery) writeCheckpoint()
+    }
     applied.size
   }
 
-  /** Validate + fold one event into the in-memory state; true iff it
-    * changed anything (the audit-worthiness predicate). The REPLAY fold
-    * (constructor) is the lenient twin of this — no requires, since a
-    * durable log is by construction a valid history. */
-  private def foldValidated(e: GrantEvent): Boolean = e.action match {
-    case "CREATE_ROLE" => roles.add(e.role)
+  private final case class Scratch(
+      roles: mutable.LinkedHashSet[String],
+      grants: mutable.LinkedHashSet[(String, String, String)],
+      futureGrants: mutable.LinkedHashSet[(String, String, String)],
+      roleEdges: mutable.LinkedHashSet[(String, String)])
+
+  /** Validate + fold one event into `s` (a scratch copy of the state —
+    * never the live sets; [[applyEvents]] swaps scratch in only after the
+    * audit append succeeds); true iff it changed anything (the
+    * audit-worthiness predicate). The REPLAY fold (constructor) is the
+    * lenient twin of this — no requires, since a durable log is by
+    * construction a valid history. */
+  private def foldValidated(e: GrantEvent, s: Scratch): Boolean = e.action match {
+    case "CREATE_ROLE" => s.roles.add(e.role)
     case "GRANT" =>
-      require(roles.contains(e.role), s"unknown role ${e.role}")
-      grants.add((e.role, e.privilege, e.obj))
-    case "REVOKE" => grants.remove((e.role, e.privilege, e.obj))
+      require(s.roles.contains(e.role), s"unknown role ${e.role}")
+      s.grants.add((e.role, e.privilege, e.obj))
+    case "REVOKE" => s.grants.remove((e.role, e.privilege, e.obj))
     case "GRANT_FUTURE" =>
-      require(roles.contains(e.role), s"unknown role ${e.role}")
-      futureGrants.add((e.role, e.privilege, e.obj.stripPrefix(FuturePrefix)))
+      require(s.roles.contains(e.role), s"unknown role ${e.role}")
+      s.futureGrants.add((e.role, e.privilege, e.obj.stripPrefix(FuturePrefix)))
     case "REVOKE_FUTURE" =>
-      futureGrants.remove((e.role, e.privilege, e.obj.stripPrefix(FuturePrefix)))
+      s.futureGrants.remove((e.role, e.privilege, e.obj.stripPrefix(FuturePrefix)))
     case "GRANT_ROLE" =>
       val toRole = e.obj.stripPrefix(RolePrefix)
-      require(roles.contains(e.role), s"unknown role ${e.role}")
-      require(roles.contains(toRole), s"unknown role $toRole")
+      require(s.roles.contains(e.role), s"unknown role ${e.role}")
+      require(s.roles.contains(toRole), s"unknown role $toRole")
       require(e.role != toRole, s"cannot grant role ${e.role} to itself")
-      require(!inheritedRoles(e.role).contains(toRole),
+      require(!inheritedIn(s.roleEdges, e.role).contains(toRole),
         s"circular role grant: $toRole already flows into ${e.role}")
-      roleEdges.add((e.role, toRole))
+      s.roleEdges.add((e.role, toRole))
     case "REVOKE_ROLE" =>
-      roleEdges.remove((e.role, e.obj.stripPrefix(RolePrefix)))
+      s.roleEdges.remove((e.role, e.obj.stripPrefix(RolePrefix)))
     case "DROP_ROLE" =>
-      val existed = roles.remove(e.role)
-      if (existed) dropRoleState(e.role)
+      val existed = s.roles.remove(e.role)
+      if (existed) {
+        s.grants.filterInPlace(_._1 != e.role)
+        s.futureGrants.filterInPlace(_._1 != e.role)
+        s.roleEdges.filterInPlace(ed => ed._1 != e.role && ed._2 != e.role)
+      }
       existed
     case other => throw new IllegalArgumentException(s"unknown action $other")
   }
@@ -130,11 +160,14 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     * reachable from `role` through the hierarchy, transitively, excluding
     * `role` itself. Iterative closure — the hierarchy is tiny (it is
     * account metadata), and [[grantRole]] keeps it acyclic. */
-  def inheritedRoles(role: String): Set[String] = {
+  def inheritedRoles(role: String): Set[String] = inheritedIn(roleEdges, role)
+
+  private def inheritedIn(edges: collection.Set[(String, String)],
+                          role: String): Set[String] = {
     val seen = mutable.Set.empty[String]
     var frontier = Set(role)
     while (frontier.nonEmpty) {
-      val next = roleEdges.collect {
+      val next = edges.collect {
         case (granted, grantee) if frontier(grantee) && !seen(granted) => granted
       }.toSet
       seen ++= next
@@ -223,14 +256,89 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   def attachTo(cat: graft.catalog.Catalog): Unit =
     cat.onObjectCreated = (schema, obj) => { objectCreated(schema, obj); () }
 
+  // ── replay checkpointing (r15 verdict #4) ───────────────────────────────
+  //
+  // Construction used to replay the FULL event history — correct but
+  // O(all events ever) per restart, the same quiet-growth class as the
+  // retired-notes and view ledgers already bounded. Every
+  // [[GrantService.CheckpointEvery]] applied events the service persists
+  // a STATE SNAPSHOT (the four sets + the max audit-log id it covers,
+  // write-then-rename like every marker in this repo) and a restart
+  // replays only the log SUFFIX past it. A missing/torn checkpoint (no
+  // END sentinel) degrades to the full replay — never to wrong state.
+
+  private var eventsSinceCheckpoint = 0
+
+  /** Audit-log events folded by THIS instance's construction replay — the
+    * observable the checkpoint test asserts on (a post-checkpoint restart
+    * replays only the suffix). */
+  var replayedEvents: Int = 0
+
+  private def checkpointFile = new org.apache.hadoop.fs.Path(auditRoot, "state.ckpt")
+  private def cfs = checkpointFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def encC(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decC(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Persist the current state as of the log's metadata max id. Stats
+    * sidecars give the max WITHOUT a scan (the LogTable nextId path). */
+  private def writeCheckpoint(): Unit = {
+    val lastId = auditLog.table.columnStats().get("id")
+      .flatMap(_.max).flatMap(_.toLongOption).getOrElse(0L)
+    val sb = new StringBuilder
+    sb.append(s"v1 $lastId\n")
+    roles.foreach(r => sb.append(s"R ${encC(r)}\n"))
+    grants.foreach { case (r, p, o) =>
+      sb.append(s"G ${encC(r)} ${encC(p)} ${encC(o)}\n") }
+    futureGrants.foreach { case (r, p, s0) =>
+      sb.append(s"F ${encC(r)} ${encC(p)} ${encC(s0)}\n") }
+    roleEdges.foreach { case (a, b) => sb.append(s"E ${encC(a)} ${encC(b)}\n") }
+    sb.append("END\n")
+    val tmp = new org.apache.hadoop.fs.Path(auditRoot, "state.ckpt.tmp")
+    val out = cfs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    cfs.delete(checkpointFile, false)
+    require(cfs.rename(tmp, checkpointFile),
+      s"grant-state checkpoint rename failed at $auditRoot")
+    eventsSinceCheckpoint = 0
+  }
+
+  /** Load the checkpoint into the live sets; returns the log id it covers
+    * (replay resumes past it), or None when absent/torn (full replay). */
+  private def loadCheckpoint(): Option[Long] = {
+    if (!cfs.exists(checkpointFile)) return None
+    val in = cfs.open(checkpointFile)
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toSeq
+                finally in.close()
+    // the END sentinel is the completeness proof: rename is atomic, but a
+    // hand-copied or torn file must degrade to full replay, not bad state
+    if (lines.lastOption.forall(_ != "END") ||
+        !lines.headOption.exists(_.startsWith("v1 "))) return None
+    val lastId = lines.head.stripPrefix("v1 ").toLongOption.getOrElse(return None)
+    lines.tail.dropRight(1).foreach { l =>
+      l.split(' ') match {
+        case Array("R", r) => roles.add(decC(r))
+        case Array("G", r, p, o) => grants.add((decC(r), decC(p), decC(o)))
+        case Array("F", r, p, s0) => futureGrants.add((decC(r), decC(p), decC(s0)))
+        case Array("E", a, b) => roleEdges.add((decC(a), decC(b)))
+        case _ => ()
+      }
+    }
+    Some(lastId)
+  }
+
   // event-sourced recovery (r14): fold the persisted audit trail — id
   // order, LogTable ids are monotonic — back into the in-memory sets.
   // Runs LAST in the class body so every set it folds into exists. Reads
   // one small log table once per construction; a fresh root reads nothing.
+  // With a checkpoint (r16), only the SUFFIX past its covered id replays.
   locally {
+    val ckptId = loadCheckpoint().getOrElse(-1L)
     if (auditLog.table.exists)
-      auditLog.read().orderBy(org.apache.spark.sql.functions.col("id"))
+      auditLog.read()
+        .filter(org.apache.spark.sql.functions.col("id") > ckptId)
+        .orderBy(org.apache.spark.sql.functions.col("id"))
         .collect().foreach { r =>
+          replayedEvents += 1
           val (role, priv, obj, action) =
             (r.getString(2), r.getString(3), r.getString(4), r.getString(5))
           action match {
@@ -256,6 +364,11 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
 }
 
 object GrantService {
+  /** Applied events between state-snapshot checkpoints: small enough that
+    * a restart's suffix replay is bounded, large enough that checkpoint
+    * writes never dominate steady-state mutation cost. */
+  val CheckpointEvery = 256
+
   /** One grant-store event, the audit log's row shape. `obj` carries the
     * audit-log rendering: `"ROLE <grantee>"` for GRANT_ROLE/REVOKE_ROLE
     * ([[GrantService.roleObj]]), the `"FUTURE TABLES IN SCHEMA <schema>"`

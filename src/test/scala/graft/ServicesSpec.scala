@@ -746,4 +746,103 @@ class ServicesSpec extends SparkSpec {
     assert(pupd.rowCountFromMetadata.contains(800L))
     assert(pupd.read().where("v = 'u3'").count() === 1L)
   }
+
+  test("applyEvents is exception-atomic: an invalid mid-batch event leaves " +
+    "state, audit log, and a restarted service all at the pre-batch state") {
+    // r15 verdict #1: events used to fold into live memory one at a time,
+    // so event k's require (unknown role, circular role grant) left
+    // events 1..k-1 applied in memory but never audit-logged — phantom
+    // state a restart silently lost. The batch now validates against
+    // scratch copies first; the live swap happens only after the audit
+    // append succeeds (write-ahead ordering).
+    import graft.rbac.GrantService.GrantEvent
+    val root = freshDir("rbacatomic")
+    val g = new GrantService(spark, root)
+    g.createRole("base")
+    g.grant("base", "SELECT", "adv.t1")
+    val preRoles = g.listRoles().toSet
+    val preGrants = g.listGrants().toSet
+    val preLog = g.auditLog.read().count()
+    // a batch that is valid up to event 3, then references an unknown role
+    intercept[IllegalArgumentException] {
+      g.applyEvents(Seq(
+        GrantEvent("etl", "", "", "CREATE_ROLE"),
+        GrantEvent("etl", "INSERT", "adv.t1", "GRANT"),
+        GrantEvent("base", "UPDATE", "adv.t1", "GRANT"),
+        GrantEvent("ghost", "DELETE", "adv.t1", "GRANT"))) // ← fires here
+    }
+    assert(g.listRoles().toSet == preRoles,
+      "no event of the failed batch may survive in memory — not even " +
+        "the valid prefix (etl was created by event 1)")
+    assert(g.listGrants().toSet == preGrants)
+    assert(g.auditLog.read().count() == preLog, "nothing was logged")
+    // a mid-batch CIRCULAR role grant aborts the same way
+    g.createRole("a"); g.createRole("b")
+    g.grantRole("a", "b")
+    val edges = g.listRoleGrants().toSet
+    intercept[IllegalArgumentException] {
+      g.applyEvents(Seq(
+        GrantEvent("a", "ALL", "adv.t2", "GRANT"),
+        GrantEvent("b", "", g.roleObj("a"), "GRANT_ROLE"))) // the cycle
+    }
+    assert(!g.hasGrant("a", "ALL", "adv.t2"), "the valid prefix rolled back")
+    assert(g.listRoleGrants().toSet == edges)
+    // THE RESTART: the log holds exactly the committed history, so a new
+    // service lands on the same pre-batch state (no phantom divergence
+    // for syncGrantsBetween to diff against)
+    val g2 = new GrantService(spark, root)
+    assert(g2.listRoles().toSet == g.listRoles().toSet)
+    assert(g2.listGrants().toSet == g.listGrants().toSet)
+    assert(g2.listRoleGrants().toSet == g.listRoleGrants().toSet)
+    // and valid batches still apply whole, as one audit commit
+    assert(g.applyEvents(Seq(
+      GrantEvent("etl2", "", "", "CREATE_ROLE"),
+      GrantEvent("etl2", "INSERT", "adv.t3", "GRANT"))) == 2)
+    assert(g.hasGrant("etl2", "INSERT", "adv.t3"))
+  }
+
+  test("RBAC replay checkpoints: a restart replays only the log suffix " +
+    "past the last state snapshot") {
+    // r15 verdict #4: construction replayed the FULL event history —
+    // O(all events ever) per restart, the same quiet-growth class as the
+    // retired-notes ledger. A state snapshot now persists every
+    // CheckpointEvery applied events (write-then-rename + END sentinel);
+    // restarts load it and replay the suffix only.
+    import graft.rbac.GrantService.GrantEvent
+    val root = freshDir("rbacckpt")
+    val g = new GrantService(spark, root)
+    g.createRole("bulk")
+    // one batch crossing the threshold (the sync-path shape: one audit
+    // commit), then a small suffix batch past the checkpoint
+    val every = graft.rbac.GrantService.CheckpointEvery
+    assert(g.applyEvents((1 to every).map(i =>
+      GrantEvent("bulk", "SELECT", s"adv.t$i", "GRANT"))) == every)
+    assert(g.applyEvents((1 to 7).map(i =>
+      GrantEvent("bulk", "INSERT", s"adv.t$i", "GRANT"))) == 7)
+    val total = every + 7 + 1 // + CREATE_ROLE
+    // control first: state equality must hold under FULL replay too
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpt = new org.apache.hadoop.fs.Path(root, "state.ckpt")
+    assert(fs.exists(ckpt), "crossing the threshold wrote a checkpoint")
+    val restarted = new GrantService(spark, root)
+    assert(restarted.replayedEvents < total / 2,
+      s"a post-checkpoint restart replays the suffix only, " +
+        s"not all $total events: replayed ${restarted.replayedEvents}")
+    // the full-replay control: delete the checkpoint → every event replays
+    fs.delete(ckpt, false)
+    val control = new GrantService(spark, root)
+    assert(control.replayedEvents == total, "the control replays everything")
+    assert(restarted.listRoles().toSet == control.listRoles().toSet)
+    assert(restarted.listGrants().toSet == control.listGrants().toSet)
+    assert(restarted.listFutureGrants().toSet == control.listFutureGrants().toSet)
+    assert(restarted.listRoleGrants().toSet == control.listRoleGrants().toSet)
+    // a TORN checkpoint (no END sentinel) degrades to full replay, never
+    // to partial state
+    val out = fs.create(ckpt, true)
+    try out.write("v1 3\nR bulk\n".getBytes("UTF-8")) finally out.close()
+    val torn = new GrantService(spark, root)
+    assert(torn.replayedEvents == total, "a torn checkpoint is ignored")
+    assert(torn.listGrants().toSet == control.listGrants().toSet)
+  }
 }
