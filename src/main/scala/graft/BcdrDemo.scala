@@ -188,6 +188,48 @@ object BcdrDemo {
       .filter(col("click_id").like("CLK-DR-%")).count()
     println(s"  lost writes discarded: ${lostGone == 0}; new-primary writes landed: $drHome")
 
+    banner("12b. FAILURE drills: discarded cycle, crashed cycle, dead timeline")
+    // the runbook's failure legs (the reference ships these as scripts
+    // 20/21/31's rollback paths). After 12's drill, normal operations
+    // resume: the old primary takes writes again, the mirror re-locks.
+    primary.readOnly = false
+    secondary.readOnly = true
+    val drill = primary.table("adv", "clicks_live")
+    // (a) a staged cycle is ABANDONED: discard removes every staged
+    // window; offsets never moved, so the next cycle re-ships exactly it
+    drill.append(clks.limit(80).withColumn("click_id",
+      concat(lit("CLK-ABANDON-"), col("click_id"))))
+    val lg3 = new ReplicationService(primary, secondary)
+    lg3.createGroup("funnel", Seq(("adv", "clicks_live")), includeViews = false)
+    val abandoned = lg3.stageIncrementalCycle("funnel", lg3.recordHeads("funnel"))
+    lg3.discardCycle(abandoned)
+    println(s"  (a) discarded cycle modes=${abandoned.work.map(_.mode)}; " +
+      s"mirror staged debris=${mirror.stagedSnapshots().size} (0 = clean); " +
+      s"re-run ships=${lg3.refreshIncremental("funnel")} (the abandoned window)")
+    // (b) a cycle CRASHES after staging (never published): the next
+    // cycle's stage phase sweeps the orphaned staged window and re-stages
+    drill.append(clks.limit(60).withColumn("click_id",
+      concat(lit("CLK-CRASH-"), col("click_id"))))
+    lg3.stageIncrementalCycle("funnel", lg3.recordHeads("funnel")) // "crash" here
+    println(s"  (b) crashed cycle left staged debris=${mirror.stagedSnapshots().size}; " +
+      s"restarted cycle converges exactly-once: ships=${
+        lg3.refreshIncremental("funnel")} rows, debris after=${
+        mirror.stagedSnapshots().size}")
+    // (c) DEAD TIMELINE: the primary member is dropped and recreated (ids
+    // restart below the consumed offset) — the cycle must detect it and
+    // fall back to ONE full copy that also clears the mirror's old
+    // window-note chain, then resume delta-only
+    drill.drop()
+    val reborn = primary.table("adv", "clicks_live")
+    reborn.createOrReplace(clks.limit(300).withColumn("click_id",
+      concat(lit("CLK-REBORN-"), col("click_id"))))
+    println(s"  (c) dead timeline detected → full-copy fallback ships=${
+      lg3.refreshIncremental("funnel")} rows (== ${reborn.count()})")
+    reborn.append(clks.limit(40).withColumn("click_id",
+      concat(lit("CLK-AFTER-"), col("click_id"))))
+    println(s"      next cycle is delta-only again: ships=${
+      lg3.refreshIncremental("funnel")} rows (40 = the append, not a re-copy)")
+
     banner("13. post-drill heartbeat: lag + pinned-history checks still green")
     sync.run() // the scheduled sync task covers the drill's new table
     hb.replicationLag = Seq((repl, "core", 10 * 60 * 1000L),

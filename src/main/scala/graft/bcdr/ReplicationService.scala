@@ -325,6 +325,30 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * the next cycle's stage phase automatically). */
   final case class StagedCycle(group: String, work: Seq[TableStage])
 
+  /** Ship the window's column-mapping ops (rename/drop, marker-only) to
+    * the mirror BEFORE its row changes: the feed emits the head cut's
+    * LOGICAL schema, so the mirror's own schema — and the staged apply's
+    * delete matching — must speak those names first. Idempotent: a
+    * crashed cycle re-runs the window, and an op already applied (the
+    * source name gone / target present) skips, so replay converges. The
+    * op becomes visible at stage time — a schema-only transient strictly
+    * narrower than the crash transient [[publishCycle]] documents (the
+    * staged mor publish binds to the staging head, so the op cannot wait
+    * for the publish phase). */
+  private def shipColumnOps(pt: graft.warehouse.SnapshotTable,
+                            st: graft.warehouse.SnapshotTable,
+                            sinceId: Long, endId: Long): Unit = {
+    val ops = pt.columnOpsBetween(sinceId, endId)
+    if (ops.nonEmpty && st.exists) ops.foreach { case (_, op, from, to) =>
+      val cols = st.read().columns.toSet
+      op match {
+        case "rename" => if (cols(from) && !cols(to)) st.renameColumn(from, to)
+        case "drop" => if (cols(from)) st.dropColumn(from)
+        case _ => ()
+      }
+    }
+  }
+
   private def cycleWap(groupName: String): String = {
     val w = s"repl-$groupName"
     require(!w.exists("| ,".contains(_)),
@@ -390,8 +414,15 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             case Some(o) =>
               pt.rowChangesBetween(o, head) match {
                 case Some(cs) if cs.df.isEmpty => // e.g. compact-only range
+                  shipColumnOps(pt, st, o, head)
                   TableStage(schema, t, head, "empty", 0L)
                 case Some(cs) =>
+                  // the window's SCHEMA OPS land first (marker-only
+                  // commits, zero data) so the staged window's delete
+                  // matching — and the mirror's logical schema — speak
+                  // the head cut's names the feed emits. Idempotent by
+                  // construction (a crashed cycle re-runs them as no-ops)
+                  shipColumnOps(pt, st, o, head)
                   val (d, i) = keys.get((schema, t)) match {
                     case Some(kc) => st.applyChanges(cs.df, kc, wap = Some(wapId))
                     case None => // keyless: positional apply, window-note replay dedup

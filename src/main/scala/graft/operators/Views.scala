@@ -1776,6 +1776,106 @@ object Views {
       }
     },
 
+    // FIELD-ID-STYLE SCHEMA EVOLUTION through the correctness gate (r15
+    // verdict #3): mid-window the primary RENAMES one column and DROPS
+    // another — both REQUIREd to be marker-only commits touching ZERO
+    // data files — then appends under the new schema; one incremental
+    // cycle ships ops + changes, the mirror is REQUIREd to land the ops
+    // as its own marker-only commits and speak the head cut's logical
+    // schema, a post-ops keyed upsert under the NEW name ships
+    // sidecar-only, and the final grouped aggregate hashes vs DuckDB
+    // replaying the statements for BOTH sides.
+    "q149_column_mapping_repl" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/colmap-pri"
+      val whS = s"$base/colmap-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val tbl = pri.table("gate", "orders_c")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        tbl.createOrReplace(orders.select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice", ($"o_custkey" % lit(100L)).as("junk")))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "orders_c")), includeViews = false)
+        val keys = Map(("gate", "orders_c") -> Seq("o_orderkey"))
+        require(repl.refreshIncremental("core", keys) == tbl.count(),
+          "q149 bootstrap full copy")
+        val mirror = sec.table("gate", "orders_c")
+        val chain0 = mirror.snapshots().size
+        // window 1, part 1: a keyed upsert under the OLD names
+        val upd1 = orders.filter($"o_orderkey" % lit(7L) === lit(3L))
+          .select($"o_orderkey", $"o_orderstatus",
+            ($"o_totalprice" * lit(2.0)).as("o_totalprice"),
+            ($"o_custkey" % lit(100L)).as("junk"))
+        tbl.upsertByKeys(upd1, Seq("o_orderkey"))
+        // part 2: the column ops — REQUIREd marker-only (zero data files
+        // written, rewritten, or deleted on the primary)
+        def dataFiles(wh: String): Set[String] = {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(p, true)
+          val out = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              out += f.getPath.toString + "@" + f.getModificationTime
+          }
+          out.result()
+        }
+        val filesBefore = dataFiles(whP)
+        tbl.renameColumn("o_totalprice", "price")
+        tbl.dropColumn("junk")
+        require(dataFiles(whP) == filesBefore,
+          "q149: rename/drop must be marker-only — zero primary data files touched")
+        // part 3: an append under the NEW schema — same window
+        def nova = orders.filter($"o_orderkey" % lit(11L) === lit(4L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("R").as("o_orderstatus"), $"o_totalprice".as("price"))
+        tbl.append(nova)
+        val s1 = repl.refreshIncremental("core", keys)
+        require(s1 == 2 * upd1.count() + nova.count(),
+          s"q149 window 1 must ship exactly its net rows: $s1")
+        require(mirror.read().columns.toSeq ==
+            Seq("o_orderkey", "o_orderstatus", "price"),
+          s"q149: the mirror must speak the head cut's logical schema, " +
+            s"got ${mirror.read().columns.toSeq}")
+        require(mirror.snapshots().count(_._2 == "colmap") == 2,
+          "q149: the ops land on the mirror as marker-only commits")
+        // window 2: a keyed upsert under the NEW name — sidecar-only
+        val upd2 = nova.filter($"o_orderkey" % lit(2L) === lit(0L))
+          .withColumn("price", $"price" * lit(3.0))
+        tbl.upsertByKeys(upd2, Seq("o_orderkey"))
+        val s2 = repl.refreshIncremental("core", keys)
+        require(s2 == 2 * upd2.count(),
+          s"q149 window 2 ships delete+insert per updated row: $s2")
+        require(repl.refreshIncremental("core", keys) == 0L,
+          "q149 caught up ships zero")
+        val kinds = mirror.snapshots().drop(chain0).map(_._2).toSet
+        require(kinds == Set("colmap", "mor"),
+          s"q149: mirror windows must be colmap markers + sidecar-only " +
+            s"commits, saw $kinds")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
+            .agg(count(lit(1)).as("n"), decCents($"price").as("price_cents"))
+        val res = agg(mirror.read(), "secondary")
+          .unionByName(agg(tbl.read(), "primary"))
+          .orderBy($"stage", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -2726,6 +2826,29 @@ object Views {
          SELECT role, privilege, obj
          FROM (SELECT * FROM reg UNION ALL SELECT * FROM adm)
          ORDER BY role, obj""",
+
+    "q149_column_mapping_repl" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         t1 AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS price
+                FROM orders),
+         nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey,
+                         'R' AS o_orderstatus,
+                         CASE WHEN (o.o_orderkey + mx.m) % 2 = 0
+                              THEN o.o_totalprice * 3
+                              ELSE o.o_totalprice END AS price
+                  FROM orders o, mx WHERE o.o_orderkey % 11 = 4),
+         fin AS (SELECT * FROM t1 UNION ALL SELECT * FROM nova),
+         stages AS (
+           SELECT 'primary' AS stage, * FROM fin
+           UNION ALL SELECT 'secondary', * FROM fin)
+         SELECT stage, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
+         FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     "q146_null_keyless_window" ->
       """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),

@@ -104,11 +104,12 @@ final class SnapshotTable(
       all.headOption.map(_.id).contains(sinceId + 1)
 
   /** The data-bearing snapshots a read at `id` resolves to: nearest base
-    * at-or-before `id` plus the appends after it, `spec` markers skipped
-    * (they carry layout only, no data dir). */
+    * at-or-before `id` plus the appends after it, `spec` and `colmap`
+    * markers skipped (they carry layout/naming only, no data dir). */
   private def dataChainAt(id: Long): Seq[SnapMeta] = {
     val snaps = metas().takeWhile(_.id <= id)
-    snaps.drop(snaps.lastIndexWhere(_.kind == "base")).filterNot(_.kind == "spec")
+    snaps.drop(snaps.lastIndexWhere(_.kind == "base"))
+      .filterNot(m => m.kind == "spec" || m.kind == "colmap")
   }
 
   /** A `cow` snapshot's replaced-file manifest (the `.excl` sidecar):
@@ -165,10 +166,11 @@ final class SnapshotTable(
   private def requireNoteSafe(note: Option[String]): Unit = note.foreach { n =>
     require(!n.contains('|'), s"invalid note '$n': '|' is the marker field separator")
     val reserved = n.split(' ')
-      .filter(t => Seq("eqdel=", "seq=", "merged=", "posdel=").exists(t.startsWith))
+      .filter(t => Seq("eqdel=", "seq=", "merged=", "posdel=", "colop=")
+        .exists(t.startsWith))
     require(reserved.isEmpty,
-      s"invalid note '$n': ${reserved.mkString(", ")} — eqdel=/seq=/merged=/posdel= " +
-        "tokens are reserved for system-written marker fields")
+      s"invalid note '$n': ${reserved.mkString(", ")} — eqdel=/seq=/merged=/" +
+        "posdel=/colop= tokens are reserved for system-written marker fields")
   }
 
   /** The equality-key columns of a `del`/`mor` snapshot — the first
@@ -371,9 +373,20 @@ final class SnapshotTable(
     }.sum
   }
 
+  /** A sidecar's key columns mapped to the LOGICAL schema — the names the
+    * (already-mapped) data side joins under. A key column dropped by a
+    * later op would orphan the delete; [[dropColumn]] refuses exactly
+    * that, so a None here is corruption, not a state. */
+  private def logicalDelKeys(m: SnapMeta, ops: Seq[ColOp]): Seq[String] =
+    delKeyCols(m).map(k => mapNameAfter(k, delSeq(m), ops).getOrElse(
+      throw new IllegalStateException(
+        s"delete sidecar ${m.id} at $root keys on '$k', which a later " +
+          "column op dropped — the sidecar can no longer apply by name")))
+
   private def applyEqDeletes(df: DataFrame, dataId: Long,
                              dels: Seq[SnapMeta],
-                             cache: DelKeyCache = newDelKeyCache): DataFrame = {
+                             cache: DelKeyCache = newDelKeyCache,
+                             ops: Seq[ColOp] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     // a mor upsert that matched nothing (pure insert) writes no delrows
     // dir — it has no delete side to apply. Applicability and ordering go
@@ -382,17 +395,24 @@ final class SnapshotTable(
     val applicable = dels.filter(delSeq(_) > dataId)
       .filterNot(m => m.kind == "mor" && readExclusion(m.id).exists(_.rows == 0L))
     if (applicable.isEmpty) df
-    else applicable.groupBy(delKeyCols).toSeq.sortBy(_._2.map(delSeq).min)
-      .foldLeft(df) { case (d, (keys, batches)) =>
+    // batches group by (physical, logical) key names: the sidecar files
+    // store the PHYSICAL names recorded at their commit, the join runs
+    // under the LOGICAL ones the mapped data side carries — two batches
+    // sharing physical names may still map differently when a column op
+    // landed between their sequences
+    else applicable.groupBy(m => (delKeyCols(m), logicalDelKeys(m, ops)))
+      .toSeq.sortBy(_._2.map(delSeq).min)
+      .foldLeft(df) { case (d, ((physKeys, keys), batches)) =>
         val hinted = cache.getOrElseUpdate((keys, batches.map(_.id)), {
           // ONE multi-path read per key-set group, not a per-batch union: a
           // 100-statement delete trickle otherwise costs O(batches) scan
           // plans on EVERY read — the O(n²) planning tax that made the
           // trickle gate 100× slower than its I/O (every sidecar carries
           // the group's key columns, so the one-schema read is safe)
-          val keyDf = withDriverListing {
+          val keyDf0 = withDriverListing {
             spark.read.parquet(batches.map(b => delRowsPath(b).toString): _*)
-          }.select(keys.map(col): _*).distinct()
+          }.select(physKeys.map(col): _*).distinct()
+          val keyDf = if (physKeys == keys) keyDf0 else keyDf0.toDF(keys: _*)
           // metadata records every batch's delete-row count (del: the
           // marker; mor: the .excl sidecar): when the combined delete
           // set's estimated BUILD BYTES (rows × schema-derived key width)
@@ -416,7 +436,8 @@ final class SnapshotTable(
     * commit between them) union FIRST, then anti-join once — one join per
     * (segment × key set), not per member. */
   private def unionWithDels(members: Seq[SnapMeta], dels: Seq[SnapMeta],
-                            mkDf: SnapMeta => Option[DataFrame]): Option[DataFrame] = {
+                            mkDf: SnapMeta => Option[DataFrame],
+                            ops: Seq[ColOp] = Seq.empty): Option[DataFrame] = {
     val cache = newDelKeyCache // one key-frame build per key set, not per segment
     val segments = members.groupBy(m => dels.count(delSeq(_) > m.id))
     segments.toSeq.sortBy(-_._1).flatMap { case (_, ms) =>
@@ -424,7 +445,7 @@ final class SnapshotTable(
       if (dfs.isEmpty) None
       else Some(applyEqDeletes(
         dfs.reduce(_.unionByName(_, allowMissingColumns = true)),
-        ms.map(_.id).max, dels, cache))
+        ms.map(_.id).max, dels, cache, ops))
     }.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1012,6 +1033,161 @@ final class SnapshotTable(
     id
   }
 
+  // ── COLUMN MAPPING: rename / drop WITHOUT REWRITE (r15 verdict #3) ──────
+  //
+  // Iceberg's field-id schema evolution gives RENAME COLUMN and DROP
+  // COLUMN as metadata-only operations: old data files keep their
+  // physical column names and a per-file mapping resolves them to the
+  // table's logical schema. This is that model re-expressed over the
+  // marker chain: a `colmap` marker (marker-only, no data dir — the
+  // `spec` shape) records one op, and every read maps each data file
+  // through the ops committed AFTER the file's owning snapshot:
+  //   rename a→b  — files older than the op read their physical `a` as
+  //                 logical `b`; newer files carry `b` physically
+  //   drop c      — files older than the op hide their physical `c`; a
+  //                 LATER re-add of the name `c` is a NEW column, so old
+  //                 files read NULL for it (never the dropped values —
+  //                 the field-id re-add semantics)
+  // At 100 TB this is the difference between a one-line commit and
+  // rewriting (or forking) the table when a pipeline renames a column.
+  // When no colmap marker exists, every fast path below is untouched.
+
+  /** One column-mapping op. `to` is empty for drops. */
+  private final case class ColOp(id: Long, op: String, from: String, to: String)
+
+  /** The colmap ops at or below `uptoId`, ascending. Ops below a chain's
+    * base never match its members (op.id > ownerId is always false), so
+    * taking every marker is safe and keeps callers simple. */
+  private def colOpsUpTo(uptoId: Long): Seq[ColOp] =
+    metas().filter(m => m.kind == "colmap" && m.id <= uptoId).flatMap(parseColOp)
+
+  private def parseColOp(m: SnapMeta): Option[ColOp] =
+    noteField(m, "colop").flatMap(_.split(':') match {
+      case Array("rename", f, t) => Some(ColOp(m.id, "rename", f, t))
+      case Array("drop", f) => Some(ColOp(m.id, "drop", f, ""))
+      case _ => None
+    })
+
+  /** Logical name (at the ops' horizon) of physical column `name` written
+    * at snapshot `ownerId`; None when a later drop removed it. */
+  private def mapNameAfter(name: String, ownerId: Long,
+                           ops: Seq[ColOp]): Option[String] = {
+    var cur = name
+    for (op <- ops if op.id > ownerId) {
+      if (op.from == cur) {
+        if (op.op == "drop") return None
+        cur = op.to
+      }
+    }
+    Some(cur)
+  }
+
+  /** Inverse of [[mapNameAfter]]: the physical column name a file written
+    * at `ownerId` stores logical `name` under — None when the logical
+    * column has no physical presence in that epoch (added, or re-added
+    * after a drop, later than the file). Walks the ops backwards:
+    * crossing `rename f→t` while carrying `f`, or `drop f` while carrying
+    * `f`, means the carried name was (re)introduced AFTER the op and has
+    * no pre-image. */
+  private def preImageAt(name: String, ownerId: Long,
+                         ops: Seq[ColOp]): Option[String] = {
+    var cur = name
+    for (op <- ops.reverseIterator if op.id > ownerId) {
+      op.op match {
+        case "rename" =>
+          if (op.to == cur) cur = op.from
+          else if (op.from == cur) return None
+        case "drop" =>
+          if (op.from == cur) return None
+        case _ => ()
+      }
+    }
+    Some(cur)
+  }
+
+  /** Map a data frame read from snapshot `ownerId`'s physical files to
+    * the logical schema at the ops' horizon — one SELECT with aliases
+    * (handles multi-op chains and swaps atomically; sequential
+    * withColumnRenamed could transiently collide). Identity when no op
+    * applies — the zero-cost common case. The `__file`/`__pos` identity
+    * columns pass through untouched (op names never start with `__`). */
+  private def applyColmap(df: DataFrame, ownerId: Long,
+                          ops: Seq[ColOp]): DataFrame = {
+    if (!ops.exists(_.id > ownerId)) return df
+    val mapped = df.columns.map(c => c -> mapNameAfter(c, ownerId, ops))
+    if (mapped.forall { case (c, l) => l.contains(c) }) df
+    else df.select(mapped.collect { case (c, Some(l)) =>
+      org.apache.spark.sql.functions.col(c).as(l) }.toIndexedSeq: _*)
+  }
+
+  /** RENAME COLUMN — a marker-only commit; zero data files touched. The
+    * current partition/sort spec must not reference `from` (evolve the
+    * spec first): per-file pruning resolves layout columns by name, and a
+    * renamed layout column would silently stop pruning. */
+  def renameColumn(from: String, to: String): Long = withCommitLock {
+    writeGuard()
+    require(exists, s"rename column on non-existent table at $root")
+    requireColName(from); requireColName(to)
+    val cols = read().columns.toSet
+    require(cols.contains(from), s"unknown column '$from' at $root")
+    require(!cols.contains(to),
+      s"column '$to' already exists at $root — rename would collide")
+    require(!partitionSpec().contains(from) && !sortSpec().contains(from),
+      s"column '$from' is in the current partition/sort spec at $root — " +
+        "evolvePartitionSpec away from it first")
+    commitColOp(s"colop=rename:$from:$to")
+  }
+
+  /** DROP COLUMN — a marker-only commit; zero data files touched. Old
+    * files keep the bytes (time travel before the op still sees them);
+    * current reads hide the column; a later re-add of the same name is a
+    * NEW column that reads NULL from older files. Refused while a LIVE
+    * equality-delete sidecar keys on the column — those deletes apply by
+    * name against every older data snapshot, and dropping their key would
+    * orphan them (compact the table, or [[compactDeletes]], first). */
+  def dropColumn(name: String): Long = withCommitLock {
+    writeGuard()
+    require(exists, s"drop column on non-existent table at $root")
+    requireColName(name)
+    require(read().columns.contains(name), s"unknown column '$name' at $root")
+    require(!partitionSpec().contains(name) && !sortSpec().contains(name),
+      s"column '$name' is in the current partition/sort spec at $root — " +
+        "evolvePartitionSpec away from it first")
+    val sup = supersededIds(dataChainAt(currentSnapshotId.get))
+    // compare LOGICAL key names: a sidecar recorded before a rename keys
+    // physically on the old name but applies under the current one
+    val priorOps = colOpsUpTo(Long.MaxValue)
+    val keyedOnIt = liveDels().filterNot(m => sup(m.id))
+      .filter(m => logicalDelKeys(m, priorOps).contains(name))
+    require(keyedOnIt.isEmpty,
+      s"column '$name' keys live equality-delete sidecar(s) " +
+        s"${keyedOnIt.map(_.id).mkString(", ")} at $root — compact first")
+    commitColOp(s"colop=drop:$name")
+  }
+
+  private def requireColName(n: String): Unit =
+    require(n.nonEmpty && !n.exists("|, :=".contains(_)) && !n.startsWith("__"),
+      s"invalid column name '$n' for a mapping op (no '|', ',', ':', '=', " +
+        "spaces, or '__' prefix)")
+
+  private def commitColOp(note: String): Long = {
+    // claimId(), not head+1 — the evolvePartitionSpec rationale
+    val id = claimId()
+    try writeMarker(id, "colmap", partitionSpec(), 0L, sortSpec(), Some(note))
+    finally releaseClaim(id)
+    id
+  }
+
+  /** Every column-mapping op as (id, op, from, to) — `to` empty for
+    * drops. The replication surface: an incremental cycle ships the
+    * window's ops to the mirror before its row changes. */
+  def columnOps(): Seq[(Long, String, String, String)] =
+    colOpsUpTo(Long.MaxValue).map(o => (o.id, o.op, o.from, o.to))
+
+  /** The ops in the half-open window (sinceId, endId]. */
+  def columnOpsBetween(sinceId: Long, endId: Long): Seq[(Long, String, String, String)] =
+    columnOps().filter(o => o._1 > sinceId && o._1 <= endId)
+
   /** COUNT(*) of the current state from snapshot metadata alone — zero
     * table scan, zero Spark job (VERDICT r2 "What's wrong" #2: services
     * counting tables every beat must not re-scan 100 TB). None when some
@@ -1165,7 +1341,11 @@ final class SnapshotTable(
     require(mine.forall(_.kind == "append"),
       s"audit read of wap '$wapId' at $root: staged MoR/pdel commits have " +
         "a delete side a bare union cannot render — publish or discard them")
-    mine.map(m => spark.read.parquet(snapDir(m.id).toString))
+    // a column op committed after staging maps the staged dirs exactly
+    // like committed ones (identity when the table has no ops)
+    val ops = colOpsUpTo(Long.MaxValue)
+    mine.map(m =>
+        applyColmap(spark.read.parquet(snapDir(m.id).toString), m.id, ops))
       .foldLeft(read())(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1509,10 +1689,18 @@ final class SnapshotTable(
     // positional fold: identity attaches at each LEAF (hidden _metadata
     // doesn't survive unions), but the anti-join applies ONCE on the
     // unioned result — file identity is global, so unlike the eq fold
-    // there is nothing per-dir about it
+    // there is nothing per-dir about it. Column-mapping ops apply PER
+    // MEMBER after the identity attach (a projection would hide
+    // _metadata) and before the union, so every segment unions — and
+    // every delete anti-join runs — under the LOGICAL schema.
+    val ops = colOpsUpTo(id)
     val mkDfPos: SnapMeta => Option[DataFrame] =
-      if (pdels.isEmpty) mkDf else m => mkDf(m).map(withPosCols)
-    unionWithDels(data, dels, mkDfPos)
+      if (pdels.isEmpty && ops.isEmpty) mkDf
+      else m => {
+        val withPos = if (pdels.isEmpty) mkDf(m) else mkDf(m).map(withPosCols)
+        withPos.map(applyColmap(_, m.id, ops))
+      }
+    unionWithDels(data, dels, mkDfPos, ops)
       .map(d => if (pdels.isEmpty) d
                 else applyPosDeletes(d, pdels).drop("__file", "__pos"))
       .getOrElse {
@@ -1520,7 +1708,10 @@ final class SnapshotTable(
       // disk — exclusion never deletes, expireSnapshots does)
       val any = excl.head
       val dir = qualifiedRoot + "/" + any.takeWhile(_ != '/')
-      spark.read.option("basePath", dir).parquet(qualifiedRoot + "/" + any).limit(0)
+      val ownerId = idOfSnapDirPath(qualifiedRoot + "/" + any.takeWhile(_ != '/'))
+      applyColmap(
+        spark.read.option("basePath", dir).parquet(qualifiedRoot + "/" + any).limit(0),
+        ownerId, ops)
     }
   }
 
@@ -1872,6 +2063,10 @@ final class SnapshotTable(
     // already delivered through the originals
     val allDels = all.filter(carriesEqDeletes).filter(mergedIds(_).isEmpty)
     val allPdels = all.filter(carriesPosDeletes).filter(mergedIds(_).isEmpty)
+    // the feed emits the LOGICAL schema at the window's end cut: every
+    // raw dir/sidecar read below maps through the column ops committed
+    // after its owning snapshot (identity when the table has no ops)
+    val ops = colOpsUpTo(endId)
     val addedFiles: Seq[(String, Seq[String])] = range
       .filter(m => m.kind == "append" || m.kind == "cow" || m.kind == "mor")
       .flatMap { m =>
@@ -1904,7 +2099,8 @@ final class SnapshotTable(
             // out exactly like the equality-delete adjustment
             val pBefore = allPdels.filter(_.id < m.id)
             val leaf = if (pBefore.isEmpty) df else withPosCols(df)
-            val eqAdj = applyEqDeletes(leaf, ownerId, allDels.filter(_.id < m.id), delCache)
+            val eqAdj = applyEqDeletes(applyColmap(leaf, ownerId, ops),
+              ownerId, allDels.filter(_.id < m.id), delCache, ops)
             val adj = if (pBefore.isEmpty) eqAdj
                       else applyPosDeletes(eqAdj, pBefore).drop("__file", "__pos")
             (adj, rels.size)
@@ -1912,38 +2108,53 @@ final class SnapshotTable(
       } ++ {
         // the range's POSITIONAL sidecars: their rows ARE the deletes —
         // read apart from the eq sidecars (the identity columns must not
-        // leak into the change schema), identity dropped
-        val pdelDirs = range.filter(carriesPosDeletes)
+        // leak into the change schema), identity dropped. With column
+        // ops in play each sidecar maps by its own commit epoch, so the
+        // one merged-schema read splits into per-sidecar mapped reads
+        val pdelMs = range.filter(carriesPosDeletes)
           .filter(mergedIds(_).isEmpty) // originals only, like eq merges
-          .map(delRowsPath) // a positional mor's sidecar is its .delrows dir
-          .filter(d => listParquet(d).nonEmpty)
-        if (pdelDirs.isEmpty) Seq.empty
+          .filter(m => listParquet(delRowsPath(m)).nonEmpty)
+        if (pdelMs.isEmpty) Seq.empty
+        else if (ops.exists(op => pdelMs.exists(_.id < op.id)))
+          Seq((pdelMs.map(m =>
+              applyColmap(spark.read.parquet(delRowsPath(m).toString), m.id, ops)
+                .drop("__file", "__pos"))
+            .reduce(_.unionByName(_, allowMissingColumns = true)),
+            pdelMs.map(m => listParquet(delRowsPath(m)).size).sum))
         else Seq((
           withDriverListing {
             spark.read.option("mergeSchema", "true")
-              .parquet(pdelDirs.map(_.toString): _*)
+              .parquet(pdelMs.map(delRowsPath(_).toString): _*)
           }.drop("__file", "__pos"),
-          pdelDirs.map(listParquet(_).size).sum))
+          pdelMs.map(m => listParquet(delRowsPath(m)).size).sum))
       } ++ {
         // all the range's delete sidecars in ONE merged-schema read (not a
         // plan per del — a caught-up feed draining a 100-statement trickle
         // would otherwise pay O(dels) planning); mergeSchema reconciles
         // sidecars written under evolved schemas, matching the
-        // allowMissingColumns union semantics of the other branches
-        val delDirs = range.filter(carriesEqDeletes)
-          .filter(mergedIds(_).isEmpty).map(delRowsPath)
-          .filter(d => listParquet(d).nonEmpty)
-        if (delDirs.isEmpty) Seq.empty
+        // allowMissingColumns union semantics of the other branches.
+        // Column ops force the per-sidecar split exactly as above.
+        val delMs = range.filter(carriesEqDeletes)
+          .filter(mergedIds(_).isEmpty)
+          .filter(m => listParquet(delRowsPath(m)).nonEmpty)
+        if (delMs.isEmpty) Seq.empty
+        else if (ops.exists(op => delMs.exists(_.id < op.id)))
+          Seq((delMs.map(m =>
+              applyColmap(spark.read.parquet(delRowsPath(m).toString), m.id, ops))
+            .reduce(_.unionByName(_, allowMissingColumns = true)),
+            delMs.map(m => listParquet(delRowsPath(m)).size).sum))
         else Seq((
           withDriverListing {
-            spark.read.option("mergeSchema", "true").parquet(delDirs.map(_.toString): _*)
+            spark.read.option("mergeSchema", "true")
+              .parquet(delMs.map(delRowsPath(_).toString): _*)
           },
-          delDirs.map(listParquet(_).size).sum))
+          delMs.map(m => listParquet(delRowsPath(m)).size).sum))
       }
     def union(groups: Seq[(String, Seq[String])]): Option[DataFrame] =
       if (groups.isEmpty) None
       else Some(groups.map { case (dir, fl) =>
-        spark.read.option("basePath", dir).parquet(fl: _*)
+        applyColmap(spark.read.option("basePath", dir).parquet(fl: _*),
+          idOfSnapDirPath(dir), ops)
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val removed: Option[DataFrame] =
       removedParts.map(_._1).reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -2010,6 +2221,10 @@ final class SnapshotTable(
     val rewrites = range.filter(m =>
       (m.kind == "base" && !m.note.contains("compact")) ||
         m.kind == "cow" ||
+        // a column op changes the tail's OUTPUT SCHEMA mid-stream — the
+        // sink bound the old one, so refuse like a rewrite (an
+        // ignoreReplaces tail knowingly continues under the new names)
+        m.kind == "colmap" ||
         // a MERGED sidecar rides free like a compact rewrite: its
         // originals already refused (or were consumed) in their own window
         ((carriesEqDeletes(m) || carriesPosDeletes(m)) && mergedIds(m).isEmpty))
@@ -2019,8 +2234,10 @@ final class SnapshotTable(
           "under a streaming tail; restart from a fresh checkpoint (or read " +
           "with ignoreReplaces=true to skip rewrites and tail appends only)")
     val appends = range.filter(_.kind == "append")
+    val ops = colOpsUpTo(endId)
     if (appends.isEmpty) read().limit(0) // schema-preserving empty
-    else appends.map(m => spark.read.parquet(snapDir(m.id).toString))
+    else appends.map(m =>
+        applyColmap(spark.read.parquet(snapDir(m.id).toString), m.id, ops))
       .reduce(_ unionByName _)
   }
 
@@ -2150,6 +2367,7 @@ final class SnapshotTable(
     var nTotal = 0
     val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
     val excluded = chainExclusions(chain)
+    val ops = colOpsUpTo(currentSnapshotId.getOrElse(Long.MaxValue))
     // `del`/`pdel` sidecar dirs hold deleted rows, not table data: never
     // planned as scan files — readers apply them as anti-joins instead
     chain.filterNot(m => m.kind == "del" || m.kind == "pdel")
@@ -2174,9 +2392,22 @@ final class SnapshotTable(
             }.toMap
           val colStats = stats.getOrElse(rel, Map.empty)
           val keep = alternatives.exists(_.forall { r =>
-            partVals.get(r.col) match {
+            // a filter names the LOGICAL column; stats and partition-dir
+            // segments carry the file-epoch PHYSICAL name — translate
+            // through the inverse column mapping (identity without ops)
+            preImageAt(r.col, id, ops) match {
+              case None =>
+                // no physical pre-image in this epoch (the column was
+                // added — or re-added after a drop — later): the file's
+                // logical column is ALL NULL, the `n`-kind rule. Using
+                // the file's same-named PHYSICAL stats here would prune
+                // by a DROPPED column's values — the wrong-answer hazard
+                // this branch exists to prevent.
+                (r.lower.isEmpty && r.upper.isEmpty && !r.notNull) || r.matchesNull
+              case Some(phys) =>
+            partVals.get(phys) match {
               case Some(v) => SnapshotTable.partValueInRange(v, r)
-              case None => colStats.get(r.col) match {
+              case None => colStats.get(phys) match {
                 case Some(st) =>
                   val rangeOk = st.kind match {
                     case "n" => r.lower.isEmpty && r.upper.isEmpty
@@ -2191,6 +2422,7 @@ final class SnapshotTable(
                   (rangeOk && !(r.notNull && st.allNull)) || nullOk
                 case None => true // no stats recorded → cannot prune
               }
+            }
             }
           })
           if (keep) { files += full; nKept += 1 }
@@ -2233,11 +2465,14 @@ final class SnapshotTable(
       val dels = liveDels()
       val pdels = livePosDels()
       val needPos = keepPos || pdels.nonEmpty
+      val ops = colOpsUpTo(currentSnapshotId.getOrElse(Long.MaxValue))
       val cache = newDelKeyCache // one key-frame build per (key set, frontier), not per dir
       val unioned = plan.files.map { case (dir, files) =>
+        val ownerId = idOfSnapDirPath(dir)
         val leaf = spark.read.option("basePath", dir).parquet(files: _*)
-        applyEqDeletes(if (needPos) withPosCols(leaf) else leaf,
-          idOfSnapDirPath(dir), dels, cache)
+        applyEqDeletes(
+          applyColmap(if (needPos) withPosCols(leaf) else leaf, ownerId, ops),
+          ownerId, dels, cache, ops)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       val folded = applyPosDeletes(unioned, pdels)
       if (!keepPos && pdels.nonEmpty) folded.drop("__file", "__pos") else folded
@@ -2295,8 +2530,14 @@ final class SnapshotTable(
     val liveIds = currentSnapshotId.toSeq
       .flatMap(id => dataChainAt(id)
         .filterNot(m => m.kind == "del" || m.kind == "pdel").map(_.id))
+    val ops = colOpsUpTo(currentSnapshotId.getOrElse(Long.MaxValue))
+    // stats carry the file-epoch PHYSICAL names; the profile reports the
+    // LOGICAL schema — dropped columns fold into nothing, renamed ones
+    // fold under their current name (identity without ops)
     val all: Seq[(String, FileColStat)] =
-      liveIds.flatMap(id => readStatsSidecar(id).valuesIterator.flatMap(_.iterator).toSeq)
+      liveIds.flatMap(id => readStatsSidecar(id).valuesIterator
+        .flatMap(_.iterator).toSeq
+        .flatMap { case (c, st) => mapNameAfter(c, id, ops).map(_ -> st) })
     all.groupBy(_._1).map { case (col, pairs) =>
       val sts = pairs.map(_._2)
       val kinds = sts.map(_.kind).filter(k => k != "n" && k != "x").distinct

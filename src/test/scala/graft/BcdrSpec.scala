@@ -1085,4 +1085,62 @@ class BcdrSpec extends SparkSpec {
       Set(("fresh", 100), ("next", 101)))
     assert(repl.refreshIncremental("core") == 0L, "caught up")
   }
+
+  test("column ops replicate: a rename and a drop mid-window ship as " +
+    "marker-only commits, keyed and keyless, idempotent under replay") {
+    // r15 verdict #3 wiring: the CDC feed emits the head cut's LOGICAL
+    // schema, so the cycle ships the window's rename/drop ops to the
+    // mirror (marker-only — zero data bytes) before its row changes
+    val primary = new Catalog(spark, freshDir("cop-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("cop-sec"), "sec")
+    primary.createSchema("adv")
+    val a = primary.table("adv", "cop_keyed")
+    val b = primary.table("adv", "cop_keyless")
+    a.createOrReplace(Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "val", "junk"))
+    b.createOrReplace(Seq(("x", 1), ("y", 2)).toDF("tag", "n"))
+    val keys = Map(("adv", "cop_keyed") -> Seq("id"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "cop_keyed"), ("adv", "cop_keyless")),
+      includeViews = false)
+    assert(repl.refreshIncremental("core", keys) == 4L, "bootstrap")
+    // THE WINDOW: DML under the old names, then the ops, then appends
+    // under the new names — one cycle ships it all
+    a.upsertByKeys(Seq((2L, "B", 2)).toDF("id", "val", "junk"), Seq("id"))
+    a.renameColumn("val", "label")
+    a.dropColumn("junk")
+    a.append(Seq((3L, "c")).toDF("id", "label"))
+    b.renameColumn("tag", "kind")
+    b.append(Seq(("z", 3)).toDF("kind", "n"))
+    val priFiles = a.snapshots().size
+    assert(repl.refreshIncremental("core", keys) > 0L)
+    val sa = secondary.table("adv", "cop_keyed")
+    val sb = secondary.table("adv", "cop_keyless")
+    assert(sa.read().columns.toSeq == Seq("id", "label"),
+      s"the mirror speaks the head cut's logical schema: ${sa.read().columns.toSeq}")
+    assert(sa.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(sb.read().columns.toSeq == Seq("kind", "n"))
+    assert(sb.read().as[(String, Int)].collect().toSet ==
+      Set(("x", 1), ("y", 2), ("z", 3)))
+    assert(sa.snapshots().count(_._2 == "colmap") == 2 &&
+        sb.snapshots().count(_._2 == "colmap") == 1,
+      "the ops land as marker-only commits on the mirror, never a re-copy")
+    assert(a.snapshots().size == priFiles,
+      "replication must not commit anything on the primary")
+    // caught up, and a REPLAYED window (fresh service, stale offset file
+    // deleted to force it) re-runs the ops as no-ops
+    assert(repl.refreshIncremental("core", keys) == 0L)
+    val svc2 = new ReplicationService(primary, secondary)
+    svc2.createGroup("core", Seq(("adv", "cop_keyed"), ("adv", "cop_keyless")),
+      includeViews = false)
+    a.append(Seq((4L, "d")).toDF("id", "label"))
+    assert(svc2.refreshIncremental("core", keys) == 1L, "delta resumes")
+    assert(sa.read().columns.toSeq == Seq("id", "label"))
+    // an ops-ONLY window (no data change) still ships the schema
+    a.renameColumn("label", "tag2")
+    assert(svc2.refreshIncremental("core", keys) == 0L,
+      "zero rows shipped — the op is metadata")
+    assert(sa.read().columns.toSeq == Seq("id", "tag2"),
+      "an empty window still lands its schema ops")
+  }
 }

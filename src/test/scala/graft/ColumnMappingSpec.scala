@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.warehouse.{ColRange, SnapshotTable}
+
+/** Field-id-style schema evolution (r15 verdict #3): RENAME COLUMN and
+  * DROP COLUMN as marker-only commits — zero data files rewritten, old
+  * files resolved to the logical schema through per-epoch name mapping,
+  * the Iceberg field-id model re-expressed over the marker chain. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String =
+    s"/root/repo/target/test-wh/${java.util.UUID.randomUUID().toString.take(8)}/$name"
+
+  private def dataFiles(t: SnapshotTable): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(t.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(t.root), true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString + "@" + f.getModificationTime
+    }
+    out.result()
+  }
+
+  test("renameColumn is marker-only: zero data files touched, old files " +
+    "read under the new name, new appends carry it physically") {
+    val t = new SnapshotTable(spark, freshRoot("ren1"))
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "val"))
+    t.append(Seq((3L, "c")).toDF("id", "val"))
+    val before = dataFiles(t)
+    val preId = t.currentSnapshotId.get
+    t.renameColumn("val", "label")
+    assert(dataFiles(t) == before, "a rename must not touch a data byte")
+    assert(t.snapshots().map(_._2) == Seq("base", "append", "colmap"))
+    assert(t.read().columns.toSeq == Seq("id", "label"))
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "old files' physical 'val' resolves as logical 'label'")
+    // time travel BEFORE the op still sees the old name
+    assert(t.asOf(preId).columns.toSeq == Seq("id", "val"))
+    // appends after the rename carry the new name physically and union
+    // seamlessly with mapped old files
+    t.append(Seq((4L, "d")).toDF("id", "label"))
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(t.count() == 4L, "metadata counts unaffected by marker-only ops")
+    // rename CHAINS: label → tag maps old files through both hops
+    t.renameColumn("label", "tag")
+    assert(t.read().columns.toSeq == Seq("id", "tag"))
+    assert(t.read().filter($"tag" === "a").count() == 1L)
+    // validations
+    intercept[IllegalArgumentException](t.renameColumn("ghost", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "tag")) // collision
+  }
+
+  test("dropColumn hides old bytes; a re-added name is a NEW column that " +
+    "reads NULL from older files — never the dropped values") {
+    val t = new SnapshotTable(spark, freshRoot("drop1"))
+    t.createOrReplace(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "score"))
+    val preId = t.currentSnapshotId.get
+    t.dropColumn("score")
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    assert(t.asOf(preId).columns.toSeq == Seq("id", "v", "score"),
+      "time travel before the drop still sees the column")
+    // RE-ADD the same name: the field-id semantics — old rows are NULL
+    t.append(Seq((3L, "c", 99)).toDF("id", "v", "score"))
+    val rows = t.read().orderBy("id")
+      .select($"id", $"score").as[(Long, Option[Int])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some(99))),
+      s"dropped values must NOT resurface under the re-added name: $rows")
+    // metadata pruning on the re-added column must not consult the
+    // DROPPED column's stats: score == 15 overlaps the OLD [10,20] hull
+    // but no live row matches — and the old file's epoch has no physical
+    // pre-image for the new 'score', so it prunes entirely
+    val (df, plan) = t.readPruned(Seq(ColRange("score", Some(15), Some(15))))
+    assert(df.count() == 0L)
+    assert(plan.filesKept < plan.filesTotal,
+      s"the pre-drop file prunes (no pre-image for the re-added column): $plan")
+    // a filter that matches the new rows keeps the new file
+    assert(t.readPruned(Seq(ColRange("score", Some(99), Some(99))))._1.count() == 1L)
+  }
+
+  test("equality deletes align across a rename: sidecars recorded under " +
+    "the old key name still apply, and new DML speaks the new name") {
+    val t = new SnapshotTable(spark, freshRoot("rendel"))
+    t.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uid", "v"))
+    // a MoR equality delete keyed on the ORIGINAL name
+    t.deleteByKeys(Seq("uid"), Seq(2L).toDF("uid"))
+    t.renameColumn("uid", "user_id")
+    assert(t.read().orderBy("user_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")),
+      "the pre-rename sidecar (physical key 'uid') joins under 'user_id'")
+    // post-rename keyed DML under the NEW name
+    t.upsertByKeys(Seq((3L, "C"), (4L, "d")).toDF("user_id", "v"), Seq("user_id"))
+    assert(t.read().orderBy("user_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    // dropColumn refuses while a live sidecar keys on the column
+    val ex = intercept[IllegalArgumentException](t.dropColumn("user_id"))
+    assert(ex.getMessage.contains("equality-delete"),
+      s"drop of a live delete key must refuse loudly: ${ex.getMessage}")
+    // compaction folds the sidecars into a pure base — then the drop is
+    // legal, and the compacted base carries the LOGICAL names physically
+    t.compact()
+    assert(t.snapshots().last._2 == "base")
+    assert(t.read().columns.toSeq == Seq("user_id", "v"))
+    t.dropColumn("v")
+    assert(t.read().columns.toSeq == Seq("user_id"))
+    assert(t.read().count() == 3L)
+  }
+
+  test("rowChangesBetween emits the LOGICAL schema at the window's end " +
+    "cut — a rename mid-window maps both sides of the diff") {
+    val t = new SnapshotTable(spark, freshRoot("rencdc"))
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s0 = t.currentSnapshotId.get
+    t.append(Seq((3L, "c")).toDF("id", "v")) // pre-rename append
+    t.renameColumn("v", "label")
+    t.append(Seq((4L, "d")).toDF("id", "label")) // post-rename append
+    t.deleteByKeys(Seq("id"), Seq(1L).toDF("id")) // sidecar under new schema
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    assert(cs.df.columns.sorted.toSeq == Seq("_change", "id", "label"),
+      s"the feed speaks the end cut's logical schema: ${cs.df.columns.toSeq}")
+    val changes = cs.df.select($"_change", $"id", $"label")
+      .as[(String, Long, String)].collect().toSet
+    assert(changes == Set(
+      ("insert", 3L, "c"), ("insert", 4L, "d"), ("delete", 1L, "a")),
+      s"got $changes")
+    // the ops surface the replication cycle ships
+    assert(t.columnOpsBetween(s0, t.currentSnapshotId.get)
+      .map(o => (o._2, o._3, o._4)) == Seq(("rename", "v", "label")))
+  }
+
+  test("pruning and profiling survive a rename: filters on the new name " +
+    "prune files via their old-name stats") {
+    val t = new SnapshotTable(spark, freshRoot("renprune"))
+    t.createOrReplace(spark.range(0, 100).toDF("k")
+      .withColumn("bucket", ($"k" / 50).cast("int")), partitionBy = Seq("bucket"))
+    t.evolvePartitionSpec(Seq.empty) // release 'bucket' from the spec
+    t.renameColumn("k", "key")
+    // stats recorded under physical 'k' prune a filter on logical 'key'
+    val (df, plan) = t.readPruned(Seq(ColRange("key", Some(90L), None)))
+    assert(df.count() == 10L)
+    assert(plan.filesKept < plan.filesTotal,
+      s"old-name stats must keep pruning after the rename: $plan")
+    // partition-DIR values translate the same way
+    t.renameColumn("bucket", "shard")
+    val (df2, plan2) = t.readPruned(Seq(ColRange("shard", Some(1), Some(1))))
+    assert(df2.count() == 50L)
+    assert(plan2.filesKept < plan2.filesTotal,
+      s"hive partition-dir pruning must survive the rename: $plan2")
+    // ANALYZE folds old-name stats under the logical name
+    val prof = t.columnStats()
+    assert(prof.contains("key") && !prof.contains("k"))
+    assert(prof("key").max.contains("99"))
+    // spec-column protection: 'key' is free, but a CURRENT spec column
+    // would refuse
+    val t2 = new SnapshotTable(spark, freshRoot("renspec"))
+    t2.createOrReplace(Seq((1, "x")).toDF("a", "b"), partitionBy = Seq("a"))
+    intercept[IllegalArgumentException](t2.renameColumn("a", "c"))
+    intercept[IllegalArgumentException](t2.dropColumn("a"))
+  }
+
+  test("compact after ops bakes the logical schema; expiry reclaims the " +
+    "colmap markers with their chain") {
+    val t = new SnapshotTable(spark, freshRoot("rencompact"))
+    t.createOrReplace(Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "junk"))
+    t.renameColumn("v", "label")
+    t.dropColumn("junk")
+    t.append(Seq((3L, "c")).toDF("id", "label"))
+    t.compact()
+    assert(t.snapshots().last._2 == "base")
+    // the new base is PHYSICALLY logical: a raw read of its dir shows the
+    // mapped names (no mapping needed ever again)
+    val baseId = t.currentSnapshotId.get
+    val raw = spark.read.parquet(
+      f"${t.root}/snap-$baseId%05d")
+    assert(raw.columns.toSeq == Seq("id", "label"))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshots().map(_._2) == Seq("base"),
+      "expiry reclaims the colmap markers with the superseded prefix")
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("a column-op under a streaming tail refuses like a rewrite") {
+    val t = new SnapshotTable(spark, freshRoot("rentail"))
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    val s0 = t.currentSnapshotId.get
+    t.renameColumn("v", "label")
+    t.append(Seq((2L, "b")).toDF("id", "label"))
+    val ex = intercept[IllegalStateException](
+      t.appendsBetween(s0, t.currentSnapshotId.get))
+    assert(ex.getMessage.contains("rewrote"),
+      "a mid-stream schema change must fail the tail loudly")
+    // the explicit ignoreReplaces escape hatch continues under new names
+    val tail = t.appendsBetween(s0, t.currentSnapshotId.get, ignoreReplaces = true)
+    assert(tail.columns.toSeq == Seq("id", "label"))
+    assert(tail.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+}
