@@ -340,10 +340,15 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                             sinceId: Long, endId: Long): Unit = {
     val ops = pt.columnOpsBetween(sinceId, endId)
     if (ops.nonEmpty && st.exists) ops.foreach { case (_, op, from, to) =>
-      val cols = st.read().columns.toSet
+      val schema = st.read().schema
+      val cols = schema.fieldNames.toSet
       op match {
         case "rename" => if (cols(from) && !cols(to)) st.renameColumn(from, to)
         case "drop" => if (cols(from)) st.dropColumn(from)
+        case "widen" =>
+          val target = org.apache.spark.sql.types.DataType.fromDDL(to)
+          if (schema.find(_.name == from).exists(_.dataType != target))
+            st.widenColumn(from, to)
         case _ => ()
       }
     }

@@ -1799,7 +1799,8 @@ object Views {
         val orders = t(s, dir, "orders")
         val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
         tbl.createOrReplace(orders.select($"o_orderkey", $"o_orderstatus",
-          $"o_totalprice", ($"o_custkey" % lit(100L)).as("junk")))
+          $"o_totalprice", ($"o_custkey" % lit(100L)).as("junk"),
+          ($"o_custkey" % lit(7L)).cast("int").as("grade")))
         val repl = new graft.bcdr.ReplicationService(pri, sec)
         repl.createGroup("core", Seq(("gate", "orders_c")), includeViews = false)
         val keys = Map(("gate", "orders_c") -> Seq("o_orderkey"))
@@ -1811,7 +1812,8 @@ object Views {
         val upd1 = orders.filter($"o_orderkey" % lit(7L) === lit(3L))
           .select($"o_orderkey", $"o_orderstatus",
             ($"o_totalprice" * lit(2.0)).as("o_totalprice"),
-            ($"o_custkey" % lit(100L)).as("junk"))
+            ($"o_custkey" % lit(100L)).as("junk"),
+            ($"o_custkey" % lit(7L)).cast("int").as("grade"))
         tbl.upsertByKeys(upd1, Seq("o_orderkey"))
         // part 2: the column ops — REQUIREd marker-only (zero data files
         // written, rewritten, or deleted on the primary)
@@ -1830,21 +1832,26 @@ object Views {
         val filesBefore = dataFiles(whP)
         tbl.renameColumn("o_totalprice", "price")
         tbl.dropColumn("junk")
+        tbl.widenColumn("grade", "bigint") // int → long, the promotion rule
         require(dataFiles(whP) == filesBefore,
-          "q149: rename/drop must be marker-only — zero primary data files touched")
+          "q149: rename/drop/widen must be marker-only — zero primary data files touched")
         // part 3: an append under the NEW schema — same window
         def nova = orders.filter($"o_orderkey" % lit(11L) === lit(4L))
           .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
-            lit("R").as("o_orderstatus"), $"o_totalprice".as("price"))
+            lit("R").as("o_orderstatus"), $"o_totalprice".as("price"),
+            ($"o_custkey" % lit(7L)).cast("bigint").as("grade"))
         tbl.append(nova)
         val s1 = repl.refreshIncremental("core", keys)
         require(s1 == 2 * upd1.count() + nova.count(),
           s"q149 window 1 must ship exactly its net rows: $s1")
         require(mirror.read().columns.toSeq ==
-            Seq("o_orderkey", "o_orderstatus", "price"),
+            Seq("o_orderkey", "o_orderstatus", "price", "grade"),
           s"q149: the mirror must speak the head cut's logical schema, " +
             s"got ${mirror.read().columns.toSeq}")
-        require(mirror.snapshots().count(_._2 == "colmap") == 2,
+        require(mirror.read().schema("grade").dataType ==
+            org.apache.spark.sql.types.LongType,
+          "q149: the widen promotes the mirror's column type too")
+        require(mirror.snapshots().count(_._2 == "colmap") == 3,
           "q149: the ops land on the mirror as marker-only commits")
         // window 2: a keyed upsert under the NEW name — sidecar-only
         val upd2 = nova.filter($"o_orderkey" % lit(2L) === lit(0L))
@@ -1861,7 +1868,8 @@ object Views {
             s"commits, saw $kinds")
         def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
           df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
-            .agg(count(lit(1)).as("n"), decCents($"price").as("price_cents"))
+            .agg(count(lit(1)).as("n"), decCents($"price").as("price_cents"),
+              sum($"grade").as("grade_sum"))
         val res = agg(mirror.read(), "secondary")
           .unionByName(agg(tbl.read(), "primary"))
           .orderBy($"stage", $"o_orderstatus")
@@ -2831,13 +2839,15 @@ object Views {
       """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
          t1 AS (SELECT o_orderkey, o_orderstatus,
                        CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 2
-                            ELSE o_totalprice END AS price
+                            ELSE o_totalprice END AS price,
+                       o_custkey % 7 AS grade
                 FROM orders),
          nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey,
                          'R' AS o_orderstatus,
                          CASE WHEN (o.o_orderkey + mx.m) % 2 = 0
                               THEN o.o_totalprice * 3
-                              ELSE o.o_totalprice END AS price
+                              ELSE o.o_totalprice END AS price,
+                         o.o_custkey % 7 AS grade
                   FROM orders o, mx WHERE o.o_orderkey % 11 = 4),
          fin AS (SELECT * FROM t1 UNION ALL SELECT * FROM nova),
          stages AS (
@@ -2845,7 +2855,8 @@ object Views {
            UNION ALL SELECT 'secondary', * FROM fin)
          SELECT stage, o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n,
-                CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
+                CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+                CAST(SUM(grade) AS BIGINT) AS grade_sum
          FROM stages
          GROUP BY 1, 2
          ORDER BY 1, 2""",

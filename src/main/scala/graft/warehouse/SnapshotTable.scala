@@ -106,8 +106,12 @@ final class SnapshotTable(
   /** The data-bearing snapshots a read at `id` resolves to: nearest base
     * at-or-before `id` plus the appends after it, `spec` and `colmap`
     * markers skipped (they carry layout/naming only, no data dir). */
-  private def dataChainAt(id: Long): Seq[SnapMeta] = {
-    val snaps = metas().takeWhile(_.id <= id)
+  private def dataChainAt(id: Long): Seq[SnapMeta] = dataChainFrom(metas(), id)
+
+  /** [[dataChainAt]] over an already-fetched marker list — `metas()`
+    * reads one file per marker, so hot read paths fetch once and slice. */
+  private def dataChainFrom(ms: Seq[SnapMeta], id: Long): Seq[SnapMeta] = {
+    val snaps = ms.takeWhile(_.id <= id)
     snaps.drop(snaps.lastIndexWhere(_.kind == "base"))
       .filterNot(m => m.kind == "spec" || m.kind == "colmap")
   }
@@ -1058,25 +1062,30 @@ final class SnapshotTable(
   /** The colmap ops at or below `uptoId`, ascending. Ops below a chain's
     * base never match its members (op.id > ownerId is always false), so
     * taking every marker is safe and keeps callers simple. */
-  private def colOpsUpTo(uptoId: Long): Seq[ColOp] =
-    metas().filter(m => m.kind == "colmap" && m.id <= uptoId).flatMap(parseColOp)
+  private def colOpsUpTo(uptoId: Long): Seq[ColOp] = colOpsFrom(metas(), uptoId)
+
+  private def colOpsFrom(ms: Seq[SnapMeta], uptoId: Long): Seq[ColOp] =
+    ms.filter(m => m.kind == "colmap" && m.id <= uptoId).flatMap(parseColOp)
 
   private def parseColOp(m: SnapMeta): Option[ColOp] =
     noteField(m, "colop").flatMap(_.split(':') match {
       case Array("rename", f, t) => Some(ColOp(m.id, "rename", f, t))
       case Array("drop", f) => Some(ColOp(m.id, "drop", f, ""))
+      case Array("widen", f, t) => Some(ColOp(m.id, "widen", f, t))
       case _ => None
     })
 
   /** Logical name (at the ops' horizon) of physical column `name` written
-    * at snapshot `ownerId`; None when a later drop removed it. */
+    * at snapshot `ownerId`; None when a later drop removed it. Widens
+    * never touch the name. */
   private def mapNameAfter(name: String, ownerId: Long,
                            ops: Seq[ColOp]): Option[String] = {
     var cur = name
     for (op <- ops if op.id > ownerId) {
-      if (op.from == cur) {
-        if (op.op == "drop") return None
-        cur = op.to
+      if (op.from == cur) op.op match {
+        case "drop" => return None
+        case "rename" => cur = op.to
+        case _ => () // widen: type-only
       }
     }
     Some(cur)
@@ -1114,10 +1123,27 @@ final class SnapshotTable(
   private def applyColmap(df: DataFrame, ownerId: Long,
                           ops: Seq[ColOp]): DataFrame = {
     if (!ops.exists(_.id > ownerId)) return df
-    val mapped = df.columns.map(c => c -> mapNameAfter(c, ownerId, ops))
-    if (mapped.forall { case (c, l) => l.contains(c) }) df
-    else df.select(mapped.collect { case (c, Some(l)) =>
-      org.apache.spark.sql.functions.col(c).as(l) }.toIndexedSeq: _*)
+    // per ORIGINAL column, walk the ops forward tracking (current name,
+    // widest promotion so far); a drop ends the walk
+    val mapped: Seq[(String, Option[(String, Option[String])])] =
+      df.columns.toSeq.map { c =>
+        var cur = c
+        var cast: Option[String] = None
+        var dropped = false
+        for (op <- ops if op.id > ownerId && !dropped && op.from == cur)
+          op.op match {
+            case "rename" => cur = op.to
+            case "drop" => dropped = true
+            case "widen" => cast = Some(op.to)
+            case _ => ()
+          }
+        c -> (if (dropped) None else Some((cur, cast)))
+      }
+    if (mapped.forall { case (c, r) => r.contains((c, None)) }) df
+    else df.select(mapped.collect { case (c, Some((l, cast))) =>
+      val base = org.apache.spark.sql.functions.col(c)
+      cast.fold(base)(t => base.cast(t)).as(l)
+    }: _*)
   }
 
   /** RENAME COLUMN — a marker-only commit; zero data files touched. The
@@ -1163,6 +1189,43 @@ final class SnapshotTable(
       s"column '$name' keys live equality-delete sidecar(s) " +
         s"${keyedOnIt.map(_.id).mkString(", ")} at $root — compact first")
     commitColOp(s"colop=drop:$name")
+  }
+
+  /** WIDEN COLUMN TYPE — a marker-only commit; zero data files touched
+    * (Iceberg's type-promotion rules: integral → wider integral, float →
+    * double, decimal → higher precision at the same scale). Old files
+    * keep their narrow physical type and reads CAST them at the leaf —
+    * lossless by construction, so values, joins, and aggregates are
+    * identical to a rewrite. */
+  def widenColumn(name: String, toType: String): Long = withCommitLock {
+    writeGuard()
+    require(exists, s"widen column on non-existent table at $root")
+    requireColName(name)
+    require(!toType.exists("|: ".contains(_)),
+      s"invalid type '$toType' for a widen op (no '|', ':', or spaces)")
+    val target = try org.apache.spark.sql.types.DataType.fromDDL(toType)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"unparseable type '$toType'", e) }
+    val field = read().schema.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown column '$name' at $root"))
+    import org.apache.spark.sql.types._
+    val ok = (field.dataType, target) match {
+      case (a, b) if a == b => false // no-op widen is a caller bug
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
+    require(ok, s"'$name' is ${field.dataType.simpleString} at $root — only " +
+      s"lossless promotions are allowed (integral widening, float→double, " +
+      s"decimal precision), not → ${target.simpleString}")
+    require(!partitionSpec().contains(name) && !sortSpec().contains(name),
+      s"column '$name' is in the current partition/sort spec at $root — " +
+        "evolvePartitionSpec away from it first")
+    commitColOp(s"colop=widen:$name:$toType")
   }
 
   private def requireColName(n: String): Unit =
@@ -1663,8 +1726,9 @@ final class SnapshotTable(
     * hive partition discovery — one multi-path read would reject the
     * mixed snapshot-dir/partition-dir layout as conflicting structures). */
   def asOf(id: Long): DataFrame = {
-    require(metas().exists(_.id <= id), s"no snapshot ≤ $id at $root")
-    val chain = dataChainAt(id)
+    val ms = metas() // one marker fetch serves chain, ops, and the guard
+    require(ms.exists(_.id <= id), s"no snapshot ≤ $id at $root")
+    val chain = dataChainFrom(ms, id)
     val sup = supersededIds(chain)
     val dels = chain.filter(carriesEqDeletes).filterNot(m => sup(m.id))
     val pdels = chain.filter(carriesPosDeletes).filterNot(m => sup(m.id))
@@ -1693,7 +1757,7 @@ final class SnapshotTable(
     // MEMBER after the identity attach (a projection would hide
     // _metadata) and before the union, so every segment unions — and
     // every delete anti-join runs — under the LOGICAL schema.
-    val ops = colOpsUpTo(id)
+    val ops = colOpsFrom(ms, id)
     val mkDfPos: SnapMeta => Option[DataFrame] =
       if (pdels.isEmpty && ops.isEmpty) mkDf
       else m => {
@@ -2066,7 +2130,7 @@ final class SnapshotTable(
     // the feed emits the LOGICAL schema at the window's end cut: every
     // raw dir/sidecar read below maps through the column ops committed
     // after its owning snapshot (identity when the table has no ops)
-    val ops = colOpsUpTo(endId)
+    val ops = colOpsFrom(all, endId)
     val addedFiles: Seq[(String, Seq[String])] = range
       .filter(m => m.kind == "append" || m.kind == "cow" || m.kind == "mor")
       .flatMap { m =>
@@ -2234,7 +2298,7 @@ final class SnapshotTable(
           "under a streaming tail; restart from a fresh checkpoint (or read " +
           "with ignoreReplaces=true to skip rewrites and tail appends only)")
     val appends = range.filter(_.kind == "append")
-    val ops = colOpsUpTo(endId)
+    val ops = colOpsFrom(all, endId)
     if (appends.isEmpty) read().limit(0) // schema-preserving empty
     else appends.map(m =>
         applyColmap(spark.read.parquet(snapDir(m.id).toString), m.id, ops))
@@ -2365,9 +2429,11 @@ final class SnapshotTable(
     val kept = Seq.newBuilder[(String, Seq[String])]
     var nKept = 0
     var nTotal = 0
-    val chain = currentSnapshotId.toSeq.flatMap(dataChainAt)
+    val ms = metas() // one marker fetch serves head, chain, and ops
+    val headId = ms.lastOption.map(_.id)
+    val chain = headId.toSeq.flatMap(dataChainFrom(ms, _))
     val excluded = chainExclusions(chain)
-    val ops = colOpsUpTo(currentSnapshotId.getOrElse(Long.MaxValue))
+    val ops = colOpsFrom(ms, headId.getOrElse(Long.MaxValue))
     // `del`/`pdel` sidecar dirs hold deleted rows, not table data: never
     // planned as scan files — readers apply them as anti-joins instead
     chain.filterNot(m => m.kind == "del" || m.kind == "pdel")

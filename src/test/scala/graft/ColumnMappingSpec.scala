@@ -187,6 +187,44 @@ class ColumnMappingSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("widenColumn is marker-only: old files cast at the leaf, new " +
+    "appends carry the wide type, promotions are Iceberg's rules only") {
+    val t = new SnapshotTable(spark, freshRoot("widen1"))
+    t.createOrReplace(Seq((1, 10), (2, 20)).toDF("id", "score")) // both int
+    val before = dataFiles(t)
+    t.widenColumn("score", "bigint")
+    assert(dataFiles(t) == before, "a widen must not touch a data byte")
+    assert(t.snapshots().last._2 == "colmap")
+    assert(t.read().schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a post-widen append carries long physically; values agree end-to-end
+    t.append(Seq((3, 3000000000L)).toDF("id", "score")) // needs 64 bits
+    assert(t.read().orderBy("id").select($"score").as[Long].collect().toSeq ==
+      Seq(10L, 20L, 3000000000L))
+    assert(t.read().agg(sum($"score")).as[Long].head() == 3000000030L)
+    // keyed DML joins across the width boundary (int files vs long keys)
+    t.deleteByKeys(Seq("score"), Seq(20L).toDF("score"))
+    assert(t.read().orderBy("id").select($"id").as[Int].collect().toSeq ==
+      Seq(1, 3))
+    // widen COMPOSES with rename: the cast and the new name both apply
+    t.renameColumn("score", "points")
+    assert(t.read().schema("points").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.read().agg(sum($"points")).as[Long].head() == 3000000010L)
+    // only lossless promotions: narrowing, strings, and no-ops refuse
+    intercept[IllegalArgumentException](t.widenColumn("points", "int"))
+    intercept[IllegalArgumentException](t.widenColumn("points", "string"))
+    intercept[IllegalArgumentException](t.widenColumn("points", "bigint"))
+    // float → double and decimal precision widening are the other rules
+    val f = new SnapshotTable(spark, freshRoot("widen2"))
+    f.createOrReplace(Seq((1, 1.5f)).toDF("id", "ratio"))
+    f.widenColumn("ratio", "double")
+    assert(f.read().schema("ratio").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(f.read().select($"ratio").as[Double].head() == 1.5)
+    intercept[IllegalArgumentException](f.widenColumn("ratio", "float"))
+  }
+
   test("a column-op under a streaming tail refuses like a rewrite") {
     val t = new SnapshotTable(spark, freshRoot("rentail"))
     t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
