@@ -494,6 +494,36 @@ class ServicesSpec extends SparkSpec {
     assert(mvm.read("mv_sales").select($"k").as[String].collect().toSet == Set("a", "c"))
   }
 
+  test("MV refresh survives an UNRELATED column op on the base: the " +
+    "window folds exactly through the CDC path") {
+    // r16 colmap interaction: a rename/widen of a column the MV never
+    // references lands in a refresh window — the append fast path refuses
+    // (a colmap is rewrite-class for tails) and the CDC retraction fold
+    // takes over under the base's logical schema; the MV's answer must
+    // still equal a full recompute. A rename of an MV-REFERENCED column
+    // fails loudly (the definition itself is stale), never silently.
+    val cat = newCatalog("mvcolmap")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(
+      Seq(("a", 10.0, 1), ("b", 1.0, 2)).toDF("k", "amt", "aux"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0
+    mvm.createAggMv("mv_cm", ("adv", "sales"), Seq("k"), Seq("amt"))
+    // the window: an append, an UNRELATED rename, another append
+    sales.append(Seq(("a", 2.0, 3)).toDF("k", "amt", "aux"))
+    sales.renameColumn("aux", "aux2")
+    sales.append(Seq(("c", 7.0, 4)).toDF("k", "amt", "aux2"))
+    assert(mvm.refreshIncremental("mv_cm") == "retraction",
+      "the colmap window routes through the CDC fold, not a crash")
+    val got = mvm.read("mv_cm")
+      .select($"k", $"n_rows", $"sum_amt".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 2L, 12.0), ("b", 1L, 1.0), ("c", 1L, 7.0)),
+      s"the fold must equal a full recompute: $got")
+    assert(mvm.refreshIncremental("mv_cm") == "noop")
+  }
+
   test("MV retraction folds merge-on-read DML: del and upsert flow through the CDC path") {
     val cat = newCatalog("mvmor")
     cat.createSchema("adv")
