@@ -339,7 +339,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                             st: graft.warehouse.SnapshotTable,
                             sinceId: Long, endId: Long): Unit = {
     val ops = pt.columnOpsBetween(sinceId, endId)
-    if (ops.nonEmpty && st.exists) ops.foreach { case (_, op, from, to) =>
+    if (ops.nonEmpty && st.exists) ops.foreach { case (_, op, from, to, dflt) =>
       val schema = st.read().schema
       val cols = schema.fieldNames.toSet
       op match {
@@ -349,6 +349,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
           val target = org.apache.spark.sql.types.DataType.fromDDL(to)
           if (schema.find(_.name == from).exists(_.dataType != target))
             st.widenColumn(from, to)
+        case "add" => if (!cols(from)) st.addColumn(from, to, dflt)
         case _ => ()
       }
     }

@@ -1884,6 +1884,64 @@ object Views {
       }
     },
 
+    // ADD COLUMN WITH INITIAL DEFAULT through the correctness gate
+    // (Iceberg v3 `initial-default`): a constant backfill of a 100 TB
+    // table as ONE marker-only commit — REQUIREd zero data files
+    // touched — with pre-add rows reading the DEFAULT (never NULL),
+    // post-add appends carrying real values, a COW delete spanning both
+    // epochs, and the final grouped aggregate over the defaulted column
+    // hashed vs DuckDB replaying the statements.
+    "q150_default_backfill" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val wh = s"$base/defbf"
+      try {
+        val cat = new graft.catalog.Catalog(s, wh, "pri")
+        cat.createSchema("gate")
+        val tbl = cat.table("gate", "orders_b")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        tbl.createOrReplace(orders.select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice"))
+        def dataFiles(): Set[String] = {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(p, true)
+          val out = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              out += f.getPath.toString + "@" + f.getModificationTime
+          }
+          out.result()
+        }
+        val before = dataFiles()
+        tbl.addColumn("channel", "string", Some("store"))
+        require(dataFiles() == before,
+          "q150: the default backfill must be marker-only — zero data files")
+        require(tbl.snapshots().last._2 == "colmap",
+          "q150: the add lands as a colmap marker commit")
+        // post-add appends carry REAL values that win over the default
+        tbl.append(orders.filter($"o_orderkey" % lit(9L) === lit(2L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("W").as("o_orderstatus"), $"o_totalprice",
+            lit("web").as("channel")))
+        // a COW delete spanning BOTH epochs (pre-add victims read the
+        // default through the CDC-adjusted rewrite paths)
+        tbl.delete($"o_orderkey" % lit(5L) === lit(0L))
+        val res = tbl.read()
+          .groupBy($"channel", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"), decCents($"o_totalprice").as("total_cents"))
+          .orderBy($"channel", $"o_orderstatus")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -2858,6 +2916,24 @@ object Views {
                 CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
                 CAST(SUM(grade) AS BIGINT) AS grade_sum
          FROM stages
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q150_default_backfill" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       'store' AS channel
+                FROM orders),
+         nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey,
+                         'W' AS o_orderstatus, o.o_totalprice,
+                         'web' AS channel
+                  FROM orders o, mx WHERE o.o_orderkey % 9 = 2),
+         fin AS (SELECT * FROM t0 UNION ALL SELECT * FROM nova),
+         kept AS (SELECT * FROM fin WHERE o_orderkey % 5 <> 0)
+         SELECT channel, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+         FROM kept
          GROUP BY 1, 2
          ORDER BY 1, 2""",
 

@@ -1056,8 +1056,12 @@ final class SnapshotTable(
   // rewriting (or forking) the table when a pipeline renames a column.
   // When no colmap marker exists, every fast path below is untouched.
 
-  /** One column-mapping op. `to` is empty for drops. */
-  private final case class ColOp(id: Long, op: String, from: String, to: String)
+  /** One column-mapping op. `to` is empty for drops, the target name for
+    * renames, the target type for widens and adds; `dflt` is the
+    * ADD COLUMN initial default (Iceberg v3 `initial-default`): rows
+    * older than the op read IT, not NULL. */
+  private final case class ColOp(id: Long, op: String, from: String,
+                                 to: String, dflt: Option[String] = None)
 
   /** The colmap ops at or below `uptoId`, ascending. Ops below a chain's
     * base never match its members (op.id > ownerId is always false), so
@@ -1072,8 +1076,16 @@ final class SnapshotTable(
       case Array("rename", f, t) => Some(ColOp(m.id, "rename", f, t))
       case Array("drop", f) => Some(ColOp(m.id, "drop", f, ""))
       case Array("widen", f, t) => Some(ColOp(m.id, "widen", f, t))
+      case Array("add", f, t) => Some(ColOp(m.id, "add", f, unesc2(t)))
+      case Array("add", f, t, d) =>
+        Some(ColOp(m.id, "add", f, unesc2(t), Some(unesc2(d))))
       case _ => None
     })
+
+  // the add op's type/default segments URL-encode (':', '|', spaces all
+  // escape), so the colon-split token stays unambiguous
+  private def esc2(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def unesc2(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Logical name (at the ops' horizon) of physical column `name` written
     * at snapshot `ownerId`; None when a later drop removed it. Widens
@@ -1120,29 +1132,56 @@ final class SnapshotTable(
     * withColumnRenamed could transiently collide). Identity when no op
     * applies — the zero-cost common case. The `__file`/`__pos` identity
     * columns pass through untouched (op names never start with `__`). */
+  /** How a logical column is sourced from one file epoch: a PHYSICAL
+    * column (possibly cast by widens), or a SYNTHESIZED add-with-default
+    * (old files read the Iceberg-v3 `initial-default`, or NULL). */
+  private sealed trait ColSrc
+  private final case class PhysCol(orig: String, cast: Option[String]) extends ColSrc
+  private final case class SynthCol(tpe: String, dflt: Option[String]) extends ColSrc
+
+  /** Simulate the applicable ops over the file's physical columns to the
+    * logical schema: renames re-label, drops remove, widens cast, adds
+    * SYNTHESIZE (the column cannot exist physically in an older epoch —
+    * the add validated logical absence, and any prior same-name column
+    * was dropped/renamed by an earlier op in the same walk). */
+  private def colmapPlan(physical: Seq[String], ownerId: Long,
+                         ops: Seq[ColOp]): Seq[(String, ColSrc)] = {
+    var cols: Vector[(String, ColSrc)] =
+      physical.map(c => c -> (PhysCol(c, None): ColSrc)).toVector
+    for (op <- ops if op.id > ownerId) op.op match {
+      case "rename" =>
+        cols = cols.map { case (n, s) => if (n == op.from) (op.to, s) else (n, s) }
+      case "drop" => cols = cols.filterNot(_._1 == op.from)
+      case "widen" =>
+        cols = cols.map { case (n, s) =>
+          if (n != op.from) (n, s)
+          else (n, s match {
+            case p: PhysCol => p.copy(cast = Some(op.to))
+            case sy: SynthCol => sy.copy(tpe = op.to)
+          })
+        }
+      case "add" =>
+        if (!cols.exists(_._1 == op.from))
+          cols = cols :+ (op.from -> (SynthCol(op.to, op.dflt): ColSrc))
+      case _ => ()
+    }
+    cols
+  }
+
   private def applyColmap(df: DataFrame, ownerId: Long,
                           ops: Seq[ColOp]): DataFrame = {
     if (!ops.exists(_.id > ownerId)) return df
-    // per ORIGINAL column, walk the ops forward tracking (current name,
-    // widest promotion so far); a drop ends the walk
-    val mapped: Seq[(String, Option[(String, Option[String])])] =
-      df.columns.toSeq.map { c =>
-        var cur = c
-        var cast: Option[String] = None
-        var dropped = false
-        for (op <- ops if op.id > ownerId && !dropped && op.from == cur)
-          op.op match {
-            case "rename" => cur = op.to
-            case "drop" => dropped = true
-            case "widen" => cast = Some(op.to)
-            case _ => ()
-          }
-        c -> (if (dropped) None else Some((cur, cast)))
-      }
-    if (mapped.forall { case (c, r) => r.contains((c, None)) }) df
-    else df.select(mapped.collect { case (c, Some((l, cast))) =>
-      val base = org.apache.spark.sql.functions.col(c)
-      cast.fold(base)(t => base.cast(t)).as(l)
+    val plan = colmapPlan(df.columns.toSeq, ownerId, ops)
+    val identity = plan.length == df.columns.length &&
+      plan.forall { case (n, s) => s == PhysCol(n, None) }
+    if (identity) df
+    else df.select(plan.map {
+      case (n, PhysCol(o, cast)) =>
+        val base = org.apache.spark.sql.functions.col(o)
+        cast.fold(base)(t => base.cast(t)).as(n)
+      case (n, SynthCol(tpe, dflt)) =>
+        import org.apache.spark.sql.functions.lit
+        dflt.fold(lit(null).cast(tpe))(v => lit(v).cast(tpe)).as(n)
     }: _*)
   }
 
@@ -1228,6 +1267,35 @@ final class SnapshotTable(
     commitColOp(s"colop=widen:$name:$toType")
   }
 
+  /** ADD COLUMN — a marker-only commit (Iceberg v3 `initial-default`):
+    * rows older than the op read `defaultValue` (or NULL when absent),
+    * newer appends carry the column physically. Unlike a column that
+    * merely appears in an append's schema (which also works — old rows
+    * read NULL), this is the explicit DDL with default semantics: a
+    * 100 TB backfill of a constant becomes a one-line commit instead of
+    * a full rewrite. */
+  def addColumn(name: String, toType: String,
+                defaultValue: Option[String] = None): Long = withCommitLock {
+    writeGuard()
+    require(exists, s"add column on non-existent table at $root")
+    requireColName(name)
+    val target = try org.apache.spark.sql.types.DataType.fromDDL(toType)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"unparseable type '$toType'", e) }
+    require(!read().columns.contains(name),
+      s"column '$name' already exists at $root")
+    // the default must round-trip through the cast NOW, not become a
+    // silent NULL on every future read
+    defaultValue.foreach { d =>
+      import org.apache.spark.sql.functions.lit
+      val v = spark.range(1).select(lit(d).cast(target)).head()
+      require(!v.isNullAt(0),
+        s"default '$d' does not parse as ${target.simpleString}")
+    }
+    commitColOp(s"colop=add:$name:${esc2(toType)}" +
+      defaultValue.fold("")(d => s":${esc2(d)}"))
+  }
+
   private def requireColName(n: String): Unit =
     require(n.nonEmpty && !n.exists("|, :=".contains(_)) && !n.startsWith("__"),
       s"invalid column name '$n' for a mapping op (no '|', ',', ':', '=', " +
@@ -1241,14 +1309,16 @@ final class SnapshotTable(
     id
   }
 
-  /** Every column-mapping op as (id, op, from, to) — `to` empty for
-    * drops. The replication surface: an incremental cycle ships the
-    * window's ops to the mirror before its row changes. */
-  def columnOps(): Seq[(Long, String, String, String)] =
-    colOpsUpTo(Long.MaxValue).map(o => (o.id, o.op, o.from, o.to))
+  /** Every column-mapping op as (id, op, from, to, default) — `to` empty
+    * for drops, a type for widens/adds; `default` only for adds. The
+    * replication surface: an incremental cycle ships the window's ops to
+    * the mirror before its row changes. */
+  def columnOps(): Seq[(Long, String, String, String, Option[String])] =
+    colOpsUpTo(Long.MaxValue).map(o => (o.id, o.op, o.from, o.to, o.dflt))
 
   /** The ops in the half-open window (sinceId, endId]. */
-  def columnOpsBetween(sinceId: Long, endId: Long): Seq[(Long, String, String, String)] =
+  def columnOpsBetween(sinceId: Long,
+                       endId: Long): Seq[(Long, String, String, String, Option[String])] =
     columnOps().filter(o => o._1 > sinceId && o._1 <= endId)
 
   /** COUNT(*) of the current state from snapshot metadata alone — zero

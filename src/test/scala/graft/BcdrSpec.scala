@@ -1142,5 +1142,14 @@ class BcdrSpec extends SparkSpec {
       "zero rows shipped — the op is metadata")
     assert(sa.read().columns.toSeq == Seq("id", "tag2"),
       "an empty window still lands its schema ops")
+    // an ADD with an initial default ships as metadata too: the mirror's
+    // pre-add rows read the default without any backfill bytes moving
+    a.addColumn("tier", "string", Some("std"))
+    a.append(Seq((5L, "e", "gold")).toDF("id", "tag2", "tier"))
+    assert(svc2.refreshIncremental("core", keys) == 1L,
+      "one appended row — the default backfill costs zero shipped rows")
+    assert(sa.read().orderBy("id").select($"tier").as[String].collect().toSeq ==
+      Seq("std", "std", "std", "std", "gold"),
+      "mirror pre-add rows read the initial default")
   }
 }

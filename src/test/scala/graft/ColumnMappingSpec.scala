@@ -225,6 +225,63 @@ class ColumnMappingSpec extends SparkSpec {
     intercept[IllegalArgumentException](f.widenColumn("ratio", "float"))
   }
 
+  test("addColumn with an initial default: old rows read the DEFAULT, " +
+    "not NULL — a constant backfill as a one-line commit") {
+    val t = new SnapshotTable(spark, freshRoot("add1"))
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val preId = t.currentSnapshotId.get
+    val before = dataFiles(t)
+    t.addColumn("region", "string", Some("emea"))
+    t.addColumn("weight", "int") // no default → NULL semantics
+    assert(dataFiles(t) == before, "adds must not touch a data byte")
+    assert(t.read().columns.toSeq == Seq("id", "v", "region", "weight"))
+    assert(t.read().orderBy("id")
+      .select($"region", $"weight").as[(String, Option[Int])].collect().toSeq ==
+      Seq(("emea", None), ("emea", None)),
+      "pre-add rows read the initial default / NULL")
+    // time travel BEFORE the add shows neither column
+    assert(t.asOf(preId).columns.toSeq == Seq("id", "v"))
+    // new appends carry both physically and win over the default
+    t.append(Seq((3L, "c", "apac", 7)).toDF("id", "v", "region", "weight"))
+    assert(t.read().orderBy("id").select($"region").as[String].collect().toSeq ==
+      Seq("emea", "emea", "apac"))
+    // grouping over the defaulted column is exact
+    assert(t.read().groupBy($"region").count().as[(String, Long)]
+      .collect().toSet == Set(("emea", 2L), ("apac", 1L)))
+    // the default COMPOSES with later ops: rename it, then widen the
+    // no-default add — old rows still read the (cast) default/NULL
+    t.renameColumn("region", "zone")
+    t.widenColumn("weight", "bigint")
+    assert(t.read().orderBy("id")
+      .select($"zone", $"weight").as[(String, Option[Long])].collect().toSeq ==
+      Seq(("emea", None), ("emea", None), ("apac", Some(7L))))
+    // compact BAKES the defaults physically
+    t.compact()
+    val raw = spark.read.parquet(
+      f"${t.root}/snap-${t.currentSnapshotId.get}%05d")
+    assert(raw.columns.toSeq == Seq("id", "v", "zone", "weight"))
+    assert(raw.filter($"zone" === "emea").count() == 2L)
+    // validations: duplicate name, unparseable default
+    intercept[IllegalArgumentException](t.addColumn("zone", "string"))
+    intercept[IllegalArgumentException](
+      t.addColumn("score", "int", Some("not-a-number")))
+  }
+
+  test("CDC across an add-with-default emits the defaulted values for " +
+    "pre-add rows deleted after the op") {
+    val t = new SnapshotTable(spark, freshRoot("addcdc"))
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s0 = t.currentSnapshotId.get
+    t.addColumn("src", "string", Some("seed"))
+    t.append(Seq((3L, "c", "live")).toDF("id", "v", "src"))
+    t.deleteByKeys(Seq("id"), Seq(1L).toDF("id")) // a pre-add victim
+    val cs = t.rowChangesBetween(s0, t.currentSnapshotId.get).get
+    val changes = cs.df.select($"_change", $"id", $"src")
+      .as[(String, Long, String)].collect().toSet
+    assert(changes == Set(("insert", 3L, "live"), ("delete", 1L, "seed")),
+      s"the deleted pre-add row carries its DEFAULT through the feed: $changes")
+  }
+
   test("a column-op under a streaming tail refuses like a rewrite") {
     val t = new SnapshotTable(spark, freshRoot("rentail"))
     t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
