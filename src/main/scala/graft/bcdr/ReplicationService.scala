@@ -325,32 +325,66 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * the next cycle's stage phase automatically). */
   final case class StagedCycle(group: String, work: Seq[TableStage])
 
-  /** Ship the window's column-mapping ops (rename/drop, marker-only) to
-    * the mirror BEFORE its row changes: the feed emits the head cut's
-    * LOGICAL schema, so the mirror's own schema — and the staged apply's
-    * delete matching — must speak those names first. Idempotent: a
-    * crashed cycle re-runs the window, and an op already applied (the
-    * source name gone / target present) skips, so replay converges. The
-    * op becomes visible at stage time — a schema-only transient strictly
+  /** The mirror-side watermark of PRIMARY column-op ids already shipped
+    * for one (group, table): crash-replay idempotency for op CHAINS. The
+    * schema-state guards below are sound for a single replayed op, but a
+    * whole re-run chain can restore its own preconditions (a column swap
+    * a→tmp, b→a, tmp→b replayed would swap the mirror BACK), so the
+    * watermark — advanced after EVERY op, shrinking the replay window to
+    * one op — is the primary guard and the state checks are its backstop. */
+  private def colOpsMark(group: String, schema: String, t: String): Long = {
+    val p = new Path(s"${secondary.warehouse}/_replication/$group/$schema.$t.colops")
+    val fs = hfs(p)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toLongOption.getOrElse(-1L)
+    finally in.close()
+  }
+
+  private def writeColOpsMark(group: String, schema: String, t: String,
+                              id: Long): Unit = {
+    val p = new Path(s"${secondary.warehouse}/_replication/$group/$schema.$t.colops")
+    val fs = hfs(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Ship the window's column-mapping ops (rename/drop/widen/add,
+    * marker-only) to the mirror BEFORE its row changes: the feed emits
+    * the head cut's LOGICAL schema, so the mirror's own schema — and the
+    * staged apply's delete matching — must speak those names first.
+    * Idempotent under crash replay: the durable per-table watermark
+    * ([[colOpsMark]]) skips ops already shipped, and the one-op window a
+    * crash can leave unrecorded is covered by the schema-state guards
+    * (source name gone / target present / type already wide). The op
+    * becomes visible at stage time — a schema-only transient strictly
     * narrower than the crash transient [[publishCycle]] documents (the
     * staged mor publish binds to the staging head, so the op cannot wait
     * for the publish phase). */
-  private def shipColumnOps(pt: graft.warehouse.SnapshotTable,
+  private def shipColumnOps(group: String, schema0: String, t0: String,
+                            pt: graft.warehouse.SnapshotTable,
                             st: graft.warehouse.SnapshotTable,
                             sinceId: Long, endId: Long): Unit = {
     val ops = pt.columnOpsBetween(sinceId, endId)
-    if (ops.nonEmpty && st.exists) ops.foreach { case (_, op, from, to, dflt) =>
-      val schema = st.read().schema
-      val cols = schema.fieldNames.toSet
-      op match {
-        case "rename" => if (cols(from) && !cols(to)) st.renameColumn(from, to)
-        case "drop" => if (cols(from)) st.dropColumn(from)
-        case "widen" =>
-          val target = org.apache.spark.sql.types.DataType.fromDDL(to)
-          if (schema.find(_.name == from).exists(_.dataType != target))
-            st.widenColumn(from, to)
-        case "add" => if (!cols(from)) st.addColumn(from, to, dflt)
-        case _ => ()
+    if (ops.nonEmpty && st.exists) {
+      val mark = colOpsMark(group, schema0, t0)
+      ops.foreach { case (opId, op, from, to, dflt) =>
+        if (opId > mark) {
+          val schema = st.read().schema
+          val cols = schema.fieldNames.toSet
+          op match {
+            case "rename" => if (cols(from) && !cols(to)) st.renameColumn(from, to)
+            case "drop" => if (cols(from)) st.dropColumn(from)
+            case "widen" =>
+              val target = org.apache.spark.sql.types.DataType.fromDDL(to)
+              if (schema.find(_.name == from).exists(_.dataType != target))
+                st.widenColumn(from, to)
+            case "add" => if (!cols(from)) st.addColumn(from, to, dflt)
+            case _ => ()
+          }
+          writeColOpsMark(group, schema0, t0, opId)
+        }
       }
     }
   }
@@ -420,7 +454,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             case Some(o) =>
               pt.rowChangesBetween(o, head) match {
                 case Some(cs) if cs.df.isEmpty => // e.g. compact-only range
-                  shipColumnOps(pt, st, o, head)
+                  shipColumnOps(groupName, schema, t, pt, st, o, head)
                   TableStage(schema, t, head, "empty", 0L)
                 case Some(cs) =>
                   // the window's SCHEMA OPS land first (marker-only
@@ -428,7 +462,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                   // matching — and the mirror's logical schema — speak
                   // the head cut's names the feed emits. Idempotent by
                   // construction (a crashed cycle re-runs them as no-ops)
-                  shipColumnOps(pt, st, o, head)
+                  shipColumnOps(groupName, schema, t, pt, st, o, head)
                   val (d, i) = keys.get((schema, t)) match {
                     case Some(kc) => st.applyChanges(cs.df, kc, wap = Some(wapId))
                     case None => // keyless: positional apply, window-note replay dedup

@@ -214,12 +214,18 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   }
 
   /** The heartbeat's grant-audit phase: re-grant anything expected but
-    * missing; returns the number of repairs (0 = audit clean). */
-  def ensureGrants(expected: Seq[(String, String, String)]): Int =
-    expected.count { case (r, p, o) =>
-      if (!roles.contains(r)) createRole(r)
-      grant(r, p, o)
-    }
+    * missing; returns the number of repairs (0 = audit clean). One event
+    * batch = one audit commit (r16: the per-grant loop paid a full
+    * scratch clone plus a log-commit floor PER repair — the exact cost
+    * the batch API exists to avoid); missing roles ride the same batch,
+    * uncounted (the return stays "grants repaired", as before). */
+  def ensureGrants(expected: Seq[(String, String, String)]): Int = {
+    val missingRoles = expected.map(_._1).distinct.filterNot(roles.contains)
+      .map(GrantEvent(_, "", "", "CREATE_ROLE"))
+    val missingGrants = expected.filterNot(g => grants.contains(g))
+      .map { case (r, p, o) => GrantEvent(r, p, o, "GRANT") }
+    applyEvents(missingRoles ++ missingGrants) - missingRoles.size
+  }
 
   // ── future grants (`scripts/00_prereqs_rbac.sql:67-152`) ──────────────
 

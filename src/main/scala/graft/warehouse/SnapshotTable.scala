@@ -399,14 +399,19 @@ final class SnapshotTable(
     val applicable = dels.filter(delSeq(_) > dataId)
       .filterNot(m => m.kind == "mor" && readExclusion(m.id).exists(_.rows == 0L))
     if (applicable.isEmpty) df
-    // batches group by (physical, logical) key names: the sidecar files
+    // batches group by (physical, logical) key names — the sidecar files
     // store the PHYSICAL names recorded at their commit, the join runs
-    // under the LOGICAL ones the mapped data side carries — two batches
+    // under the LOGICAL ones the mapped data side carries; two batches
     // sharing physical names may still map differently when a column op
-    // landed between their sequences
-    else applicable.groupBy(m => (delKeyCols(m), logicalDelKeys(m, ops)))
+    // landed between their sequences — AND by widen epoch: a pre-widen
+    // sidecar's files carry the narrow physical type, a post-widen one
+    // the wide, and one multi-path read without a type-unifying schema
+    // would read one of them under the wrong width (the split costs one
+    // extra anti-join only when widens exist; the join itself coerces)
+    else applicable.groupBy(m => (delKeyCols(m), logicalDelKeys(m, ops),
+        ops.count(o => o.op == "widen" && o.id < m.id)))
       .toSeq.sortBy(_._2.map(delSeq).min)
-      .foldLeft(df) { case (d, ((physKeys, keys), batches)) =>
+      .foldLeft(df) { case (d, ((physKeys, keys, _), batches)) =>
         val hinted = cache.getOrElseUpdate((keys, batches.map(_.id)), {
           // ONE multi-path read per key-set group, not a per-batch union: a
           // 100-statement delete trickle otherwise costs O(batches) scan
@@ -2017,8 +2022,16 @@ final class SnapshotTable(
       val live = chain.filter(_.kind == "del").filterNot(m => sup(m.id))
       // effective sequences of data-CARRYING commits (base/append/cow/mor):
       // two sidecars may merge iff no such id separates their seqs — the
-      // set of data snapshots each applies to is then identical
-      val dataIds = chain.filterNot(_.kind == "del").map(_.id).sorted
+      // set of data snapshots each applies to is then identical. COLMAP
+      // ids are barriers too (they carry no data but dataChainAt drops
+      // them, so they must re-enter here): two sidecars physically keyed
+      // "k" on either side of a rename chain (k→y, then x→k) target
+      // DIFFERENT logical columns — merging them would anti-join the
+      // later sidecar's values against the wrong column
+      val colmapIds = metas().filter(m => m.kind == "colmap" && m.id <= head)
+        .map(_.id)
+      val dataIds =
+        (chain.filterNot(_.kind == "del").map(_.id) ++ colmapIds).sorted
       def dataBetween(a: Long, b: Long): Boolean =
         dataIds.exists(d => d > a && d < b)
       val runs: Seq[(Seq[String], Seq[SnapMeta])] =
@@ -2510,6 +2523,11 @@ final class SnapshotTable(
       .map(_.id).foreach { id =>
       val dir = fs.makeQualified(snapDir(id)).toString
       val stats = readStatsSidecar(id)
+      // the columns SYNTHESIZED for this epoch (adds after it): their
+      // per-row value is a known constant (the default) or NULL
+      val synthCols: Map[String, SynthCol] =
+        colmapPlan(Seq.empty, id, ops)
+          .collect { case (n, s: SynthCol) => n -> s }.toMap
       val it = fs.listFiles(snapDir(id), true)
       val files = Seq.newBuilder[String]
       while (it.hasNext) {
@@ -2530,15 +2548,25 @@ final class SnapshotTable(
           val keep = alternatives.exists(_.forall { r =>
             // a filter names the LOGICAL column; stats and partition-dir
             // segments carry the file-epoch PHYSICAL name — translate
-            // through the inverse column mapping (identity without ops)
+            // through the inverse column mapping (identity without ops).
+            // SYNTHESIZED columns check first: an add-with-default epoch
+            // reads a CONSTANT, not NULL — the all-NULL rule would
+            // wrongly prune files whose every row logically equals the
+            // default (silent data loss in reads and COW DML plans).
+            synthCols.get(r.col) match {
+              case Some(SynthCol(_, Some(d))) =>
+                SnapshotTable.partValueInRange(d, r)
+              case Some(SynthCol(_, None)) =>
+                (r.lower.isEmpty && r.upper.isEmpty && !r.notNull) || r.matchesNull
+              case None =>
             preImageAt(r.col, id, ops) match {
               case None =>
                 // no physical pre-image in this epoch (the column was
-                // added — or re-added after a drop — later): the file's
-                // logical column is ALL NULL, the `n`-kind rule. Using
-                // the file's same-named PHYSICAL stats here would prune
-                // by a DROPPED column's values — the wrong-answer hazard
-                // this branch exists to prevent.
+                // re-introduced by a bare append after a drop/rename):
+                // the file's logical column is ALL NULL, the `n`-kind
+                // rule. Using the file's same-named PHYSICAL stats here
+                // would prune by a DROPPED column's values — the
+                // wrong-answer hazard this branch exists to prevent.
                 (r.lower.isEmpty && r.upper.isEmpty && !r.notNull) || r.matchesNull
               case Some(phys) =>
             partVals.get(phys) match {
@@ -2558,6 +2586,7 @@ final class SnapshotTable(
                   (rangeOk && !(r.notNull && st.allNull)) || nullOk
                 case None => true // no stats recorded → cannot prune
               }
+            }
             }
             }
           })
@@ -2657,8 +2686,12 @@ final class SnapshotTable(
 
   /** Fold every live file's sidecar line into one profile per column —
     * the ANALYZE summary, from metadata alone (no data I/O, no Spark job).
-    * Columns a live file omits entirely (schema evolution) profile only
-    * the files that carry them. */
+    * Columns a live file omits entirely (schema evolution, including
+    * [[addColumn]]'s synthesized default/NULL epochs) profile only the
+    * files that PHYSICALLY carry them — a profile of recorded values,
+    * not of logical reads; scan PLANNING handles the synthesized epochs
+    * itself ([[planFilesAny]]'s constant/all-NULL rules), so the partial
+    * profile never causes wrong pruning. */
   def columnStats(): Map[String, ColumnProfile] = {
     // `del`/`pdel` sidecars describe DELETED rows — folding their stats in
     // would inflate counts; pending-delete rows still counted in data-file

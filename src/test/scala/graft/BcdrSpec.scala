@@ -1152,4 +1152,56 @@ class BcdrSpec extends SparkSpec {
       Seq("std", "std", "std", "std", "gold"),
       "mirror pre-add rows read the initial default")
   }
+
+  test("a replayed window cannot re-apply a COLUMN-SWAP op chain: the " +
+    "durable op watermark makes chain replay exactly-once") {
+    // r16 review finding #2: the schema-state idempotency guards are
+    // sound for ONE replayed op, but a whole re-run chain can restore
+    // its own preconditions — a swap (a→tmp, b→a, tmp→b) replayed after
+    // a crash would swap the mirror BACK while the primary stays
+    // swapped, and keyless note-dedup would then pin the corruption
+    // forever. The per-table colops watermark closes it.
+    val primary = new Catalog(spark, freshDir("swp-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("swp-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "swapped")
+    t.createOrReplace(Seq((1L, "aa", "bb")).toDF("id", "a", "b"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "swapped")), includeViews = false)
+    val keys = Map(("adv", "swapped") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 1L, "bootstrap")
+    // the swap chain + a data change, one window
+    t.renameColumn("a", "tmpc")
+    t.renameColumn("b", "a")
+    t.renameColumn("tmpc", "b")
+    t.append(Seq((2L, "bb2", "aa2")).toDF("id", "a", "b"))
+    assert(repl.refreshIncremental("core", keys) == 1L)
+    val st = secondary.table("adv", "swapped")
+    def valuesOf(tb: graft.warehouse.SnapshotTable) =
+      tb.read().orderBy("id").select($"id", $"a", $"b")
+        .as[(Long, String, String)].collect().toSeq
+    val swapped = Seq((1L, "bb", "aa"), (2L, "bb2", "aa2"))
+    assert(valuesOf(st) == swapped, "the mirror swapped with the primary")
+    // CRASH REPLAY: rewind the row-window offset to its PRE-window value
+    // (NOT the colops watermark — exactly the crash-between-apply-and-
+    // offset-write state) and re-run the window with a fresh service
+    val off = new org.apache.hadoop.fs.Path(
+      s"${secondary.warehouse}/_replication/core/adv.swapped.offset")
+    val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(off, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    val svc2 = new ReplicationService(primary, secondary)
+    svc2.createGroup("core", Seq(("adv", "swapped")), includeViews = false)
+    svc2.refreshIncremental("core", keys) // replays the whole window
+    assert(valuesOf(st) == swapped,
+      "the replayed chain must NOT swap the mirror back")
+    // column ORDER is positional (a swap relabels slots in place); the
+    // binding check is name-set + value equality with the primary
+    assert(st.read().columns.toSet == t.read().columns.toSet)
+    assert(valuesOf(st) == valuesOf(t))
+    // and the pair keeps converging normally afterwards
+    t.append(Seq((3L, "x", "y")).toDF("id", "a", "b"))
+    assert(svc2.refreshIncremental("core", keys) == 1L)
+    assert(valuesOf(st) == swapped :+ ((3L, "x", "y")))
+  }
 }

@@ -282,6 +282,77 @@ class ColumnMappingSpec extends SparkSpec {
       s"the deleted pre-add row carries its DEFAULT through the feed: $changes")
   }
 
+  test("pruning is DEFAULT-AWARE: a drop-then-re-add-with-default epoch " +
+    "reads a constant, so filters matching the default keep its files") {
+    // r16 review finding #1: the no-pre-image planning branch assumed
+    // ALL-NULL, but an add-with-default epoch reads the DEFAULT — a range
+    // filter matching it would prune the files and silently lose rows
+    // from reads AND from COW DML plans.
+    val t = new SnapshotTable(spark, freshRoot("defprune"))
+    t.createOrReplace(Seq((1L, "x1"), (2L, "x2")).toDF("id", "x"))
+    t.dropColumn("x")
+    t.addColumn("x", "string", Some("d"))
+    t.append(Seq((3L, "live")).toDF("id", "x"))
+    // the pre-op file's logical x is the CONSTANT "d": an equality read
+    // must return its rows
+    val (df, _) = t.readPruned(Seq(ColRange("x", Some("d"), Some("d"))))
+    assert(df.select($"id").as[Long].collect().toSet == Set(1L, 2L),
+      "files whose rows all read the default must be KEPT for x = 'd'")
+    // and a COW delete on the default must actually delete them
+    assert(t.delete($"x" === "d") == 2L,
+      "the COW plan must include the defaulted epoch's files")
+    assert(t.read().select($"id").as[Long].collect().toSeq == Seq(3L))
+    // a filter that misses the default still prunes the defaulted epoch
+    val t2 = new SnapshotTable(spark, freshRoot("defprune2"))
+    t2.createOrReplace(Seq((1L, 5)).toDF("id", "n"))
+    t2.dropColumn("n")
+    t2.addColumn("n", "int", Some("100"))
+    t2.append(Seq((2L, 7)).toDF("id", "n"))
+    val (df2, plan2) = t2.readPruned(Seq(ColRange("n", Some(1), Some(10))))
+    assert(df2.select($"id").as[Long].collect().toSeq == Seq(2L),
+      "the old physical n=5 must NOT leak through the dropped epoch")
+    assert(plan2.filesKept < plan2.filesTotal,
+      s"the defaulted (n=100) epoch prunes for n in [1,10]: $plan2")
+  }
+
+  test("compactDeletes never merges sidecars across a colmap boundary: " +
+    "same physical key name, different logical columns") {
+    // r16 review finding #3: two eq-delete sidecars both physically keyed
+    // "k" on either side of a rename chain (k→y, then x→k) target
+    // DIFFERENT logical columns; a merge would anti-join the later
+    // sidecar's values against the wrong one.
+    val t = new SnapshotTable(spark, freshRoot("cmbarrier"))
+    t.createOrReplace(Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "k", "x"))
+    t.deleteByKeys(Seq("k"), Seq(10L).toDF("k")) // deletes id=1 via OLD k
+    t.renameColumn("k", "y")
+    t.renameColumn("x", "k")
+    t.deleteByKeys(Seq("k"), Seq(200L).toDF("k")) // deletes id=2 via NEW k
+    val expected = Set(3L)
+    assert(t.read().select($"id").as[Long].collect().toSet == expected)
+    assert(t.compactDeletes(minRun = 2).isEmpty,
+      "the colmap ids are frontier barriers — the pair must NOT merge")
+    assert(t.read().select($"id").as[Long].collect().toSet == expected,
+      "a merge across the rename boundary would mis-target the deletes")
+  }
+
+  test("equality deletes keyed on a column widened BETWEEN two sidecars " +
+    "still apply: mixed-width sidecar files never share one read") {
+    // r16 review finding #4: a pre-widen INT sidecar and a post-widen
+    // LONG sidecar of the same key grouped into one multi-path read
+    // could throw on the width mismatch; they now split by widen epoch.
+    val t = new SnapshotTable(spark, freshRoot("widensplit"))
+    t.createOrReplace(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"))
+      .toDF("k", "v")) // k is INT
+    t.deleteByKeys(Seq("k"), Seq(2).toDF("k")) // INT sidecar
+    t.widenColumn("k", "bigint")
+    t.deleteByKeys(Seq("k"), Seq(3L).toDF("k")) // LONG sidecar
+    assert(t.read().orderBy("k").select($"k").as[Long].collect().toSeq ==
+      Seq(1L, 4L),
+      "both epochs' deletes apply through their own reads")
+    assert(t.count() == 2L)
+  }
+
   test("a column-op under a streaming tail refuses like a rewrite") {
     val t = new SnapshotTable(spark, freshRoot("rentail"))
     t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
