@@ -145,6 +145,28 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
     val endId = idOf(end)
     lastBatchEnd = Some(math.max(lastBatchEnd.getOrElse(0L), endId))
     val t = table
+    // a rename/drop/widen of a column THIS RUN'S schema still knows by
+    // its OLD identity breaks the fixed-schema contract: the batch would
+    // arrive under the new names/types and the alignment below would
+    // silently NULL-fill the old ones — corruption, not evolution. Only
+    // the mid-run op hits this (a RESTART re-resolves the schema fresh,
+    // so its pinned names are the post-op ones and the mapped feed lines
+    // up exactly — a tail continues across a rename with the same
+    // checkpoint). Adds are never breaking: the mapping synthesizes the
+    // default into older appends, and a mid-run add's new column is
+    // simply dropped by the alignment until a restart picks it up (the
+    // Iceberg pinned-read-schema stance).
+    start.foreach { s =>
+      val pinned = schema.fieldNames.toSet
+      val breaking = t.columnOpsBetween(idOf(s), endId).collect {
+        case (id, op, from, _, _)
+            if op != "add" && pinned(from) => (id, op, from)
+      }
+      if (breaking.nonEmpty) throw new IllegalStateException(
+        s"column op(s) ${breaking.mkString(", ")} changed table $root's " +
+          "schema under a streaming tail; restart from a fresh checkpoint " +
+          "to re-resolve the schema")
+    }
     val batch = (start, cdc) match {
       // stream start: the full table as of the first observed snapshot —
       // a tail that catches up has seen exactly the table's live rows

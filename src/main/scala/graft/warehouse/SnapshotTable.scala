@@ -2368,10 +2368,14 @@ final class SnapshotTable(
     val rewrites = range.filter(m =>
       (m.kind == "base" && !m.note.contains("compact")) ||
         m.kind == "cow" ||
-        // a column op changes the tail's OUTPUT SCHEMA mid-stream — the
-        // sink bound the old one, so refuse like a rewrite (an
-        // ignoreReplaces tail knowingly continues under the new names)
-        m.kind == "colmap" ||
+        // an IDENTITY-changing column op (rename/drop/widen) changes the
+        // tail's OUTPUT SCHEMA mid-stream — the sink bound the old one,
+        // so refuse like a rewrite (an ignoreReplaces tail knowingly
+        // continues under the new names/types). A bare ADD rides free:
+        // the per-append mapping synthesizes its default/NULL into older
+        // appends, so the delta stays exact under the new schema — and
+        // consumers that pinned the pre-add schema simply project it away
+        (m.kind == "colmap" && parseColOp(m).forall(_.op != "add")) ||
         // a MERGED sidecar rides free like a compact rewrite: its
         // originals already refused (or were consumed) in their own window
         ((carriesEqDeletes(m) || carriesPosDeletes(m)) && mergedIds(m).isEmpty))

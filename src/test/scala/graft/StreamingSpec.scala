@@ -958,4 +958,41 @@ class StreamingSpec extends SparkSpec {
     assert(after.nonEmpty) // fresh checkpoint: initial load + append, all inserts
     assert(after.forall(_._3 == "insert"))
   }
+
+  test("a rename of a PINNED-schema column fails the stream loudly — " +
+    "never a silent NULL-fill; a fresh checkpoint resumes under new names") {
+    // r16 colmap × streaming: the batch after a rename arrives under the
+    // NEW names, and the pinned-schema alignment would otherwise drop
+    // them and NULL-fill the old ones — corruption disguised as data.
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("cmtail").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    assert(cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") ==
+      Set((1L, "a", "insert")))
+    t.renameColumn("v", "label")
+    t.append(Seq((2L, "b")).toDF("id", "label"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") // resumes over the rename
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t0 => t0.getMessage +: msgs(t0.getCause))
+    assert(msgs(e).exists(_ != null) && msgs(e).filter(_ != null)
+        .exists(_.contains("column op")),
+      s"the tail must refuse the schema change loudly: ${e.getMessage}")
+    // a FRESH checkpoint re-resolves the schema and tails on
+    val fresh = cdcOnce(s"$tmp/tbl", s"$tmp/ckpt2")
+    assert(fresh == Set((1L, "a", "insert"), (2L, "b", "insert")))
+    // a fresh addColumn the pinned schema never saw stays BENIGN: the
+    // old tail keeps running (alignment drops the new column) — only
+    // ops touching pinned columns break the contract
+    val t2 = new SnapshotTable(spark, s"$tmp/tbl2")
+    t2.createOrReplace(Seq((1L, "x")).toDF("id", "w"))
+    assert(tailOnce(s"$tmp/tbl2", s"$tmp/ckpt3") == Set((1L, "x")))
+    t2.addColumn("extra", "int", Some("7"))
+    t2.append(Seq((2L, "y", 9)).toDF("id", "w", "extra"))
+    assert(tailOnce(s"$tmp/tbl2", s"$tmp/ckpt3") == Set((2L, "y")),
+      "an add outside the pinned schema must not kill the tail")
+  }
 }
