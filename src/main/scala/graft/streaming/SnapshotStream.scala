@@ -61,6 +61,19 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
 
   private def table = new SnapshotTable(spark, root)
 
+  // Snapshot id at SCHEMA-RESOLUTION time (source construction) — the
+  // guard anchor for the INITIAL batch (ADVICE r16): a rename/drop/widen
+  // committed between resolving `schema` below and the first offset would
+  // otherwise arrive under post-op names while the pinned names are
+  // pre-op, and the alignment would silently NULL-fill the whole initial
+  // load. Captured BEFORE the schema val resolves (declaration order) so
+  // the race can only make the window conservatively WIDER, never miss
+  // the op.
+  private val resolutionId: Long = {
+    val t = new SnapshotTable(spark, root)
+    if (t.exists) t.currentSnapshotId.getOrElse(0L) else 0L
+  }
+
   /** Schema is PINNED at stream start: columns added by mid-stream schema
     * evolution are absent from every batch until the stream restarts (a
     * Spark source cannot change schema mid-query); a restarted stream
@@ -149,16 +162,24 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
     // its OLD identity breaks the fixed-schema contract: the batch would
     // arrive under the new names/types and the alignment below would
     // silently NULL-fill the old ones — corruption, not evolution. Only
-    // the mid-run op hits this (a RESTART re-resolves the schema fresh,
-    // so its pinned names are the post-op ones and the mapped feed lines
-    // up exactly — a tail continues across a rename with the same
-    // checkpoint). Adds are never breaking: the mapping synthesizes the
-    // default into older appends, and a mid-run add's new column is
-    // simply dropped by the alignment until a restart picks it up (the
-    // Iceberg pinned-read-schema stance).
-    start.foreach { s =>
+    // an op committed AFTER this run resolved its schema hits this (a
+    // RESTART re-resolves the schema fresh, so its pinned names are the
+    // post-op ones and the mapped feed lines up exactly — a tail
+    // CONTINUES across a rename with the same checkpoint, delivering
+    // under the new names; a DECLARED schema pins the caller's names and
+    // the guard fires for them). Adds are never breaking: the mapping
+    // synthesizes the default into older appends, and a mid-run add's
+    // new column is simply dropped by the alignment until a restart
+    // picks it up (the Iceberg pinned-read-schema stance). The initial
+    // batch (start=None) is guarded from the SCHEMA-RESOLUTION snapshot
+    // (ADVICE r16: an op racing source construction must not NULL-fill
+    // the initial load); a replayed initial batch on restart has
+    // resolutionId ≥ endId, an empty window — nothing to refuse, and the
+    // freshly-resolved schema matches the replay by construction.
+    val guardStart = start.map(idOf).getOrElse(resolutionId)
+    if (guardStart < endId) {
       val pinned = schema.fieldNames.toSet
-      val breaking = t.columnOpsBetween(idOf(s), endId).collect {
+      val breaking = t.columnOpsBetween(guardStart, endId).collect {
         case (id, op, from, _, _)
             if op != "add" && pinned(from) => (id, op, from)
       }
@@ -259,11 +280,17 @@ object SnapshotStream {
            ignoreReplaces: Boolean = false,
            maxAppendsPerTrigger: Option[Int] = None,
            maxRowsPerTrigger: Option[Long] = None,
-           maxBytesPerTrigger: Option[Long] = None): DataFrame = {
-    val r = spark.readStream
+           maxBytesPerTrigger: Option[Long] = None,
+           declaredSchema: Option[StructType] = None): DataFrame = {
+    val r0 = spark.readStream
       .format("graft-snapshots")
       .option("path", root)
       .option("ignoreReplaces", ignoreReplaces.toString)
+    // a DECLARED schema pins the CALLER's column names for the stream's
+    // whole life (restarts included): the colmap guard in getBatch then
+    // refuses any rename/drop/widen of a declared column — the contract
+    // for consumers that cannot follow a rename (fixed sinks, contracts)
+    val r = declaredSchema.fold(r0)(s => r0.schema(s))
     val r1 = maxAppendsPerTrigger.fold(r)(n => r.option("maxAppendsPerTrigger", n.toString))
     val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
     val r3 = maxBytesPerTrigger.fold(r2)(n => r2.option("maxBytesPerTrigger", n.toString))
@@ -284,12 +311,14 @@ object SnapshotStream {
   def readChanges(spark: SparkSession, root: String,
                   ignoreReplaces: Boolean = false,
                   maxAppendsPerTrigger: Option[Int] = None,
-                  maxRowsPerTrigger: Option[Long] = None): DataFrame = {
-    val r = spark.readStream
+                  maxRowsPerTrigger: Option[Long] = None,
+                  declaredSchema: Option[StructType] = None): DataFrame = {
+    val r0 = spark.readStream
       .format("graft-snapshots")
       .option("path", root)
       .option("readChangeFeed", "true")
       .option("ignoreReplaces", ignoreReplaces.toString)
+    val r = declaredSchema.fold(r0)(s => r0.schema(s))
     val r1 = maxAppendsPerTrigger.fold(r)(n => r.option("maxAppendsPerTrigger", n.toString))
     val r2 = maxRowsPerTrigger.fold(r1)(n => r1.option("maxRowsPerTrigger", n.toString))
     r2.load()

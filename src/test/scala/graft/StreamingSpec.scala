@@ -959,11 +959,16 @@ class StreamingSpec extends SparkSpec {
     assert(after.forall(_._3 == "insert"))
   }
 
-  test("a rename of a PINNED-schema column fails the stream loudly — " +
-    "never a silent NULL-fill; a fresh checkpoint resumes under new names") {
-    // r16 colmap × streaming: the batch after a rename arrives under the
-    // NEW names, and the pinned-schema alignment would otherwise drop
-    // them and NULL-fill the old ones — corruption disguised as data.
+  test("a checkpointed tail CONTINUES across a rename — the resumed pass " +
+    "re-resolves the schema and delivers under the NEW names (r17 contract " +
+    "decision: the Iceberg pinned-read-schema stance, per the source's own " +
+    "doc; refusal is the DECLARED-schema contract, tested separately)") {
+    // r16 colmap × streaming. Contract: a RESTART (fresh source
+    // construction, same checkpoint) re-resolves the schema from the
+    // table head, so the pinned names are the post-op ones, the mapped
+    // feed lines up exactly, and the tail continues — no NULL-fill, no
+    // refusal. Consumers that CANNOT follow a rename declare their
+    // schema instead (next test) and get the loud refusal.
     import spark.implicits._
     import graft.warehouse.SnapshotTable
     val tmp = java.nio.file.Files.createTempDirectory("cmtail").toString
@@ -973,15 +978,9 @@ class StreamingSpec extends SparkSpec {
       Set((1L, "a", "insert")))
     t.renameColumn("v", "label")
     t.append(Seq((2L, "b")).toDF("id", "label"))
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") // resumes over the rename
-    }
-    def msgs(x: Throwable): Seq[String] =
-      Option(x).toSeq.flatMap(t0 => t0.getMessage +: msgs(t0.getCause))
-    assert(msgs(e).exists(_ != null) && msgs(e).filter(_ != null)
-        .exists(_.contains("column op")),
-      s"the tail must refuse the schema change loudly: ${e.getMessage}")
-    // a FRESH checkpoint re-resolves the schema and tails on
+    // resumes over the rename: exactly the new append, under the new name
+    assert(cdcOnce(s"$tmp/tbl", s"$tmp/ckpt") == Set((2L, "b", "insert")))
+    // a FRESH checkpoint re-resolves the schema and delivers everything
     val fresh = cdcOnce(s"$tmp/tbl", s"$tmp/ckpt2")
     assert(fresh == Set((1L, "a", "insert"), (2L, "b", "insert")))
     // a fresh addColumn the pinned schema never saw stays BENIGN: the
@@ -994,5 +993,55 @@ class StreamingSpec extends SparkSpec {
     t2.append(Seq((2L, "y", 9)).toDF("id", "w", "extra"))
     assert(tailOnce(s"$tmp/tbl2", s"$tmp/ckpt3") == Set((2L, "y")),
       "an add outside the pinned schema must not kill the tail")
+  }
+
+  test("a DECLARED-schema tail refuses a rename of a declared column " +
+    "loudly — never a silent NULL-fill (the guard-fires leg of the r17 " +
+    "contract decision)") {
+    // The caller pinned the names for the stream's whole life (a fixed
+    // sink, a schema contract): a rename of a declared column makes the
+    // feed arrive under a name the alignment would NULL-fill — the guard
+    // must fire on the resumed pass, not deliver corruption.
+    import spark.implicits._
+    import graft.warehouse.SnapshotTable
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("cmdecl").toString
+    val t = new SnapshotTable(spark, s"$tmp/tbl")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def declaredOnce(ckpt: String): Set[(Long, String)] = {
+      val buf = scala.collection.mutable.Set.empty[(Long, String)]
+      val q = graft.streaming.SnapshotStream
+        .read(spark, s"$tmp/tbl", declaredSchema = Some(declared))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          buf.synchronized {
+            buf ++= batch.collect().map(r => (r.getLong(0), r.getString(1)))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSet)
+    }
+    assert(declaredOnce(s"$tmp/ckpt") == Set((1L, "a")))
+    t.renameColumn("v", "label")
+    t.append(Seq((2L, "b")).toDF("id", "label"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      declaredOnce(s"$tmp/ckpt") // resumes over the rename: declared "v" is gone
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t0 => t0.getMessage +: msgs(t0.getCause))
+    assert(msgs(e).filter(_ != null).exists(_.contains("column op")),
+      s"the declared-schema tail must refuse the rename loudly: ${e.getMessage}")
+    // an op NOT touching a declared column stays benign: the tail keeps
+    // running after an add (alignment drops the new column)
+    t.addColumn("extra", "int", Some("3"))
+    t.append(Seq((3L, "c", 4)).toDF("id", "label", "extra"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      declaredOnce(s"$tmp/ckpt") // still wedged on the rename — by design
+    }
   }
 }
