@@ -325,29 +325,85 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * the next cycle's stage phase automatically). */
   final case class StagedCycle(group: String, work: Seq[TableStage])
 
-  /** The mirror-side watermark of PRIMARY column-op ids already shipped
-    * for one (group, table): crash-replay idempotency for op CHAINS. The
-    * schema-state guards below are sound for a single replayed op, but a
-    * whole re-run chain can restore its own preconditions (a column swap
-    * a→tmp, b→a, tmp→b replayed would swap the mirror BACK), so the
-    * watermark — advanced after EVERY op, shrinking the replay window to
-    * one op — is the primary guard and the state checks are its backstop. */
-  private def colOpsMark(group: String, schema: String, t: String): Long = {
-    val p = new Path(s"${secondary.warehouse}/_replication/$group/$schema.$t.colops")
-    val fs = hfs(p)
-    if (!fs.exists(p)) return -1L
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toLongOption.getOrElse(-1L)
-    finally in.close()
+  /** The destination-side watermark of SOURCE column-op ids already
+    * shipped for one (group, table): crash-replay idempotency for op
+    * CHAINS. The schema-state guards below are sound for a single
+    * replayed op, but a whole re-run chain can restore its own
+    * preconditions (a column swap a→tmp, b→a, tmp→b replayed would swap
+    * the mirror BACK), so the watermark — advanced after EVERY op,
+    * shrinking the replay window to one op — is the primary guard and
+    * the state checks are its backstop.
+    *
+    * CRASH-ATOMIC since r17 (r16 verdict #2): the mark is encoded in the
+    * FILENAME — each advance creates `<schema>.<t>.colops.v<id>` fresh
+    * (stage + rename-to-new-name, no overwrite anywhere) and then sweeps
+    * older versions; the reader takes the max id over the filenames, so
+    * any crash schedule leaves old-value-or-new-value, never a torn
+    * in-between. The pre-r17 format truncate-overwrote one file whose
+    * torn body parsed to -1 = "nothing ever shipped" — exactly the
+    * replay the mark exists to stop. File CONTENT is ignored on read: a
+    * corrupted body cannot regress the mark either. `markRoot` picks the
+    * consumer's warehouse (mirror for forward cycles, old primary for
+    * failback). */
+  private def colOpsMark(markRoot: String, group: String,
+                         schema: String, t: String): Long = {
+    val dir = new Path(s"$markRoot/_replication/$group")
+    val fs = hfs(dir)
+    if (!fs.exists(dir)) return -1L
+    val prefix = s"$schema.$t.colops.v"
+    val versioned = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toLongOption)
+    val legacy = { // pre-r17 overwrite-format file, content-encoded
+      val p = new Path(dir, s"$schema.$t.colops")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLongOption
+        finally in.close()
+      }
+    }
+    (versioned ++ legacy).maxOption.getOrElse(-1L)
   }
 
-  private def writeColOpsMark(group: String, schema: String, t: String,
-                              id: Long): Unit = {
-    val p = new Path(s"${secondary.warehouse}/_replication/$group/$schema.$t.colops")
-    val fs = hfs(p)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
+  private def writeColOpsMark(markRoot: String, group: String,
+                              schema: String, t: String, id: Long): Unit = {
+    val dir = new Path(s"$markRoot/_replication/$group")
+    val fs = hfs(dir)
+    fs.mkdirs(dir)
+    val prefix = s"$schema.$t.colops.v"
+    val stg = new Path(dir, s"$prefix$id.stg")
+    val out = fs.create(stg, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    fs.rename(stg, new Path(dir, s"$prefix$id"))
+    // sweep older versions, stage debris, and the legacy-format file;
+    // a crash mid-sweep is harmless (the reader takes the max filename)
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      val stale =
+        n == s"$schema.$t.colops" ||
+        (n.startsWith(prefix) && n.endsWith(".stg") && n != stg.getName) ||
+        (n.startsWith(prefix) && !n.endsWith(".stg") &&
+          n.stripPrefix(prefix).toLongOption.exists(_ < id))
+      if (stale) fs.delete(s.getPath, false)
+    }
+  }
+
+  /** Forget a table's column-op watermark entirely — the DEAD-TIMELINE
+    * reset (r16 ADVICE #1): a dropped-and-recreated source's op ids
+    * restart below the old mark, so a surviving mark would silently skip
+    * every future op and leave the mirror schema permanently diverged.
+    * The full copy that accompanies the reset bakes the source's current
+    * logical schema, so "nothing shipped yet" is exactly right. */
+  private def clearColOpsMark(markRoot: String, group: String,
+                              schema: String, t: String): Unit = {
+    val dir = new Path(s"$markRoot/_replication/$group")
+    val fs = hfs(dir)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      if (n == s"$schema.$t.colops" || n.startsWith(s"$schema.$t.colops.v"))
+        fs.delete(s.getPath, false)
+    }
   }
 
   /** Ship the window's column-mapping ops (rename/drop/widen/add,
@@ -362,20 +418,34 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     * narrower than the crash transient [[publishCycle]] documents (the
     * staged mor publish binds to the staging head, so the op cannot wait
     * for the publish phase). */
-  private def shipColumnOps(group: String, schema0: String, t0: String,
+  private def shipColumnOps(markRoot: String, group: String,
+                            schema0: String, t0: String,
                             pt: graft.warehouse.SnapshotTable,
                             st: graft.warehouse.SnapshotTable,
                             sinceId: Long, endId: Long): Unit = {
     val ops = pt.columnOpsBetween(sinceId, endId)
     if (ops.nonEmpty && st.exists) {
-      val mark = colOpsMark(group, schema0, t0)
+      val mark = colOpsMark(markRoot, group, schema0, t0)
       ops.foreach { case (opId, op, from, to, dflt) =>
         if (opId > mark) {
           val schema = st.read().schema
           val cols = schema.fieldNames.toSet
           op match {
             case "rename" => if (cols(from) && !cols(to)) st.renameColumn(from, to)
-            case "drop" => if (cols(from)) st.dropColumn(from)
+            case "drop" => if (cols(from)) {
+              // the SOURCE passed its own drop guard (it compacted its
+              // keyed sidecars first); the DESTINATION's accumulated
+              // keyed-apply sidecars must not wedge the cycle on a legal
+              // op (r16 ADVICE #4) — bake them and retry once
+              try st.dropColumn(from)
+              catch {
+                case e: IllegalArgumentException
+                    if e.getMessage != null &&
+                      e.getMessage.contains("keys live equality-delete") =>
+                  st.compact()
+                  st.dropColumn(from)
+              }
+            }
             case "widen" =>
               val target = org.apache.spark.sql.types.DataType.fromDDL(to)
               if (schema.find(_.name == from).exists(_.dataType != target))
@@ -383,7 +453,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             case "add" => if (!cols(from)) st.addColumn(from, to, dflt)
             case _ => ()
           }
-          writeColOpsMark(group, schema0, t0, opId)
+          writeColOpsMark(markRoot, group, schema0, t0, opId)
         }
       }
     }
@@ -433,6 +503,12 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             // chain. Dropping clears notes, ledger, and refs in one
             // stroke; the copy below rebuilds the table at the cut.
             if (freshTimeline && st.exists) st.drop()
+            // the recreated source's op ids restart below the old mark —
+            // a surviving watermark would silently skip every future
+            // column op (r16 ADVICE #1); the copy below bakes the
+            // source's current logical schema, so reset to "none shipped"
+            if (freshTimeline) clearColOpsMark(secondary.warehouse,
+              groupName, schema, t)
             st.createOrReplace(pt.asOf(head)) // the CUT's state, not live head
             TableStage(schema, t, head, "published", st.count())
           }
@@ -454,7 +530,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             case Some(o) =>
               pt.rowChangesBetween(o, head) match {
                 case Some(cs) if cs.df.isEmpty => // e.g. compact-only range
-                  shipColumnOps(groupName, schema, t, pt, st, o, head)
+                  shipColumnOps(secondary.warehouse, groupName, schema, t, pt, st, o, head)
                   TableStage(schema, t, head, "empty", 0L)
                 case Some(cs) =>
                   // the window's SCHEMA OPS land first (marker-only
@@ -462,7 +538,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                   // matching — and the mirror's logical schema — speak
                   // the head cut's names the feed emits. Idempotent by
                   // construction (a crashed cycle re-runs them as no-ops)
-                  shipColumnOps(groupName, schema, t, pt, st, o, head)
+                  shipColumnOps(secondary.warehouse, groupName, schema, t, pt, st, o, head)
                   val (d, i) = keys.get((schema, t)) match {
                     case Some(kc) => st.applyChanges(cs.df, kc, wap = Some(wapId))
                     case None => // keyless: positional apply, window-note replay dedup
@@ -986,10 +1062,42 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             d2.exceptAll(i2).withColumn("_change", lit("delete"))
               .unionByName(i2.exceptAll(d2).withColumn("_change", lit("insert")))
           }
-          if (!old.exists ||
-              !old.read().columns.toSet.subsetOf(target.columns.toSet)) {
+          // COLUMN OPS THROUGH FAILBACK (r16 verdict missing #2). Ops in
+          // the LOST window — the old primary's own post-fork
+          // rename/drop/widen/add — retroactively changed PRE-FORK rows'
+          // logical values on the old side only (a DROP even passes the
+          // column-subset guard), and the fork-bounded algebra never
+          // examines pre-fork rows: one loud full resync is the only
+          // correct answer. Ops in the FORWARD window — the new
+          // primary's, post failover — ship to the old primary FIRST,
+          // marker-only, the same discipline the forward cycle uses:
+          // both sides' pre-fork rows then change identically and the
+          // feeds speak one schema (an ADD-with-DEFAULT reads the
+          // default on both sides, never default-vs-NULL). The lost-op
+          // census runs BEFORE the shipping so shipped markers are never
+          // mistaken for the old primary's own ops.
+          val forkPair = readOffsetPairAt(secondary.warehouse, groupName,
+            schema, t)
+          val lostOps =
+            if (old.exists) (for {
+              (pFork, _) <- forkPair
+              oldHead <- old.currentSnapshotId
+            } yield old.columnOpsBetween(pFork, oldHead)).getOrElse(Seq.empty)
+            else Seq.empty
+          if (old.exists && lostOps.isEmpty)
+            for ((_, sForkOpt) <- forkPair; sFork <- sForkOpt)
+              shipColumnOps(primary.warehouse, groupName, schema, t,
+                sTbl, old, sFork, head)
+          // every old column must exist in the target WITH the same type
+          // (subsumes the old subset guard): a widen the shipping could
+          // not reach — no fork pair — would otherwise crash or silently
+          // diverge the value diff below
+          def schemaAligned: Boolean = old.read().schema.fields.forall(f =>
+            target.schema.find(_.name == f.name).exists(_.dataType == f.dataType))
+          if (!old.exists || lostOps.nonEmpty || !schemaAligned) {
             // divergent schema the value algebra can't express (lost
-            // writes ADDED a column): one loud full logical resync
+            // writes ADDED a column / ran any column op): one loud full
+            // logical resync
             primary.createSchema(schema)
             old.createOrReplace(target)
             shipped += old.count()

@@ -1204,4 +1204,237 @@ class BcdrSpec extends SparkSpec {
     assert(svc2.refreshIncremental("core", keys) == 1L)
     assert(valuesOf(st) == swapped :+ ((3L, "x", "y")))
   }
+
+  test("the colops watermark is TORN-WRITE-PROOF: the mark lives in the " +
+    "FILENAME, so garbage content — or a lost final advance — cannot " +
+    "resurrect a swap-chain replay") {
+    // r16 verdict #2: the old overwrite-format mark parsed a torn body
+    // as -1 = "nothing ever shipped", and a replayed swap chain restores
+    // its own preconditions — the one corruption the schema-state guards
+    // cannot stop. The filename-versioned mark makes every crash
+    // schedule land on old-value-or-new-value.
+    val primary = new Catalog(spark, freshDir("twp-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("twp-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "torn")
+    t.createOrReplace(Seq((1L, "aa", "bb")).toDF("id", "a", "b"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "torn")), includeViews = false)
+    val keys = Map(("adv", "torn") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 1L, "bootstrap")
+    t.renameColumn("a", "tmpc")
+    t.renameColumn("b", "a")
+    t.renameColumn("tmpc", "b")
+    t.append(Seq((2L, "bb2", "aa2")).toDF("id", "a", "b"))
+    assert(repl.refreshIncremental("core", keys) == 1L)
+    val st = secondary.table("adv", "torn")
+    def valuesOf(tb: graft.warehouse.SnapshotTable) =
+      tb.read().orderBy("id").select($"id", $"a", $"b")
+        .as[(Long, String, String)].collect().toSeq
+    val swapped = Seq((1L, "bb", "aa"), (2L, "bb2", "aa2"))
+    assert(valuesOf(st) == swapped)
+    val dir = new org.apache.hadoop.fs.Path(
+      s"${secondary.warehouse}/_replication/core")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markFiles() = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("adv.torn.colops.v")).toSeq
+    val marks = markFiles()
+    assert(marks.size == 1, s"one live mark file, got $marks")
+    // TEAR the mark's CONTENT (a torn in-place write): garbage bytes
+    val out = fs.create(marks.head, true)
+    try out.write("  garbage".getBytes("UTF-8")) finally out.close()
+    def rewindRowOffset(): Unit = {
+      val off = new org.apache.hadoop.fs.Path(
+        s"${secondary.warehouse}/_replication/core/adv.torn.offset")
+      val o = fs.create(off, true)
+      try o.write("1".getBytes("UTF-8")) finally o.close()
+    }
+    rewindRowOffset()
+    val svc2 = new ReplicationService(primary, secondary)
+    svc2.createGroup("core", Seq(("adv", "torn")), includeViews = false)
+    svc2.refreshIncremental("core", keys) // replays the whole window
+    assert(valuesOf(st) == swapped,
+      "a garbage mark BODY must not regress the watermark (filename wins)")
+    // LOSE THE FINAL ADVANCE: delete the newest mark file outright — the
+    // replay window is now exactly ONE op (tmp→b), which the
+    // schema-state guard neutralizes (no 'tmpc' column on the mirror)
+    markFiles().foreach(p => fs.delete(p, false))
+    // leave a LEGACY-format mark covering all but the last op — the
+    // migration read path must honor it
+    val legacy = new org.apache.hadoop.fs.Path(dir, "adv.torn.colops")
+    val ops = t.columnOpsBetween(0L, t.currentSnapshotId.get).map(_._1)
+    val lo = fs.create(legacy, true)
+    try lo.write(ops.init.max.toString.getBytes("UTF-8")) finally lo.close()
+    rewindRowOffset()
+    val svc3 = new ReplicationService(primary, secondary)
+    svc3.createGroup("core", Seq(("adv", "torn")), includeViews = false)
+    svc3.refreshIncremental("core", keys)
+    assert(valuesOf(st) == swapped,
+      "legacy mark + single-op state guard: the replay is still a no-op")
+    // the next advance migrates: legacy file swept, filename mark back
+    t.renameColumn("a", "a2")
+    svc3.refreshIncremental("core", keys)
+    assert(!fs.exists(legacy) && markFiles().size == 1,
+      "an advance sweeps the legacy-format file")
+    assert(st.read().columns.toSet == Set("id", "a2", "b"))
+  }
+
+  test("a DEAD-TIMELINE full copy resets the colops watermark: the " +
+    "recreated primary's column ops ship instead of being silently " +
+    "skipped under the old timeline's high mark") {
+    // r16 ADVICE #1 (high): the recreated primary's snapshot ids restart
+    // below the old mark, so without the reset every new column op fails
+    // the opId > mark check, the schema-state guards never run, and the
+    // mirror schema diverges permanently while keyed applies NULL-fill.
+    val primary = new Catalog(spark, freshDir("dtc-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("dtc-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "reborn")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    // push the op watermark HIGH on the first timeline
+    (2 to 5).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    t.renameColumn("v", "w") // op id ~6: the mark lands here
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "reborn")), includeViews = false)
+    val keys = Map(("adv", "reborn") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 5L, "bootstrap")
+    val st = secondary.table("adv", "reborn")
+    assert(st.read().columns.toSet == Set("id", "w"))
+    // the primary is DROPPED AND RECREATED — a fresh timeline, ids
+    // restart at 1, far below the consumed offset AND the colops mark
+    t.drop()
+    val t2 = primary.table("adv", "reborn")
+    t2.createOrReplace(Seq((1L, "x")).toDF("id", "v"))
+    assert(repl.refreshIncremental("core", keys) == 1L,
+      "dead timeline → full copy to the cut")
+    assert(st.read().columns.toSet == Set("id", "v"))
+    // the NEW timeline's column op has a small id (≪ the old mark): it
+    // must ship — the dead-timeline reset is what lets it
+    t2.renameColumn("v", "fresh_name")
+    t2.append(Seq((2L, "y")).toDF("id", "fresh_name"))
+    assert(repl.refreshIncremental("core", keys) == 1L)
+    assert(st.read().columns.toSet == Set("id", "fresh_name"),
+      s"the recreated timeline's rename must ship: ${st.read().columns.toSeq}")
+    assert(st.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+  }
+
+  test("a legal primary DROP cannot wedge the cycle on the mirror's own " +
+    "keyed-apply sidecars: the ship compacts the mirror and retries") {
+    // r16 ADVICE #4: the primary passes its drop guard after compacting
+    // ITS sidecars, but the mirror's accumulated keyed applies hold live
+    // equality-delete sidecars on the same column — the replayed drop
+    // must bake them and proceed, not stall replication behind a manual
+    // mirror compact.
+    val primary = new Catalog(spark, freshDir("dwg-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("dwg-sec"), "sec")
+    primary.createSchema("adv")
+    val t = primary.table("adv", "rekeyed")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "rekeyed")), includeViews = false)
+    val keys = Map(("adv", "rekeyed") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 2L, "bootstrap")
+    // a keyed window leaves an eq-delete sidecar keyed on `id` ON THE
+    // MIRROR (the primary's upsert is MoR too, but the primary gets
+    // compacted below — the mirror does not)
+    t.upsertByKeys(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 2L)
+    val st = secondary.table("adv", "rekeyed")
+    // the table is RE-KEYED: the primary compacts (its own drop guard
+    // demands it) and drops the old key column
+    t.compact()
+    t.dropColumn("id")
+    t.append(Seq("c").toDF("v"))
+    // the cycle ships the drop; the mirror's sidecar would refuse it —
+    // the ship must compact the mirror and retry, not wedge (keyless
+    // from here: the key column is gone)
+    assert(repl.refreshIncremental("core") == 1L)
+    assert(st.read().columns.toSeq == Seq("v"),
+      s"the drop must land on the mirror: ${st.read().columns.toSeq}")
+    assert(st.read().as[String].collect().toSet == Set("a", "B2", "c"))
+    assert(t.read().as[String].collect().toSet ==
+      st.read().as[String].collect().toSet)
+  }
+
+  test("failbackLogical carries COLUMN OPS across the fork: forward-window " +
+    "ops ship home marker-only (delta mode); a lost-window op forces a " +
+    "loud full resync — both sides land multiset-equal either way") {
+    // r16 verdict missing #2: a DROP in the old primary's lost writes
+    // passes the column-subset guard while retroactively changing
+    // PRE-FORK rows' logical values, which the fork-bounded algebra
+    // never examines; an ADD-with-DEFAULT on the new primary reads the
+    // default there and NULL on the old side unless the op ships first.
+    val primary = new Catalog(spark, freshDir("fbc-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("fbc-sec"), "sec")
+    primary.createSchema("adv")
+    // leg 1: clean lost window; the FORWARD window runs rename+drop+add
+    val tClean = primary.table("adv", "fbc_clean")
+    tClean.createOrReplace(Seq((1L, "a", 1), (2L, "b", 2))
+      .toDF("id", "v", "junk"))
+    // leg 2: the LOST window drops a column
+    val tLost = primary.table("adv", "fbc_lostop")
+    tLost.createOrReplace(Seq((1L, "x", 10), (2L, "y", 20))
+      .toDF("id", "w", "score"))
+    val keys = Map(("adv", "fbc_clean") -> Seq("id"),
+      ("adv", "fbc_lostop") -> Seq("id"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "fbc_clean"), ("adv", "fbc_lostop")),
+      includeViews = false)
+    assert(repl.refreshIncremental("core", keys) == 4L, "bootstrap")
+    // RPO-lost writes: rows on tClean; a COLUMN OP + a row on tLost
+    tClean.append(Seq((9L, "lost", 9)).toDF("id", "v", "junk"))
+    tLost.dropColumn("score") // passes the subset guard, changes pre-fork rows
+    tLost.append(Seq((9L, "lost")).toDF("id", "w"))
+    repl.promote()
+    // the new primary's own timeline: ops + rows on the clean leg,
+    // rows only on the lost-op leg
+    val sClean = secondary.table("adv", "fbc_clean")
+    val sLost = secondary.table("adv", "fbc_lostop")
+    sClean.renameColumn("v", "label")
+    sClean.dropColumn("junk")
+    sClean.addColumn("tier", "string", Some("std"))
+    sClean.upsertByKeys(Seq((2L, "B2", "gold"), (3L, "c", "std"))
+      .toDF("id", "label", "tier"), Seq("id"))
+    sLost.upsertByKeys(Seq((2L, "Y2", 25)).toDF("id", "w", "score"), Seq("id"))
+    val shipped = repl.failbackLogical("core", keys)
+    assert(repl.lastFailbackModes == Map(
+      ("adv", "fbc_clean") -> "delta", ("adv", "fbc_lostop") -> "resync"),
+      s"fwd ops ride the delta path, a lost-window op forces resync: " +
+        s"${repl.lastFailbackModes}")
+    // both sides multiset-equal under the FINAL logical schema
+    for ((o, n) <- Seq((primary.table("adv", "fbc_clean"), sClean),
+        (primary.table("adv", "fbc_lostop"), sLost))) {
+      assert(o.read().columns.toSeq == n.read().columns.toSeq,
+        s"schemas agree: ${o.read().columns.toSeq} vs ${n.read().columns.toSeq}")
+      assert(o.read().exceptAll(n.read()).isEmpty &&
+        n.read().exceptAll(o.read()).isEmpty, "multiset-equal")
+    }
+    // the forward-window ops landed on the OLD primary as marker-only
+    // commits — rename + drop + add, zero data rewrites
+    val oc = primary.table("adv", "fbc_clean")
+    assert(oc.snapshots().count(_._2 == "colmap") == 3,
+      s"3 shipped colmap markers: ${oc.snapshots().map(_._2)}")
+    assert(oc.read().orderBy("id").select($"id", $"label", $"tier")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "std"), (2L, "B2", "gold"), (3L, "c", "std")))
+    assert(shipped > 0L)
+    // an immediate retry is a provable no-op on BOTH legs (the resync
+    // leg re-recorded its fork pair; the ops are watermarked)
+    assert(repl.failbackLogical("core", keys) == 0L)
+    assert(repl.lastFailbackModes.values.toSet == Set("delta"))
+    assert(oc.snapshots().count(_._2 == "colmap") == 3,
+      "the retry must not replay the shipped ops")
+    // reverse replication resumes delta-only AND does not re-ship ops
+    val rev = repl.reversed
+    rev.createGroup("core", Seq(("adv", "fbc_clean"), ("adv", "fbc_lostop")),
+      includeViews = false)
+    sClean.append(Seq((4L, "d", "std")).toDF("id", "label", "tier"))
+    assert(rev.refreshIncremental("core", keys) == 1L,
+      "reverse cycle ships only the post-failback delta")
+    assert(oc.snapshots().count(_._2 == "colmap") == 3,
+      "the reverse cycle must not replay the failback-shipped ops")
+    assert(oc.read().exceptAll(sClean.read()).isEmpty &&
+      sClean.read().exceptAll(oc.read()).isEmpty)
+  }
 }
