@@ -211,10 +211,20 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     val p = offsetFile(wh, group, schema, t)
     val fs = hfs(p)
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
+    // stg+rename (r16 unification): the old truncating overwrite failed
+    // SAFE on tear (a torn prefix parses LOW → conservative re-ship of an
+    // idempotent window) but was the one non-atomic progress write left.
+    // Every crash schedule now reads old-value-or-new-value; the tiny
+    // delete→rename window degrades to a MISSING offset, i.e. the
+    // bootstrap path — conservative, never wrong.
+    val stg = new Path(p.getParent, p.getName + ".stg")
+    val out = fs.create(stg, true)
     try out.write((id.toString + consumerHead.fold("")(h => s" $h"))
       .getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(stg, p),
+      s"replication offset rename failed for $schema.$t in group $group")
   }
 
   /** The keyless consumer's CRASH-PROOF progress: each applied window's
@@ -430,20 +440,27 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
         if (opId > mark) {
           val schema = st.read().schema
           val cols = schema.fieldNames.toSet
+          // checkDependents=false on every mirror apply: the SOURCE
+          // already adjudicated the op against ITS dependents; the mirror
+          // must converge — a mirror-side registration (an MV built over
+          // the replica) breaks loudly at its own next refresh, never
+          // wedges the cycle
           op match {
-            case "rename" => if (cols(from) && !cols(to)) st.renameColumn(from, to)
+            case "rename" =>
+              if (cols(from) && !cols(to))
+                st.renameColumn(from, to, checkDependents = false)
             case "drop" => if (cols(from)) {
               // the SOURCE passed its own drop guard (it compacted its
               // keyed sidecars first); the DESTINATION's accumulated
               // keyed-apply sidecars must not wedge the cycle on a legal
               // op (r16 ADVICE #4) — bake them and retry once
-              try st.dropColumn(from)
+              try st.dropColumn(from, checkDependents = false)
               catch {
                 case e: IllegalArgumentException
                     if e.getMessage != null &&
                       e.getMessage.contains("keys live equality-delete") =>
                   st.compact()
-                  st.dropColumn(from)
+                  st.dropColumn(from, checkDependents = false)
               }
             }
             case "widen" =>
@@ -707,10 +724,11 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     def names(fs: org.apache.hadoop.fs.FileSystem, p: Path): Set[String] =
       if (!fs.exists(p)) Set.empty else fs.listStatus(p).map(_.getPath.getName).toSet
     // one listing per side; `.claim.` files are transient writer state.
-    // `refs` and `notes.retired` are the two MUTABLE root entries (tags
-    // drop, expiry appends notes) — a name-based delta would copy them
-    // once and never refresh, so they reconcile wholesale every cycle
-    val mutableSingles = Set("refs", "notes.retired")
+    // `refs`, `notes.retired`, and `deps` are the MUTABLE root entries
+    // (tags drop, expiry appends notes, dependents register/unregister) —
+    // a name-based delta would copy them once and never refresh, so they
+    // reconcile wholesale every cycle (all tiny)
+    val mutableSingles = Set("refs", "notes.retired", "deps")
     val src = names(sfs, sp).filterNot(_.contains(".claim."))
     var dst = names(dfs, dp).filterNot(_.contains(".claim."))
     if (rewind) {

@@ -155,6 +155,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
     val target = viewFile(schema, vname)
     val tmp = new Path(viewsDir, target.getName + ".tmp")
     val stg = new Path(viewsDir, target.getName + ".tmp.stg")
+    // Heal an orphaned tmp BEFORE touching anything (r16 ADVICE #3): if a
+    // prior replace crashed between delete(target) and rename(tmp,target),
+    // that tmp is the view's ONLY durable copy — the loader treats it as
+    // the live definition. Deleting it below and then crashing before the
+    // stage promotes would lose the definition entirely (only the
+    // loader-inert .stg would survive). Promote it to the canonical name
+    // first so `tmp` is only ever deleted while `target` exists.
+    if (!fs.exists(target) && fs.exists(tmp))
+      require(fs.rename(tmp, target),
+        s"orphaned view tmp heal failed for $schema.$vname in catalog $name")
     val out = fs.create(stg, true)
     try out.write(definition.getBytes("UTF-8")) finally out.close()
     fs.delete(tmp, false)

@@ -204,6 +204,24 @@ final class MaterializedViewManager(cat: Catalog) {
     val t = cat.table(base._1, base._2)
     cat.table("_mv", name).createOrReplace(aggregate(t.read(), d))
     aggBuiltAt(name) = t.currentSnapshotId.getOrElse(0L)
+    // the definition references these base columns BY NAME: register them
+    // durably so a rename/drop refuses at DDL time instead of breaking
+    // the next refresh (r16 verdict #4); [[dropAggMv]] deregisters
+    t.registerDependent(s"mv:$name", "agg-mv", keyCols ++ sumCols ++ minMaxCols)
+  }
+
+  /** Drop an incremental aggregate MV: the materialization, the routing
+    * eligibility (the staleness closure reads the removed watermark as
+    * -1, so [[MvRewrite]] stops routing), and the durable column
+    * registration on the base — renames/drops of those columns are legal
+    * again. */
+  def dropAggMv(name: String): Unit = {
+    aggDefs.remove(name).foreach { d =>
+      cat.table(d.base._1, d.base._2).unregisterDependent(s"mv:$name")
+      aggBuiltAt.remove(name)
+      val t = cat.table("_mv", name)
+      if (t.exists) t.drop()
+    }
   }
 
   /** Returns the refresh mode taken: "noop", "incremental", or "full".
@@ -330,6 +348,26 @@ final class MaterializedViewManager(cat: Catalog) {
     cat.table("_mv", name).createOrReplace(joinPartials(name, bases))
     multiBuiltAt(name) = bases.map(b =>
       b.base -> cat.table(b.base._1, b.base._2).currentSnapshotId.getOrElse(0L)).toMap
+    // per-base durable column registration (r16 verdict #4); the prefix
+    // disambiguates a table contributing twice to the same MV
+    bases.foreach(b => cat.table(b.base._1, b.base._2).registerDependent(
+      s"mv:$name:${b.prefix}", "multi-agg-mv", b.keyCols ++ b.sumCols))
+  }
+
+  /** Drop a multi-base MV: partials, final join table, watermarks, and
+    * every per-base durable column registration. */
+  def dropMultiAggMv(name: String): Unit = {
+    multiDefs.remove(name).foreach { bases =>
+      bases.foreach { b =>
+        cat.table(b.base._1, b.base._2).unregisterDependent(s"mv:$name:${b.prefix}")
+        val pt = cat.table("_mv", partialName(name, b))
+        if (pt.exists) pt.drop()
+      }
+      multiBuiltAt.remove(name)
+      multiJoinDirty -= name
+      val t = cat.table("_mv", name)
+      if (t.exists) t.drop()
+    }
   }
 
   /** Per-base refresh modes taken, e.g. Map("imp" -> "noop", "clk" ->

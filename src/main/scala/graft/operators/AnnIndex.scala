@@ -315,6 +315,12 @@ object AnnIndex {
       graft.functions.GraftFunctions.register(s)
       val head = source.currentSnapshotId.getOrElse(throw new IllegalStateException(
         s"index source table does not exist"))
+      // the sync keys the CDC feed on vec_id BY NAME: register the
+      // dependency durably so a rename/drop of vec_id on the source
+      // refuses at DDL time instead of corrupting the next sync (r16
+      // verdict #4; idempotent — an identical registration skips the
+      // write). [[dropIndex]] deregisters.
+      source.registerDependent(s"annindex:$root", "ann-index", Seq("vec_id"))
       def rebuildFromMembership(): Unit = {
         source.read().select("vec_id").createOrReplaceTempView("pidx_members")
         build(s, dir, root, "vec_id IN (SELECT vec_id FROM pidx_members)")
@@ -465,6 +471,10 @@ object AnnIndex {
           s"cannot seed maintenance of $root: no durable offset exists — " +
             "pass initialOffset (the source head captured at BUILD time, " +
             "not now; commits since build must replay through the fold)")))
+    // register the vec_id dependency at ATTACH time, not first sync: the
+    // gap between attaching maintenance and the first firing must not
+    // admit a rename that the first sync then trips over
+    source.registerDependent(s"annindex:$root", "ann-index", Seq("vec_id"))
     graft.streaming.SnapshotStream.read(s, source.root, ignoreReplaces = true)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -476,6 +486,19 @@ object AnnIndex {
       .trigger(trigger)
       .start()
   }
+
+  /** Drop a persisted index: its tables, its durable offset, and — when
+    * the maintained source is passed — the column-dependency registration
+    * the sync holds on it (after which a rename/drop of vec_id on the
+    * source is legal again). */
+  def dropIndex(s: SparkSession, root: String,
+                source: Option[graft.warehouse.SnapshotTable] = None): Unit =
+    synchronized {
+      source.foreach(_.unregisterDependent(s"annindex:$root"))
+      val p = new Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
 
   /** (Re)register the `pidx_vectors` / `pidx_codes` temp views, wrapping
     * them in a tombstone anti-join when undeleted tombstones exist. */

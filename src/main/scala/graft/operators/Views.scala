@@ -1942,6 +1942,120 @@ object Views {
       }
     },
 
+    // FAILBACK WITH COLUMN OPS through the correctness gate (r16 verdict
+    // missing #2, the q145 mold at data scale): the new primary runs
+    // RENAME + DROP + ADD-with-DEFAULT after failover — REQUIREd
+    // marker-only on its side — plus keyed DML; `failbackLogical` must
+    // ship the ops home as marker-only commits BEFORE the value algebra
+    // (delta mode preserved), land both sides schema- and
+    // multiset-identical, an immediate retry shipping zero without
+    // replaying the ops, and the reversed service resuming delta-only.
+    // The final grouped aggregate under the POST-OP schema hashes vs
+    // DuckDB replaying the new primary's timeline.
+    "q151_failback_colmap" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val whP = s"$base/fbc-pri"
+      val whS = s"$base/fbc-sec"
+      try {
+        val pri = new graft.catalog.Catalog(s, whP, "pri")
+        val sec = new graft.catalog.Catalog(s, whS, "sec")
+        sec.readOnly = true
+        pri.createSchema("gate")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        val tbl = pri.table("gate", "orders_f")
+        tbl.createOrReplace(orders.select($"o_orderkey",
+          $"o_orderstatus".as("st"), $"o_totalprice".as("price"),
+          ($"o_custkey" % lit(100L)).as("junk")))
+        val repl = new graft.bcdr.ReplicationService(pri, sec)
+        repl.createGroup("core", Seq(("gate", "orders_f")), includeViews = false)
+        val keys = Map(("gate", "orders_f") -> Seq("o_orderkey"))
+        require(repl.refreshIncremental("core", keys) == tbl.count(),
+          "q151 bootstrap full copy")
+        // the RPO-lost write: rows on the old primary that never ship —
+        // failback must REVERT them (the new primary's timeline wins)
+        tbl.append(orders.filter($"o_orderkey" % lit(17L) === lit(5L))
+          .select(($"o_orderkey" + lit(3L * shift)).as("o_orderkey"),
+            lit("L").as("st"), $"o_totalprice".as("price"),
+            ($"o_custkey" % lit(100L)).as("junk")))
+        repl.promote()
+        val mirror = sec.table("gate", "orders_f")
+        // the new primary's own timeline: three column ops — REQUIREd
+        // marker-only on ITS side — then keyed DML under the new schema
+        def dataFiles(wh: String): Set[String] = {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(p, true)
+          val out = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              out += f.getPath.toString + "@" + f.getModificationTime
+          }
+          out.result()
+        }
+        val filesBefore = dataFiles(whS)
+        mirror.renameColumn("price", "amount")
+        mirror.dropColumn("junk")
+        mirror.addColumn("tier", "string", Some("std"))
+        require(dataFiles(whS) == filesBefore,
+          "q151: the new primary's ops must be marker-only")
+        mirror.upsertByKeys(orders.filter($"o_orderkey" % lit(5L) === lit(1L))
+          .select($"o_orderkey", $"o_orderstatus".as("st"),
+            ($"o_totalprice" * lit(3.0)).as("amount"), lit("gold").as("tier")),
+          Seq("o_orderkey"))
+        mirror.append(orders.filter($"o_orderkey" % lit(11L) === lit(4L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("N").as("st"), $"o_totalprice".as("amount"),
+            lit("new").as("tier")))
+        val colmap0 = tbl.snapshots().count(_._2 == "colmap")
+        val shipped = repl.failbackLogical("core", keys)
+        require(shipped > 0L, "q151: the failback ships the divergence")
+        require(repl.lastFailbackModes == Map(("gate", "orders_f") -> "delta"),
+          s"q151: fwd-window ops must preserve the DELTA-BOUNDED path, " +
+            s"got ${repl.lastFailbackModes}")
+        require(tbl.snapshots().count(_._2 == "colmap") == colmap0 + 3,
+          "q151: the 3 ops land home as marker-only colmap commits")
+        require(tbl.read().columns.toSeq == mirror.read().columns.toSeq,
+          s"q151: both sides speak the post-op schema, " +
+            s"got ${tbl.read().columns.toSeq}")
+        require(tbl.read().exceptAll(mirror.read()).isEmpty &&
+            mirror.read().exceptAll(tbl.read()).isEmpty,
+          "q151: both sides multiset-identical after failback")
+        require(repl.failbackLogical("core", keys) == 0L,
+          "q151: an idle failback ships zero")
+        require(tbl.snapshots().count(_._2 == "colmap") == colmap0 + 3,
+          "q151: the retry must not replay the shipped ops")
+        // the reversed service resumes DELTA-ONLY, never re-ships the ops
+        val rev = repl.reversed
+        rev.createGroup("core", Seq(("gate", "orders_f")), includeViews = false)
+        def k2 = orders.filter($"o_orderkey" % lit(13L) === lit(6L))
+          .select(($"o_orderkey" + lit(2L * shift)).as("o_orderkey"),
+            lit("K").as("st"), $"o_totalprice".as("amount"),
+            lit("kt").as("tier"))
+        mirror.append(k2)
+        require(rev.refreshIncremental("core", keys) == k2.count(),
+          "q151: the reverse cycle ships only the post-failback delta")
+        require(tbl.snapshots().count(_._2 == "colmap") == colmap0 + 3,
+          "q151: the reverse cycle must not replay the ops either")
+        def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+          df.groupBy(lit(stage).as("stage"), $"st", $"tier")
+            .agg(count(lit(1)).as("n"), decCents($"amount").as("amount_cents"))
+        val res = agg(mirror.read(), "newpri")
+          .unionByName(agg(tbl.read(), "oldpri"))
+          .orderBy($"stage", $"st", $"tier")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        for (wh <- Seq(whP, whS)) {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -2936,6 +3050,34 @@ object Views {
          FROM kept
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+
+    "q151_failback_colmap" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         b AS (SELECT o_orderkey, o_orderstatus AS st,
+                      o_totalprice AS amount
+               FROM orders),
+         upd AS (SELECT o_orderkey, st,
+                        CASE WHEN o_orderkey % 5 = 1 THEN amount * 3
+                             ELSE amount END AS amount,
+                        CASE WHEN o_orderkey % 5 = 1 THEN 'gold'
+                             ELSE 'std' END AS tier
+                 FROM b),
+         nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey, 'N' AS st,
+                         o.o_totalprice AS amount, 'new' AS tier
+                  FROM orders o, mx WHERE o.o_orderkey % 11 = 4),
+         k2 AS (SELECT o.o_orderkey + 2 * mx.m AS o_orderkey, 'K' AS st,
+                       o.o_totalprice AS amount, 'kt' AS tier
+                FROM orders o, mx WHERE o.o_orderkey % 13 = 6),
+         fin AS (SELECT * FROM upd UNION ALL SELECT * FROM nova
+                 UNION ALL SELECT * FROM k2),
+         stages AS (SELECT 'newpri' AS stage, * FROM fin
+                    UNION ALL SELECT 'oldpri', * FROM fin)
+         SELECT stage, st, tier,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(amount AS DECIMAL(18,2))) * 100 AS BIGINT) AS amount_cents
+         FROM stages
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
 
     "q146_null_keyless_window" ->
       """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),

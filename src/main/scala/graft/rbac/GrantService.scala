@@ -285,11 +285,15 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   private def encC(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def decC(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** max(id) in the live audit log from the stats sidecars (no scan). */
+  private def maxLogId(): Long =
+    auditLog.table.columnStats().get("id")
+      .flatMap(_.max).flatMap(_.toLongOption).getOrElse(0L)
+
   /** Persist the current state as of the log's metadata max id. Stats
     * sidecars give the max WITHOUT a scan (the LogTable nextId path). */
   private def writeCheckpoint(): Unit = {
-    val lastId = auditLog.table.columnStats().get("id")
-      .flatMap(_.max).flatMap(_.toLongOption).getOrElse(0L)
+    val lastId = maxLogId()
     val sb = new StringBuilder
     sb.append(s"v1 $lastId\n")
     roles.foreach(r => sb.append(s"R ${encC(r)}\n"))
@@ -308,19 +312,25 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     eventsSinceCheckpoint = 0
   }
 
-  /** Load the checkpoint into the live sets; returns the log id it covers
-    * (replay resumes past it), or None when absent/torn (full replay). */
-  private def loadCheckpoint(): Option[Long] = {
+  /** Parse the checkpoint file: (covered log id, body lines), or None
+    * when absent/torn — the END sentinel is the completeness proof
+    * (rename is atomic, but a hand-copied or torn file must degrade to
+    * full replay, not bad state). */
+  private def readCheckpointLines(): Option[(Long, Seq[String])] = {
     if (!cfs.exists(checkpointFile)) return None
     val in = cfs.open(checkpointFile)
     val lines = try scala.io.Source.fromInputStream(in).getLines().toSeq
                 finally in.close()
-    // the END sentinel is the completeness proof: rename is atomic, but a
-    // hand-copied or torn file must degrade to full replay, not bad state
     if (lines.lastOption.forall(_ != "END") ||
         !lines.headOption.exists(_.startsWith("v1 "))) return None
-    val lastId = lines.head.stripPrefix("v1 ").toLongOption.getOrElse(return None)
-    lines.tail.dropRight(1).foreach { l =>
+    lines.head.stripPrefix("v1 ").toLongOption.map(id => (id, lines.tail.dropRight(1)))
+  }
+
+  /** Load the checkpoint into the live sets; returns the log id it covers
+    * (replay resumes past it), or None when absent/torn (full replay). */
+  private def loadCheckpoint(): Option[Long] = {
+    val (lastId, body) = readCheckpointLines().getOrElse(return None)
+    body.foreach { l =>
       l.split(' ') match {
         case Array("R", r) => roles.add(decC(r))
         case Array("G", r, p, o) => grants.add((decC(r), decC(p), decC(o)))
@@ -332,6 +342,68 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     Some(lastId)
   }
 
+  /** Force a state-snapshot checkpoint NOW (the maintenance hook a
+    * scheduled task calls before [[compactAuditLog]]; steady-state
+    * mutation checkpoints itself every [[GrantService.CheckpointEvery]]
+    * events). No-op on a service that never logged anything. */
+  def checkpointNow(): Unit =
+    if (auditLog.table.exists) writeCheckpoint()
+
+  /** Compact the audit log below the checkpoint horizon (r16 verdict #6):
+    * the checkpoint bounds REPLAY, but the LogTable itself grew forever.
+    * Every event with id <= the checkpoint's covered id is already FOLDED
+    * into that durable snapshot, so those rows delete (COW) and the
+    * superseded snapshots expire — physical truncation, the notes-ledger
+    * retirement pattern. The newest audit row is always retained even
+    * when the checkpoint covers it: the log's id high-water mark lives in
+    * the stats sidecars of LIVE files, and an emptied log would restart
+    * ids BELOW the checkpoint horizon, where the suffix replay would
+    * silently skip them. Audit queries over the retained window are
+    * unchanged. Returns rows removed; 0 when no durable checkpoint exists
+    * (the log is then the ONLY durable state — never truncate it). */
+  def compactAuditLog(): Long = {
+    if (!auditLog.table.exists) return 0L
+    readCheckpointLines() match {
+      case None => 0L
+      case Some((horizon, _)) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        // the mark lands BEFORE the delete: from this point the checkpoint
+        // is STATE, not an optimization — a restart that cannot load it
+        // must refuse loudly instead of silently replaying a truncated log
+        // as the full history (the fail-loud stance). Crash between mark
+        // and delete is safe: log still intact, checkpoint still loads.
+        writeCompactedMark(horizon)
+        val removed = auditLog.table.delete(
+          col("id") <= lit(horizon) && col("id") < lit(maxLogId()))
+        // keepLast=1: the pre-delete snapshot still references every
+        // compacted file — retaining it would keep all bytes on disk
+        if (removed > 0) auditLog.table.expireSnapshots(keepLast = 1)
+        removed
+    }
+  }
+
+  private def compactedMark = new org.apache.hadoop.fs.Path(auditRoot, "compacted.mark")
+
+  private def writeCompactedMark(horizon: Long): Unit = {
+    val stg = new org.apache.hadoop.fs.Path(auditRoot, "compacted.mark.stg")
+    val out = cfs.create(stg, true)
+    try out.write(s"v1 $horizon\nEND\n".getBytes("UTF-8")) finally out.close()
+    cfs.delete(compactedMark, false)
+    require(cfs.rename(stg, compactedMark),
+      s"audit compaction mark rename failed at $auditRoot")
+  }
+
+  /** The horizon id of the last audit compaction, if any completed. */
+  private def compactedHorizon(): Option[Long] = {
+    if (!cfs.exists(compactedMark)) return None
+    val in = cfs.open(compactedMark)
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toSeq
+                finally in.close()
+    if (lines.lastOption.forall(_ != "END") ||
+        !lines.headOption.exists(_.startsWith("v1 "))) None
+    else lines.head.stripPrefix("v1 ").toLongOption
+  }
+
   // event-sourced recovery (r14): fold the persisted audit trail — id
   // order, LogTable ids are monotonic — back into the in-memory sets.
   // Runs LAST in the class body so every set it folds into exists. Reads
@@ -339,6 +411,16 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
   // With a checkpoint (r16), only the SUFFIX past its covered id replays.
   locally {
     val ckptId = loadCheckpoint().getOrElse(-1L)
+    // a compacted log's prefix lives ONLY in the checkpoint: replaying the
+    // truncated log as if it were complete would silently drop every
+    // pre-horizon grant — refuse instead (fail loud; restore the
+    // checkpoint file or the full log to proceed)
+    compactedHorizon().foreach { h =>
+      require(ckptId >= h,
+        s"RBAC audit log at $auditRoot was compacted below id $h but the " +
+          s"state checkpoint is missing or torn — refusing to serve " +
+          s"partial grant state")
+    }
     if (auditLog.table.exists)
       auditLog.read()
         .filter(org.apache.spark.sql.functions.col("id") > ckptId)

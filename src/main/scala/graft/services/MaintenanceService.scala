@@ -33,7 +33,8 @@ import graft.catalog.Catalog
   * then expires unreachable history beyond `keepSnapshots` to bound
   * storage. Untouched tables cost one directory listing per sweep. */
 final class MaintenanceService(cat: Catalog, maxDeltas: Int = 4, keepSnapshots: Int = 4,
-                               maxDeleteBatches: Int = 4, deleteRatio: Double = 0.3) {
+                               maxDeleteBatches: Int = 4, deleteRatio: Double = 0.3,
+                               grants: Option[graft.rbac.GrantService] = None) {
 
   /** One sweep: (tables compacted — major or minor, snapshots expired)
     * across the catalog. */
@@ -68,6 +69,18 @@ final class MaintenanceService(cat: Catalog, maxDeltas: Int = 4, keepSnapshots: 
           expired += t.expireSnapshots(keepLast = keepSnapshots).size
         }
       }
+    }
+    // RBAC audit-log pressure rides the same delta-count signal (r16
+    // verdict #6): each applyEvents batch is one append dir — many since
+    // the last fold → compact the CHECKPOINTED prefix out of the log. The
+    // sweep deliberately does NOT force a fresh checkpoint: the retained
+    // audit window is everything since the last 256-event auto-checkpoint
+    // (truncating right up to the head would be a policy decision, not
+    // housekeeping).
+    grants.foreach { g =>
+      if (g.auditLog.table.exists &&
+          g.auditLog.table.liveSnapshotDirs().size > maxDeltas &&
+          g.compactAuditLog() > 0) compacted += 1
     }
     (compacted, expired)
   }

@@ -1194,7 +1194,8 @@ final class SnapshotTable(
     * current partition/sort spec must not reference `from` (evolve the
     * spec first): per-file pruning resolves layout columns by name, and a
     * renamed layout column would silently stop pruning. */
-  def renameColumn(from: String, to: String): Long = withCommitLock {
+  def renameColumn(from: String, to: String,
+                   checkDependents: Boolean = true): Long = withCommitLock {
     writeGuard()
     require(exists, s"rename column on non-existent table at $root")
     requireColName(from); requireColName(to)
@@ -1205,6 +1206,11 @@ final class SnapshotTable(
     require(!partitionSpec().contains(from) && !sortSpec().contains(from),
       s"column '$from' is in the current partition/sort spec at $root — " +
         "evolvePartitionSpec away from it first")
+    // checkDependents=false is the REPLICATION APPLY path: the primary
+    // already adjudicated the op, and the mirror must converge — a
+    // mirror-side dependent breaks loudly at its next refresh (the
+    // pre-registry stance), never wedges the cycle
+    if (checkDependents) requireNoDependentOn(from, "rename")
     commitColOp(s"colop=rename:$from:$to")
   }
 
@@ -1215,7 +1221,8 @@ final class SnapshotTable(
     * equality-delete sidecar keys on the column — those deletes apply by
     * name against every older data snapshot, and dropping their key would
     * orphan them (compact the table, or [[compactDeletes]], first). */
-  def dropColumn(name: String): Long = withCommitLock {
+  def dropColumn(name: String,
+                 checkDependents: Boolean = true): Long = withCommitLock {
     writeGuard()
     require(exists, s"drop column on non-existent table at $root")
     requireColName(name)
@@ -1232,6 +1239,7 @@ final class SnapshotTable(
     require(keyedOnIt.isEmpty,
       s"column '$name' keys live equality-delete sidecar(s) " +
         s"${keyedOnIt.map(_.id).mkString(", ")} at $root — compact first")
+    if (checkDependents) requireNoDependentOn(name, "drop")
     commitColOp(s"colop=drop:$name")
   }
 
@@ -1325,6 +1333,82 @@ final class SnapshotTable(
   def columnOpsBetween(sinceId: Long,
                        endId: Long): Seq[(Long, String, String, String, Option[String])] =
     columnOps().filter(o => o._1 > sinceId && o._1 <= endId)
+
+  // ---- dependent-definition registry (r16 verdict #4) --------------------
+  //
+  // Derived objects (aggregate MVs, multi-base MV partials, ANN indexes)
+  // store definitions that reference this table's columns BY NAME. A
+  // RENAME or DROP of such a column used to surface only at the next
+  // refresh — loud, but a user renaming a column under five MVs repaired
+  // five broken refreshes by hand. Dependents now REGISTER their
+  // referenced columns durably under the table root (one file per
+  // dependent, stg+rename like every marker here), and renameColumn/
+  // dropColumn refuse while a live registration references the column —
+  // the dropColumn-vs-live-sidecar stance extended to derived
+  // definitions. Deregistration is the dependent's own drop path.
+
+  private def depsDir = new Path(root, "deps")
+  private def encDep(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decDep(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  private def depFile(id: String) = new Path(depsDir, s"${encDep(id)}.dep")
+
+  /** Durably record that dependent `id` (an MV name, an index root — any
+    * stable identity) references `columns` of this table. Idempotent: an
+    * identical live registration skips the write (continuous maintenance
+    * re-registers every cycle). Re-registration with different columns
+    * replaces the old set atomically. */
+  def registerDependent(id: String, kind: String, columns: Seq[String]): Unit = {
+    require(id.nonEmpty && kind.nonEmpty && columns.nonEmpty,
+      s"dependent registration needs an id, a kind, and >= 1 column")
+    if (readDependent(id).contains((kind, columns.toList))) return
+    fs.mkdirs(depsDir)
+    val body = (s"v1 ${encDep(kind)}" +: columns.map(encDep))
+      .mkString("", "\n", "\nEND\n")
+    val stg = new Path(depsDir, s"${encDep(id)}.dep.stg")
+    val out = fs.create(stg, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(depFile(id), false)
+    require(fs.rename(stg, depFile(id)),
+      s"dependent registration rename failed for '$id' at $root")
+  }
+
+  /** Remove dependent `id`'s registration (its drop path). True if one
+    * existed. */
+  def unregisterDependent(id: String): Boolean = fs.delete(depFile(id), false)
+
+  private def readDependent(id: String): Option[(String, List[String])] = {
+    val p = depFile(id)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+                finally in.close()
+    // stg+rename makes a torn body unreachable; a hand-damaged file
+    // (no END / bad header) is ignored rather than trusted
+    if (lines.lastOption.forall(_ != "END") ||
+        !lines.headOption.exists(_.startsWith("v1 "))) None
+    else Some((decDep(lines.head.stripPrefix("v1 ")),
+      lines.tail.dropRight(1).map(decDep)))
+  }
+
+  /** Every live registration as (id, kind, columns). */
+  def dependents(): Seq[(String, String, Seq[String])] =
+    if (!fs.exists(depsDir)) Nil
+    else fs.listStatus(depsDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".dep")).sorted
+      .flatMap { n =>
+        val id = decDep(n.stripSuffix(".dep"))
+        readDependent(id).map { case (kind, cols) => (id, kind, cols) }
+      }
+
+  /** The refusal shared by renameColumn/dropColumn: no live dependent may
+    * reference the column about to change identity. */
+  private def requireNoDependentOn(column: String, op: String): Unit = {
+    val refs = dependents().filter(_._3.contains(column))
+    require(refs.isEmpty,
+      s"cannot $op column '$column' at $root — referenced by dependent " +
+        s"definition(s) ${refs.map(d => s"${d._2} '${d._1}'").mkString(", ")}; " +
+        "drop or remap the dependents (or unregisterDependent) first")
+  }
 
   /** COUNT(*) of the current state from snapshot metadata alone — zero
     * table scan, zero Spark job (VERDICT r2 "What's wrong" #2: services

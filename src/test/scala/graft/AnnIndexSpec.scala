@@ -326,6 +326,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(r >= 0L)
   }
 
+  test("a maintained source refuses to rename/drop vec_id at DDL; dropIndex frees it") {
+    // r16 verdict #4: the sync keys its CDC feed on vec_id BY NAME — a
+    // rename used to surface only as the next sync window's failure. The
+    // sync now registers the dependency durably on the source table and
+    // the column op refuses at DDL time.
+    import spark.implicits._
+    val root = freshRoot()
+    val src = new SnapshotTable(spark, freshRoot() + "-src")
+    src.createOrReplace(Seq(1L, 2L).toDF("vec_id"))
+    // even a no-op sync window registers the durable dependency
+    AnnIndex.syncFromSource(spark, sfDir, root, src, src.currentSnapshotId.get)
+    val ex = intercept[IllegalArgumentException](src.renameColumn("vec_id", "id"))
+    assert(ex.getMessage.contains("annindex"), s"refusal names the index: ${ex.getMessage}")
+    intercept[IllegalArgumentException](src.dropColumn("vec_id"))
+    // dropping the index deregisters: the rename is legal again
+    AnnIndex.dropIndex(spark, root, Some(src))
+    src.renameColumn("vec_id", "id")
+    assert(src.read().columns.toSet == Set("id"))
+  }
+
   test("maintenance of a fresh index REFUSES to seed from the current source head") {
     // r13 ADVICE #2: the old default (source.currentSnapshotId) silently
     // skipped every commit between index build and first maintenance

@@ -1242,7 +1242,7 @@ class BcdrSpec extends SparkSpec {
     assert(marks.size == 1, s"one live mark file, got $marks")
     // TEAR the mark's CONTENT (a torn in-place write): garbage bytes
     val out = fs.create(marks.head, true)
-    try out.write("  garbage".getBytes("UTF-8")) finally out.close()
+    try out.write("\u0000\u0000garbage".getBytes("UTF-8")) finally out.close()
     def rewindRowOffset(): Unit = {
       val off = new org.apache.hadoop.fs.Path(
         s"${secondary.warehouse}/_replication/core/adv.torn.offset")
@@ -1355,6 +1355,43 @@ class BcdrSpec extends SparkSpec {
     assert(st.read().as[String].collect().toSet == Set("a", "B2", "c"))
     assert(t.read().as[String].collect().toSet ==
       st.read().as[String].collect().toSet)
+  }
+
+  test("a mirror-side dependent registration cannot wedge column-op " +
+    "replication: the mirror converges; the primary's own guard still holds") {
+    // r17: the dependents registry (verdict #4) refuses renames/drops at
+    // DDL on the table that OWNS the dependent — but a replication apply
+    // is not a DDL decision point: the primary already adjudicated the
+    // op, and a registration on the REPLICA (an MV built over the
+    // secondary for read scaling) must not leave the mirror schema
+    // permanently diverged. The replica-side dependent instead breaks
+    // loudly at its own next refresh, the pre-registry stance.
+    val primary = new Catalog(spark, freshDir("dep-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("dep-sec"), "sec")
+    secondary.readOnly = true
+    primary.createSchema("adv")
+    val t = primary.table("adv", "dep_t")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "dep_t")), includeViews = false)
+    val keys = Map(("adv", "dep_t") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 1L, "bootstrap")
+    // a derived object registered over the REPLICA
+    secondary.table("adv", "dep_t")
+      .registerDependent("mv:replica_mv", "agg-mv", Seq("v"))
+    t.renameColumn("v", "label")
+    t.append(Seq((2L, "b")).toDF("id", "label"))
+    assert(repl.refreshIncremental("core", keys) == 1L,
+      "the cycle ships the op + the row despite the replica-side dependent")
+    val m = secondary.table("adv", "dep_t")
+    assert(m.read().columns.toSeq == Seq("id", "label"), "the mirror converged")
+    assert(m.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // the guard still protects the PRIMARY's own dependents at DDL
+    t.registerDependent("mv:pri_mv", "agg-mv", Seq("label"))
+    intercept[IllegalArgumentException](t.renameColumn("label", "w"))
+    t.unregisterDependent("mv:pri_mv")
+    t.renameColumn("label", "w") // deregistered → legal again
   }
 
   test("failbackLogical carries COLUMN OPS across the fork: forward-window " +

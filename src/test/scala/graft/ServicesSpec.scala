@@ -255,6 +255,40 @@ class ServicesSpec extends SparkSpec {
     assert(!c2.listSchemas().exists(_.startsWith("_")))
   }
 
+  test("view replace heals an orphaned tmp before any destructive step") {
+    // r16 ADVICE #3: a replace that crashed between delete(target) and
+    // rename(tmp, target) leaves the orphan `.sql.tmp` as the view's ONLY
+    // durable copy. The next replace used to delete that tmp en route to
+    // promoting its stage — a crash in that window lost the definition
+    // entirely. The writer must promote the orphan to the canonical name
+    // FIRST, so tmp is only ever deleted while target exists.
+    val wh = freshDir("vheal")
+    val c1 = new Catalog(spark, wh, "cld")
+    c1.createSchema("adv")
+    c1.createOrReplaceView("adv", "v", "SELECT 1 AS a")
+    val dir = new java.io.File(s"$wh/_views")
+    val target = dir.listFiles().find(_.getName.endsWith(".sql")).get
+    val tmp = new java.io.File(target.getPath + ".tmp")
+    // forge the crash residue: target gone, tmp is the only durable copy
+    java.nio.file.Files.move(target.toPath, tmp.toPath)
+    assert(new Catalog(spark, wh, "cld").getView("adv", "v").map(_.definition)
+      == Some("SELECT 1 AS a"), "loader recovers the orphan as the live definition")
+    // make the NEXT replace fail at its stage write (stg path occupied by
+    // a directory) — everything BEFORE that point must be non-destructive
+    val stg = new java.io.File(target.getPath + ".tmp.stg")
+    assert(stg.mkdir())
+    intercept[Exception] { c1.createOrReplaceView("adv", "v", "SELECT 2 AS a") }
+    assert(target.exists, "orphan promoted to canonical name before the write began")
+    assert(!tmp.exists, "tmp consumed by the heal, not deleted unprotected")
+    assert(stg.delete())
+    assert(new Catalog(spark, wh, "cld").getView("adv", "v").map(_.definition)
+      == Some("SELECT 1 AS a"), "pre-crash definition survives the failed replace")
+    // a clean retry then succeeds end-to-end
+    c1.createOrReplaceView("adv", "v", "SELECT 3 AS a")
+    assert(new Catalog(spark, wh, "cld").getView("adv", "v").map(_.definition)
+      == Some("SELECT 3 AS a"))
+  }
+
   test("RBAC state survives a service restart: the audit log replays") {
     // the r14 durable-progress stance applied to RBAC: the audit log IS
     // the state — a new GrantService over the same root folds it back,
@@ -522,6 +556,78 @@ class ServicesSpec extends SparkSpec {
     assert(got == Set(("a", 2L, 12.0), ("b", 1L, 1.0), ("c", 1L, 7.0)),
       s"the fold must equal a full recompute: $got")
     assert(mvm.refreshIncremental("mv_cm") == "noop")
+  }
+
+  test("rename/drop under a live aggregate MV refuses at DDL time; " +
+    "dropping the MV frees the column") {
+    // r16 verdict #4: a rename of an MV-REFERENCED column used to fail
+    // only at the next refresh — loud, but five MVs deep that is five
+    // hand-repaired refreshes. createAggMv now registers its referenced
+    // columns durably on the base; the column op refuses at DDL.
+    val cat = newCatalog("mvdep")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(Seq(("a", 10.0, 1), ("b", 1.0, 2)).toDF("k", "amt", "aux"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createAggMv("mv_dep", ("adv", "sales"), Seq("k"), Seq("amt"))
+    val ex = intercept[IllegalArgumentException](sales.renameColumn("amt", "amount"))
+    assert(ex.getMessage.contains("mv_dep"), s"refusal names the dependent: ${ex.getMessage}")
+    intercept[IllegalArgumentException](sales.dropColumn("k"))
+    // an unreferenced column stays free to evolve (the mvcolmap stance)
+    sales.renameColumn("aux", "aux0")
+    // the registration is DURABLE — a fresh handle over the same root
+    // still refuses, no manager in sight
+    intercept[IllegalArgumentException](
+      cat.table("adv", "sales").renameColumn("amt", "amount"))
+    // dropping the MV deregisters: the rename is legal again
+    mvm.dropAggMv("mv_dep")
+    sales.renameColumn("amt", "amount")
+    assert(sales.read().columns.toSet == Set("k", "amount", "aux0"))
+    assert(!cat.table("_mv", "mv_dep").exists, "dropAggMv drops the materialization")
+  }
+
+  test("a WIDEN of an MV-referenced column is legal and the refresh folds " +
+    "exactly across the type boundary") {
+    // the registry guards identity-changing ops (rename/drop) only: a
+    // widen is lossless by construction, so it must stay allowed under a
+    // live MV — and the CDC fold must produce the same answer as a full
+    // recompute with files on both sides of the width boundary.
+    val cat = newCatalog("mvwide")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(Seq(("a", 10, 1), ("b", 1, 2)).toDF("k", "amt", "id"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0
+    mvm.createAggMv("mv_w", ("adv", "sales"), Seq("k"), Seq("amt"))
+    sales.widenColumn("amt", "bigint") // referenced — still legal
+    sales.append(Seq(("a", 3L, 3), ("c", 7L, 4)).toDF("k", "amt", "id"))
+    assert(mvm.refreshIncremental("mv_w") == "retraction",
+      "the colmap window routes through the CDC fold")
+    val got = mvm.read("mv_w")
+      .select($"k", $"n_rows", $"sum_amt".cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 13L), ("b", 1L, 1L), ("c", 1L, 7L)),
+      s"fold equals a full recompute across the width boundary: $got")
+  }
+
+  test("multi-base MV registers per-base column dependencies; dropMultiAggMv frees them all") {
+    val cat = newCatalog("mvdep2")
+    cat.createSchema("adv")
+    val imp = cat.table("adv", "imp")
+    imp.createOrReplace(Seq((1, "2024-01-01", 10.0)).toDF("cid", "d", "spend"))
+    val clk = cat.table("adv", "clk")
+    clk.createOrReplace(Seq((1, "2024-01-01", 2.0)).toDF("cid", "d", "cost"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createMultiAggMv("mv_f", Seq(
+      mvm.BaseAgg(("adv", "imp"), Seq("cid", "d"), Seq("spend"), "i"),
+      mvm.BaseAgg(("adv", "clk"), Seq("cid", "d"), Seq("cost"), "c")))
+    intercept[IllegalArgumentException](imp.renameColumn("spend", "sp"))
+    intercept[IllegalArgumentException](clk.dropColumn("cost"))
+    mvm.dropMultiAggMv("mv_f")
+    imp.renameColumn("spend", "sp")
+    clk.renameColumn("cost", "co")
+    assert(!cat.table("_mv", "mv_f").exists)
+    assert(!cat.table("_mv", "mv_f__i").exists, "partials dropped too")
   }
 
   test("MV retraction folds merge-on-read DML: del and upsert flow through the CDC path") {
@@ -874,5 +980,81 @@ class ServicesSpec extends SparkSpec {
     val torn = new GrantService(spark, root)
     assert(torn.replayedEvents == total, "a torn checkpoint is ignored")
     assert(torn.listGrants().toSet == control.listGrants().toSet)
+  }
+
+  test("maintenance sweep compacts the RBAC audit log under delta pressure") {
+    // r16 verdict #6, wired into the housekeeping loop: many applyEvents
+    // batches since the last fold = many append dirs — the same pressure
+    // signal the table sweep uses. The sweep compacts only the
+    // CHECKPOINTED prefix (it never forces a fresh checkpoint: truncating
+    // to the head would be audit policy, not housekeeping).
+    import graft.rbac.GrantService.GrantEvent
+    val cat = newCatalog("mrbac")
+    val root = freshDir("mrbac-audit")
+    val gs = new GrantService(spark, root)
+    gs.createRole("bulk")
+    gs.applyEvents((1 to graft.rbac.GrantService.CheckpointEvery).map(i =>
+      GrantEvent("bulk", "SELECT", s"adv.t$i", "GRANT"))) // crosses the checkpoint
+    for (i <- 1 to 5) gs.grant("bulk", "INSERT", s"adv.u$i") // post-ckpt tail
+    val before = gs.auditLog.read().count()
+    val (c, _) = new graft.services.MaintenanceService(cat, grants = Some(gs)).sweep()
+    assert(c >= 1, "the sweep counted the audit compaction")
+    val after = gs.auditLog.read().count()
+    assert(after < before && after >= 5,
+      s"prefix folded out, post-checkpoint tail retained: $after of $before")
+    // state survives a restart off the compacted log + checkpoint
+    val gs2 = new GrantService(spark, root)
+    assert(gs2.hasGrant("bulk", "SELECT", "adv.t1"))
+    assert(gs2.hasGrant("bulk", "INSERT", "adv.u5"))
+    // pressure relieved: an immediate second sweep compacts nothing more
+    val (c2, _) = new graft.services.MaintenanceService(cat, grants = Some(gs)).sweep()
+    assert(c2 == 0 && gs.auditLog.read().count() == after)
+  }
+
+  test("RBAC audit compaction: log truncates below the checkpoint horizon, " +
+    "state and tail queries unchanged") {
+    // r16 verdict #6: the checkpoint bounded REPLAY but the LogTable grew
+    // forever. compactAuditLog folds is-already-folded history out of the
+    // log (COW delete + snapshot expiry); the retained window still
+    // answers audit queries; restarts replay only the suffix and equal
+    // the full-history control state.
+    val root = freshDir("rbac-compact")
+    val gs = new GrantService(spark, root)
+    gs.createRole("ANALYST")
+    for (i <- 1 to 20) gs.grant("ANALYST", "SELECT", s"adv.t$i")
+    gs.revoke("ANALYST", "SELECT", "adv.t1")
+    gs.checkpointNow()
+    // the post-checkpoint tail: stays queryable after compaction
+    gs.grant("ANALYST", "INSERT", "adv.t_tail")
+    val controlState = (gs.listRoles().toSet, gs.listGrants().toSet)
+    val before = gs.auditLog.read().count()
+    val removed = gs.compactAuditLog()
+    assert(removed > 0 && removed < before, s"compacted a strict prefix: $removed of $before")
+    val after = gs.auditLog.read()
+    assert(after.count() == before - removed)
+    assert(after.where($"action" === "GRANT" && $"object" === "adv.t_tail").count() == 1,
+      "retained-window audit queries unchanged")
+    // a second compaction with no new checkpoint removes nothing more
+    assert(gs.compactAuditLog() == 0L || gs.auditLog.read().count() >= 1)
+    // restart: suffix-only replay, state equals the full-history control
+    val gs2 = new GrantService(spark, root)
+    assert(gs2.replayedEvents <= (before - removed),
+      s"post-compaction restart replays the suffix only: ${gs2.replayedEvents}")
+    assert((gs2.listRoles().toSet, gs2.listGrants().toSet) == controlState)
+    assert(!gs2.hasGrant("ANALYST", "SELECT", "adv.t1"), "the folded REVOKE holds")
+    // id monotonicity survives compaction: the newest audit row is always
+    // retained, so new appends land ABOVE the checkpoint horizon and a
+    // further restart replays them
+    gs2.grant("ANALYST", "DELETE", "adv.t_new")
+    val gs3 = new GrantService(spark, root)
+    assert(gs3.hasGrant("ANALYST", "DELETE", "adv.t_new"))
+    assert(gs3.hasGrant("ANALYST", "INSERT", "adv.t_tail"))
+    // after compaction the checkpoint is STATE: deleting it must fail the
+    // restart loudly, never silently serve the truncated log as history
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "state.ckpt"), false)
+    val ex = intercept[IllegalArgumentException] { new GrantService(spark, root) }
+    assert(ex.getMessage.contains("compacted"), s"loud refusal names the cause: ${ex.getMessage}")
   }
 }
