@@ -215,6 +215,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
       .toDF("table_catalog", "table_schema", "table_name", "view_definition", "definition_hash")
   }
 
+  /** Every dependent-definition registration across the catalog as
+    * (tbl, dependent_id, kind, columns) — the SHOW-DEPENDENTS surface an
+    * operator consults before a schema change (r17; the DDL refusal
+    * itself lives in `SnapshotTable.renameColumn`/`dropColumn`).
+    * Filesystem metadata only — zero scans, zero Spark jobs to build. */
+  def dependentsReport(): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      s <- listSchemas()
+      tn <- listTables(s)
+      (id, kind, cols) <- table(s, tn).dependents()
+    } yield (s"$s.$tn", id, kind, cols.mkString(","))
+    rows.toDF("tbl", "dependent_id", "kind", "columns")
+      .orderBy("tbl", "dependent_id")
+  }
+
   def infoSchemaColumns(): DataFrame = {
     import spark.implicits._
     val rows = for {

@@ -579,11 +579,17 @@ class ServicesSpec extends SparkSpec {
     // still refuses, no manager in sight
     intercept[IllegalArgumentException](
       cat.table("adv", "sales").renameColumn("amt", "amount"))
+    // the catalog-wide report surfaces the registration (zero scans)
+    val rep = cat.dependentsReport().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rep.contains(("adv.sales", "mv:mv_dep", "agg-mv", "k,amt")),
+      s"dependentsReport lists the MV registration: ${rep.toSeq}")
     // dropping the MV deregisters: the rename is legal again
     mvm.dropAggMv("mv_dep")
     sales.renameColumn("amt", "amount")
     assert(sales.read().columns.toSet == Set("k", "amount", "aux0"))
     assert(!cat.table("_mv", "mv_dep").exists, "dropAggMv drops the materialization")
+    assert(cat.dependentsReport().isEmpty, "the drop clears the report")
   }
 
   test("a WIDEN of an MV-referenced column is legal and the refresh folds " +
