@@ -210,6 +210,76 @@ final class MaterializedViewManager(cat: Catalog) {
     t.registerDependent(s"mv:$name", "agg-mv", keyCols ++ sumCols ++ minMaxCols)
   }
 
+  /** REMAP every registered aggregate-MV definition on `base` across a
+    * base-column rename, then rename the base column itself — the
+    * "refuse OR remap" completion (r16 missing #3): with this, a column
+    * under five MVs renames in ONE call instead of five refusals. The MV
+    * materializations follow via their own MARKER-ONLY column renames
+    * (zero rewritten bytes at any scale — the `_mv` tables are
+    * SnapshotTables too), definitions and durable registrations update,
+    * and the base rename then passes its dependent guard. Multi-base MV
+    * SUM columns remap the same way; a COMPOSITE-KEY rename is refused —
+    * the key names are shared across bases by construction, so a one-base
+    * rename cannot be represented (drop and recreate the MV).
+    *
+    * Not atomic across objects: a crash mid-remap leaves some MVs
+    * renamed and the base not yet — every step is idempotent (renames
+    * skip when the old name is already gone), so RE-RUNNING the same
+    * call completes the remap; refreshes in the torn window fail loudly,
+    * never silently. Routing entries go stale at the base's colmap
+    * commit (the freshness closure) — re-run `enableRewrite` after.
+    * Returns the number of MV definitions remapped. */
+  def renameBaseColumn(base: (String, String), from: String,
+                       to: String): Int = synchronized { withRewriteOff {
+    val t = cat.table(base._1, base._2)
+    multiDefs.foreach { case (name, bases) =>
+      require(!bases.exists(b => b.base == base && b.keyCols.contains(from)),
+        s"cannot remap composite-key column '$from' of multi-base MV " +
+          s"'$name' — the key names are shared across its bases; drop and " +
+          "recreate the MV instead")
+    }
+    var remapped = 0
+    def ren(tbl: graft.warehouse.SnapshotTable, o: String, n: String): Unit =
+      if (tbl.read().columns.contains(o)) tbl.renameColumn(o, n)
+    aggDefs.toSeq.foreach { case (name, d) =>
+      if (d.base == base &&
+          (d.keyCols ++ d.sumCols ++ d.minMaxCols).contains(from)) {
+        val mv = cat.table("_mv", name)
+        if (d.keyCols.contains(from)) ren(mv, from, to)
+        if (d.sumCols.contains(from)) ren(mv, s"sum_$from", s"sum_$to")
+        if (d.minMaxCols.contains(from)) {
+          ren(mv, s"min_$from", s"min_$to"); ren(mv, s"max_$from", s"max_$to")
+        }
+        val sub = (c: String) => if (c == from) to else c
+        val nd = AggMvDef(base, d.keyCols.map(sub), d.sumCols.map(sub),
+          d.minMaxCols.map(sub))
+        aggDefs(name) = nd
+        t.registerDependent(s"mv:$name", "agg-mv",
+          nd.keyCols ++ nd.sumCols ++ nd.minMaxCols)
+        remapped += 1
+      }
+    }
+    multiDefs.toSeq.foreach { case (name, bases) =>
+      if (bases.exists(b => b.base == base && b.sumCols.contains(from))) {
+        multiDefs(name) = bases.map { b =>
+          if (b.base == base && b.sumCols.contains(from)) {
+            ren(cat.table("_mv", partialName(name, b)),
+              s"${b.prefix}_sum_$from", s"${b.prefix}_sum_$to")
+            ren(cat.table("_mv", name),
+              s"${b.prefix}_sum_$from", s"${b.prefix}_sum_$to")
+            val b2 = b.copy(sumCols = b.sumCols.map(c => if (c == from) to else c))
+            t.registerDependent(s"mv:$name:${b.prefix}", "multi-agg-mv",
+              b2.keyCols ++ b2.sumCols)
+            remapped += 1
+            b2
+          } else b
+        }
+      }
+    }
+    t.renameColumn(from, to) // passes: every registration now names `to`
+    remapped
+  } }
+
   /** Drop an incremental aggregate MV: the materialization, the routing
     * eligibility (the staleness closure reads the removed watermark as
     * -1, so [[MvRewrite]] stops routing), and the durable column

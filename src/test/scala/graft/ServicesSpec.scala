@@ -592,6 +592,74 @@ class ServicesSpec extends SparkSpec {
     assert(cat.dependentsReport().isEmpty, "the drop clears the report")
   }
 
+  test("renameBaseColumn REMAPS every registered agg MV across the rename: " +
+    "marker-only on the MVs, refresh continues under the new name") {
+    // the "refuse OR remap" completion: a column under N MVs renames in
+    // one call — MV materializations follow via their own marker-only
+    // colmap commits, definitions and registrations update, and the base
+    // rename then passes its own dependent guard.
+    val cat = newCatalog("mvremap")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(
+      Seq(("a", 10.0, 5.0), ("b", 1.0, 2.0)).toDF("k", "amt", "cost"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.retractionCrossoverRows = 0
+    mvm.createAggMv("mv_r1", ("adv", "sales"), Seq("k"), Seq("amt"))
+    mvm.createAggMv("mv_r2", ("adv", "sales"), Seq("k"), Seq("amt", "cost"),
+      minMaxCols = Seq("amt"))
+    // the direct rename refuses — two registered dependents
+    intercept[IllegalArgumentException](sales.renameColumn("amt", "amount"))
+    assert(mvm.renameBaseColumn(("adv", "sales"), "amt", "amount") == 2)
+    assert(sales.read().columns.toSeq == Seq("k", "amount", "cost"))
+    assert(mvm.read("mv_r1").columns.contains("sum_amount"))
+    assert(mvm.read("mv_r2").columns.count(_.endsWith("_amount")) == 3,
+      "sum/min/max partials all followed the rename")
+    // refresh continues EXACTLY under the new name (colmap + append window)
+    sales.append(Seq(("a", 2.0, 1.0), ("c", 7.0, 3.0)).toDF("k", "amount", "cost"))
+    assert(mvm.refreshIncremental("mv_r1") == "retraction")
+    val got = mvm.read("mv_r1")
+      .select($"k", $"n_rows", $"sum_amount".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 2L, 12.0), ("b", 1L, 1.0), ("c", 1L, 7.0)))
+    // min/max MVs rebuild (not retractable) — still exact under new names
+    assert(mvm.refreshIncremental("mv_r2") == "full")
+    val mm = mvm.read("mv_r2").filter($"k" === "a")
+      .select($"min_amount".cast("double"), $"max_amount".cast("double")).head()
+    assert((mm.getDouble(0), mm.getDouble(1)) == (2.0, 10.0))
+    // the registry FOLLOWED: the new name is guarded, a re-run is refused
+    // only through the guard (old name gone → idempotent completion path)
+    intercept[IllegalArgumentException](sales.renameColumn("amount", "x"))
+  }
+
+  test("renameBaseColumn remaps multi-base MV sum columns; composite-key " +
+    "renames are refused with a recreate hint") {
+    val cat = newCatalog("mvremap2")
+    cat.createSchema("adv")
+    val imp = cat.table("adv", "imp")
+    imp.createOrReplace(Seq((1, "d1", 10.0)).toDF("cid", "d", "spend"))
+    val clk = cat.table("adv", "clk")
+    clk.createOrReplace(Seq((1, "d1", 2.0)).toDF("cid", "d", "cost"))
+    val mvm = new MaterializedViewManager(cat)
+    mvm.createMultiAggMv("mv_f", Seq(
+      mvm.BaseAgg(("adv", "imp"), Seq("cid", "d"), Seq("spend"), "i"),
+      mvm.BaseAgg(("adv", "clk"), Seq("cid", "d"), Seq("cost"), "c")))
+    val ex = intercept[IllegalArgumentException](
+      mvm.renameBaseColumn(("adv", "imp"), "cid", "campaign"))
+    assert(ex.getMessage.contains("recreate"), ex.getMessage)
+    assert(mvm.renameBaseColumn(("adv", "imp"), "spend", "budget") == 1)
+    assert(imp.read().columns.contains("budget"))
+    assert(mvm.read("mv_f__i").columns.contains("i_sum_budget"))
+    assert(mvm.read("mv_f").columns.contains("i_sum_budget"))
+    // the other base untouched, its registration intact
+    intercept[IllegalArgumentException](clk.renameColumn("cost", "x"))
+    // the per-base incremental fold continues under the new name
+    imp.append(Seq((1, "d1", 5.0)).toDF("cid", "d", "budget"))
+    mvm.refreshMultiAggMv("mv_f")
+    val v = mvm.read("mv_f").select($"i_sum_budget".cast("double")).head().getDouble(0)
+    assert(v == 15.0, s"post-remap fold: $v")
+  }
+
   test("a WIDEN of an MV-referenced column is legal and the refresh folds " +
     "exactly across the type boundary") {
     // the registry guards identity-changing ops (rename/drop) only: a
