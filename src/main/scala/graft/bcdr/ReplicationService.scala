@@ -435,40 +435,53 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
                             sinceId: Long, endId: Long): Unit = {
     val ops = pt.columnOpsBetween(sinceId, endId)
     if (ops.nonEmpty && st.exists) {
-      val mark = colOpsMark(markRoot, group, schema0, t0)
-      ops.foreach { case (opId, op, from, to, dflt) =>
+      // the replay horizon folds BOTH watermarks: the mark file and the
+      // srcop evidence the mirror's own colmap commits carry (atomic
+      // with each apply, r17) — a crash between an apply and its mark
+      // write can never replay, even for an IDENTICAL batch shipped
+      // twice (a double swap), because source ids differ
+      val mark = math.max(colOpsMark(markRoot, group, schema0, t0),
+        st.maxAppliedSrcOp())
+      // ops sharing one id are an ATOMIC BATCH (alterColumns on the
+      // source): they apply to the mirror as one commit too
+      ops.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (opId, batch) =>
         if (opId > mark) {
           val schema = st.read().schema
           val cols = schema.fieldNames.toSet
+          val alters = batch.map { case (_, op, from, to, dflt) =>
+            graft.warehouse.SnapshotTable.ColumnAlter(op, from, to, dflt) }
+          // schema-state guards cover the LEGACY single-op crash window
+          // (applied by a pre-srcop build whose mark write was lost);
+          // a multi-op batch is all-or-nothing, srcop is its guard
+          val needed =
+            if (alters.size > 1) alters
+            else alters.filter(a => a.op match {
+              case "rename" => cols(a.from) && !cols(a.to)
+              case "drop" => cols(a.from)
+              case "widen" =>
+                val target = org.apache.spark.sql.types.DataType.fromDDL(a.to)
+                schema.find(_.name == a.from).exists(_.dataType != target)
+              case "add" => !cols(a.from)
+              case _ => false
+            })
           // checkDependents=false on every mirror apply: the SOURCE
           // already adjudicated the op against ITS dependents; the mirror
           // must converge — a mirror-side registration (an MV built over
           // the replica) breaks loudly at its own next refresh, never
-          // wedges the cycle
-          op match {
-            case "rename" =>
-              if (cols(from) && !cols(to))
-                st.renameColumn(from, to, checkDependents = false)
-            case "drop" => if (cols(from)) {
-              // the SOURCE passed its own drop guard (it compacted its
-              // keyed sidecars first); the DESTINATION's accumulated
-              // keyed-apply sidecars must not wedge the cycle on a legal
-              // op (r16 ADVICE #4) — bake them and retry once
-              try st.dropColumn(from, checkDependents = false)
-              catch {
-                case e: IllegalArgumentException
-                    if e.getMessage != null &&
-                      e.getMessage.contains("keys live equality-delete") =>
-                  st.compact()
-                  st.dropColumn(from, checkDependents = false)
-              }
+          // wedges the cycle. A drop wedged on the DESTINATION's own
+          // accumulated keyed-apply sidecars compacts and retries once
+          // (r16 ADVICE #4) — the source passed its own guard
+          if (needed.nonEmpty) {
+            try st.alterColumns(needed, checkDependents = false,
+              srcOp = Some(opId))
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("keys live equality-delete") =>
+                st.compact()
+                st.alterColumns(needed, checkDependents = false,
+                  srcOp = Some(opId))
             }
-            case "widen" =>
-              val target = org.apache.spark.sql.types.DataType.fromDDL(to)
-              if (schema.find(_.name == from).exists(_.dataType != target))
-                st.widenColumn(from, to)
-            case "add" => if (!cols(from)) st.addColumn(from, to, dflt)
-            case _ => ()
           }
           writeColOpsMark(markRoot, group, schema0, t0, opId)
         }

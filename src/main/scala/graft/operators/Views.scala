@@ -2056,6 +2056,75 @@ object Views {
       }
     },
 
+    // ATOMIC MULTI-OP DDL through the correctness gate (r17
+    // `alterColumns`, Iceberg UpdateSchema semantics): a column SWAP +
+    // widen + add-with-default land as ONE marker commit — REQUIREd
+    // zero data files touched and exactly one colmap snapshot — then an
+    // append under the post-batch schema and a COW delete spanning both
+    // epochs; the final grouped aggregate under the swapped names hashes
+    // vs DuckDB replaying the statements.
+    "q152_atomic_alter" -> { (s, dir) =>
+      import s.implicits._
+      val base = sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft-scratch")
+      val wh = s"$base/atomalter"
+      try {
+        val cat = new graft.catalog.Catalog(s, wh, "pri")
+        cat.createSchema("gate")
+        val tbl = cat.table("gate", "orders_a")
+        val orders = t(s, dir, "orders")
+        val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
+        tbl.createOrReplace(orders.select($"o_orderkey",
+          $"o_orderstatus".as("st"), $"o_orderpriority".as("pri"),
+          $"o_totalprice".as("price"),
+          ($"o_custkey" % lit(7L)).cast("int").as("seg")))
+        def dataFiles(): Set[String] = {
+          val p = new org.apache.hadoop.fs.Path(wh)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(p, true)
+          val out = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              out += f.getPath.toString + "@" + f.getModificationTime
+          }
+          out.result()
+        }
+        val before = dataFiles()
+        val chain0 = tbl.snapshots().size
+        import graft.warehouse.SnapshotTable.ColumnAlter
+        tbl.alterColumns(Seq(
+          ColumnAlter.rename("st", "swap_tmp"),
+          ColumnAlter.rename("pri", "st"),
+          ColumnAlter.rename("swap_tmp", "pri"),
+          ColumnAlter.widen("seg", "bigint"),
+          ColumnAlter.add("grade", "string", Some("c"))))
+        require(dataFiles() == before,
+          "q152: the whole batch must be marker-only — zero data files")
+        require(tbl.snapshots().size == chain0 + 1 &&
+            tbl.snapshots().last._2 == "colmap",
+          "q152: swap + widen + add land as ONE colmap commit")
+        tbl.append(orders.filter($"o_orderkey" % lit(9L) === lit(5L))
+          .select(($"o_orderkey" + lit(shift)).as("o_orderkey"),
+            lit("X").as("st"), lit("Y").as("pri"),
+            $"o_totalprice".as("price"),
+            ($"o_custkey" % lit(3L)).cast("bigint").as("seg"),
+            lit("g").as("grade")))
+        // a COW delete spanning BOTH epochs (pre-batch victims rewrite
+        // through the mapped read: swapped names, widened type, default)
+        tbl.delete($"o_orderkey" % lit(10L) === lit(3L))
+        val res = tbl.read().groupBy($"st", $"pri", $"grade")
+          .agg(count(lit(1)).as("n"), decCents($"price").as("price_cents"),
+            sum($"seg").as("seg_sum"))
+          .orderBy($"st", $"pri", $"grade")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    },
+
     // RETRACTION MV FOLD through the correctness gate: an aggregate MV is
     // built, then file-pruned DML lands on the base — a DELETE plus an
     // UPDATE that MOVES rows between the MV's groups (status → 'X': the
@@ -3076,6 +3145,26 @@ object Views {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(SUM(CAST(amount AS DECIMAL(18,2))) * 100 AS BIGINT) AS amount_cents
          FROM stages
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
+
+    "q152_atomic_alter" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM orders),
+         b AS (SELECT o_orderkey, o_orderpriority AS st,
+                      o_orderstatus AS pri, o_totalprice AS price,
+                      CAST(o_custkey % 7 AS BIGINT) AS seg, 'c' AS grade
+               FROM orders),
+         nova AS (SELECT o.o_orderkey + mx.m AS o_orderkey, 'X' AS st,
+                         'Y' AS pri, o.o_totalprice AS price,
+                         CAST(o.o_custkey % 3 AS BIGINT) AS seg, 'g' AS grade
+                  FROM orders o, mx WHERE o.o_orderkey % 9 = 5),
+         fin AS (SELECT * FROM b UNION ALL SELECT * FROM nova),
+         kept AS (SELECT * FROM fin WHERE o_orderkey % 10 <> 3)
+         SELECT st, pri, grade,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+                CAST(SUM(seg) AS BIGINT) AS seg_sum
+         FROM kept
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
 

@@ -170,11 +170,11 @@ final class SnapshotTable(
   private def requireNoteSafe(note: Option[String]): Unit = note.foreach { n =>
     require(!n.contains('|'), s"invalid note '$n': '|' is the marker field separator")
     val reserved = n.split(' ')
-      .filter(t => Seq("eqdel=", "seq=", "merged=", "posdel=", "colop=")
+      .filter(t => Seq("eqdel=", "seq=", "merged=", "posdel=", "colop=", "srcop=")
         .exists(t.startsWith))
     require(reserved.isEmpty,
       s"invalid note '$n': ${reserved.mkString(", ")} — eqdel=/seq=/merged=/" +
-        "posdel=/colop= tokens are reserved for system-written marker fields")
+        "posdel=/colop=/srcop= tokens are reserved for system-written marker fields")
   }
 
   /** The equality-key columns of a `del`/`mor` snapshot — the first
@@ -1074,18 +1074,32 @@ final class SnapshotTable(
   private def colOpsUpTo(uptoId: Long): Seq[ColOp] = colOpsFrom(metas(), uptoId)
 
   private def colOpsFrom(ms: Seq[SnapMeta], uptoId: Long): Seq[ColOp] =
-    ms.filter(m => m.kind == "colmap" && m.id <= uptoId).flatMap(parseColOp)
+    ms.filter(m => m.kind == "colmap" && m.id <= uptoId).flatMap(parseColOps)
 
-  private def parseColOp(m: SnapMeta): Option[ColOp] =
-    noteField(m, "colop").flatMap(_.split(':') match {
-      case Array("rename", f, t) => Some(ColOp(m.id, "rename", f, t))
-      case Array("drop", f) => Some(ColOp(m.id, "drop", f, ""))
-      case Array("widen", f, t) => Some(ColOp(m.id, "widen", f, t))
-      case Array("add", f, t) => Some(ColOp(m.id, "add", f, unesc2(t)))
+  /** A `colop=` note carries one op — or an ATOMIC BATCH (r17
+    * `alterColumns`): `batch:` followed by comma-joined URL-ENCODED
+    * single-op segments (encoding escapes ',' and ':', so widen types
+    * like `decimal(12,2)` can never split wrong; legacy single-op notes
+    * parse exactly as before). Ops in one marker share its id and fold
+    * in listed order everywhere the per-id order already mattered. */
+  private def parseColOps(m: SnapMeta): Seq[ColOp] =
+    noteField(m, "colop").toSeq.flatMap { note =>
+      if (note.startsWith("batch:"))
+        note.stripPrefix("batch:").split(',').toSeq
+          .flatMap(enc => parseColOpSeg(m.id, unesc2(enc)))
+      else parseColOpSeg(m.id, note)
+    }
+
+  private def parseColOpSeg(id: Long, seg: String): Option[ColOp] =
+    seg.split(':') match {
+      case Array("rename", f, t) => Some(ColOp(id, "rename", f, t))
+      case Array("drop", f) => Some(ColOp(id, "drop", f, ""))
+      case Array("widen", f, t) => Some(ColOp(id, "widen", f, t))
+      case Array("add", f, t) => Some(ColOp(id, "add", f, unesc2(t)))
       case Array("add", f, t, d) =>
-        Some(ColOp(m.id, "add", f, unesc2(t), Some(unesc2(d))))
+        Some(ColOp(id, "add", f, unesc2(t), Some(unesc2(d))))
       case _ => None
-    })
+    }
 
   // the add op's type/default segments URL-encode (':', '|', spaces all
   // escape), so the colon-split token stays unambiguous
@@ -1260,17 +1274,7 @@ final class SnapshotTable(
         throw new IllegalArgumentException(s"unparseable type '$toType'", e) }
     val field = read().schema.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown column '$name' at $root"))
-    import org.apache.spark.sql.types._
-    val ok = (field.dataType, target) match {
-      case (a, b) if a == b => false // no-op widen is a caller bug
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case (ShortType, IntegerType | LongType) => true
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (d1: DecimalType, d2: DecimalType) =>
-        d2.precision > d1.precision && d1.scale == d2.scale
-      case _ => false
-    }
+    val ok = widenOk(field.dataType, target)
     require(ok, s"'$name' is ${field.dataType.simpleString} at $root — only " +
       s"lossless promotions are allowed (integral widening, float→double, " +
       s"decimal precision), not → ${target.simpleString}")
@@ -1307,6 +1311,144 @@ final class SnapshotTable(
     }
     commitColOp(s"colop=add:$name:${esc2(toType)}" +
       defaultValue.fold("")(d => s":${esc2(d)}"))
+  }
+
+  /** ALTER TABLE as ONE atomic marker commit (r17; Iceberg's
+    * `UpdateSchema` commits every change in one transaction): a batch of
+    * rename/drop/widen/add ops validates as a WHOLE — op k sees the
+    * schema ops 1..k-1 produced — then lands as a SINGLE colmap marker.
+    * A column SWAP (`a→tmp, b→a, tmp→b`) that previously took three
+    * commits with crash windows between them is now one atomic commit;
+    * replication ships the batch as one watermarked unit, so the
+    * chain-replay hazards the per-op watermark exists for cannot arise
+    * within a batch at all. Table-level guards (partition/sort spec,
+    * live sidecar keys, dependent registrations) check the PRE-batch
+    * names of surviving lineage — a column renamed then dropped inside
+    * the batch is judged by the name sidecars and dependents actually
+    * reference. Zero data files touched, as with every single op.
+    *
+    * `checkDependents=false` is the replication-apply path (see
+    * [[renameColumn]]); `srcOp` records the SOURCE op id inside this
+    * commit's own note (`srcop=`), so a replication consumer's replay
+    * guard has evidence ATOMIC with the apply — a crash between the
+    * apply and the external watermark write cannot replay the batch
+    * ([[maxAppliedSrcOp]]). */
+  def alterColumns(alters: Seq[SnapshotTable.ColumnAlter],
+                   checkDependents: Boolean = true,
+                   srcOp: Option[Long] = None): Long = withCommitLock {
+    writeGuard()
+    require(exists, s"alter columns on non-existent table at $root")
+    require(alters.nonEmpty, "alterColumns: empty batch")
+    import org.apache.spark.sql.types._
+    var schema: Vector[StructField] = read().schema.fields.toVector
+    // in-batch name → PRE-batch (live) name; in-batch adds have no entry
+    var preName: Map[String, String] = schema.map(f => f.name -> f.name).toMap
+    val pSpec = partitionSpec(); val sSpec = sortSpec()
+    val sup = supersededIds(dataChainAt(currentSnapshotId.get))
+    val priorOps = colOpsUpTo(Long.MaxValue)
+    val liveSidecars = liveDels().filterNot(m => sup(m.id))
+    val segs = Seq.newBuilder[String]
+    alters.foreach { a =>
+      val cols = schema.map(_.name).toSet
+      def specGuard(c: String): Unit = preName.get(c).foreach { p =>
+        require(!pSpec.contains(p) && !sSpec.contains(p),
+          s"column '$p' is in the current partition/sort spec at $root — " +
+            "evolvePartitionSpec away from it first (batch)")
+      }
+      a.op match {
+        case "rename" =>
+          requireColName(a.from); requireColName(a.to)
+          require(cols(a.from), s"unknown column '${a.from}' at $root (batch)")
+          require(!cols(a.to),
+            s"column '${a.to}' already exists at $root — rename would collide (batch)")
+          specGuard(a.from)
+          if (checkDependents)
+            preName.get(a.from).foreach(p => requireNoDependentOn(p, "rename"))
+          schema = schema.map(f => if (f.name == a.from) f.copy(name = a.to) else f)
+          preName = (preName - a.from) ++ preName.get(a.from).map(a.to -> _)
+          segs += s"rename:${a.from}:${a.to}"
+        case "drop" =>
+          requireColName(a.from)
+          require(cols(a.from), s"unknown column '${a.from}' at $root (batch)")
+          specGuard(a.from)
+          preName.get(a.from).foreach { p =>
+            val keyedOnIt = liveSidecars
+              .filter(m => logicalDelKeys(m, priorOps).contains(p))
+            require(keyedOnIt.isEmpty,
+              s"column '$p' keys live equality-delete sidecar(s) " +
+                s"${keyedOnIt.map(_.id).mkString(", ")} at $root — compact first (batch)")
+            if (checkDependents) requireNoDependentOn(p, "drop")
+          }
+          schema = schema.filterNot(_.name == a.from)
+          preName -= a.from
+          segs += s"drop:${a.from}"
+        case "widen" =>
+          requireColName(a.from)
+          require(!a.to.exists("|: ".contains(_)),
+            s"invalid type '${a.to}' for a widen op (batch)")
+          val target = try DataType.fromDDL(a.to)
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(s"unparseable type '${a.to}'", e) }
+          val field = schema.find(_.name == a.from).getOrElse(
+            throw new IllegalArgumentException(s"unknown column '${a.from}' at $root (batch)"))
+          require(widenOk(field.dataType, target),
+            s"'${a.from}' is ${field.dataType.simpleString} at $root — only " +
+              s"lossless promotions are allowed, not → ${target.simpleString} (batch)")
+          specGuard(a.from)
+          schema = schema.map(f =>
+            if (f.name == a.from) f.copy(dataType = target) else f)
+          segs += s"widen:${a.from}:${a.to}"
+        case "add" =>
+          requireColName(a.from)
+          val target = try DataType.fromDDL(a.to)
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(s"unparseable type '${a.to}'", e) }
+          require(!cols(a.from), s"column '${a.from}' already exists at $root (batch)")
+          a.dflt.foreach { d =>
+            import org.apache.spark.sql.functions.lit
+            val v = spark.range(1).select(lit(d).cast(target)).head()
+            require(!v.isNullAt(0),
+              s"default '$d' does not parse as ${target.simpleString} (batch)")
+          }
+          schema = schema :+ StructField(a.from, target)
+          segs += s"add:${a.from}:${esc2(a.to)}" +
+            a.dflt.fold("")(d => s":${esc2(d)}")
+        case other =>
+          throw new IllegalArgumentException(s"unknown alter op '$other'")
+      }
+    }
+    commitColOp("colop=batch:" + segs.result().map(esc2).mkString(",") +
+      srcOp.fold("")(id => s" srcop=$id"))
+  }
+
+  /** Max `srcop=` field across colmap markers — the SOURCE op id a
+    * replication apply recorded ATOMICALLY inside its own commit
+    * ([[alterColumns]]); the consumer's watermark fold takes the max of
+    * this and its mark file, so a crash between the apply and the mark
+    * write can never replay a batch — even an IDENTICAL batch shipped
+    * twice (a double swap) is distinguished by its source ids. -1 when
+    * none. Metadata-only. */
+  def maxAppliedSrcOp(): Long =
+    metas().filter(_.kind == "colmap")
+      .flatMap(m => noteField(m, "srcop").flatMap(_.toLongOption))
+      .maxOption.getOrElse(-1L)
+
+  /** Iceberg's lossless type-promotion rules (the only widens allowed):
+    * integral widening, float→double, decimal precision growth at the
+    * same scale. A no-op widen is a caller bug, not a promotion. */
+  private def widenOk(from: org.apache.spark.sql.types.DataType,
+                      target: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, target) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
   }
 
   private def requireColName(n: String): Unit =
@@ -2459,7 +2601,10 @@ final class SnapshotTable(
         // the per-append mapping synthesizes its default/NULL into older
         // appends, so the delta stays exact under the new schema — and
         // consumers that pinned the pre-add schema simply project it away
-        (m.kind == "colmap" && parseColOp(m).forall(_.op != "add")) ||
+        // (an atomic batch rides free only when EVERY op is an add;
+        // an unparseable note refuses, conservatively)
+        (m.kind == "colmap" &&
+          { val os = parseColOps(m); os.isEmpty || os.exists(_.op != "add") }) ||
         // a MERGED sidecar rides free like a compact rewrite: its
         // originals already refused (or were consumed) in their own window
         ((carriesEqDeletes(m) || carriesPosDeletes(m)) && mergedIds(m).isEmpty))
@@ -3991,6 +4136,23 @@ final case class ChangeScan(df: org.apache.spark.sql.DataFrame,
                             filesRead: Int, liveFilesTotal: Int)
 
 object SnapshotTable {
+
+  /** One op of an [[SnapshotTable.alterColumns]] atomic batch; build via
+    * the factory methods. `from` is the column the op targets under the
+    * schema the PRECEDING batch ops produced; `to` carries the rename
+    * target / widen type / add type. */
+  final case class ColumnAlter(op: String, from: String, to: String = "",
+                               dflt: Option[String] = None)
+  object ColumnAlter {
+    def rename(from: String, to: String): ColumnAlter =
+      ColumnAlter("rename", from, to)
+    def drop(name: String): ColumnAlter = ColumnAlter("drop", name)
+    def widen(name: String, toType: String): ColumnAlter =
+      ColumnAlter("widen", name, toType)
+    def add(name: String, toType: String,
+            default: Option[String] = None): ColumnAlter =
+      ColumnAlter("add", name, toType, default)
+  }
 
   /** Per-root commit serialization WITHIN this JVM: id claims and marker
     * writes are short metadata steps guarded by this lock, so concurrent

@@ -1357,6 +1357,64 @@ class BcdrSpec extends SparkSpec {
       st.read().as[String].collect().toSet)
   }
 
+  test("an ATOMIC column-swap batch ships as ONE mirror commit; srcop " +
+    "evidence inside the mirror's own marker beats a lost watermark — " +
+    "replay cannot swap back, an identical second swap still ships") {
+    // r17 alterColumns: the swap chain that forced the r16 watermark
+    // machinery is now one atomic marker on both sides, and the mirror's
+    // apply records the SOURCE op id in its own commit note (srcop=) —
+    // replay evidence atomic with the apply, so even losing the external
+    // mark file AND rewinding the row offset cannot re-swap; a second
+    // IDENTICAL swap is distinguished by its source id and ships.
+    import graft.warehouse.SnapshotTable.ColumnAlter
+    val primary = new Catalog(spark, freshDir("swap-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("swap-sec"), "sec")
+    secondary.readOnly = true
+    primary.createSchema("adv")
+    val t = primary.table("adv", "swp")
+    t.createOrReplace(Seq((1L, "x1", "y1")).toDF("id", "a", "b"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "swp")), includeViews = false)
+    val keys = Map(("adv", "swp") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 1L, "bootstrap")
+    val preBatchOffset = t.currentSnapshotId.get
+    t.alterColumns(Seq(ColumnAlter.rename("a", "tmp"),
+      ColumnAlter.rename("b", "a"), ColumnAlter.rename("tmp", "b")))
+    t.append(Seq((2L, "y2", "x2")).toDF("id", "a", "b"))
+    assert(repl.refreshIncremental("core", keys) == 1L)
+    val m = secondary.table("adv", "swp")
+    assert(m.snapshots().count(_._2 == "colmap") == 1,
+      s"the batch lands as ONE mirror colmap commit: ${m.snapshots().map(_._2)}")
+    def mState() = m.read().orderBy("id").select($"id", $"a", $"b")
+      .as[(Long, String, String)].collect().toSeq
+    val want = Seq((1L, "y1", "x1"), (2L, "y2", "x2"))
+    assert(mState() == want)
+    // CRASH REPLAY with a LOST watermark: delete every colops mark AND
+    // rewind the row offset below the batch — the replayed window
+    // contains the swap again
+    val fs = new org.apache.hadoop.fs.Path(secondary.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"${secondary.warehouse}/_replication/core")
+    fs.listStatus(dir).foreach { s =>
+      if (s.getPath.getName.contains(".colops")) fs.delete(s.getPath, false) }
+    val off = new org.apache.hadoop.fs.Path(dir, "adv.swp.offset")
+    val o = fs.create(off, true)
+    try o.write(s"$preBatchOffset".getBytes("UTF-8")) finally o.close()
+    repl.refreshIncremental("core", keys) // replays the window
+    assert(m.snapshots().count(_._2 == "colmap") == 1,
+      "srcop evidence prevents the re-swap despite the lost mark")
+    assert(mState() == want, "replay must not disturb the mirror")
+    // a SECOND IDENTICAL swap still ships — source ids differ
+    t.alterColumns(Seq(ColumnAlter.rename("a", "tmp"),
+      ColumnAlter.rename("b", "a"), ColumnAlter.rename("tmp", "b")))
+    repl.refreshIncremental("core", keys)
+    assert(m.snapshots().count(_._2 == "colmap") == 2, "the second swap applied")
+    assert(mState() == Seq((1L, "x1", "y1"), (2L, "x2", "y2")),
+      "both sides swapped back")
+    assert(m.read().exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(m.read()).isEmpty)
+  }
+
   test("a mirror-side dependent registration cannot wedge column-op " +
     "replication: the mirror converges; the primary's own guard still holds") {
     // r17: the dependents registry (verdict #4) refuses renames/drops at

@@ -353,6 +353,75 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.count() == 2L)
   }
 
+  test("alterColumns: a column SWAP is ONE atomic marker commit — zero " +
+    "data files, values follow, time travel sees the pre-batch names") {
+    // r17: Iceberg's UpdateSchema commits every change in one
+    // transaction. The swap (a→tmp, b→a, tmp→b) previously took three
+    // commits with a crash window between each — the exact chain the
+    // replication watermark machinery exists to defend. One marker
+    // removes the window entirely.
+    import SnapshotTable.ColumnAlter
+    val t = new SnapshotTable(spark, freshRoot("swap1"))
+    t.createOrReplace(Seq((1L, "x1", "y1"), (2L, "x2", "y2")).toDF("id", "a", "b"))
+    val before = dataFiles(t)
+    val preId = t.currentSnapshotId.get
+    val chain0 = t.snapshots().size
+    t.alterColumns(Seq(
+      ColumnAlter.rename("a", "tmp"),
+      ColumnAlter.rename("b", "a"),
+      ColumnAlter.rename("tmp", "b")))
+    assert(dataFiles(t) == before, "the batch must not touch a data byte")
+    assert(t.snapshots().size == chain0 + 1 && t.snapshots().last._2 == "colmap",
+      "the whole batch is ONE colmap commit")
+    // renames keep field POSITION (the Iceberg field-id stance): the
+    // physical first column now answers to 'b', the second to 'a'
+    assert(t.read().columns.toSet == Set("id", "a", "b"))
+    assert(t.read().orderBy("id").select($"id", $"a", $"b")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "y1", "x1"), (2L, "y2", "x2")),
+      "values swapped: logical a now reads physical b and vice versa")
+    assert(t.asOf(preId).orderBy("id").select($"id", $"a", $"b")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "x1", "y1"), (2L, "x2", "y2")),
+      "time travel before the batch sees the pre-swap identity")
+    // appends under the post-swap schema union seamlessly
+    t.append(Seq((3L, "y3", "x3")).toDF("id", "a", "b"))
+    assert(t.read().filter($"a" === "y3").count() == 1L)
+  }
+
+  test("alterColumns validates the WHOLE batch against the schema each op " +
+    "sees — an invalid op commits nothing") {
+    import SnapshotTable.ColumnAlter
+    val t = new SnapshotTable(spark, freshRoot("batchval"))
+    t.createOrReplace(Seq((1L, "a", 5)).toDF("id", "v", "n"))
+    val chain0 = t.snapshots().size
+    // op 2 collides with a name op 1 just created
+    intercept[IllegalArgumentException](t.alterColumns(Seq(
+      ColumnAlter.rename("v", "w"),
+      ColumnAlter.rename("n", "w"))))
+    // op 2 targets a column op 1 just dropped
+    intercept[IllegalArgumentException](t.alterColumns(Seq(
+      ColumnAlter.drop("v"),
+      ColumnAlter.rename("v", "x"))))
+    // an in-batch rename THEN drop is legal (judged under pre-batch names)
+    assert(t.snapshots().size == chain0, "failed batches commit nothing")
+    // a mixed batch: rename + widen of the renamed column + add-with-
+    // default + drop, one commit, exact values
+    t.alterColumns(Seq(
+      ColumnAlter.rename("n", "score"),
+      ColumnAlter.widen("score", "bigint"),
+      ColumnAlter.add("tier", "string", Some("std")),
+      ColumnAlter.drop("v")))
+    assert(t.snapshots().size == chain0 + 1)
+    assert(t.read().columns.toSeq == Seq("id", "score", "tier"))
+    val r = t.read().head()
+    assert(r.getLong(1) == 5L && r.getString(2) == "std",
+      "widen casts at the leaf, the add synthesizes its default for old rows")
+    t.append(Seq((2L, 9L, "gold")).toDF("id", "score", "tier"))
+    assert(t.read().orderBy("id").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 5L, "std"), (2L, 9L, "gold")))
+  }
+
   test("a column-op under a streaming tail refuses like a rewrite") {
     val t = new SnapshotTable(spark, freshRoot("rentail"))
     t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
