@@ -31,6 +31,8 @@ object ColumnMappingPropertiesSpec extends Properties("columnMapping") {
   private case class CCowDel(slot: Int) extends COp // file-pruned COW delete
   private case object CCompact extends COp
   private case object CExpire extends COp
+  private case object CSwap extends COp    // r17 alterColumns: atomic 3-rename swap
+  private case object CBatchRW extends COp // r17 alterColumns: rename + widen, one commit
 
   private val opGen: Gen[COp] = Gen.frequency(
     5 -> Gen.chooseNum(1, 3).map(CAppend),
@@ -41,7 +43,9 @@ object ColumnMappingPropertiesSpec extends Properties("columnMapping") {
     2 -> Gen.chooseNum(0, 9).map(CDelKey),
     1 -> Gen.chooseNum(0, 9).map(CCowDel),
     1 -> Gen.const(CCompact),
-    1 -> Gen.const(CExpire))
+    1 -> Gen.const(CExpire),
+    2 -> Gen.const(CSwap),
+    2 -> Gen.const(CBatchRW))
 
   property("reads track the row model through random rename/drop/re-add/" +
     "widen/DML/maintenance histories; compact bakes it") =
@@ -125,6 +129,39 @@ object ColumnMappingPropertiesSpec extends Properties("columnMapping") {
           }
         case CCompact => t.compact()
         case CExpire => t.compact(); t.expireSnapshots(keepLast = 1)
+        case CSwap if cols.size >= 2 =>
+          // ATOMIC SWAP via alterColumns (r17): the 3-rename chain in one
+          // marker. Model: physical columns keep their widths and VALUES,
+          // only the two NAMES exchange — rows' key a ↔ key b.
+          import graft.warehouse.SnapshotTable.ColumnAlter
+          val a = cols(nextName % cols.size)._1
+          val b = cols((nextName + 1) % cols.size)._1
+          nextName += 1
+          if (a != b) {
+            val tmp = s"cswap$nextName"; nextName += 1
+            t.alterColumns(Seq(ColumnAlter.rename(a, tmp),
+              ColumnAlter.rename(b, a), ColumnAlter.rename(tmp, b)))
+            rows = rows.view.mapValues { r =>
+              val va = r.get(a); val vb = r.get(b)
+              val r2 = r - a - b
+              val r3 = vb.fold(r2)(v => r2 + (a -> v))
+              va.fold(r3)(v => r3 + (b -> v))
+            }.toMap
+            cols = cols.map { case (c, w) =>
+              if (c == a) (b, w) else if (c == b) (a, w) else (c, w) }
+          }
+        case CBatchRW if cols.nonEmpty =>
+          // rename + widen of the RENAMED name in ONE commit — in-batch
+          // sequencing (op 2 sees op 1's schema)
+          import graft.warehouse.SnapshotTable.ColumnAlter
+          val (from, wide) = cols(nextName % cols.size)
+          val to = s"c$nextName"; nextName += 1
+          t.alterColumns(Seq(ColumnAlter.rename(from, to)) ++
+            (if (!wide) Seq(ColumnAlter.widen(to, "bigint")) else Nil))
+          cols = cols.map { case (c, lw) =>
+            if (c == from) (to, true) else (c, lw) }
+          rows = rows.view.mapValues(r =>
+            r.get(from).fold(r - from)(v => r - from + (to -> v))).toMap
         case _ => ()
       }
 
