@@ -385,7 +385,16 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     val stg = new Path(dir, s"$prefix$id.stg")
     val out = fs.create(stg, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    fs.rename(stg, new Path(dir, s"$prefix$id"))
+    val dst = new Path(dir, s"$prefix$id")
+    // a failed rename is fine ONLY if the id-named destination already
+    // exists (a prior partial attempt — filename IS the value, content
+    // identical); anything else must fail loudly, not leave the
+    // watermark silently un-advanced (r17 review)
+    if (!fs.rename(stg, dst)) {
+      require(fs.exists(dst),
+        s"colops watermark rename failed for $schema.$t at $markRoot")
+      fs.delete(stg, false)
+    }
     // sweep older versions, stage debris, and the legacy-format file;
     // a crash mid-sweep is harmless (the reader takes the max filename)
     fs.listStatus(dir).foreach { s =>
@@ -1113,7 +1122,15 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             if (old.exists) (for {
               (pFork, _) <- forkPair
               oldHead <- old.currentSnapshotId
-            } yield old.columnOpsBetween(pFork, oldHead)).getOrElse(Seq.empty)
+            } yield {
+              // exclude markers a PREVIOUS (crashed) failback shipped —
+              // they carry srcop and are not the old primary's own ops;
+              // counting them would force a spurious full resync on
+              // every retry whose fork-pair write was lost (r17 review)
+              val shipped = old.replicatedColmapIds()
+              old.columnOpsBetween(pFork, oldHead)
+                .filterNot(o => shipped(o._1))
+            }).getOrElse(Seq.empty)
             else Seq.empty
           if (old.exists && lostOps.isEmpty)
             for ((_, sForkOpt) <- forkPair; sFork <- sForkOpt)

@@ -238,6 +238,22 @@ final class MaterializedViewManager(cat: Catalog) {
           s"'$name' — the key names are shared across its bases; drop and " +
           "recreate the MV instead")
     }
+    // cross-JVM safety (r17 review): registrations are durable but
+    // definitions are per-process — an MV registered on this base yet
+    // unknown to THIS manager cannot be remapped, and remapping the rest
+    // would strand it behind a half-done rename. Refuse loudly.
+    val knownIds =
+      aggDefs.collect { case (n, d) if d.base == base => s"mv:$n" }.toSet ++
+      multiDefs.flatMap { case (n, bs) =>
+        bs.collect { case b if b.base == base => s"mv:$n:${b.prefix}" } }.toSet
+    val strangers = t.dependents().filter(d =>
+      (d._2 == "agg-mv" || d._2 == "multi-agg-mv") &&
+        d._3.contains(from) && !knownIds(d._1))
+    require(strangers.isEmpty,
+      s"cannot remap column '$from' of ${base._1}.${base._2}: registered " +
+        s"dependent(s) ${strangers.map(_._1).mkString(", ")} are unknown to " +
+        "this manager (definitions are per-process) — re-create their " +
+        "definitions in this process first, or drop them")
     var remapped = 0
     def ren(tbl: graft.warehouse.SnapshotTable, o: String, n: String): Unit =
       if (tbl.read().columns.contains(o)) tbl.renameColumn(o, n)
@@ -286,12 +302,23 @@ final class MaterializedViewManager(cat: Catalog) {
     * registration on the base — renames/drops of those columns are legal
     * again. */
   def dropAggMv(name: String): Unit = {
-    aggDefs.remove(name).foreach { d =>
-      cat.table(d.base._1, d.base._2).unregisterDependent(s"mv:$name")
-      aggBuiltAt.remove(name)
-      val t = cat.table("_mv", name)
-      if (t.exists) t.drop()
+    aggDefs.remove(name) match {
+      case Some(d) =>
+        cat.table(d.base._1, d.base._2).unregisterDependent(s"mv:$name")
+        aggBuiltAt.remove(name)
+      case None =>
+        // cross-JVM drop (r17 review): definitions are per-process, but
+        // the REGISTRATION and the materialization are durable — a fresh
+        // manager must still be able to drop them, or a restart leaves
+        // base columns locked behind a stale registration forever
+        for {
+          s <- cat.listSchemas(); tn <- cat.listTables(s)
+          t = cat.table(s, tn)
+          if t.dependents().exists(_._1 == s"mv:$name")
+        } t.unregisterDependent(s"mv:$name")
     }
+    val t = cat.table("_mv", name)
+    if (t.exists) t.drop()
   }
 
   /** Returns the refresh mode taken: "noop", "incremental", or "full".
@@ -427,17 +454,31 @@ final class MaterializedViewManager(cat: Catalog) {
   /** Drop a multi-base MV: partials, final join table, watermarks, and
     * every per-base durable column registration. */
   def dropMultiAggMv(name: String): Unit = {
-    multiDefs.remove(name).foreach { bases =>
-      bases.foreach { b =>
-        cat.table(b.base._1, b.base._2).unregisterDependent(s"mv:$name:${b.prefix}")
-        val pt = cat.table("_mv", partialName(name, b))
-        if (pt.exists) pt.drop()
-      }
-      multiBuiltAt.remove(name)
-      multiJoinDirty -= name
-      val t = cat.table("_mv", name)
-      if (t.exists) t.drop()
+    multiDefs.remove(name) match {
+      case Some(bases) =>
+        bases.foreach { b =>
+          cat.table(b.base._1, b.base._2).unregisterDependent(s"mv:$name:${b.prefix}")
+          val pt = cat.table("_mv", partialName(name, b))
+          if (pt.exists) pt.drop()
+        }
+        multiBuiltAt.remove(name)
+        multiJoinDirty -= name
+      case None =>
+        // cross-JVM drop: find the durable per-base registrations; the
+        // id suffix IS the partial-table prefix
+        val idPrefix = s"mv:$name:"
+        for {
+          s <- cat.listSchemas(); tn <- cat.listTables(s)
+          t = cat.table(s, tn)
+          (id, _, _) <- t.dependents() if id.startsWith(idPrefix)
+        } {
+          t.unregisterDependent(id)
+          val pt = cat.table("_mv", s"${name}__${id.stripPrefix(idPrefix)}")
+          if (pt.exists) pt.drop()
+        }
     }
+    val t = cat.table("_mv", name)
+    if (t.exists) t.drop()
   }
 
   /** Per-base refresh modes taken, e.g. Map("imp" -> "noop", "clk" ->

@@ -28,6 +28,25 @@ import Q._
   */
 object Views {
 
+  /** Parquet data files under a gate warehouse as path@mtime identities —
+    * the shared REQUIRE-marker-only witness of the DDL gates (a rename/
+    * drop/widen/add/batch must not write, rewrite, or delete a data
+    * byte). One definition so "marker-only" can never drift between
+    * gates (r17 review). */
+  private def gateDataFiles(s: org.apache.spark.sql.SparkSession,
+                            wh: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString + "@" + f.getModificationTime
+    }
+    out.result()
+  }
+
   val queries: Map[String, QFn] = Map(
     "q27_funnel_mv" -> { (s, dir) =>
       import s.implicits._
@@ -1817,18 +1836,7 @@ object Views {
         tbl.upsertByKeys(upd1, Seq("o_orderkey"))
         // part 2: the column ops — REQUIREd marker-only (zero data files
         // written, rewritten, or deleted on the primary)
-        def dataFiles(wh: String): Set[String] = {
-          val p = new org.apache.hadoop.fs.Path(wh)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val it = fs.listFiles(p, true)
-          val out = Set.newBuilder[String]
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet"))
-              out += f.getPath.toString + "@" + f.getModificationTime
-          }
-          out.result()
-        }
+        def dataFiles(wh: String): Set[String] = gateDataFiles(s, wh)
         val filesBefore = dataFiles(whP)
         tbl.renameColumn("o_totalprice", "price")
         tbl.dropColumn("junk")
@@ -1903,18 +1911,7 @@ object Views {
         val shift = orders.agg(max($"o_orderkey")).head().getLong(0) + 1L
         tbl.createOrReplace(orders.select($"o_orderkey", $"o_orderstatus",
           $"o_totalprice"))
-        def dataFiles(): Set[String] = {
-          val p = new org.apache.hadoop.fs.Path(wh)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val it = fs.listFiles(p, true)
-          val out = Set.newBuilder[String]
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet"))
-              out += f.getPath.toString + "@" + f.getModificationTime
-          }
-          out.result()
-        }
+        def dataFiles(): Set[String] = gateDataFiles(s, wh)
         val before = dataFiles()
         tbl.addColumn("channel", "string", Some("store"))
         require(dataFiles() == before,
@@ -1983,18 +1980,7 @@ object Views {
         val mirror = sec.table("gate", "orders_f")
         // the new primary's own timeline: three column ops — REQUIREd
         // marker-only on ITS side — then keyed DML under the new schema
-        def dataFiles(wh: String): Set[String] = {
-          val p = new org.apache.hadoop.fs.Path(wh)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val it = fs.listFiles(p, true)
-          val out = Set.newBuilder[String]
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet"))
-              out += f.getPath.toString + "@" + f.getModificationTime
-          }
-          out.result()
-        }
+        def dataFiles(wh: String): Set[String] = gateDataFiles(s, wh)
         val filesBefore = dataFiles(whS)
         mirror.renameColumn("price", "amount")
         mirror.dropColumn("junk")
@@ -2077,18 +2063,7 @@ object Views {
           $"o_orderstatus".as("st"), $"o_orderpriority".as("pri"),
           $"o_totalprice".as("price"),
           ($"o_custkey" % lit(7L)).cast("int").as("seg")))
-        def dataFiles(): Set[String] = {
-          val p = new org.apache.hadoop.fs.Path(wh)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val it = fs.listFiles(p, true)
-          val out = Set.newBuilder[String]
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet"))
-              out += f.getPath.toString + "@" + f.getModificationTime
-          }
-          out.result()
-        }
+        def dataFiles(): Set[String] = gateDataFiles(s, wh)
         val before = dataFiles()
         val chain0 = tbl.snapshots().size
         import graft.warehouse.SnapshotTable.ColumnAlter

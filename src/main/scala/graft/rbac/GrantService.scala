@@ -317,6 +317,15 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
     * (rename is atomic, but a hand-copied or torn file must degrade to
     * full replay, not bad state). */
   private def readCheckpointLines(): Option[(Long, Seq[String])] = {
+    // HEAL an orphaned tmp first (r17 review): writeCheckpoint's
+    // delete→rename window can leave a fully-written tmp (the END
+    // sentinel below proves completeness) as the ONLY copy — after a
+    // compaction that state is load-bearing, and ignoring the tmp would
+    // turn a routine crash into a permanent startup refusal. The same
+    // stance as the Catalog view-tmp heal.
+    val tmp = new org.apache.hadoop.fs.Path(auditRoot, "state.ckpt.tmp")
+    if (!cfs.exists(checkpointFile) && cfs.exists(tmp))
+      cfs.rename(tmp, checkpointFile)
     if (!cfs.exists(checkpointFile)) return None
     val in = cfs.open(checkpointFile)
     val lines = try scala.io.Source.fromInputStream(in).getLines().toSeq
@@ -367,6 +376,16 @@ final class GrantService(spark: SparkSession, auditRoot: String) {
       case None => 0L
       case Some((horizon, _)) =>
         import org.apache.spark.sql.functions.{col, lit}
+        // pre-count the candidates (r17 review): arming the
+        // must-have-checkpoint refusal when the delete would remove ZERO
+        // rows converts a torn checkpoint from "degrade to full replay"
+        // into a hard refusal for no benefit. Ids are monotonic, so no
+        // row can appear below the horizon between the count and the
+        // delete.
+        val candidates = auditLog.read()
+          .filter(col("id") <= lit(horizon) && col("id") < lit(maxLogId()))
+          .count()
+        if (candidates == 0) return 0L
         // the mark lands BEFORE the delete: from this point the checkpoint
         // is STATE, not an optimization — a restart that cannot load it
         // must refuse loudly instead of silently replaying a truncated log

@@ -1433,6 +1433,15 @@ final class SnapshotTable(
       .flatMap(m => noteField(m, "srcop").flatMap(_.toLongOption))
       .maxOption.getOrElse(-1L)
 
+  /** Ids of colmap markers a REPLICATION APPLY shipped here (they carry
+    * `srcop=`) — not this table's own DDL. The failback lost-op census
+    * excludes them: a crash between the op shipping and the fork-pair
+    * write must not count the shipped markers as lost LOCAL ops on
+    * retry and force a spurious full resync (r17 review). */
+  def replicatedColmapIds(): Set[Long] =
+    metas().filter(m => m.kind == "colmap" && noteField(m, "srcop").isDefined)
+      .map(_.id).toSet
+
   /** Iceberg's lossless type-promotion rules (the only widens allowed):
     * integral widening, float→double, decimal precision growth at the
     * same scale. A no-op widen is a caller bug, not a promotion. */
@@ -1509,9 +1518,16 @@ final class SnapshotTable(
     val stg = new Path(depsDir, s"${encDep(id)}.dep.stg")
     val out = fs.create(stg, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.delete(depFile(id), false)
-    require(fs.rename(stg, depFile(id)),
-      s"dependent registration rename failed for '$id' at $root")
+    // rename OVER the target first (POSIX rename replaces atomically —
+    // no window); only if this filesystem refuses an existing
+    // destination fall back to delete+rename. A delete-first order
+    // would fail OPEN on crash: the registration vanishes and the DDL
+    // guard silently stops protecting the dependent (r17 review).
+    if (!fs.rename(stg, depFile(id))) {
+      fs.delete(depFile(id), false)
+      require(fs.rename(stg, depFile(id)),
+        s"dependent registration rename failed for '$id' at $root")
+    }
   }
 
   /** Remove dependent `id`'s registration (its drop path). True if one

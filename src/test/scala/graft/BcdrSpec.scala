@@ -1415,6 +1415,53 @@ class BcdrSpec extends SparkSpec {
       t.read().exceptAll(m.read()).isEmpty)
   }
 
+  test("a failback retry whose fork-pair write was lost does NOT mistake " +
+    "its own shipped markers for lost ops — the delta path survives the crash") {
+    // r17 review: failbackLogical ships forward-window ops to the old
+    // primary, then records the fork pair. A crash between the two left
+    // the shipped markers above the STALE pair's fork point, and the
+    // retry's lost-op census counted them as the old primary's own ops —
+    // forcing a spurious full resync of a potentially huge table. The
+    // census now excludes srcop-carrying markers (shipped, not local).
+    val primary = new Catalog(spark, freshDir("fbr-pri"), "pri")
+    val secondary = new Catalog(spark, freshDir("fbr-sec"), "sec")
+    secondary.readOnly = true
+    primary.createSchema("adv")
+    val t = primary.table("adv", "fbr")
+    t.createOrReplace(Seq((1L, "a", 1)).toDF("id", "v", "junk"))
+    val repl = new ReplicationService(primary, secondary)
+    repl.createGroup("core", Seq(("adv", "fbr")), includeViews = false)
+    val keys = Map(("adv", "fbr") -> Seq("id"))
+    assert(repl.refreshIncremental("core", keys) == 1L, "bootstrap")
+    // capture the fork-pair file BEFORE the failover window
+    val fs = new org.apache.hadoop.fs.Path(secondary.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val off = new org.apache.hadoop.fs.Path(
+      s"${secondary.warehouse}/_replication/core/adv.fbr.offset")
+    val in = fs.open(off)
+    val preContent = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    repl.promote()
+    val m = secondary.table("adv", "fbr")
+    m.renameColumn("v", "label")
+    m.dropColumn("junk")
+    m.upsertByKeys(Seq((2L, "b")).toDF("id", "label"), Seq("id"))
+    assert(repl.failbackLogical("core", keys) > 0L)
+    assert(repl.lastFailbackModes == Map(("adv", "fbr") -> "delta"))
+    val colmaps0 = t.snapshots().count(_._2 == "colmap")
+    assert(colmaps0 == 2, "both ops shipped home as markers")
+    // CRASH RESIDUE: restore the PRE-failback fork pair (the pair write
+    // was lost) and retry — the shipped markers sit above the stale fork
+    val o = fs.create(off, true)
+    try o.write(preContent.getBytes("UTF-8")) finally o.close()
+    repl.failbackLogical("core", keys)
+    assert(repl.lastFailbackModes == Map(("adv", "fbr") -> "delta"),
+      s"the retry must keep the delta path, got ${repl.lastFailbackModes}")
+    assert(t.snapshots().count(_._2 == "colmap") == colmaps0,
+      "the retry re-ships nothing (watermark + srcop)")
+    assert(t.read().exceptAll(m.read()).isEmpty &&
+      m.read().exceptAll(t.read()).isEmpty, "both sides equal after the retry")
+  }
+
   test("a mirror-side dependent registration cannot wedge column-op " +
     "replication: the mirror converges; the primary's own guard still holds") {
     // r17: the dependents registry (verdict #4) refuses renames/drops at

@@ -592,6 +592,29 @@ class ServicesSpec extends SparkSpec {
     assert(cat.dependentsReport().isEmpty, "the drop clears the report")
   }
 
+  test("dropAggMv and renameBaseColumn are safe across a manager restart: " +
+    "drop clears the durable registration, remap refuses strangers loudly") {
+    // r17 review: registrations are durable but definitions are
+    // per-process — a fresh manager must still DROP (or the base columns
+    // stay locked forever) and must REFUSE to remap an MV it cannot see
+    // (silently remapping the rest would strand it).
+    val cat = newCatalog("mvjvm")
+    cat.createSchema("adv")
+    val sales = cat.table("adv", "sales")
+    sales.createOrReplace(Seq(("a", 1.0)).toDF("k", "amt"))
+    val mvm1 = new MaterializedViewManager(cat)
+    mvm1.createAggMv("mv_x", ("adv", "sales"), Seq("k"), Seq("amt"))
+    // "restart": a fresh manager with empty in-memory definitions
+    val mvm2 = new MaterializedViewManager(cat)
+    val ex = intercept[IllegalArgumentException](
+      mvm2.renameBaseColumn(("adv", "sales"), "amt", "amount"))
+    assert(ex.getMessage.contains("unknown to this manager"), ex.getMessage)
+    mvm2.dropAggMv("mv_x") // no definition — still finds and clears it
+    assert(!cat.table("_mv", "mv_x").exists, "materialization dropped")
+    sales.renameColumn("amt", "amount") // registration cleared → legal
+    assert(sales.read().columns.contains("amount"))
+  }
+
   test("renameBaseColumn REMAPS every registered agg MV across the rename: " +
     "marker-only on the MVs, refresh continues under the new name") {
     // the "refuse OR remap" completion: a column under N MVs renames in
@@ -1123,11 +1146,21 @@ class ServicesSpec extends SparkSpec {
     val gs3 = new GrantService(spark, root)
     assert(gs3.hasGrant("ANALYST", "DELETE", "adv.t_new"))
     assert(gs3.hasGrant("ANALYST", "INSERT", "adv.t_tail"))
-    // after compaction the checkpoint is STATE: deleting it must fail the
-    // restart loudly, never silently serve the truncated log as history
+    // the writeCheckpoint delete→rename crash residue: the fully-written
+    // tmp is the ONLY copy — construction HEALS it (promote tmp→ckpt),
+    // never refuses (r17 review: post-compaction that residue would
+    // otherwise be a permanent startup outage)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root, "state.ckpt"), false)
+    val ckpt = new org.apache.hadoop.fs.Path(root, "state.ckpt")
+    val tmp = new org.apache.hadoop.fs.Path(root, "state.ckpt.tmp")
+    assert(fs.rename(ckpt, tmp))
+    val healed = new GrantService(spark, root)
+    assert(healed.hasGrant("ANALYST", "INSERT", "adv.t_tail"), "healed state serves")
+    assert(fs.exists(ckpt) && !fs.exists(tmp), "the orphan tmp was promoted")
+    // with the checkpoint truly GONE, the refusal is loud — never
+    // silently serve the truncated log as full history
+    fs.delete(ckpt, false)
     val ex = intercept[IllegalArgumentException] { new GrantService(spark, root) }
     assert(ex.getMessage.contains("compacted"), s"loud refusal names the cause: ${ex.getMessage}")
   }
