@@ -26,6 +26,59 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Per-statement floor dissection: `runMain graft.Probe mor2` times the
+    // pruned read alone, a bare 1-row parquet write, and the full delete
+    // statement, so scan vs write-job vs commit-machinery attribute.
+    if (args.headOption.contains("mor2")) {
+      val wh = s"/root/repo/target/probe-mor2-${System.currentTimeMillis()}"
+      val t = new graft.warehouse.SnapshotTable(spark, wh)
+      val orders = Tables.load(spark, sfDir, "orders")
+      t.createOrReplace(
+        orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .repartitionByRange(8, $"o_orderkey"), sortBy = Seq("o_orderkey"))
+      val keys = orders.select($"o_orderkey").where($"o_orderkey" % 3 === 1)
+        .orderBy($"o_orderkey").limit(100).collect().map(_.getLong(0)).toSeq
+      def loop(name: String, n: Int)(f: Int => Unit): Unit = {
+        val t0 = System.nanoTime()
+        (0 until n).foreach(f)
+        println(f"[probe] $name%-32s ${(System.nanoTime() - t0) / 1e9 / n}%.3f s/iter")
+      }
+      loop("pruned read noop", 20) { i =>
+        noop(t.readWhere($"o_orderkey" === keys(i))._1)
+      }
+      val oneFile = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(wh)).map(_.getPath).filter(_.endsWith(".parquet")).sorted.head
+      }
+      loop("raw 1-file scan+filter noop", 20) { i =>
+        noop(spark.read.parquet(oneFile).filter($"o_orderkey" === keys(i)))
+      }
+      val knownSchema = spark.read.parquet(oneFile).schema
+      loop("schema'd 1-file scan+filter", 20) { i =>
+        noop(spark.read.schema(knownSchema).parquet(oneFile)
+          .filter($"o_orderkey" === keys(i)))
+      }
+      loop("planFiles only", 20) { i =>
+        t.readWhere($"o_orderkey" === keys(i)); ()
+      }
+      loop("bare 1-row parquet write", 20) { i =>
+        spark.range(1).coalesce(1).write.mode("overwrite").parquet(s"$wh-w/$i")
+      }
+      loop("pruned read -> parquet write", 20) { i =>
+        t.readWhere($"o_orderkey" === keys(i))._1
+          .write.mode("overwrite").parquet(s"$wh-rw/$i")
+      }
+      loop("full deleteByKeys", 40) { i =>
+        t.deleteByKeys(Seq("o_orderkey"), Seq(keys(i)).toDF("o_orderkey")); ()
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      for (p <- Seq(wh, wh + "-w", wh + "-rw"))
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      spark.stop()
+      return
+    }
+
     // MoR-trickle breakdown: `runMain graft.Probe mor` times every Nth
     // single-key delete statement so growth vs fixed overhead separates
     if (args.headOption.contains("mor")) {

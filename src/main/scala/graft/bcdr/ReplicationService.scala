@@ -568,7 +568,15 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
               else fullCopy(freshTimeline = true)
             case Some(o) =>
               pt.rowChangesBetween(o, head) match {
-                case Some(cs) if cs.df.isEmpty => // e.g. compact-only range
+                // structurally empty window (e.g. compact-only range):
+                // zero change files means the CDC frame is empty by
+                // construction — decided from the scan METADATA, not by
+                // executing the whole CDC plan (`cs.df.isEmpty` ran the
+                // window read once just to throw it away, and the apply
+                // below re-ran it; a window with files whose rows net to
+                // zero flows through the apply, which commits nothing and
+                // lands on the same "empty" stage mode)
+                case Some(cs) if cs.filesRead == 0 =>
                   shipColumnOps(secondary.warehouse, groupName, schema, t, pt, st, o, head)
                   TableStage(schema, t, head, "empty", 0L)
                 case Some(cs) =>

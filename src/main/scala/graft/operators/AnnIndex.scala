@@ -534,15 +534,34 @@ object AnnIndex {
       .collect().map(_.getInt(0)).sorted.toSeq
     val vecs = tbl(s, root, "vectors")
     val codes = tbl(s, root, "codes")
-    val plans = cells.flatMap { cell =>
-      val cellTomb = tomb.read().filter(col("cell") === cell).select("vec_id")
-      val cellRange = Seq(Seq(graft.warehouse.ColRange("cell", Some(cell), Some(cell))))
-      val (_, vp) = vecs.deleteKeysPruned(cellRange, Seq("vec_id"), cellTomb)
-      val (_, cp) = codes.deleteKeysPruned(cellRange, Seq("n_id"),
-        cellTomb.withColumnRenamed("vec_id", "n_id"))
-      Seq(vp, cp)
-    }
-    Seq(vecs, codes).foreach { t => t.compact(); t.expireSnapshots(keepLast = 1); () }
+    // vectors and codes are INDEPENDENT tables, so their per-cell rewrite
+    // legs overlap on two driver threads (guide §2.6): each leg keeps its
+    // own strictly sequential per-cell commit order (same-table COW
+    // commits racing each other would only burn optimistic retries), and
+    // the plans list is re-interleaved to the original v,c,v,c order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def leg(t: graft.warehouse.SnapshotTable, key: String) =
+      scala.concurrent.Future {
+        val ps = cells.map { cell =>
+          val cellTomb = tomb.read().filter(col("cell") === cell)
+            .select("vec_id").withColumnRenamed("vec_id", key)
+          val cellRange =
+            Seq(Seq(graft.warehouse.ColRange("cell", Some(cell), Some(cell))))
+          t.deleteKeysPruned(cellRange, Seq(key), cellTomb)._2
+        }
+        t.compact(); t.expireSnapshots(keepLast = 1)
+        ps
+      }
+    val (vPlans, cPlans) = try {
+      val fv = leg(vecs, "vec_id")
+      val fc = leg(codes, "n_id")
+      import scala.concurrent.duration.Duration
+      (scala.concurrent.Await.result(fv, Duration.Inf),
+        scala.concurrent.Await.result(fc, Duration.Inf))
+    } finally pool.shutdown()
+    val plans = cells.indices.flatMap(i => Seq(vPlans(i), cPlans(i)))
     tomb.drop()
     registerViews(s, root)
     plans

@@ -44,4 +44,23 @@ object Q {
     * through ROUND(double). */
   def decCents(c: Column): Column =
     (sum(c.cast(DecimalType(18, 2))) * lit(100)).cast("long")
+
+  /** Multiset equality of two frames in ONE shuffle: rows union with
+    * signed weights (+1 left, −1 right, aligned by name), one hash
+    * aggregate nets them per distinct row, and equality ⟺ no group nets
+    * non-zero. Exactly the predicate of the gate idiom it replaces —
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` is per-row count
+    * equality — at one job / one exchange instead of two jobs each
+    * carrying both sides through their own aggregation (both formulations
+    * group rows with Spark's SQL equality, so NaN/±0.0 normalization is
+    * identical). Verification cost in the replication/DML gates halves
+    * without weakening the check. */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.withColumn("__w", lit(1L))
+      .unionByName(b.select(cols.map(b.col): _*).withColumn("__w", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= lit(0L))
+      .isEmpty
+  }
 }

@@ -404,6 +404,73 @@ object Similarity {
       s"""SELECT $cols, m, res[(m*16+1):(m*16+16)] AS sub
          |FROM $src, (SELECT unnest([0, 1, 2, 3]) AS m) ms""".stripMargin)
 
+  /** The shared training prefix of the residual IVF-PQ family
+    * (q117/q118/q119): coarse `i_` chain → per-vector residuals → the
+    * residual-space `p_` chain. One definition so the inline (oracle)
+    * rendering and the STAGED Spark rendering below can never drift. */
+  private def resPrefixCtes(iv: PqDialect, pq: PqDialect,
+                            res: ResDialect): String =
+    s"""${pqTrainCtes(iv, "i_")},
+       |rasg AS (
+       |  SELECT vec_id, sub, k AS cell, cvec FROM (
+       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+       |  WHERE rn = 1),
+       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
+       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")}""".stripMargin
+
+  /** Unique suffix per staged rendering so concurrent panel builds
+    * (q102 runs q117 and q118 on different threads) never share views. */
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** STAGED Spark twin of [[resPrefixCtes]]: the training chain's heavy,
+    * multiply-referenced intermediates — the corpus parts, the trained
+    * coarse centroids, the per-vector residuals, the trained residual
+    * codebooks — are computed ONCE each into eager localCheckpoints and
+    * the prefix CTEs become view reads. Catalyst inlines multi-referenced
+    * deterministic CTEs, so the inline rendering re-executes the whole
+    * training pipeline under every reference (the `rres` subtree alone is
+    * referenced by the p_ chain, `codes`, and `cand` — each a full coarse
+    * training + corpus window after inlining, only partially deduplicated
+    * by exchange reuse); the staged rendering executes each exactly once.
+    * Same deterministic intermediates, same downstream algebra → results
+    * identical to the inline rendering the DuckDB oracle keeps running. */
+  private def stagedResPrefix(s: SparkSession, iv: PqDialect, pq: PqDialect,
+                              res: ResDialect): String = {
+    val n = stageCounter.incrementAndGet()
+    def view(name: String, df: DataFrame): String = {
+      val v = s"g_res${n}_$name"
+      df.localCheckpoint(true).createOrReplaceTempView(v)
+      v
+    }
+    val vIp = view("iparts", s.sql(iv.parts))
+    val vIc = view("icents", s.sql(
+      s"WITH ${pqTrainCtes(iv.copy(parts = s"SELECT * FROM $vIp"), "i_")}\n" +
+        "SELECT m, k, cvec FROM i_cents2"))
+    val vRres = view("rres", s.sql(
+      s"""WITH i_parts AS (SELECT * FROM $vIp),
+         |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
+         |rasg AS (
+         |  SELECT vec_id, sub, k AS cell, cvec FROM (
+         |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+         |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg"""
+        .stripMargin))
+    val vPc = view("pcents", s.sql(
+      s"WITH ${pqTrainCtes(pq.copy(parts = res.sliceParts(vRres, "vec_id")), "p_")}\n" +
+        "SELECT m, k, cvec FROM p_cents2"))
+    s"""i_parts AS (SELECT * FROM $vIp),
+       |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
+       |rres AS (SELECT vec_id, cell, res FROM $vRres),
+       |p_parts AS (${res.sliceParts(vRres, "vec_id")}),
+       |p_cents2 AS (SELECT m, k, cvec FROM $vPc)""".stripMargin
+  }
+
   /** The full q117 — RESIDUAL IVF-PQ, FAISS's default (`by_residual=
     * true`) and the accuracy-critical refinement over q114: PQ codebooks
     * are trained on, and codes quantize, each vector's residual from its
@@ -419,19 +486,13 @@ object Similarity {
     * engines: the coarse chain (`i_`), the residual computation, the
     * residual-space PQ chain (`p_`), the per-cell LUTs and the ADC
     * ranking are one SQL template, so a green row certifies the full
-    * residual pipeline cross-engine. */
+    * residual pipeline cross-engine. `prefix` swaps in the staged Spark
+    * prefix ([[stagedResPrefix]]); the default inline rendering is what
+    * the oracle runs. */
   private def ivfPqResidualQuerySql(iv: PqDialect, pq: PqDialect,
-                                    res: ResDialect): String =
-    s"""WITH ${pqTrainCtes(iv, "i_")},
-       |rasg AS (
-       |  SELECT vec_id, sub, k AS cell, cvec FROM (
-       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
-       |           row_number() OVER (PARTITION BY p.vec_id
-       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
-       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
-       |  WHERE rn = 1),
-       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
-       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+                                    res: ResDialect,
+                                    prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(resPrefixCtes(iv, pq, res))},
        |codes AS (
        |  SELECT vec_id AS n_id, m, k AS code FROM (
        |    SELECT p.vec_id, p.m, c.k,
@@ -484,17 +545,9 @@ object Similarity {
     * baseline ranks by L2, not cosine. One hash-gated row per query
     * carries recall AND candidates scanned, q111-style. */
   private def ivfPqResidualRecallSql(iv: PqDialect, pq: PqDialect,
-                                     res: ResDialect): String =
-    s"""WITH ${pqTrainCtes(iv, "i_")},
-       |rasg AS (
-       |  SELECT vec_id, sub, k AS cell, cvec FROM (
-       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
-       |           row_number() OVER (PARTITION BY p.vec_id
-       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
-       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
-       |  WHERE rn = 1),
-       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
-       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+                                     res: ResDialect,
+                                     prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(resPrefixCtes(iv, pq, res))},
        |codes AS (
        |  SELECT vec_id AS n_id, m, k AS code FROM (
        |    SELECT p.vec_id, p.m, c.k,
@@ -566,17 +619,9 @@ object Similarity {
     * scan — and the output row carries BOTH recalls (ADC-only vs
     * re-ranked) so the panel shows exactly what the refinement buys. */
   private def ivfPqRefineRecallSql(iv: PqDialect, pq: PqDialect,
-                                   res: ResDialect): String =
-    s"""WITH ${pqTrainCtes(iv, "i_")},
-       |rasg AS (
-       |  SELECT vec_id, sub, k AS cell, cvec FROM (
-       |    SELECT p.vec_id, p.sub, c.k, c.cvec,
-       |           row_number() OVER (PARTITION BY p.vec_id
-       |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
-       |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
-       |  WHERE rn = 1),
-       |rres AS (SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg),
-       |${pqTrainCtes(pq.copy(parts = res.sliceParts("rres", "vec_id")), "p_")},
+                                   res: ResDialect,
+                                   prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(resPrefixCtes(iv, pq, res))},
        |codes AS (
        |  SELECT vec_id AS n_id, m, k AS code FROM (
        |    SELECT p.vec_id, p.m, c.k,
@@ -909,7 +954,8 @@ object Similarity {
     "q117_ivfpq_residual" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqResidualQuerySql(sparkIvf, sparkPq, sparkRes))
+      s.sql(ivfPqResidualQuerySql(sparkIvf, sparkPq, sparkRes,
+        prefix = Some(stagedResPrefix(s, sparkIvf, sparkPq, sparkRes))))
     },
 
     // Residual IVF-PQ measured at the PRODUCTION operating point: the
@@ -921,7 +967,8 @@ object Similarity {
     "q118_ivfpq_clustered" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqResidualRecallSql(sparkClust, sparkPq, sparkRes))
+      s.sql(ivfPqResidualRecallSql(sparkClust, sparkPq, sparkRes,
+        prefix = Some(stagedResPrefix(s, sparkClust, sparkPq, sparkRes))))
     },
 
     // q118 + FAISS IndexRefineFlat: exact re-rank of the 16-deep ADC
@@ -931,7 +978,8 @@ object Similarity {
     "q119_ivfpq_refine" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqRefineRecallSql(sparkClust, sparkPq, sparkRes))
+      s.sql(ivfPqRefineRecallSql(sparkClust, sparkPq, sparkRes,
+        prefix = Some(stagedResPrefix(s, sparkClust, sparkPq, sparkRes))))
     },
 
     // Recall-vs-probe-cost curve on a CLUSTERED corpus — the regime real
@@ -966,52 +1014,73 @@ object Similarity {
     // quantifies is documented in BENCH_NOTES.
     "q102_ann_recall" -> { (s, dir) =>
       import s.implicits._
-      // the exact top-k is ≤20 rows but costs a full brute-force scan —
-      // pin it eagerly so the three per-method joins below don't re-run
-      // the scan (localCheckpoint: materialized, lineage cut, no cache
-      // entry to leak past the query)
-      val exact = queries("q50_cosine_topk")(s, dir)
-        .select($"q_id", $"rank", $"n_id").localCheckpoint(true)
-      def recallOf(approxResult: DataFrame, k: Int, method: String): DataFrame = {
-        // each method's result is ≤20 rows but referenced twice (spine +
-        // hit counts) and costs a full index build — pin it eagerly too
-        val approx = approxResult.localCheckpoint(true)
-        val spine = approx.select($"q_id").distinct()
-        val h = approx.join(exact.filter($"rank" <= k).select($"q_id", $"n_id"),
-            Seq("q_id", "n_id"))
-          .groupBy($"q_id").agg(count(lit(1)).as("h"))
-        spine.join(h, Seq("q_id"), "left")
-          .select(lit(method).as("method"), $"q_id",
-            lit(k).cast("int").as("k"), coalesce($"h", lit(0L)).as("hits_in_topk"))
-      }
-      val lsh = queries("q51_ann_lsh")(s, dir)
-        .filter($"vec_id".isin(0L, 1L, 2L, 3L))
-        .select($"vec_id".as("q_id"), $"nn_id".as("n_id"))
-      val ivf = queries("q55_ivf_search")(s, dir).select($"q_id", $"n_id")
-      val ivfmp = queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id")
-      val ivftr = queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id")
-      val pq = queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id")
-      val ivfpq = queries("q114_ivfpq_ann")(s, dir).select($"q_id", $"n_id")
-      val ivfpqr = queries("q117_ivfpq_residual")(s, dir).select($"q_id", $"n_id")
-      // the clustered-corpus regime (q111) alongside the uniform-random
-      // one: same trained-IVF machinery, a corpus with real locality —
-      // the side-by-side that shows WHY the uniform numbers sit low
-      val clust = queries("q111_clustered_recall")(s, dir)
-        .select(concat(lit("ivf_clust_np"), $"nprobe".cast("string")).as("method"),
-          $"q_id", $"k", $"hits_in_top3".as("hits_in_topk"))
-      val clustRes = queries("q118_ivfpq_clustered")(s, dir)
-        .select(lit("ivfpq_res_clust").as("method"),
-          $"q_id", $"k", $"hits_in_top3".as("hits_in_topk"))
-      recallOf(lsh, 1, "lsh_top1")
-        .unionByName(recallOf(ivf, 3, "ivf_top3"))
-        .unionByName(recallOf(ivfmp, 3, "ivf_mp_top3"))
-        .unionByName(recallOf(ivftr, 3, "ivf_tr_top3"))
-        .unionByName(recallOf(pq, 5, "pq_top5"))
-        .unionByName(recallOf(ivfpq, 5, "ivfpq_top5"))
-        .unionByName(recallOf(ivfpqr, 5, "ivfpq_res_top5"))
-        .unionByName(clust)
-        .unionByName(clustRes)
-        .orderBy($"method", $"q_id")
+      // the ten method results are INDEPENDENT jobs (each an eager
+      // localCheckpoint of ≤20 rows behind a full index build), so they
+      // are submitted from a small thread pool instead of back to back:
+      // as one method's plan dwindles to its last tasks, the next
+      // method's stages back-fill the freed cores (guide §2.6 — actions
+      // are only sequential because the driver calls them sequentially).
+      // Results are bit-identical: every method is deterministic and the
+      // final union order is fixed by the code below, not by completion
+      // order. Functions/views are registered once up front so the
+      // worker threads never race the catalog.
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def bg(f: => DataFrame): scala.concurrent.Future[DataFrame] =
+        scala.concurrent.Future { f.localCheckpoint(true) }
+      try {
+        // the exact top-k is ≤20 rows but costs a full brute-force scan —
+        // pinned eagerly so the per-method joins below don't re-run the
+        // scan (localCheckpoint: materialized, lineage cut, no cache
+        // entry to leak past the query)
+        val fExact = bg(queries("q50_cosine_topk")(s, dir)
+          .select($"q_id", $"rank", $"n_id"))
+        val fLsh = bg(queries("q51_ann_lsh")(s, dir)
+          .filter($"vec_id".isin(0L, 1L, 2L, 3L))
+          .select($"vec_id".as("q_id"), $"nn_id".as("n_id")))
+        val fIvf = bg(queries("q55_ivf_search")(s, dir).select($"q_id", $"n_id"))
+        val fIvfmp = bg(queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id"))
+        val fIvftr = bg(queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id"))
+        val fPq = bg(queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id"))
+        val fIvfpq = bg(queries("q114_ivfpq_ann")(s, dir).select($"q_id", $"n_id"))
+        val fIvfpqr = bg(queries("q117_ivfpq_residual")(s, dir).select($"q_id", $"n_id"))
+        // the clustered-corpus regime (q111) alongside the uniform-random
+        // one: same trained-IVF machinery, a corpus with real locality —
+        // the side-by-side that shows WHY the uniform numbers sit low
+        val fClust = bg(queries("q111_clustered_recall")(s, dir)
+          .select(concat(lit("ivf_clust_np"), $"nprobe".cast("string")).as("method"),
+            $"q_id", $"k", $"hits_in_top3".as("hits_in_topk")))
+        val fClustRes = bg(queries("q118_ivfpq_clustered")(s, dir)
+          .select(lit("ivfpq_res_clust").as("method"),
+            $"q_id", $"k", $"hits_in_top3".as("hits_in_topk")))
+        def await(f: scala.concurrent.Future[DataFrame]): DataFrame =
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        val exact = await(fExact)
+        def recallOf(approx: DataFrame, k: Int, method: String): DataFrame = {
+          // each method's result is ≤20 rows but referenced twice (spine +
+          // hit counts); already pinned by its background build
+          val spine = approx.select($"q_id").distinct()
+          val h = approx.join(exact.filter($"rank" <= k).select($"q_id", $"n_id"),
+              Seq("q_id", "n_id"))
+            .groupBy($"q_id").agg(count(lit(1)).as("h"))
+          spine.join(h, Seq("q_id"), "left")
+            .select(lit(method).as("method"), $"q_id",
+              lit(k).cast("int").as("k"), coalesce($"h", lit(0L)).as("hits_in_topk"))
+        }
+        recallOf(await(fLsh), 1, "lsh_top1")
+          .unionByName(recallOf(await(fIvf), 3, "ivf_top3"))
+          .unionByName(recallOf(await(fIvfmp), 3, "ivf_mp_top3"))
+          .unionByName(recallOf(await(fIvftr), 3, "ivf_tr_top3"))
+          .unionByName(recallOf(await(fPq), 5, "pq_top5"))
+          .unionByName(recallOf(await(fIvfpq), 5, "ivfpq_top5"))
+          .unionByName(recallOf(await(fIvfpqr), 5, "ivfpq_res_top5"))
+          .unionByName(await(fClust))
+          .unionByName(await(fClustRes))
+          .orderBy($"method", $"q_id")
+      } finally pool.shutdown()
     },
 
     // Per-label norm statistics: per-row norms are deterministic doubles;

@@ -1203,9 +1203,9 @@ object Views {
         val kinds = mirror.snapshots().drop(chain0).map(_._2).toSet
         require(kinds.subsetOf(Set("mor", "pdel")),
           s"q141: mirror commits must be sidecar-only, saw $kinds")
-        // multiset equality both ways (duplicates included)
-        require(mirror.read().exceptAll(tbl.read()).isEmpty &&
-            tbl.read().exceptAll(mirror.read()).isEmpty,
+        // multiset equality both ways (duplicates included) — one fused
+        // signed-weight aggregate, same predicate as the two exceptAlls
+        require(multisetEqual(mirror.read(), tbl.read()),
           "q141: primary and secondary multisets must be identical")
         val res = mirror.read()
           .groupBy(lit("secondary").as("stage"), $"st", $"bucket")
@@ -1363,8 +1363,7 @@ object Views {
           "q143: the resumed window is ONE atomic mor commit, never a base re-copy")
         require(svc2.refreshIncremental("core", keys) == 0L,
           "q143 caught up ships zero")
-        require(mirror.read().exceptAll(tbl.read()).isEmpty &&
-            tbl.read().exceptAll(mirror.read()).isEmpty,
+        require(multisetEqual(mirror.read(), tbl.read()),
           "q143: primary and secondary multisets must be identical")
         def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
           df.groupBy(lit(stage).as("stage"), $"o_orderstatus")
@@ -1441,7 +1440,7 @@ object Views {
         for (((schema, tn), h) <- cut) {
           val m = sec.table(schema, tn).read()
           val p = pri.table(schema, tn).asOf(h)
-          require(m.exceptAll(p).isEmpty && p.exceptAll(m).isEmpty,
+          require(multisetEqual(m, p),
             s"q144: $schema.$tn must equal the primary's cut state")
         }
         def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
@@ -1456,10 +1455,8 @@ object Views {
         require(s2 == ta.asOf(cut(("gate", "cut_a"))).filter(
             $"o_orderkey" % lit(7L) === lit(2L)).count() + qRows.count(),
           s"q144: the catch-up cycle ships exactly the racers, got $s2")
-        require(ma.read().exceptAll(ta.read()).isEmpty &&
-            ta.read().exceptAll(ma.read()).isEmpty &&
-            mb.read().exceptAll(tb.read()).isEmpty &&
-            tb.read().exceptAll(mb.read()).isEmpty,
+        require(multisetEqual(ma.read(), ta.read()) &&
+            multisetEqual(mb.read(), tb.read()),
           "q144: both mirrors converge to the primary")
         val res = agg(ma.read(), "fin_a").unionByName(agg(mb.read(), "fin_b"))
         val rows = (cutRows ++ res.collect())
@@ -1522,8 +1519,7 @@ object Views {
         require(tbl.snapshots().size == chain0 + 1 &&
             tbl.snapshots().last._2 == "mor",
           "q145: the value re-sync is ONE atomic sidecar-only commit")
-        require(tbl.read().exceptAll(mirror.read()).isEmpty &&
-            mirror.read().exceptAll(tbl.read()).isEmpty,
+        require(multisetEqual(tbl.read(), mirror.read()),
           "q145: both sides multiset-identical after failback")
         require(repl.failbackLogical("core") == 0L, "q145 idle failback ships zero")
         // the reversed service resumes DELTA-ONLY from the recorded offset
@@ -1532,8 +1528,7 @@ object Views {
         mirror.append(k2)
         require(rev.refreshIncremental("core") == k2.count(),
           "q145: the reverse cycle ships only the post-failback delta, never a full copy")
-        require(tbl.read().exceptAll(mirror.read()).isEmpty &&
-            mirror.read().exceptAll(tbl.read()).isEmpty,
+        require(multisetEqual(tbl.read(), mirror.read()),
           "q145: the old primary tracks the new one")
         val res = mirror.read()
           .groupBy(lit("newpri").as("stage"), $"st", $"bucket")
@@ -1668,9 +1663,9 @@ object Views {
           repl.recordHeads("core"), keys)
         require(cycle.work.map(_.mode) == Seq("staged", "staged"),
           s"q147: both windows must stage, got ${cycle.work}")
-        require(ma.read().exceptAll(a0).isEmpty && a0.exceptAll(ma.read()).isEmpty,
+        require(multisetEqual(ma.read(), a0),
           "q147: mid-cycle reader must see table A's PREVIOUS cut")
-        require(mb.read().exceptAll(b0).isEmpty && b0.exceptAll(mb.read()).isEmpty,
+        require(multisetEqual(mb.read(), b0),
           "q147: mid-cycle reader must see table B's PREVIOUS cut")
         // PHASE 2: one publish flips both — exact shipped totals
         val shipped = repl.publishCycle(cycle)
@@ -1681,10 +1676,8 @@ object Views {
             mb.snapshots().size == chainB + 1 &&
             Set("mor", "pdel").contains(mb.snapshots().last._2),
           "q147: one atomic sidecar-only commit per table")
-        require(ma.read().exceptAll(ta.read()).isEmpty &&
-            ta.read().exceptAll(ma.read()).isEmpty &&
-            mb.read().exceptAll(tb.read()).isEmpty &&
-            tb.read().exceptAll(mb.read()).isEmpty,
+        require(multisetEqual(ma.read(), ta.read()) &&
+            multisetEqual(mb.read(), tb.read()),
           "q147: both mirrors multiset-converge at publish")
         require(repl.refreshIncremental("core", keys) == 0L,
           "q147 caught up ships zero")
@@ -2006,8 +1999,7 @@ object Views {
         require(tbl.read().columns.toSeq == mirror.read().columns.toSeq,
           s"q151: both sides speak the post-op schema, " +
             s"got ${tbl.read().columns.toSeq}")
-        require(tbl.read().exceptAll(mirror.read()).isEmpty &&
-            mirror.read().exceptAll(tbl.read()).isEmpty,
+        require(multisetEqual(tbl.read(), mirror.read()),
           "q151: both sides multiset-identical after failback")
         require(repl.failbackLogical("core", keys) == 0L,
           "q151: an idle failback ships zero")

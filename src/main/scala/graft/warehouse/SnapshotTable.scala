@@ -70,6 +70,10 @@ final class SnapshotTable(
   private def parseMarker(id: Long, file: Path): SnapMeta = {
     val in = fs.open(file)
     val line = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    parseMarkerLine(id, line)
+  }
+
+  private def parseMarkerLine(id: Long, line: String): SnapMeta = {
     val f = line.split('|')
     SnapMeta(id, f(0),
       if (f.length > 1 && f(1).nonEmpty) f(1).split(',').toSeq else Seq.empty,
@@ -83,11 +87,25 @@ final class SnapshotTable(
     val p = new Path(root)
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".meta"))
-      .map { n =>
-        val id = n.stripPrefix("snap-").stripSuffix(".meta").toLong
-        parseMarker(id, metaFile(id))
+      .filter(_.getPath.getName.endsWith(".meta"))
+      .map { st =>
+        val id = st.getPath.getName
+          .stripPrefix("snap-").stripSuffix(".meta").toLong
+        // markers are write-once, so the listing's (len, mtime) stamp
+        // validates a cached line exactly — [[SnapshotTable.markerCache]]
+        val key = fs.makeQualified(st.getPath).toString
+        val stamp = (st.getLen, st.getModificationTime)
+        SnapshotTable.markerCache.get(key) match {
+          case Some((s, line)) if s == stamp => parseMarkerLine(id, line)
+          case _ =>
+            val in = fs.open(st.getPath)
+            val line = try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close()
+            if (SnapshotTable.markerCache.size > SnapshotTable.MarkerCacheCap)
+              SnapshotTable.markerCache.clear()
+            SnapshotTable.markerCache.put(key, (stamp, line))
+            parseMarkerLine(id, line)
+        }
       }
       .sortBy(_.id)
   }
@@ -418,9 +436,14 @@ final class SnapshotTable(
           // plans on EVERY read — the O(n²) planning tax that made the
           // trickle gate 100× slower than its I/O (every sidecar carries
           // the group's key columns, so the one-schema read is safe)
+          // no distinct: a left_anti probe is insensitive to build-side
+          // duplicates, and sidecar rows are disjoint by construction (a
+          // re-delete of an already-deleted key matches nothing), so the
+          // exchange a distinct would add to EVERY read of a table with
+          // live sidecars bought nothing
           val keyDf0 = withDriverListing {
             spark.read.parquet(batches.map(b => delRowsPath(b).toString): _*)
-          }.select(physKeys.map(col): _*).distinct()
+          }.select(physKeys.map(col): _*)
           val keyDf = if (physKeys == keys) keyDf0 else keyDf0.toDF(keys: _*)
           // metadata records every batch's delete-row count (del: the
           // marker; mor: the .excl sidecar): when the combined delete
@@ -2058,14 +2081,13 @@ final class SnapshotTable(
     val mkDf: SnapMeta => Option[DataFrame] =
       if (excl.isEmpty)
         // fast path (no cow in chain): whole-dir reads, zero file listings
-        s => Some(spark.read.parquet(snapDir(s.id).toString))
+        s => Some(snapDirRead(s.id))
       else { s =>
         // a cow replaced files inside earlier dirs: each dir reads its
         // surviving file list (basePath keeps hive partition columns)
-        val dir = fs.makeQualified(snapDir(s.id)).toString
         val files = listParquet(snapDir(s.id)).filterNot(f => excl(relToRoot(f)))
         if (files.isEmpty) None
-        else Some(spark.read.option("basePath", dir).parquet(files: _*))
+        else Some(snapDirRead(s.id, files))
       }
     // positional fold: identity attaches at each LEAF (hidden _metadata
     // doesn't survive unions), but the anti-join applies ONCE on the
@@ -2542,8 +2564,8 @@ final class SnapshotTable(
     def union(groups: Seq[(String, Seq[String])]): Option[DataFrame] =
       if (groups.isEmpty) None
       else Some(groups.map { case (dir, fl) =>
-        applyColmap(spark.read.option("basePath", dir).parquet(fl: _*),
-          idOfSnapDirPath(dir), ops)
+        val ownerId = idOfSnapDirPath(dir)
+        applyColmap(snapDirRead(ownerId, fl), ownerId, ops)
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val removed: Option[DataFrame] =
       removedParts.map(_._1).reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -2571,7 +2593,7 @@ final class SnapshotTable(
     else {
       val appends = later.filter(_.kind == "append")
       if (appends.isEmpty) Some(read().limit(0)) // schema-preserving empty
-      else Some(appends.map(s => spark.read.parquet(snapDir(s.id).toString))
+      else Some(appends.map(s => snapDirRead(s.id))
         .reduce(_ unionByName _))
     }
   }
@@ -2632,8 +2654,7 @@ final class SnapshotTable(
     val appends = range.filter(_.kind == "append")
     val ops = colOpsFrom(all, endId)
     if (appends.isEmpty) read().limit(0) // schema-preserving empty
-    else appends.map(m =>
-        applyColmap(spark.read.parquet(snapDir(m.id).toString), m.id, ops))
+    else appends.map(m => applyColmap(snapDirRead(m.id), m.id, ops))
       .reduce(_ unionByName _)
   }
 
@@ -2728,19 +2749,33 @@ final class SnapshotTable(
 
   /** The parsed `.stats` sidecar of one snapshot: rel path -> col -> stat.
     * Pre-upgrade 5-field lines (no counts) parse with unknown counts. */
-  private def readStatsSidecar(id: Long): Map[String, Map[String, FileColStat]] =
-    if (!fs.exists(statsFile(id))) Map.empty
-    else {
-      val in = fs.open(statsFile(id))
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
-        val f = line.split("\\|", -1).map(unesc) // '|' in values is escaped as \p
-        def optL(i: Int) = if (f.length > i && f(i).nonEmpty) Some(f(i).toLong) else None
-        (f(0), f(1), FileColStat(f(2), f(3), f(4), optL(5), optL(6), optL(7)))
-      }.groupBy(_._1).map { case (p, rows) =>
-        p -> rows.map(r => r._2 -> r._3).toMap
-      }
+  private def readStatsSidecar(id: Long): Map[String, Map[String, FileColStat]] = {
+    val p = statsFile(id)
+    val st = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException => return Map.empty
     }
+    // write-once file: the (len, mtime) stamp validates a cached parse
+    // exactly — see [[SnapshotTable.statsCache]]
+    val key = fs.makeQualified(p).toString
+    val stamp = (st.getLen, st.getModificationTime)
+    SnapshotTable.statsCache.get(key) match {
+      case Some((s, parsed)) if s == stamp => parsed
+      case _ =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        val parsed = txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+          val f = line.split("\\|", -1).map(unesc) // '|' in values is escaped as \p
+          def optL(i: Int) = if (f.length > i && f(i).nonEmpty) Some(f(i).toLong) else None
+          (f(0), f(1), FileColStat(f(2), f(3), f(4), optL(5), optL(6), optL(7)))
+        }.groupBy(_._1).map { case (p2, rows) =>
+          p2 -> rows.map(r => r._2 -> r._3).toMap
+        }
+        if (SnapshotTable.statsCache.size > SnapshotTable.MarkerCacheCap)
+          SnapshotTable.statsCache.clear()
+        SnapshotTable.statsCache.put(key, (stamp, parsed))
+        parsed
+    }
+  }
 
   /** Metadata-only scan planning (Iceberg `planFiles`): keep only the data
     * files whose recorded column bounds can overlap every requested range.
@@ -2866,6 +2901,40 @@ final class SnapshotTable(
     (df, plan)
   }
 
+  /** Read a COMMITTED snapshot dir — whole (`files` empty), or an
+    * explicit surviving-file subset under hive `basePath` — passing the
+    * dir's cached inferred schema when available
+    * ([[SnapshotTable.dirSchemaCache]]): snapshot dirs are immutable once
+    * committed, so the first inference is exact for every later read, and
+    * skipping re-inference removes the footer-read + DataSource-resolution
+    * cost every read construction paid. The stamp is the OWNING MARKER's
+    * (len, mtime) — a drop + recreate at the same path writes a fresh
+    * marker and invalidates. Staged/markerless dirs fall back to plain
+    * inference, uncached. */
+  private def snapDirRead(ownerId: Long, files: Seq[String] = Seq.empty): DataFrame = {
+    val dir = fs.makeQualified(snapDir(ownerId)).toString
+    val (reader, paths) =
+      if (files.isEmpty) (spark.read, Seq(dir))
+      else (spark.read.option("basePath", dir), files)
+    val stamp = try {
+      val st = fs.getFileStatus(metaFile(ownerId))
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+    stamp match {
+      case None => reader.parquet(paths: _*)
+      case Some(s) =>
+        SnapshotTable.dirSchemaCache.get(dir) match {
+          case Some((cs, sch)) if cs == s => reader.schema(sch).parquet(paths: _*)
+          case _ =>
+            val df = reader.parquet(paths: _*)
+            if (SnapshotTable.dirSchemaCache.size > SnapshotTable.MarkerCacheCap)
+              SnapshotTable.dirSchemaCache.clear()
+            SnapshotTable.dirSchemaCache.put(dir, (s, df.schema))
+            df
+        }
+    }
+  }
+
   /** The surviving files of a scan plan as one DataFrame, per-dir hive
     * reads (basePath), with the live chain's equality AND positional
     * deletes anti-joined in — every planned read is MoR-aware, so a
@@ -2883,7 +2952,7 @@ final class SnapshotTable(
       val cache = newDelKeyCache // one key-frame build per (key set, frontier), not per dir
       val unioned = plan.files.map { case (dir, files) =>
         val ownerId = idOfSnapDirPath(dir)
-        val leaf = spark.read.option("basePath", dir).parquet(files: _*)
+        val leaf = snapDirRead(ownerId, files)
         applyEqDeletes(
           applyColmap(if (needPos) withPosCols(leaf) else leaf, ownerId, ops),
           ownerId, dels, cache, ops)
@@ -3175,21 +3244,43 @@ final class SnapshotTable(
     require(exists, s"DML on non-existent table at $root")
     require(keys.nonEmpty, "deleteByKeys needs at least one key column")
     requireNoteSafeKeys(keys)
-    val src = keyRows.select(keys.map(keyRows.col): _*).distinct().persist()
+    // SMALL-BATCH fast path: a trickle of single-key (or few-key)
+    // deletes must not pay a distinct job + count job + hull job +
+    // quantile job per statement. One bounded RAW collect (no exchange)
+    // answers distinctness on the driver when the whole batch fits, and
+    // gives EXACT per-key point alternatives (better pruning than a hull
+    // when the keys are scattered); batches past the bound take the
+    // distributed distinct + hull path — the key set itself never
+    // collects at scale. The driver dedup may keep rows Spark's distinct
+    // would merge (NaN, ±0.0) — harmless: duplicates only widen the
+    // alternative list and a left-semi build side, never the match.
+    val selected = keyRows.select(keys.map(keyRows.col): _*)
+    val bound = 64
+    // the driver-side path fires only for LOCAL key frames (a trickle's
+    // Seq(k).toDF, a router's collected batch): probing an arbitrary
+    // distributed frame with limit+collect would EXECUTE its plan once
+    // just to look — for a CDC window that is a whole change-scan thrown
+    // away (the very regression measured on q132/q141 mid-round)
+    val isLocal = selected.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val raw =
+      if (isLocal) selected.limit(bound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val (src, persisted, sample, small, total) =
+      if (isLocal && raw.length <= bound) {
+        val dedup = raw.toSeq.distinct
+        (spark.createDataFrame(java.util.Arrays.asList(dedup: _*),
+          selected.schema), false, dedup, true, dedup.length.toLong)
+      } else {
+        val d = selected.distinct().persist()
+        val s = d.limit(bound + 1).collect().toSeq
+        val sm = s.length <= bound
+        (d, true, s, sm, if (sm) s.length.toLong else d.count())
+      }
     try {
-      // SMALL-BATCH fast path: a trickle of single-key (or few-key)
-      // deletes must not pay a count job + hull job + quantile job per
-      // statement. One bounded collect answers the count AND gives EXACT
-      // per-key point alternatives (better pruning than a hull when the
-      // keys are scattered); batches past the bound take the distributed
-      // hull path — the key set itself never collects at scale.
-      val bound = 64
-      val sample = src.limit(bound + 1).collect()
-      val small = sample.length <= bound
-      val total = if (small) sample.length.toLong else src.count()
       if (total == 0) return (0L, ScanPlan(Seq.empty, 0, 0))
       val alternatives: Seq[Seq[ColRange]] =
-        if (small) sample.toSeq.map(r => keys.zipWithIndex.map { case (k, i) =>
+        if (small) sample.map(r => keys.zipWithIndex.map { case (k, i) =>
           ColRange(k, Option(r.get(i)), Option(r.get(i)))
         })
         else keyHullAlternatives(src, keys, total)
@@ -3249,7 +3340,7 @@ final class SnapshotTable(
         } catch { case e: Throwable => cleanup(); throw e }
       }
       out.get
-    } finally src.unpersist(blocking = false)
+    } finally if (persisted) src.unpersist(blocking = false)
   }
 
   /** MERGE-ON-READ POSITIONAL DELETE (VERDICT r10 #4) — the Iceberg v2
@@ -3437,7 +3528,12 @@ final class SnapshotTable(
     * are non-unique (ALL old rows with a matched key are replaced). */
   def upsertByKeys(source: DataFrame, keys: Seq[String]): (Long, Long) = {
     val srcKeys = source.select(keys.map(source.col): _*)
-    require(srcKeys.distinct().count() == srcKeys.count(),
+    // one grouped aggregate answers the dup check (the old
+    // distinct.count == count pair ran two full count jobs per upsert)
+    require(srcKeys.groupBy(keys.map(srcKeys.col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .filter(org.apache.spark.sql.functions.col("__n") > 1L).isEmpty,
       s"MoR upsert source has duplicate keys on (${keys.mkString(", ")})")
     val (replaced, inserted, _) = morCommit(source, srcKeys, keys)
     (replaced, inserted)
@@ -3461,7 +3557,10 @@ final class SnapshotTable(
     require(batch.columns.contains("_change"),
       "applyChanges expects a _change-tagged CDC batch")
     val inserts = batch.filter(col("_change") === "insert").drop("_change")
-    val delKeys = batch.select(keys.map(col): _*).distinct()
+    // no pre-distinct: morCommit dedups the key set itself (driver-side
+    // for small batches — no exchange; distributed past its bound), so a
+    // distinct here would force the shuffle the small-batch path avoids
+    val delKeys = batch.select(keys.map(col): _*)
     val (deleted, inserted, _) = morCommit(inserts, delKeys, keys, note,
       wap = wap)
     (deleted, inserted)
@@ -3511,11 +3610,18 @@ final class SnapshotTable(
       // free to) can never re-open the window to a late redelivery
       if (noteEverCommitted(n)) return (0L, 0L)
     }
-    val inserts = batch.filter(col("_change") === "insert").drop("_change").persist()
-    val deletes = batch.filter(col("_change") === "delete").drop("_change").persist()
+    // pin the BATCH, not its two filtered sides: one execution of the
+    // change-window plan feeds the side counts AND both sides' later
+    // reads (persisting the filters instead ran the window plan once per
+    // side to warm each cache, and the fused count a third time)
+    val pinned = batch.persist()
+    val inserts = pinned.filter(col("_change") === "insert").drop("_change")
+    val deletes = pinned.filter(col("_change") === "delete").drop("_change")
     try {
-      val delTotal = deletes.count()
-      val insTotal = inserts.count()
+      val sideCounts = pinned.groupBy(col("_change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val delTotal = sideCounts.getOrElse("delete", 0L)
+      val insTotal = sideCounts.getOrElse("insert", 0L)
       if (delTotal == 0 && insTotal == 0) return (0L, 0L)
       val cols = deletes.columns.toSeq
       // every-column hull of the doomed values — the keyless pruning
@@ -3636,10 +3742,7 @@ final class SnapshotTable(
         } catch { case e: Throwable => cleanup(); throw e }
       }
       out.get
-    } finally {
-      inserts.unpersist(blocking = false)
-      deletes.unpersist(blocking = false)
-    }
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** The shared `mor` commit: delete every live row whose `keys` match
@@ -3659,17 +3762,35 @@ final class SnapshotTable(
     requireNoteSafeKeys(keys)
     requireNoteSafe(note)
     requireWapSafe(wap)
-    val src = delKeys.select(keys.map(delKeys.col): _*).distinct().persist()
+    // same small-batch planning as deleteByKeys: one bounded RAW collect
+    // dedups on the driver (no distinct exchange per applied window), with
+    // exact per-key point alternatives; distributed distinct + hulls past
+    // the bound
+    val selected = delKeys.select(keys.map(delKeys.col): _*)
+    val bound = 64
+    // LOCAL-frame guard exactly as in deleteByKeys: never probe a
+    // distributed key frame (a CDC window) with limit+collect — that
+    // executes its plan once extra; those take the distinct path below
+    val isLocal = selected.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val raw =
+      if (isLocal) selected.limit(bound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val (src, persisted, sample, small, total) =
+      if (isLocal && raw.length <= bound) {
+        val dedup = raw.toSeq.distinct
+        (spark.createDataFrame(java.util.Arrays.asList(dedup: _*),
+          selected.schema), false, dedup, true, dedup.length.toLong)
+      } else {
+        val d = selected.distinct().persist()
+        val s = d.limit(bound + 1).collect().toSeq
+        val sm = s.length <= bound
+        (d, true, s, sm, if (sm) s.length.toLong else d.count())
+      }
     try {
-      // same small-batch planning as deleteByKeys: exact per-key point
-      // alternatives from one bounded collect, distributed hulls past it
-      val bound = 64
-      val sample = src.limit(bound + 1).collect()
-      val small = sample.length <= bound
-      val total = if (small) sample.length.toLong else src.count()
       val alternatives: Seq[Seq[ColRange]] =
         if (total == 0) Seq.empty
-        else if (small) sample.toSeq.map(r => keys.zipWithIndex.map { case (k, i) =>
+        else if (small) sample.map(r => keys.zipWithIndex.map { case (k, i) =>
           ColRange(k, Option(r.get(i)), Option(r.get(i)))
         })
         else keyHullAlternatives(src, keys, total)
@@ -3689,7 +3810,19 @@ final class SnapshotTable(
             case Some((h, df)) if h == head => df
             case _ =>
               val (pre, _) = readPrunedAny(alternatives)
-              pre.join(src, keys, "left_semi")
+              // the deleteByKeys exact-residual shortcut: on the small
+              // path the auto-applied residual is already the OR of exact
+              // per-key point predicates — the semi-join would re-derive
+              // the same rows through an extra broadcast exchange per
+              // applied window. Same safety guards (all key columns
+              // present, non-floating, no NULL sampled key).
+              val residualExact = small &&
+                keys.forall(pre.columns.contains) &&
+                sample.forall(r => keys.indices.forall(i => r.get(i) != null)) &&
+                !pre.schema.exists(f => keys.contains(f.name) &&
+                  (f.dataType == org.apache.spark.sql.types.DoubleType ||
+                    f.dataType == org.apache.spark.sql.types.FloatType))
+              if (residualExact) pre else pre.join(src, keys, "left_semi")
           }
         val id = withCommitLock {
           val i = claimId()
@@ -3771,7 +3904,7 @@ final class SnapshotTable(
         } catch { case e: Throwable => cleanup(); throw e }
       }
       out.get
-    } finally src.unpersist(blocking = false)
+    } finally if (persisted) src.unpersist(blocking = false)
   }
 
   /** UPDATE ... SET col = value WHERE cond (D6) — file-pruned
@@ -3863,7 +3996,12 @@ final class SnapshotTable(
             d.withColumn(c, v)
           }
           val srcKeys = probe.select(keys.map(probe.col): _*)
-          require(srcKeys.distinct().count() == srcKeys.count(),
+          // one grouped aggregate over the already-pinned probe (the old
+          // distinct.count == count pair was two jobs)
+          require(srcKeys.groupBy(keys.map(srcKeys.col): _*)
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("__n"))
+              .filter(org.apache.spark.sql.functions.col("__n") > 1L).isEmpty,
             s"MoR upsert source has duplicate keys on (${keys.mkString(", ")})")
           // the probe frame IS the matched-old side under the unique-key
           // contract — morCommit skips its key semi-join re-scan
@@ -3991,10 +4129,17 @@ final class SnapshotTable(
     val src = source.persist()
     try {
       val srcKeys = src.select(keys.map(col): _*)
-      val srcTotal = srcKeys.count()
+      // ONE grouped pass answers size AND uniqueness (sum/max of per-key
+      // counts) — the old count + distinct.count pair was two jobs
+      val kstats = srcKeys.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .agg(org.apache.spark.sql.functions.sum(col("__n")),
+          max(col("__n"))).head()
+      val srcTotal = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
       if (srcTotal == 0) // empty delta: nothing to match, nothing to insert
         return ((0L, 0L), ScanPlan(Seq.empty, 0, 0))
-      require(srcKeys.distinct().count() == srcTotal,
+      require(kstats.getLong(1) == 1L,
         s"MERGE source has duplicate keys on (${keys.mkString(", ")})")
       // a router already hulled these keys for its probe — don't pay the
       // approxQuantile pass twice (r12 verdict "What's wrong #2")
@@ -4207,6 +4352,45 @@ object SnapshotTable {
     * read+parse per applied window. */
   private[warehouse] val retiredCache =
     new scala.collection.concurrent.TrieMap[String, ((Long, Long), Seq[String])]()
+
+  /** Marker-line cache: qualified `.meta` path → ((length, mtime), raw
+    * marker line). Markers are write-once (land by rename, never modified
+    * in place; expiry deletes them and [[metas]] only consults entries the
+    * CURRENT listing returns), so the (len, mtime) stamp — the
+    * [[retiredCache]] discipline — makes hits exact. This turns the
+    * per-call cost of [[metas]] from one open+read PER MARKER into the one
+    * listing the call already pays: commit-heavy paths (a MoR trickle, a
+    * replication cycle) call metas() several times per statement, and the
+    * repeated re-read of an ever-growing marker chain was O(chain) file
+    * opens per call. Bounded: the map clears once it passes 65 536
+    * entries — markers are tiny, but a long-lived service should not grow
+    * a map forever. */
+  private[warehouse] val markerCache =
+    new scala.collection.concurrent.TrieMap[String, ((Long, Long), String)]()
+  private[warehouse] val MarkerCacheCap = 65536
+
+  /** Stats-sidecar parse cache, same (path, len, mtime) discipline as
+    * [[markerCache]]: a `.stats` file is written complete before its
+    * marker commits and never modified after, so the stamp makes hits
+    * exact. Scan planning reads one sidecar per live snapshot on EVERY
+    * plan — a DML trickle re-parsed the same multi-KB sidecar hundreds of
+    * times. Values are the parsed per-file stat maps. */
+  private[warehouse] val statsCache =
+    new scala.collection.concurrent.TrieMap[
+      String, ((Long, Long), Map[String, Map[String, FileColStat]])]()
+
+  /** Per-snapshot-dir INFERRED READ SCHEMA cache, stamped by the OWNING
+    * MARKER's (len, mtime): snapshot dirs are immutable once committed
+    * (a drop + recreate at the same path writes a fresh marker, which
+    * changes the stamp), so the schema Spark inferred for a dir once can
+    * be passed explicitly to every later read of it — skipping the
+    * footer-read + DataSource-resolution inference (~70 ms per read
+    * construction measured on the MoR trickle) that dominated small
+    * pruned reads. The cached value IS a previous inference over the same
+    * immutable files, so explicit-schema reads are bit-identical. */
+  private[warehouse] val dirSchemaCache =
+    new scala.collection.concurrent.TrieMap[
+      String, ((Long, Long), org.apache.spark.sql.types.StructType)]()
 
   /** Max ESTIMATED build-side bytes for the delete-fold broadcast hint
     * (rows × schema-derived key width). 32 MB keeps the old 4M-row bound
