@@ -144,15 +144,21 @@ object Similarity {
   /** q106 body: train cells, assign the corpus, probe each query's own
     * cell, rank in-cell candidates by true cosine. `dotD` is the dialect's
     * sequential double dot (norms precomputed once per vector in `asgf`). */
-  private def ivfQuerySql(d: PqDialect, dotD: (String, String) => String): String =
-    s"""WITH ${pqTrainCtes(d)},
-       |asgf AS (
+  /** The q106 cell-assignment CTE body over `parts`/`cents2` — one
+    * definition shared by the inline (oracle) rendering and the staged
+    * Spark one. */
+  private def ivfAsgfCte(d: PqDialect, dotD: (String, String) => String): String =
+    s"""asgf AS (
        |  SELECT vec_id, sub, sqrt(${dotD("sub", "sub")}) AS norm, k AS cell FROM (
        |    SELECT p.vec_id, p.sub, c.k,
        |           row_number() OVER (PARTITION BY p.vec_id
        |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
        |    FROM parts p JOIN cents2 c ON p.m = c.m) x
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private def ivfQuerySql(d: PqDialect, dotD: (String, String) => String,
+                          prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(s"${pqTrainCtes(d)},\n${ivfAsgfCte(d, dotD)}")},
        |nn AS (
        |  SELECT q.vec_id AS q_id, a.vec_id AS n_id, q.cell,
        |         ${dotD("q.sub", "a.sub")} / (q.norm * a.norm) AS cos
@@ -206,16 +212,21 @@ object Similarity {
     * nprobe ∈ {1,2,4} probe each query's nprobe nearest cells and grade
     * the in-cell top-3 against the exact top-3 — one hash-gated row per
     * (nprobe, query) carrying both recall and scan cost. */
-  private def clusteredRecallSql(d: PqDialect, dotD: (String, String) => String): String =
-    s"""WITH ${pqTrainCtes(d)},
-       |asgf AS (
+  /** The q111 ranked-assignment CTE body (rn ≤ 4, keeps `cell_rank`) —
+    * shared by the inline and staged renderings like [[ivfAsgfCte]]. */
+  private def clustAsgfCte(d: PqDialect, dotD: (String, String) => String): String =
+    s"""asgf AS (
        |  SELECT vec_id, sub, sqrt(${dotD("sub", "sub")}) AS norm,
        |         k AS cell, rn AS cell_rank FROM (
        |    SELECT p.vec_id, p.sub, c.k,
        |           row_number() OVER (PARTITION BY p.vec_id
        |             ORDER BY ${d.l2("p.sub", "c.cvec")}, c.k) AS rn
        |    FROM parts p JOIN cents2 c ON p.m = c.m) x
-       |  WHERE rn <= 4),
+       |  WHERE rn <= 4)""".stripMargin
+
+  private def clusteredRecallSql(d: PqDialect, dotD: (String, String) => String,
+                                 prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(s"${pqTrainCtes(d)},\n${clustAsgfCte(d, dotD)}")},
        |idx AS (SELECT vec_id, sub, norm, cell FROM asgf WHERE cell_rank = 1),
        |probes AS (
        |  SELECT vec_id AS q_id, sub AS q_sub, norm AS q_norm,
@@ -288,10 +299,64 @@ object Similarity {
        |${lloydCtes(d, 1, s"${pfx}cents0", pfx)},
        |${lloydCtes(d, 2, s"${pfx}cents1", pfx)}""".stripMargin
 
+  /** STAGED Spark twin of one `pqTrainCtes` chain (the q117–q119
+    * [[stagedResPrefix]] pattern, without the residual leg): the corpus
+    * parts and the trained codebook each compute ONCE into eager
+    * localCheckpoints; returns (partsView, centsView). Same deterministic
+    * intermediates as the inline chain the oracle keeps running. */
+  private def stagedTrain(s: SparkSession, d: PqDialect): (String, String) = {
+    val n = stageCounter.incrementAndGet()
+    val vP = s"g_tr${n}_parts"
+    s.sql(d.parts).localCheckpoint(true).createOrReplaceTempView(vP)
+    val vC = s"g_tr${n}_cents"
+    s.sql(s"WITH ${pqTrainCtes(d.copy(parts = s"SELECT * FROM $vP"))}\n" +
+        "SELECT m, k, cvec FROM cents2")
+      .localCheckpoint(true).createOrReplaceTempView(vC)
+    (vP, vC)
+  }
+
+  /** [[stagedTrain]] stubs as a WITH-prefix for the unprefixed-chain
+    * templates (q88). */
+  private def stagedTrainPrefix(s: SparkSession, d: PqDialect): String = {
+    val (vP, vC) = stagedTrain(s, d)
+    s"""parts AS (SELECT * FROM $vP),
+       |cents2 AS (SELECT m, k, cvec FROM $vC)""".stripMargin
+  }
+
+  /** Staged prefix for the asgf-based templates (q106/q111): trained
+    * views plus the given asgf body materialized once (the assignment
+    * window is the expensive, multiply-referenced piece). */
+  private def stagedAsgfPrefix(s: SparkSession, d: PqDialect,
+                               asgfCte: String): String = {
+    val (vP, vC) = stagedTrain(s, d)
+    val n = stageCounter.incrementAndGet()
+    val vA = s"g_asgf$n"
+    s.sql(s"""WITH parts AS (SELECT * FROM $vP),
+             |cents2 AS (SELECT m, k, cvec FROM $vC),
+             |$asgfCte
+             |SELECT * FROM asgf""".stripMargin)
+      .localCheckpoint(true).createOrReplaceTempView(vA)
+    s"""parts AS (SELECT * FROM $vP),
+       |cents2 AS (SELECT m, k, cvec FROM $vC),
+       |asgf AS (SELECT * FROM $vA)""".stripMargin
+  }
+
+  /** Staged prefix for q114's two independent trainings. */
+  private def stagedIvfPqPrefix(s: SparkSession, iv: PqDialect,
+                                pq: PqDialect): String = {
+    val (vIp, vIc) = stagedTrain(s, iv)
+    val (vPp, vPc) = stagedTrain(s, pq)
+    s"""i_parts AS (SELECT * FROM $vIp),
+       |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
+       |p_parts AS (SELECT * FROM $vPp),
+       |p_cents2 AS (SELECT m, k, cvec FROM $vPc)""".stripMargin
+  }
+
   /** The full q88: train, encode the corpus against `cents2`, build the
-    * per-query LUT, ADC-rank. Rendered for Spark AND DuckDB. */
-  private def pqQuerySql(d: PqDialect): String =
-    s"""WITH ${pqTrainCtes(d)},
+    * per-query LUT, ADC-rank. Rendered for Spark AND DuckDB; `prefix`
+    * swaps in the staged Spark training ([[stagedTrain]] stubs). */
+  private def pqQuerySql(d: PqDialect, prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(pqTrainCtes(d))},
        |codes AS (
        |  SELECT vec_id AS n_id, m, k AS code FROM (
        |    SELECT p.vec_id, p.m, c.k,
@@ -336,9 +401,10 @@ object Similarity {
     * per-query cost is (nprobe/k) × N × 4 bytes — the standard IVFADC
     * budget — while IVF-flat (q55) reads raw vectors and flat PQ (q88)
     * scans every code. */
-  private def ivfPqQuerySql(iv: PqDialect, pq: PqDialect): String =
-    s"""WITH ${pqTrainCtes(iv, "i_")},
-       |${pqTrainCtes(pq, "p_")},
+  private def ivfPqQuerySql(iv: PqDialect, pq: PqDialect,
+                            prefix: Option[String] = None): String =
+    s"""WITH ${prefix.getOrElse(
+        s"${pqTrainCtes(iv, "i_")},\n${pqTrainCtes(pq, "p_")}")},
        |cellasg AS (
        |  SELECT vec_id, k AS cell FROM (
        |    SELECT p.vec_id, c.k,
@@ -931,7 +997,8 @@ object Similarity {
     "q88_pq_ann" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(pqQuerySql(sparkPq))
+      s.sql(pqQuerySql(sparkPq,
+        prefix = Some(stagedTrainPrefix(s, sparkPq))))
     },
 
     // IVF-PQ — the production ANN composition (FAISS IVFADC): the trained
@@ -943,7 +1010,8 @@ object Similarity {
     "q114_ivfpq_ann" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqQuerySql(sparkIvf, sparkPq))
+      s.sql(ivfPqQuerySql(sparkIvf, sparkPq,
+        prefix = Some(stagedIvfPqPrefix(s, sparkIvf, sparkPq))))
     },
 
     // RESIDUAL IVF-PQ — FAISS's by_residual=true default: PQ trained on
@@ -991,7 +1059,9 @@ object Similarity {
     "q111_clustered_recall" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(clusteredRecallSql(sparkClust, sparkDotD))
+      s.sql(clusteredRecallSql(sparkClust, sparkDotD,
+        prefix = Some(stagedAsgfPrefix(s, sparkClust,
+          clustAsgfCte(sparkClust, sparkDotD)))))
     },
 
     // Trained IVF: the cells are k-means-learned from the vectors alone
@@ -1002,7 +1072,9 @@ object Similarity {
     "q106_ivf_trained" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfQuerySql(sparkIvf, sparkDotD))
+      s.sql(ivfQuerySql(sparkIvf, sparkDotD,
+        prefix = Some(stagedAsgfPrefix(s, sparkIvf,
+          ivfAsgfCte(sparkIvf, sparkDotD)))))
     },
 
     // Recall@k — the first question a user of an ANN index asks: how many
