@@ -79,6 +79,53 @@ object Probe {
       return
     }
 
+    // Fine-grained floor dissection at a REALISTIC chain length:
+    // `runMain graft.Probe mor3` builds a 50-delete chain first, then
+    // times each component of a delete statement separately — metadata
+    // (currentSnapshotId), plan construction, scan+sidecar-anti-join
+    // execution, collect vs spark-write of the matched frame — so the
+    // per-statement floor attributes exactly.
+    if (args.headOption.contains("mor3")) {
+      val wh = s"/root/repo/target/probe-mor3-${System.currentTimeMillis()}"
+      val t = new graft.warehouse.SnapshotTable(spark, wh)
+      val orders = Tables.load(spark, sfDir, "orders")
+      t.createOrReplace(
+        orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .repartitionByRange(8, $"o_orderkey"), sortBy = Seq("o_orderkey"))
+      val keys = orders.select($"o_orderkey").where($"o_orderkey" % 3 === 1)
+        .orderBy($"o_orderkey").limit(200).collect().map(_.getLong(0)).toSeq
+      // build a realistic mid-trickle state: 50 live delete sidecars
+      (0 until 50).foreach(i =>
+        t.deleteByKeys(Seq("o_orderkey"), Seq(keys(i)).toDF("o_orderkey")))
+      def loop(name: String, n: Int)(f: Int => Unit): Unit = {
+        val t0 = System.nanoTime()
+        (0 until n).foreach(f)
+        println(f"[probe] $name%-36s ${(System.nanoTime() - t0) / 1e9 / n}%.3f s/iter")
+      }
+      loop("currentSnapshotId", 100) { _ => t.currentSnapshotId }
+      loop("readWhere construction", 20) { i =>
+        t.readWhere($"o_orderkey" === keys(50 + i)); ()
+      }
+      loop("pruned read noop (chain 50)", 20) { i =>
+        noop(t.readWhere($"o_orderkey" === keys(50 + i))._1)
+      }
+      loop("pruned read collect (chain 50)", 20) { i =>
+        t.readWhere($"o_orderkey" === keys(50 + i))._1.collect(); ()
+      }
+      loop("pruned read -> spark write", 20) { i =>
+        t.readWhere($"o_orderkey" === keys(50 + i))._1
+          .write.mode("overwrite").parquet(s"$wh-rw/$i")
+      }
+      loop("full deleteByKeys (chain 50+)", 40) { i =>
+        t.deleteByKeys(Seq("o_orderkey"), Seq(keys(50 + i)).toDF("o_orderkey")); ()
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      for (p <- Seq(wh, wh + "-rw"))
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      spark.stop()
+      return
+    }
+
     // MoR-trickle breakdown: `runMain graft.Probe mor` times every Nth
     // single-key delete statement so growth vs fixed overhead separates
     if (args.headOption.contains("mor")) {

@@ -523,8 +523,17 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
     val wasReadOnly = secondary.readOnly
     secondary.readOnly = false
     try {
-      val work = Seq.newBuilder[TableStage]
-      for ((schema, t) <- g.tables) {
+      // r18 (guide §2.6): member tables' stage work is INDEPENDENT — each
+      // writes only its own table dir, offsets / colops marks / window
+      // notes are per-table files, the SnapshotTable commit lock is
+      // per-root, and the shared catalog mutation points (createSchema,
+      // the future-grant hook) are serialized inside Catalog — so the
+      // expensive legs (CDC scans, staged sidecar writes, bootstrap
+      // copies) overlap on driver threads. Results are awaited in the
+      // group's DECLARED order, so the returned StagedCycle — and with it
+      // the publish order and every gate's observable sequence — is
+      // byte-identical to the serial loop's.
+      def stageOne(schema: String, t: String): Option[TableStage] = {
         val pt = primary.table(schema, t)
         val head = heads.getOrElse((schema, t), -1L)
         if (head >= 0) {
@@ -552,7 +561,7 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
             TableStage(schema, t, head, "published", st.count())
           }
           val off = consumedOffset(groupName, schema, t, st)
-          work += (off match {
+          Some(off match {
             case Some(o) if o == head => // caught up
               TableStage(schema, t, head, "skip", 0L)
             case Some(o) if o > head =>
@@ -600,9 +609,24 @@ final class ReplicationService(primary: Catalog, secondary: Catalog,
               }
             case None => fullCopy() // bootstrap
           })
-        }
+        } else None
       }
-      StagedCycle(groupName, work.result())
+      val members = g.tables
+      val work: Seq[TableStage] =
+        if (members.size <= 1)
+          members.flatMap { case (s, t) => stageOne(s, t) }
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(members.size, 4))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try members.map { case (s, t) =>
+              scala.concurrent.Future(stageOne(s, t))
+            }.flatMap(f => scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf))
+          finally pool.shutdown()
+        }
+      StagedCycle(groupName, work)
     } finally secondary.readOnly = wasReadOnly
   }
 

@@ -57,13 +57,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String, val name: St
 
   def table(schema: String, tname: String): SnapshotTable =
     new SnapshotTable(spark, s"$warehouse/$schema/$tname", () => checkWritable(),
-      () => onObjectCreated(schema, tname))
+      // the future-grant hook mutates shared GrantService state; serialize
+      // the (cheap) hook call so table creations may run on driver threads
+      // (the replication cycle stages member tables concurrently, r18)
+      () => this.synchronized(onObjectCreated(schema, tname)))
 
   def checkWritable(): Unit =
     require(!readOnly, s"catalog $name is read-only (unpromoted secondary)")
 
-  /** CREATE SCHEMA IF NOT EXISTS (D3). */
-  def createSchema(schema: String): Unit = {
+  /** CREATE SCHEMA IF NOT EXISTS (D3). Serialized: concurrent stagers
+    * (the threaded replication cycle) may create sibling tables' schemas. */
+  def createSchema(schema: String): Unit = this.synchronized {
     checkWritable()
     fs.mkdirs(new Path(s"$warehouse/$schema"))
   }

@@ -281,12 +281,47 @@ object Similarity {
     * broadcast-sized by construction; at 100 TB this is a separately
     * persisted index-build job, here it is inlined so each query stays
     * standalone for the correctness gate). */
-  private def trainedCells(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-    s.sql(s"WITH ${trainedCentCtes(sparkIvf, sparkDotD)}\n" +
-      "SELECT c_label, c_vec, c_norm FROM cent")
+  /** Per-invocation staging memo (r18, VERDICT r17 next #4): the q102
+    * panel builds ten members on a thread pool, and several members stage
+    * the IDENTICAL deterministic training (same dialect ⇒ same SQL ⇒ same
+    * rows): q88+q114 share the sparkPq codebooks, q106+q114+q117 the
+    * sparkIvf coarse chain, q111+q118 the sparkClust chain, q55+q103 the
+    * trainedCells frame. A memo scoped to ONE declared-query invocation
+    * dedups those stagings; every standalone bench query gets a FRESH
+    * memo (constructed at its map entry), so nothing is ever reused
+    * across bench queries — each still computes from the parquet inputs.
+    * Thread-safe without holding locks during the staging itself: the
+    * winner of putIfAbsent computes, losers join the same future (they
+    * would otherwise have re-run the identical training). Memoized
+    * entries are LEAVES only (views already landed); a memoized
+    * computation never calls back into the memo, so no recursive-update
+    * hazard exists. */
+  private final class StageMemo {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      AnyRef, java.util.concurrent.CompletableFuture[AnyRef]]()
+    def apply[T <: AnyRef](key: AnyRef)(f: => T): T = {
+      val fresh = new java.util.concurrent.CompletableFuture[AnyRef]()
+      val prior = m.putIfAbsent(key, fresh)
+      val fut = if (prior == null) {
+        try fresh.complete(f: AnyRef)
+        catch { case e: Throwable => fresh.completeExceptionally(e) }
+        fresh
+      } else prior
+      fut.join().asInstanceOf[T]
+    }
   }
+
+  private def trainedCells(s: SparkSession, dir: String,
+                           memo: StageMemo = new StageMemo): DataFrame =
+    memo(("cells", dir)) {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      // eager localCheckpoint: the 8-row trained frame is referenced by
+      // several panel members (q55/q103/q105 assignment joins); staging it
+      // once replaces three in-plan trainings with one tiny pinned frame
+      s.sql(s"WITH ${trainedCentCtes(sparkIvf, sparkDotD)}\n" +
+        "SELECT c_label, c_vec, c_norm FROM cent").localCheckpoint(true)
+    }
 
   /** Training chain: parts → init (vec_id 0..7 subvectors) → 2 Lloyd
     * iterations → `cents2`, the trained codebook. `pfx` namespaces the CTE
@@ -304,21 +339,37 @@ object Similarity {
     * parts and the trained codebook each compute ONCE into eager
     * localCheckpoints; returns (partsView, centsView). Same deterministic
     * intermediates as the inline chain the oracle keeps running. */
-  private def stagedTrain(s: SparkSession, d: PqDialect): (String, String) = {
-    val n = stageCounter.incrementAndGet()
-    val vP = s"g_tr${n}_parts"
-    s.sql(d.parts).localCheckpoint(true).createOrReplaceTempView(vP)
-    val vC = s"g_tr${n}_cents"
-    s.sql(s"WITH ${pqTrainCtes(d.copy(parts = s"SELECT * FROM $vP"))}\n" +
-        "SELECT m, k, cvec FROM cents2")
-      .localCheckpoint(true).createOrReplaceTempView(vC)
-    (vP, vC)
-  }
+  /** Eager localCheckpoint at MEMORY_AND_DISK_SER for CORPUS-SIZED staged
+    * frames (guide §5, VERDICT r17 #1): serialized blocks spill to local
+    * disk instead of pinning deserialized objects in executor memory —
+    * the spill-safe staging level for O(corpus) intermediates (`parts`,
+    * `rres`, `asgf`, the assignment frames). The small trained artifacts
+    * (centroid/codebook frames, ≤32 rows) keep the default level. At a
+    * true 100 TB corpus the production shape is the PERSISTED index
+    * (q120–q122) — these in-query stagings exist because the gates train
+    * inside the timed query by design. */
+  private def stageBig(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  private def stagedTrain(s: SparkSession, d: PqDialect,
+                          memo: StageMemo = new StageMemo): (String, String) =
+    memo(("train", d)) {
+      val n = stageCounter.incrementAndGet()
+      val vP = s"g_tr${n}_parts"
+      stageBig(s.sql(d.parts)).createOrReplaceTempView(vP)
+      val vC = s"g_tr${n}_cents"
+      s.sql(s"WITH ${pqTrainCtes(d.copy(parts = s"SELECT * FROM $vP"))}\n" +
+          "SELECT m, k, cvec FROM cents2")
+        .localCheckpoint(true).createOrReplaceTempView(vC)
+      (vP, vC)
+    }
 
   /** [[stagedTrain]] stubs as a WITH-prefix for the unprefixed-chain
     * templates (q88). */
-  private def stagedTrainPrefix(s: SparkSession, d: PqDialect): String = {
-    val (vP, vC) = stagedTrain(s, d)
+  private def stagedTrainPrefix(s: SparkSession, d: PqDialect,
+                                memo: StageMemo = new StageMemo): String = {
+    val (vP, vC) = stagedTrain(s, d, memo)
     s"""parts AS (SELECT * FROM $vP),
        |cents2 AS (SELECT m, k, cvec FROM $vC)""".stripMargin
   }
@@ -327,15 +378,19 @@ object Similarity {
     * views plus the given asgf body materialized once (the assignment
     * window is the expensive, multiply-referenced piece). */
   private def stagedAsgfPrefix(s: SparkSession, d: PqDialect,
-                               asgfCte: String): String = {
-    val (vP, vC) = stagedTrain(s, d)
-    val n = stageCounter.incrementAndGet()
-    val vA = s"g_asgf$n"
-    s.sql(s"""WITH parts AS (SELECT * FROM $vP),
-             |cents2 AS (SELECT m, k, cvec FROM $vC),
-             |$asgfCte
-             |SELECT * FROM asgf""".stripMargin)
-      .localCheckpoint(true).createOrReplaceTempView(vA)
+                               asgfCte: String,
+                               memo: StageMemo = new StageMemo): String = {
+    val (vP, vC) = stagedTrain(s, d, memo)
+    val vA = memo(("asgf", d, asgfCte)) {
+      val n = stageCounter.incrementAndGet()
+      val v = s"g_asgf$n"
+      stageBig(s.sql(s"""WITH parts AS (SELECT * FROM $vP),
+               |cents2 AS (SELECT m, k, cvec FROM $vC),
+               |$asgfCte
+               |SELECT * FROM asgf""".stripMargin))
+        .createOrReplaceTempView(v)
+      v
+    }
     s"""parts AS (SELECT * FROM $vP),
        |cents2 AS (SELECT m, k, cvec FROM $vC),
        |asgf AS (SELECT * FROM $vA)""".stripMargin
@@ -343,9 +398,10 @@ object Similarity {
 
   /** Staged prefix for q114's two independent trainings. */
   private def stagedIvfPqPrefix(s: SparkSession, iv: PqDialect,
-                                pq: PqDialect): String = {
-    val (vIp, vIc) = stagedTrain(s, iv)
-    val (vPp, vPc) = stagedTrain(s, pq)
+                                pq: PqDialect,
+                                memo: StageMemo = new StageMemo): String = {
+    val (vIp, vIc) = stagedTrain(s, iv, memo)
+    val (vPp, vPc) = stagedTrain(s, pq, memo)
     s"""i_parts AS (SELECT * FROM $vIp),
        |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
        |p_parts AS (SELECT * FROM $vPp),
@@ -504,32 +560,39 @@ object Similarity {
     * Same deterministic intermediates, same downstream algebra → results
     * identical to the inline rendering the DuckDB oracle keeps running. */
   private def stagedResPrefix(s: SparkSession, iv: PqDialect, pq: PqDialect,
-                              res: ResDialect): String = {
-    val n = stageCounter.incrementAndGet()
-    def view(name: String, df: DataFrame): String = {
-      val v = s"g_res${n}_$name"
-      df.localCheckpoint(true).createOrReplaceTempView(v)
+                              res: ResDialect,
+                              memo: StageMemo = new StageMemo): String = {
+    // the coarse chain is [[stagedTrain]]'s (the CTE prefix only renames;
+    // rows identical), so q117's i_ staging dedups against q106/q114's in
+    // a shared-memo panel build
+    val (vIp, vIc) = stagedTrain(s, iv, memo)
+    val vRres = memo(("rres", iv, res)) {
+      val n = stageCounter.incrementAndGet()
+      val v = s"g_res${n}_rres"
+      val df = s.sql(
+        s"""WITH i_parts AS (SELECT * FROM $vIp),
+           |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
+           |rasg AS (
+           |  SELECT vec_id, sub, k AS cell, cvec FROM (
+           |    SELECT p.vec_id, p.sub, c.k, c.cvec,
+           |           row_number() OVER (PARTITION BY p.vec_id
+           |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
+           |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
+           |  WHERE rn = 1)
+           |SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg"""
+          .stripMargin)
+      stageBig(df).createOrReplaceTempView(v)
       v
     }
-    val vIp = view("iparts", s.sql(iv.parts))
-    val vIc = view("icents", s.sql(
-      s"WITH ${pqTrainCtes(iv.copy(parts = s"SELECT * FROM $vIp"), "i_")}\n" +
-        "SELECT m, k, cvec FROM i_cents2"))
-    val vRres = view("rres", s.sql(
-      s"""WITH i_parts AS (SELECT * FROM $vIp),
-         |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
-         |rasg AS (
-         |  SELECT vec_id, sub, k AS cell, cvec FROM (
-         |    SELECT p.vec_id, p.sub, c.k, c.cvec,
-         |           row_number() OVER (PARTITION BY p.vec_id
-         |             ORDER BY ${iv.l2("p.sub", "c.cvec")}, c.k) AS rn
-         |    FROM i_parts p JOIN i_cents2 c ON p.m = c.m) x
-         |  WHERE rn = 1)
-         |SELECT vec_id, cell, ${res.zipSub("sub", "cvec")} AS res FROM rasg"""
-        .stripMargin))
-    val vPc = view("pcents", s.sql(
-      s"WITH ${pqTrainCtes(pq.copy(parts = res.sliceParts(vRres, "vec_id")), "p_")}\n" +
-        "SELECT m, k, cvec FROM p_cents2"))
+    val vPc = memo(("rescb", iv, pq, res)) {
+      val n = stageCounter.incrementAndGet()
+      val v = s"g_res${n}_pcents"
+      s.sql(
+        s"WITH ${pqTrainCtes(pq.copy(parts = res.sliceParts(vRres, "vec_id")), "p_")}\n" +
+          "SELECT m, k, cvec FROM p_cents2")
+        .localCheckpoint(true).createOrReplaceTempView(v)
+      v
+    }
     s"""i_parts AS (SELECT * FROM $vIp),
        |i_cents2 AS (SELECT m, k, cvec FROM $vIc),
        |rres AS (SELECT vec_id, cell, res FROM $vRres),
@@ -774,6 +837,131 @@ object Similarity {
   /** Spark rendering of the full q88 (spec use). */
   private[graft] def pqSparkSql: String = pqQuerySql(sparkPq)
 
+  // ── memo-aware member builders ─────────────────────────────────────────
+  //
+  // Each declared query's map entry constructs a FRESH memo (nothing is
+  // shared across bench queries); q102's panel passes ONE memo to all its
+  // member builds so identical trainings stage once (VERDICT r17 next #4).
+
+  private def buildIvfSearch(s: SparkSession, dir: String,
+                             memo: StageMemo): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cent = trainedCells(s, dir, memo)
+    // assign every vector to its nearest centroid (cosine argmax)
+    val scored = emb
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+      .crossJoin(broadcast(cent))
+      .withColumn("a_cos",
+        expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
+    // The cell assignment IS the IVF index — probes and candidates both
+    // read it, so materialize it once (in production it's a persisted
+    // table; recomputing it per join side doubles the whole pipeline).
+    // localCheckpoint, not persist(): no CacheManager entry to leak
+    // across repeated harness runs in a shared session.
+    val assigned = stageBig(scored
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell")))
+    // probe: query vectors search only their own cell
+    val probes = assigned.filter($"vec_id".isin(0L, 1L, 2L, 3L))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"), $"cell".as("q_cell"))
+    val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    broadcast(probes)
+      .join(assigned, $"q_cell" === $"cell" && $"q_id" =!= $"vec_id")
+      .withColumn("cos", expr(dot("q_emb", "embedding")) / ($"q_norm" * $"norm"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id".as("n_id"), $"q_cell".as("cell"),
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def buildIvfMultiprobe(s: SparkSession, dir: String,
+                                 memo: StageMemo): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cent = trainedCells(s, dir, memo)
+    val scored = emb
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+      .crossJoin(broadcast(cent))
+      .withColumn("a_cos",
+        expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
+    val ranked = stageBig(scored
+      .withColumn("rn", row_number().over(wAssign)))
+    // the index: one cell per vector (exactly q55's assignment)
+    val assigned = ranked.filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
+    // probes: each query's TWO nearest cells
+    val probes = ranked
+      .filter($"vec_id".isin(0L, 1L, 2L, 3L) && $"rn" <= 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"), $"c_label".as("q_cell"))
+    val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    broadcast(probes)
+      .join(assigned, $"q_cell" === $"cell" && $"q_id" =!= $"vec_id")
+      .withColumn("cos", expr(dot("q_emb", "embedding")) / ($"q_norm" * $"norm"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id".as("n_id"), $"q_cell".as("cell"),
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def buildPqAnn(s: SparkSession, dir: String,
+                         memo: StageMemo): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(pqQuerySql(sparkPq, prefix = Some(stagedTrainPrefix(s, sparkPq, memo))))
+  }
+
+  private def buildIvfPqAnn(s: SparkSession, dir: String,
+                            memo: StageMemo): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(ivfPqQuerySql(sparkIvf, sparkPq,
+      prefix = Some(stagedIvfPqPrefix(s, sparkIvf, sparkPq, memo))))
+  }
+
+  private def buildIvfPqResidual(s: SparkSession, dir: String,
+                                 memo: StageMemo): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(ivfPqResidualQuerySql(sparkIvf, sparkPq, sparkRes,
+      prefix = Some(stagedResPrefix(s, sparkIvf, sparkPq, sparkRes, memo))))
+  }
+
+  private def buildIvfPqClustered(s: SparkSession, dir: String,
+                                  memo: StageMemo): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(ivfPqResidualRecallSql(sparkClust, sparkPq, sparkRes,
+      prefix = Some(stagedResPrefix(s, sparkClust, sparkPq, sparkRes, memo))))
+  }
+
+  private def buildClusteredRecall(s: SparkSession, dir: String,
+                                   memo: StageMemo): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(clusteredRecallSql(sparkClust, sparkDotD,
+      prefix = Some(stagedAsgfPrefix(s, sparkClust,
+        clustAsgfCte(sparkClust, sparkDotD), memo))))
+  }
+
+  private def buildIvfTrained(s: SparkSession, dir: String,
+                              memo: StageMemo): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(ivfQuerySql(sparkIvf, sparkDotD,
+      prefix = Some(stagedAsgfPrefix(s, sparkIvf,
+        ivfAsgfCte(sparkIvf, sparkDotD), memo))))
+  }
+
   val queries: Map[String, QFn] = Map(
     // Brute-force cosine top-k: 4 query vectors × all rows. The query side
     // is broadcast (tiny), the big side streams — no shuffle of the corpus.
@@ -854,42 +1042,7 @@ object Similarity {
     // query vectors search ONLY their assigned cell. At 100 TB the corpus
     // is hash-partitioned by cell id, so a probe touches ~1/k of the data.
     // Output: top-3 in-cell neighbours per query.
-    "q55_ivf_search" -> { (s, dir) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val emb = t(s, dir, "embeddings")
-      val cent = trainedCells(s, dir)
-      // assign every vector to its nearest centroid (cosine argmax)
-      val scored = emb
-        .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
-        .crossJoin(broadcast(cent))
-        .withColumn("a_cos",
-          expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
-      // The cell assignment IS the IVF index — probes and candidates both
-      // read it, so materialize it once (in production it's a persisted
-      // table; recomputing it per join side doubles the whole pipeline).
-      // localCheckpoint, not persist(): no CacheManager entry to leak
-      // across repeated harness runs in a shared session.
-      val assigned = scored
-        .withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
-        .localCheckpoint()
-      // probe: query vectors search only their own cell
-      val probes = assigned.filter($"vec_id".isin(0L, 1L, 2L, 3L))
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          $"norm".as("q_norm"), $"cell".as("q_cell"))
-      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-      broadcast(probes)
-        .join(assigned, $"q_cell" === $"cell" && $"q_id" =!= $"vec_id")
-        .withColumn("cos", expr(dot("q_emb", "embedding")) / ($"q_norm" * $"norm"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter($"rank" <= 3)
-        .select($"q_id", $"rank", $"vec_id".as("n_id"), $"q_cell".as("cell"),
-          round($"cos", 6).as("cos_sim"))
-        .orderBy($"q_id", $"rank")
-    },
+    "q55_ivf_search" -> { (s, dir) => buildIvfSearch(s, dir, new StageMemo) },
 
     // Multi-probe IVF — the production recall knob q55 stops short of:
     // the INDEX (same trained cells as q55) still assigns each vector to
@@ -899,36 +1052,7 @@ object Similarity {
     // 2 rows per query in the broadcast, the corpus is still touched in
     // 2/k cells only.
     "q103_ivf_multiprobe" -> { (s, dir) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val emb = t(s, dir, "embeddings")
-      val cent = trainedCells(s, dir)
-      val scored = emb
-        .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
-        .crossJoin(broadcast(cent))
-        .withColumn("a_cos",
-          expr("dot_f32f64(embedding, c_vec)") / ($"norm" * $"c_norm"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"a_cos".desc, $"c_label")
-      val ranked = scored
-        .withColumn("rn", row_number().over(wAssign))
-        .localCheckpoint()
-      // the index: one cell per vector (exactly q55's assignment)
-      val assigned = ranked.filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"norm", $"c_label".as("cell"))
-      // probes: each query's TWO nearest cells
-      val probes = ranked
-        .filter($"vec_id".isin(0L, 1L, 2L, 3L) && $"rn" <= 2)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          $"norm".as("q_norm"), $"c_label".as("q_cell"))
-      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-      broadcast(probes)
-        .join(assigned, $"q_cell" === $"cell" && $"q_id" =!= $"vec_id")
-        .withColumn("cos", expr(dot("q_emb", "embedding")) / ($"q_norm" * $"norm"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter($"rank" <= 3)
-        .select($"q_id", $"rank", $"vec_id".as("n_id"), $"q_cell".as("cell"),
-          round($"cos", 6).as("cos_sim"))
-        .orderBy($"q_id", $"rank")
+      buildIvfMultiprobe(s, dir, new StageMemo)
     },
 
     // SemDeDup (Abbas et al. 2023): SEMANTIC dedup — cluster the corpus,
@@ -994,12 +1118,7 @@ object Similarity {
     // sum d0+d1+d2+d3 of its codes' LUT entries (fixed order keeps the
     // double bit-identical across engines; a SUM() would be partition-
     // order-dependent). Scoring never touches the original vectors.
-    "q88_pq_ann" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
-      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(pqQuerySql(sparkPq,
-        prefix = Some(stagedTrainPrefix(s, sparkPq))))
-    },
+    "q88_pq_ann" -> { (s, dir) => buildPqAnn(s, dir, new StageMemo) },
 
     // IVF-PQ — the production ANN composition (FAISS IVFADC): the trained
     // coarse quantizer prunes to nprobe=2 cells, trained PQ codebooks
@@ -1007,12 +1126,7 @@ object Similarity {
     // inside the query and the oracle re-derives both — a green row
     // certifies coarse training, codebook training, pruning, and ADC
     // ranking agree cross-engine end-to-end. See [[ivfPqQuerySql]].
-    "q114_ivfpq_ann" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s) // l2sq_f64 in the template
-      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqQuerySql(sparkIvf, sparkPq,
-        prefix = Some(stagedIvfPqPrefix(s, sparkIvf, sparkPq))))
-    },
+    "q114_ivfpq_ann" -> { (s, dir) => buildIvfPqAnn(s, dir, new StageMemo) },
 
     // RESIDUAL IVF-PQ — FAISS's by_residual=true default: PQ trained on
     // and encoding cell RESIDUALS, per-(query, probed-cell) LUTs, same
@@ -1020,10 +1134,7 @@ object Similarity {
     // quantization. Recall head-to-head with q114 in q102
     // ("ivfpq_res_top5" vs "ivfpq_top5"). See [[ivfPqResidualQuerySql]].
     "q117_ivfpq_residual" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqResidualQuerySql(sparkIvf, sparkPq, sparkRes,
-        prefix = Some(stagedResPrefix(s, sparkIvf, sparkPq, sparkRes))))
+      buildIvfPqResidual(s, dir, new StageMemo)
     },
 
     // Residual IVF-PQ measured at the PRODUCTION operating point: the
@@ -1033,10 +1144,7 @@ object Similarity {
     // index). The row a capacity planner reads: hits AND candidates
     // scanned per query, both hash-gated. See [[ivfPqResidualRecallSql]].
     "q118_ivfpq_clustered" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfPqResidualRecallSql(sparkClust, sparkPq, sparkRes,
-        prefix = Some(stagedResPrefix(s, sparkClust, sparkPq, sparkRes))))
+      buildIvfPqClustered(s, dir, new StageMemo)
     },
 
     // q118 + FAISS IndexRefineFlat: exact re-rank of the 16-deep ADC
@@ -1057,11 +1165,7 @@ object Similarity {
     // hash-gated through the oracle, which re-derives corpus, training,
     // probe sets and costs from scratch.
     "q111_clustered_recall" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(clusteredRecallSql(sparkClust, sparkDotD,
-        prefix = Some(stagedAsgfPrefix(s, sparkClust,
-          clustAsgfCte(sparkClust, sparkDotD)))))
+      buildClusteredRecall(s, dir, new StageMemo)
     },
 
     // Trained IVF: the cells are k-means-learned from the vectors alone
@@ -1070,11 +1174,7 @@ object Similarity {
     // centroids, so a green row certifies the TRAINING cross-engine, not
     // just the search. Probe cost is one cell (~1/8 of the corpus).
     "q106_ivf_trained" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfQuerySql(sparkIvf, sparkDotD,
-        prefix = Some(stagedAsgfPrefix(s, sparkIvf,
-          ivfAsgfCte(sparkIvf, sparkDotD)))))
+      buildIvfTrained(s, dir, new StageMemo)
     },
 
     // Recall@k — the first question a user of an ANN index asks: how many
@@ -1098,6 +1198,12 @@ object Similarity {
       // worker threads never race the catalog.
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      // ONE memo across the panel (r18): members sharing a training
+      // dialect stage it once — q88+q114 the sparkPq codebooks,
+      // q106+q114+q117 the sparkIvf coarse chain, q111+q118 the
+      // sparkClust chain, q55+q103 the trainedCells frame. Scoped to
+      // this invocation; standalone bench queries build fresh memos.
+      val memo = new StageMemo
       val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -1113,19 +1219,19 @@ object Similarity {
         val fLsh = bg(queries("q51_ann_lsh")(s, dir)
           .filter($"vec_id".isin(0L, 1L, 2L, 3L))
           .select($"vec_id".as("q_id"), $"nn_id".as("n_id")))
-        val fIvf = bg(queries("q55_ivf_search")(s, dir).select($"q_id", $"n_id"))
-        val fIvfmp = bg(queries("q103_ivf_multiprobe")(s, dir).select($"q_id", $"n_id"))
-        val fIvftr = bg(queries("q106_ivf_trained")(s, dir).select($"q_id", $"n_id"))
-        val fPq = bg(queries("q88_pq_ann")(s, dir).select($"q_id", $"n_id"))
-        val fIvfpq = bg(queries("q114_ivfpq_ann")(s, dir).select($"q_id", $"n_id"))
-        val fIvfpqr = bg(queries("q117_ivfpq_residual")(s, dir).select($"q_id", $"n_id"))
+        val fIvf = bg(buildIvfSearch(s, dir, memo).select($"q_id", $"n_id"))
+        val fIvfmp = bg(buildIvfMultiprobe(s, dir, memo).select($"q_id", $"n_id"))
+        val fIvftr = bg(buildIvfTrained(s, dir, memo).select($"q_id", $"n_id"))
+        val fPq = bg(buildPqAnn(s, dir, memo).select($"q_id", $"n_id"))
+        val fIvfpq = bg(buildIvfPqAnn(s, dir, memo).select($"q_id", $"n_id"))
+        val fIvfpqr = bg(buildIvfPqResidual(s, dir, memo).select($"q_id", $"n_id"))
         // the clustered-corpus regime (q111) alongside the uniform-random
         // one: same trained-IVF machinery, a corpus with real locality —
         // the side-by-side that shows WHY the uniform numbers sit low
-        val fClust = bg(queries("q111_clustered_recall")(s, dir)
+        val fClust = bg(buildClusteredRecall(s, dir, memo)
           .select(concat(lit("ivf_clust_np"), $"nprobe".cast("string")).as("method"),
             $"q_id", $"k", $"hits_in_top3".as("hits_in_topk")))
-        val fClustRes = bg(queries("q118_ivfpq_clustered")(s, dir)
+        val fClustRes = bg(buildIvfPqClustered(s, dir, memo)
           .select(lit("ivfpq_res_clust").as("method"),
             $"q_id", $"k", $"hits_in_top3".as("hits_in_topk")))
         def await(f: scala.concurrent.Future[DataFrame]): DataFrame =

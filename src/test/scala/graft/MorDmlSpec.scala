@@ -637,15 +637,28 @@ class MorDmlSpec extends SparkSpec {
     t.deleteByKeys(Seq("id"), Seq(6L, 906L).toDF("id"))
     val delDirs = t.snapshots().collect { case (id, "del") => f"snap-$id%05d" }
     assert(delDirs.size === 2)
+    def delRelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical.collect {
+        case l: LogicalRelation
+          if l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation].location.rootPaths
+            .exists(p => delDirs.exists(p.toString.contains)) => l
+      }
+    // r18: the COMMITTING process serves the fold from its requested-key
+    // capture — the build side is a driver-local frame, so the read plans
+    // ZERO sidecar-dir scans at all (strictly better than reuse)
     val (df, plan) = t.readPruned(Seq.empty)
     assert(plan.files.size === 3, "base + two appends survive planning")
     assert(df.count() === 800L + 200L - 4L)
-    val delRels = df.queryExecution.logical.collect {
-      case l: LogicalRelation
-        if l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
-          .HadoopFsRelation].location.rootPaths
-          .exists(p => delDirs.exists(p.toString.contains)) => l
-    }
+    assert(delRelsOf(df).isEmpty,
+      s"captured folds must not scan sidecar dirs, saw ${delRelsOf(df).size}")
+    // a FRESH process (no capture) must fall back to the sidecar read —
+    // same survivors — and still build each key-set frame ONCE
+    graft.warehouse.SnapshotTable.delKeyCapture.clear()
+    val (df2, _) = t.readPruned(Seq.empty)
+    assert(df2.count() === 800L + 200L - 4L,
+      "the sidecar-read fold must keep the same survivors as the capture")
+    val delRels = delRelsOf(df2)
     assert(delRels.size >= 3,
       s"the delete fold must apply once per data dir, saw ${delRels.size}")
     // the analyzer re-aliases repeated occurrences (fresh exprIds per
