@@ -97,7 +97,10 @@ object Curation {
         .select($"doc_id", $"source", explode(expr(
           "transform(sequence(1, size(words) - 3), i -> md5(array_join(slice(words, i, 4), ' ')))")).as("g"))
         .dropDuplicates("doc_id", "g")
-        .localCheckpoint()
+        // MEMORY_AND_DISK_SER (r18, guide §5): O(corpus × grams) staged
+        // frame — serialized blocks spill instead of pinning objects
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val live = grams.groupBy($"g")
         .agg(
           sum(when($"source" === "src0", 1L).otherwise(0L)).as("n_eval"),

@@ -312,11 +312,15 @@ object TextOps {
       // is ONE join + groupBy (min over neighbours ∪ self) — no second
       // join-back onto the old labels (VERDICT r2 "What's wrong" #4).
       val sym = pairs.unionAll(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      // MEMORY_AND_DISK_SER (r18, guide §5): the edge/label frames are
+      // O(corpus) — serialized blocks spill instead of pinning
+      // deserialized objects across every propagation round
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       val nodes = sym.select($"a_id").distinct()
       val edges = sym.unionAll(nodes.select($"a_id", $"a_id".as("b_id")))
-        .localCheckpoint(true)
+        .localCheckpoint(true, ser)
       var labels = nodes.select($"a_id".as("node"), $"a_id".as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, ser)
       // Labels move only DOWNWARD, so an (overflow-proof, order-independent)
       // decimal sum is a complete fixpoint detector: any change strictly
       // lowers the sum. The convergence check is a tiny agg over the
@@ -329,7 +333,7 @@ object TextOps {
         val next = edges.join(labels, $"b_id" === $"node")
           .groupBy($"a_id").agg(min($"label").as("label"))
           .select($"a_id".as("node"), $"label")
-          .localCheckpoint(true)
+          .localCheckpoint(true, ser)
         val s = labelSum(next)
         changed = s.compareTo(prevSum) != 0
         prevSum = s
@@ -504,7 +508,10 @@ object TextOps {
         // long-lived harness session would leak one cached DataFrame per
         // run; checkpoint blocks are owned by the RDD and reclaimed by the
         // ContextCleaner once the result DataFrame is dropped.
-        .localCheckpoint()
+        // MEMORY_AND_DISK_SER (r18, guide §5): the gram frame is the
+        // corpus exploded per 4-gram — the suite's biggest staged frame
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val live = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") <= DupSpanDfCap)

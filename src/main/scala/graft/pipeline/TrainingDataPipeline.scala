@@ -235,7 +235,11 @@ object TrainingDataPipeline {
       .select(expr(
         "transform(split(lower(text), ' '), w -> filter(split(w, ''), c -> c <> ''))")
         .as("words"))
-      .localCheckpoint()
+      // MEMORY_AND_DISK_SER (r18, guide §5): the symbolized corpus is
+      // re-pinned every merge round — serialized blocks spill instead of
+      // holding deserialized arrays across all N rounds
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val rules = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
     def lit1(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
     for (_ <- 0 until nMerges) {
@@ -257,7 +261,8 @@ object TrainingDataPipeline {
                  AND element_at(acc, -1) = '${lit1(a)}' AND x = '${lit1(b)}'
                THEN concat(slice(acc, 1, size(acc) - 1), array('${lit1(a + b)}'))
                ELSE concat(acc, array(x)) END))""").as("words"))
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       corpus.unpersist(blocking = false)
       corpus = next
     }
