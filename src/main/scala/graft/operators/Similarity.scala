@@ -1210,6 +1210,15 @@ object Similarity {
       def bg(f: => DataFrame): scala.concurrent.Future[DataFrame] =
         scala.concurrent.Future { f.localCheckpoint(true) }
       try {
+        // prewarm the four SHARED trainings first (r18): they are the
+        // roots of most members' DAGs, so starting them in parallel up
+        // front means a member joining the memo never stalls the pool
+        // behind a training another member has yet to reach. Submitted,
+        // not awaited — members join the same futures.
+        scala.concurrent.Future { trainedCells(s, dir, memo) }
+        scala.concurrent.Future { stagedTrain(s, sparkPq, memo) }
+        scala.concurrent.Future { stagedTrain(s, sparkIvf, memo) }
+        scala.concurrent.Future { stagedTrain(s, sparkClust, memo) }
         // the exact top-k is ≤20 rows but costs a full brute-force scan —
         // pinned eagerly so the per-method joins below don't re-run the
         // scan (localCheckpoint: materialized, lineage cut, no cache
